@@ -1,0 +1,156 @@
+"""Mass assignment: particle -> grid painting (NGP/CIC/TSC) on device.
+
+TPU-native replacement for the reference's external DTFE binary
+(/root/reference/src/astrild/particles/hutils/dtfe.py:37-52) and for
+nbodykit/pmesh TSC painting (/root/reference/src/astrild/particles/hutils/
+stats_subfind.py:129-141). The deposit is a separable window: each particle
+contributes w = prod_axis w_axis to a small neighborhood; we express the
+scatter as `at[].add` over precomputed neighbor offsets, which XLA lowers to
+a sorted scatter on TPU. For the heavily-optimized path see
+ops/paint_pallas.py (sorted segment accumulation).
+
+All painters are periodic, jit-able, and vmap-able over a leading batch
+axis (arrays of simulations).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "paint", "paint_ngp", "paint_cic", "paint_tsc",
+    "compensation_kernel", "WINDOW_ORDER",
+]
+
+WINDOW_ORDER = {"ngp": 1, "cic": 2, "tsc": 3}
+
+
+def _flat_scatter(idx3, w, ngrid):
+    """Scatter weights into a flat n^3 array given 3D integer indices."""
+    flat = (idx3[..., 0] * ngrid + idx3[..., 1]) * ngrid + idx3[..., 2]
+    out = jnp.zeros((ngrid * ngrid * ngrid,), dtype=w.dtype)
+    out = out.at[flat.reshape(-1)].add(w.reshape(-1))
+    return out.reshape(ngrid, ngrid, ngrid)
+
+
+@partial(jax.jit, static_argnames=("ngrid",))
+def paint_ngp(pos, ngrid: int, boxsize, weights=None):
+    """Nearest-grid-point deposit."""
+    n = pos.shape[0]
+    w = jnp.ones((n,), jnp.float32) if weights is None else weights.astype(jnp.float32)
+    u = pos / (boxsize / ngrid)
+    i = jnp.floor(u).astype(jnp.int32) % ngrid
+    return _flat_scatter(i, w, ngrid)
+
+
+@partial(jax.jit, static_argnames=("ngrid",))
+def paint_cic(pos, ngrid: int, boxsize, weights=None):
+    """Cloud-in-cell deposit (2nd-order window, 8 cells/particle)."""
+    n = pos.shape[0]
+    w0 = jnp.ones((n,), jnp.float32) if weights is None else weights.astype(jnp.float32)
+    u = pos / (boxsize / ngrid) - 0.5
+    i0 = jnp.floor(u)
+    f = (u - i0).astype(jnp.float32)  # (n, 3) in [0,1)
+    i0 = i0.astype(jnp.int32)
+    grid = jnp.zeros((ngrid * ngrid * ngrid,), jnp.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                wx = f[:, 0] if dx else 1.0 - f[:, 0]
+                wy = f[:, 1] if dy else 1.0 - f[:, 1]
+                wz = f[:, 2] if dz else 1.0 - f[:, 2]
+                idx = jnp.stack(
+                    [(i0[:, 0] + dx) % ngrid,
+                     (i0[:, 1] + dy) % ngrid,
+                     (i0[:, 2] + dz) % ngrid], axis=-1)
+                flat = (idx[:, 0] * ngrid + idx[:, 1]) * ngrid + idx[:, 2]
+                grid = grid.at[flat].add(w0 * wx * wy * wz)
+    return grid.reshape(ngrid, ngrid, ngrid)
+
+
+def _tsc_axis_weights(d):
+    """TSC 1D weights for offsets (-1, 0, +1) around the center cell.
+
+    d in [-0.5, 0.5) is the distance from particle to center-cell center
+    in cell units.
+    """
+    wm = 0.5 * (0.5 - d) ** 2
+    w0 = 0.75 - d ** 2
+    wp = 0.5 * (0.5 + d) ** 2
+    return (wm, w0, wp)
+
+
+@partial(jax.jit, static_argnames=("ngrid",))
+def paint_tsc(pos, ngrid: int, boxsize, weights=None):
+    """Triangular-shaped-cloud deposit (3rd-order window, 27 cells)."""
+    n = pos.shape[0]
+    w0 = jnp.ones((n,), jnp.float32) if weights is None else weights.astype(jnp.float32)
+    u = pos / (boxsize / ngrid)
+    ic = jnp.floor(u).astype(jnp.int32)  # center cell
+    d = (u - ic - 0.5).astype(jnp.float32)  # distance from cell center, [-0.5, 0.5)
+    wx = _tsc_axis_weights(d[:, 0])
+    wy = _tsc_axis_weights(d[:, 1])
+    wz = _tsc_axis_weights(d[:, 2])
+    grid = jnp.zeros((ngrid * ngrid * ngrid,), jnp.float32)
+    for ax, dx in enumerate((-1, 0, 1)):
+        for ay, dy in enumerate((-1, 0, 1)):
+            for az, dz in enumerate((-1, 0, 1)):
+                idx0 = (ic[:, 0] + dx) % ngrid
+                idx1 = (ic[:, 1] + dy) % ngrid
+                idx2 = (ic[:, 2] + dz) % ngrid
+                flat = (idx0 * ngrid + idx1) * ngrid + idx2
+                grid = grid.at[flat].add(w0 * wx[ax] * wy[ay] * wz[az])
+    return grid.reshape(ngrid, ngrid, ngrid)
+
+
+_PAINTERS = {"ngp": paint_ngp, "cic": paint_cic, "tsc": paint_tsc}
+
+
+def paint(pos, ngrid: int, boxsize, weights=None, window: str = "cic",
+          interlaced: bool = False):
+    """Deposit particles onto an n^3 grid.
+
+    Args:
+      pos: (n, 3) positions in [0, boxsize).
+      ngrid: grid resolution per side.
+      boxsize: box side length (same units as pos).
+      weights: optional per-particle weights (mass).
+      window: 'ngp' | 'cic' | 'tsc'.
+      interlaced: if True, returns (grid, grid_shifted) where the second
+        deposit is displaced by half a cell along each axis — combined in
+        Fourier space by ops.power to cancel odd alias images (the
+        reference enables this for cross-spectra,
+        power_spectrum_3d.py:197-222).
+    """
+    fn = _PAINTERS[window]
+    g = fn(pos, ngrid, boxsize, weights)
+    if not interlaced:
+        return g
+    half = 0.5 * boxsize / ngrid
+    g2 = fn((pos + half) % boxsize, ngrid, boxsize, weights)
+    return g, g2
+
+
+def compensation_kernel(ngrid: int, window: str = "cic", dtype=jnp.float32):
+    """Fourier-space window deconvolution 1/W(k) on the rfftn grid.
+
+    W(k) = prod_i sinc(pi k_i / (2 k_ny))^p with p = window order.
+    Returns an array broadcastable against rfftn(delta) of shape
+    (n, n, n//2+1).
+    """
+    p = WINDOW_ORDER[window]
+
+    def axis_win(freqs):
+        # freqs in cycles/cell in [-0.5, 0.5]; W = sinc(freq)^p (numpy sinc
+        # = sin(pi x)/(pi x))
+        x = jnp.where(freqs == 0.0, 1.0, jnp.sinc(freqs))
+        return x ** p
+
+    fx = jnp.fft.fftfreq(ngrid).astype(dtype)
+    fz = jnp.fft.rfftfreq(ngrid).astype(dtype)
+    wx = axis_win(fx)[:, None, None]
+    wy = axis_win(fx)[None, :, None]
+    wz = axis_win(fz)[None, None, :]
+    return 1.0 / (wx * wy * wz)

@@ -1,0 +1,146 @@
+"""3D power-spectrum estimation on device: FFT + k-shell reduction.
+
+TPU-native replacement for nbodykit's ArrayMesh/FFTPower pipeline used by
+the reference (/root/reference/src/astrild/power_spectra/power_spectrum_3d.py:164-226)
+and for the external POWMES tool (configs/powmes.config). Everything is a
+pure jit-able function: paint (ops.paint) -> delta_k -> shell-binned P(k)
+with window compensation, interlacing, and shot-noise subtraction.
+
+For meshes sharded over the device mesh, see parallel/pfft.py — the same
+binning runs on pencil-decomposed FFTs with a final psum.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .paint import compensation_kernel
+
+__all__ = [
+    "PowerResult", "kmag_rfft", "hermitian_weights", "delta_k",
+    "shell_average", "auto_power", "cross_power",
+]
+
+
+class PowerResult(NamedTuple):
+    k: jnp.ndarray        # mean |k| per bin [h/Mpc]
+    power: jnp.ndarray    # P(k) [(Mpc/h)^3]
+    nmodes: jnp.ndarray   # hermitian-weighted mode count per bin
+
+
+def kmag_rfft(ngrid: int, boxsize: float, dtype=jnp.float32):
+    """|k| on the rfftn grid, shape (n, n, n//2+1), units 2*pi/boxsize * cycles."""
+    kf = 2.0 * jnp.pi / boxsize
+    ix = jnp.fft.fftfreq(ngrid) * ngrid  # integer mode numbers
+    iz = jnp.fft.rfftfreq(ngrid) * ngrid
+    kx = (kf * ix).astype(dtype)
+    kz = (kf * iz).astype(dtype)
+    return jnp.sqrt(
+        kx[:, None, None] ** 2 + kx[None, :, None] ** 2 + kz[None, None, :] ** 2
+    )
+
+
+def hermitian_weights(ngrid: int, dtype=jnp.float32):
+    """Mode multiplicity for rfftn storage: 2 except kz=0 and kz=nyquist planes."""
+    nz = ngrid // 2 + 1
+    w = jnp.full((nz,), 2.0, dtype)
+    w = w.at[0].set(1.0)
+    if ngrid % 2 == 0:
+        w = w.at[nz - 1].set(1.0)
+    return w[None, None, :]
+
+
+@partial(jax.jit, static_argnames=("window", "interlaced"))
+def delta_k(grid, grid_shifted=None, window: Optional[str] = None,
+            interlaced: bool = False):
+    """Density contrast in Fourier space, window-compensated.
+
+    Args:
+      grid: (n, n, n) painted density (counts or mass).
+      grid_shifted: half-cell-shifted deposit for interlacing.
+      window: 'ngp'|'cic'|'tsc' to deconvolve the assignment window.
+      interlaced: combine grid and grid_shifted to cancel odd alias images
+        (mirrors the reference's cross-spectrum path,
+        power_spectrum_3d.py:197-222).
+    Returns complex (n, n, n//2+1) array: FFT(delta)/N^3 (dimensionless).
+    """
+    n = grid.shape[-1]
+    mean = jnp.mean(grid)
+    d = grid / jnp.where(mean == 0, 1.0, mean) - 1.0
+    dk = jnp.fft.rfftn(d) / (n ** 3)
+    if interlaced:
+        mean2 = jnp.mean(grid_shifted)
+        d2 = grid_shifted / jnp.where(mean2 == 0, 1.0, mean2) - 1.0
+        dk2 = jnp.fft.rfftn(d2) / (n ** 3)
+        # shift by +H/2 per axis: multiply by exp(+i (kx+ky+kz) H/2)
+        ix = jnp.fft.fftfreq(n) * n
+        iz = jnp.fft.rfftfreq(n) * n
+        ph = (jnp.pi / n) * (
+            ix[:, None, None] + ix[None, :, None] + iz[None, None, :]
+        )
+        dk = 0.5 * (dk + dk2 * jnp.exp(1j * ph))
+    if window is not None:
+        dk = dk * compensation_kernel(n, window)
+    return dk
+
+
+@partial(jax.jit, static_argnames=("nbins",))
+def shell_average(values, ngrid: int, boxsize: float, nbins: int,
+                  kmin=None, kmax=None):
+    """Average `values` (real, rfftn layout) over |k| shells.
+
+    Returns (k_mean, value_mean, nmodes). Bins are linear in k with width
+    the fundamental mode kf = 2 pi / boxsize by default (matching the
+    reference's dk=kf choice, power_spectrum_3d.py:189-195).
+    """
+    kf = 2.0 * jnp.pi / boxsize
+    kny = jnp.pi * ngrid / boxsize
+    kmin = kf / 2.0 if kmin is None else kmin
+    kmax = kny if kmax is None else kmax
+    kmag = kmag_rfft(ngrid, boxsize)
+    w = hermitian_weights(ngrid) * jnp.ones_like(kmag)
+    # drop the k=0 (DC) mode
+    w = w.at[0, 0, 0].set(0.0)
+    edges = jnp.linspace(kmin, kmax, nbins + 1)
+    binidx = jnp.clip(
+        jnp.searchsorted(edges, kmag.reshape(-1), side="right") - 1, 0, nbins - 1
+    )
+    inside = (kmag.reshape(-1) >= kmin) & (kmag.reshape(-1) <= kmax)
+    wf = w.reshape(-1) * inside
+    nm = jax.ops.segment_sum(wf, binidx, num_segments=nbins)
+    ksum = jax.ops.segment_sum(wf * kmag.reshape(-1), binidx, num_segments=nbins)
+    vsum = jax.ops.segment_sum(wf * values.reshape(-1), binidx, num_segments=nbins)
+    denom = jnp.where(nm > 0, nm, 1.0)
+    return ksum / denom, vsum / denom, nm
+
+
+def auto_power(grid, boxsize: float, nbins: int = 0, window: Optional[str] = None,
+               grid_shifted=None, interlaced: bool = False,
+               shotnoise: float = 0.0, kmin=None, kmax=None) -> PowerResult:
+    """Auto power spectrum P(k) of a painted grid.
+
+    shotnoise: V/N_particles for discrete tracers (subtracted after
+    binning, as in the reference power_spectrum_3d.py:223-224).
+    """
+    n = grid.shape[-1]
+    nbins = nbins or (n // 2)
+    dk = delta_k(grid, grid_shifted, window=window, interlaced=interlaced)
+    pk3d = (jnp.abs(dk) ** 2) * (boxsize ** 3)
+    k, p, nm = shell_average(pk3d, n, boxsize, nbins, kmin, kmax)
+    return PowerResult(k, p - shotnoise, nm)
+
+
+def cross_power(grid1, grid2, boxsize: float, nbins: int = 0,
+                window: Optional[str] = None, grids_shifted=(None, None),
+                interlaced: bool = False, kmin=None, kmax=None) -> PowerResult:
+    """Cross power spectrum of two painted grids (no shot noise)."""
+    n = grid1.shape[-1]
+    nbins = nbins or (n // 2)
+    dk1 = delta_k(grid1, grids_shifted[0], window=window, interlaced=interlaced)
+    dk2 = delta_k(grid2, grids_shifted[1], window=window, interlaced=interlaced)
+    pk3d = jnp.real(dk1 * jnp.conj(dk2)) * (boxsize ** 3)
+    k, p, nm = shell_average(pk3d, n, boxsize, nbins, kmin, kmax)
+    return PowerResult(k, p, nm)

@@ -1,0 +1,221 @@
+"""Pure-JAX background cosmology: distances, growth, Hubble flow.
+
+Replaces the reference's use of astropy.cosmology / nbodykit.cosmology /
+CAMB (see /root/reference/src/astrild/power_spectra/linear_power_spectrum.py:87-100
+and /root/reference/src/astrild/utils/geometrical_transforms.py:30-58) with a
+jit-friendly flat-(w0,wa)CDM implementation.
+
+Everything is table-based: `Cosmology` precomputes comoving-distance and
+growth tables on a fixed grid at construction (traceable jnp ops), and all
+evaluations are `jnp.interp` lookups, so cosmology calls can live inside
+jit/vmap/shard_map regions without host callbacks.
+
+Units: Mpc/h for distances, km/s for velocities (h-unit convention, so no
+explicit h appears anywhere).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .constants import C_LIGHT_KMS, H0_HUNITS, RHO_CRIT0
+
+__all__ = ["Cosmology", "PLANCK18"]
+
+_A_MIN = 1.0e-3
+_N_TABLE = 1024
+_Z_MAX_TABLE = 40.0
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Cosmology:
+    """Flat (w0, wa)CDM cosmology with precomputed distance/growth tables.
+
+    Parameters mirror the reference's usage (Om0, Ob0, h for unit
+    conversions; ns/sigma8 feed the linear power spectrum in
+    ops/linear_power.py).
+    """
+
+    Om0: float = 0.3089
+    Ob0: float = 0.0486
+    h: float = 0.6774
+    ns: float = 0.9667
+    sigma8: float = 0.8159
+    w0: float = -1.0
+    wa: float = 0.0
+    Tcmb: float = 2.7255
+
+    # --- derived tables (filled in __post_init__) ---
+    _z_tab: jnp.ndarray = dataclasses.field(default=None, repr=False)
+    _chi_tab: jnp.ndarray = dataclasses.field(default=None, repr=False)
+    _lna_tab: jnp.ndarray = dataclasses.field(default=None, repr=False)
+    _lnD_tab: jnp.ndarray = dataclasses.field(default=None, repr=False)
+    _f_tab: jnp.ndarray = dataclasses.field(default=None, repr=False)
+
+    def __post_init__(self):
+        if self._z_tab is None:
+            ztab, chitab = self._build_distance_table()
+            lna, lnD, f = self._build_growth_table()
+            object.__setattr__(self, "_z_tab", ztab)
+            object.__setattr__(self, "_chi_tab", chitab)
+            object.__setattr__(self, "_lna_tab", lna)
+            object.__setattr__(self, "_lnD_tab", lnD)
+            object.__setattr__(self, "_f_tab", f)
+
+    # ---------------------------------------------------------------- pytree
+    def tree_flatten(self):
+        leaves = (
+            self._z_tab,
+            self._chi_tab,
+            self._lna_tab,
+            self._lnD_tab,
+            self._f_tab,
+        )
+        aux = (self.Om0, self.Ob0, self.h, self.ns, self.sigma8, self.w0,
+               self.wa, self.Tcmb)
+        return leaves, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        Om0, Ob0, h, ns, sigma8, w0, wa, Tcmb = aux
+        return cls(Om0=Om0, Ob0=Ob0, h=h, ns=ns, sigma8=sigma8, w0=w0,
+                   wa=wa, Tcmb=Tcmb, _z_tab=leaves[0], _chi_tab=leaves[1],
+                   _lna_tab=leaves[2], _lnD_tab=leaves[3], _f_tab=leaves[4])
+
+    # ----------------------------------------------------------- background
+    @property
+    def Ode0(self) -> float:
+        return 1.0 - self.Om0
+
+    def _de_density_ratio(self, a):
+        """rho_DE(a)/rho_DE(0) for CPL w(a) = w0 + wa(1-a)."""
+        w0, wa = self.w0, self.wa
+        return a ** (-3.0 * (1.0 + w0 + wa)) * jnp.exp(-3.0 * wa * (1.0 - a))
+
+    def efunc_a(self, a):
+        """E(a) = H(a)/H0."""
+        a = jnp.asarray(a)
+        return jnp.sqrt(self.Om0 * a ** -3 + self.Ode0 * self._de_density_ratio(a))
+
+    def efunc(self, z):
+        return self.efunc_a(1.0 / (1.0 + jnp.asarray(z)))
+
+    def H(self, z):
+        """H(z) in km/s/(Mpc/h)."""
+        return H0_HUNITS * self.efunc(z)
+
+    def Om(self, z):
+        """Omega_m(z) = Om0 (1+z)^3 / E(z)^2."""
+        z = jnp.asarray(z)
+        return self.Om0 * (1.0 + z) ** 3 / self.efunc(z) ** 2
+
+    def rho_crit(self, z):
+        """Critical density at z in (Msun/h)/(Mpc/h)^3 (comoving h-units)."""
+        return RHO_CRIT0 * self.efunc(z) ** 2
+
+    def rho_mean0(self):
+        """Mean comoving matter density, (Msun/h)/(Mpc/h)^3."""
+        return RHO_CRIT0 * self.Om0
+
+    # ------------------------------------------------------------ distances
+    def _build_distance_table(self):
+        z = jnp.linspace(0.0, _Z_MAX_TABLE, _N_TABLE)
+        integrand = 1.0 / self.efunc(z)
+        dz = z[1] - z[0]
+        # cumulative trapezoid, chi(0) = 0
+        cum = jnp.concatenate(
+            [jnp.zeros((1,)), jnp.cumsum(0.5 * (integrand[1:] + integrand[:-1]) * dz)]
+        )
+        chi = (C_LIGHT_KMS / H0_HUNITS) * cum  # Mpc/h
+        return z, chi
+
+    def comoving_distance(self, z):
+        """chi(z) in Mpc/h (flat universe: == transverse comoving)."""
+        return jnp.interp(jnp.asarray(z), self._z_tab, self._chi_tab)
+
+    def redshift_at_comoving_distance(self, chi):
+        """Inverse of comoving_distance, by table inversion."""
+        return jnp.interp(jnp.asarray(chi), self._chi_tab, self._z_tab)
+
+    def angular_diameter_distance(self, z):
+        """D_A(z) = chi(z)/(1+z) in Mpc/h."""
+        z = jnp.asarray(z)
+        return self.comoving_distance(z) / (1.0 + z)
+
+    def lookback_time(self, z):
+        """Lookback time in Gyr (h-free: uses physical H0 = 100 h)."""
+        z = jnp.asarray(z)
+        zt = self._z_tab
+        integ = 1.0 / ((1.0 + zt) * self.efunc(zt))
+        dz = zt[1] - zt[0]
+        cum = jnp.concatenate(
+            [jnp.zeros((1,)), jnp.cumsum(0.5 * (integ[1:] + integ[:-1]) * dz)]
+        )
+        # 1/H0 in Gyr: (Mpc/h / (km/s)) -> s -> Gyr ; Mpc = 3.0857e19 km
+        hubble_time_gyr = 3.085677581491367e19 / (H0_HUNITS * self.h) / (
+            3.15576e16
+        )
+        return jnp.interp(z, zt, cum) * hubble_time_gyr
+
+    # --------------------------------------------------------------- growth
+    def _build_growth_table(self):
+        """Linear growth via D(a) = 5/2 Om0 E(a) int_0^a da'/(a'E(a'))^3.
+
+        Valid for LCDM / smooth DE (matches the heuristic used by the
+        reference's nbodykit PerturbationGrowth calls). f = dlnD/dlna from
+        the analytic derivative of the integral expression.
+        """
+        lna = jnp.linspace(jnp.log(_A_MIN), 0.0, _N_TABLE)
+        a = jnp.exp(lna)
+        E = self.efunc_a(a)
+        integrand = 1.0 / (a * E) ** 3 * a  # d(lna) measure: da = a dlna
+        dlna = lna[1] - lna[0]
+        cum = jnp.cumsum(0.5 * (integrand[1:] + integrand[:-1]) * dlna)
+        cum = jnp.concatenate([jnp.zeros((1,)), cum])
+        # add the [0, a_min] tail analytically (matter domination: int ~ 2/5 a^{5/2}/sqrt(Om))
+        tail = 2.0 / 5.0 * _A_MIN ** 2.5 / jnp.sqrt(self.Om0)
+        I = cum + tail
+        D = 2.5 * self.Om0 * E * I
+        lnD = jnp.log(D) - jnp.log(D[-1])  # normalize D(a=1)=1
+        # f = dlnD/dlna = dlnE/dlna + (integrand/I)
+        dlnE = jax.vmap(jax.grad(lambda l: jnp.log(self.efunc_a(jnp.exp(l)))))(lna)
+        f = dlnE + (1.0 / (a * E) ** 3 * a) / I
+        return lna, lnD, f
+
+    def growth_factor(self, z):
+        """D(z), normalized to D(z=0)=1."""
+        a = 1.0 / (1.0 + jnp.asarray(z))
+        return jnp.exp(jnp.interp(jnp.log(a), self._lna_tab, self._lnD_tab))
+
+    def growth_rate(self, z):
+        """f(z) = dlnD/dlna."""
+        a = 1.0 / (1.0 + jnp.asarray(z))
+        return jnp.interp(jnp.log(a), self._lna_tab, self._f_tab)
+
+    # -------------------------------------------------------------- lensing
+    def lensing_kernel(self, chi, chi_s):
+        """Lensing efficiency g(chi) = (chi_s - chi) * chi / chi_s.
+
+        Mirrors SimulationCollection._kernel_function
+        (/root/reference/src/astrild/simcoll.py:432-443).
+        """
+        chi = jnp.asarray(chi)
+        return jnp.clip(chi_s - chi, 0.0, None) * chi / chi_s
+
+    def sigma_crit_inv(self, z_l, z_s):
+        """1/Sigma_crit in (Mpc/h)^2/(Msun/h) (comoving)."""
+        chi_l = self.comoving_distance(z_l)
+        chi_s = self.comoving_distance(z_s)
+        d_ls = jnp.clip(chi_s - chi_l, 0.0, None) / (1.0 + z_s)
+        d_l = chi_l / (1.0 + z_l)
+        d_s = chi_s / (1.0 + z_s)
+        # Sigma_crit = c^2 / (4 pi G) * D_s / (D_l D_ls)
+        pref = C_LIGHT_KMS ** 2 / (4.0 * jnp.pi * 4.300917270e-9)
+        return d_l * d_ls / (jnp.where(d_s > 0, d_s, 1.0) * pref)
+
+
+PLANCK18 = Cosmology()

@@ -1,0 +1,38 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The reference (astrild) had no multi-device tests at all (SURVEY.md §4); here
+every test runs with jax.device_count() == 8 on the CPU backend so that
+sharding-equivalence tests (sharded result == single-device result) are part
+of the default suite.
+"""
+import os
+
+# Must be set before jax is imported anywhere. The outer environment pins
+# JAX_PLATFORMS to the TPU tunnel ("axon"); tests always run on the virtual
+# 8-device CPU backend, so override unconditionally.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# Persistent compilation cache makes repeated test runs much faster.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def devices():
+    return jax.devices()
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

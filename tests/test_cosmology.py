@@ -1,0 +1,99 @@
+"""Cosmology tests: analytic limits + cross-checks against known values."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+from astrild_tpu.utils.cosmology import Cosmology
+
+
+@pytest.fixture(scope="module")
+def cosmo():
+    return Cosmology(Om0=0.3089, h=0.6774)
+
+
+def test_efunc_today(cosmo):
+    npt.assert_allclose(float(cosmo.efunc(0.0)), 1.0, rtol=1e-6)
+
+
+def test_efunc_matter_domination(cosmo):
+    # At high z, E(z) ~ sqrt(Om0) (1+z)^1.5
+    z = 20.0
+    expect = np.sqrt(0.3089) * (1 + z) ** 1.5
+    npt.assert_allclose(float(cosmo.efunc(z)), expect, rtol=2e-2)
+
+
+def test_comoving_distance_low_z_hubble_law(cosmo):
+    # chi(z) -> (c/H0) z for z -> 0
+    z = 0.01
+    chi = float(cosmo.comoving_distance(z))
+    npt.assert_allclose(chi, 299792.458 / 100.0 * z, rtol=1e-2)
+
+
+def test_comoving_distance_known_value(cosmo):
+    # Planck15-like: chi(z=1) ~ 3396 Mpc = 2300 Mpc/h  (astropy Planck15:
+    # 3395.9 Mpc); in Mpc/h: 3395.9 * 0.6774 = 2300.4
+    chi = float(cosmo.comoving_distance(1.0))
+    npt.assert_allclose(chi, 2300.4, rtol=5e-3)
+
+
+def test_redshift_inversion_roundtrip(cosmo):
+    z = jnp.array([0.1, 0.5, 1.0, 2.0, 5.0])
+    chi = cosmo.comoving_distance(z)
+    z2 = cosmo.redshift_at_comoving_distance(chi)
+    npt.assert_allclose(np.asarray(z2), np.asarray(z), rtol=1e-4, atol=1e-4)
+
+
+def test_growth_factor_normalization(cosmo):
+    npt.assert_allclose(float(cosmo.growth_factor(0.0)), 1.0, rtol=1e-6)
+
+
+def test_growth_factor_matter_domination(cosmo):
+    # During matter domination D ~ a, so D(z1)/D(z2) ~ a1/a2
+    d10 = float(cosmo.growth_factor(10.0))
+    d20 = float(cosmo.growth_factor(20.0))
+    npt.assert_allclose(d10 / d20, (1 / 11) / (1 / 21), rtol=2e-2)
+
+
+def test_growth_rate_limits(cosmo):
+    # f -> 1 in matter domination; f(0) ~ Om(0)^0.55
+    f_high = float(cosmo.growth_rate(20.0))
+    npt.assert_allclose(f_high, 1.0, rtol=2e-2)
+    f0 = float(cosmo.growth_rate(0.0))
+    npt.assert_allclose(f0, 0.3089 ** 0.55, rtol=2e-2)
+
+
+def test_growth_rate_eds_exact():
+    # Einstein-de-Sitter: D = a exactly, f = 1 everywhere
+    eds = Cosmology(Om0=1.0)
+    for z in [0.0, 1.0, 5.0]:
+        npt.assert_allclose(float(eds.growth_rate(z)), 1.0, rtol=1e-2)
+        npt.assert_allclose(
+            float(eds.growth_factor(z)), 1.0 / (1.0 + z), rtol=1e-2
+        )
+
+
+def test_lensing_kernel(cosmo):
+    # g(chi) peaks at chi_s/2, zero at endpoints
+    chi_s = 3000.0
+    npt.assert_allclose(float(cosmo.lensing_kernel(0.0, chi_s)), 0.0)
+    npt.assert_allclose(float(cosmo.lensing_kernel(chi_s, chi_s)), 0.0)
+    peak = float(cosmo.lensing_kernel(chi_s / 2, chi_s))
+    npt.assert_allclose(peak, chi_s / 4, rtol=1e-6)
+
+
+def test_cosmology_is_pytree_and_jittable(cosmo):
+    @jax.jit
+    def chi_at(c, z):
+        return c.comoving_distance(z)
+
+    out = chi_at(cosmo, 1.0)
+    npt.assert_allclose(float(out), float(cosmo.comoving_distance(1.0)), rtol=1e-6)
+
+
+def test_vmap_over_redshifts(cosmo):
+    zs = jnp.linspace(0.1, 3.0, 16)
+    out = jax.vmap(cosmo.growth_factor)(zs)
+    assert out.shape == (16,)
+    assert bool(jnp.all(jnp.diff(out) < 0))  # D decreases with z

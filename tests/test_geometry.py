@@ -1,0 +1,63 @@
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+
+from astrild_tpu.utils import geometry as gt
+
+
+def test_ell_arcmin_roundtrip():
+    ell = 3000.0
+    npt.assert_allclose(float(gt.arcmin_to_ell(gt.ell_to_arcmin(ell))), ell, rtol=1e-6)
+
+
+def test_rad_arcmin_roundtrip():
+    a = 12.5
+    npt.assert_allclose(float(gt.rad_to_arcmin(gt.arcmin_to_rad(a))), a, rtol=1e-6)
+
+
+def test_dc_to_da():
+    npt.assert_allclose(float(gt.Dc_to_Da(100.0, 1.0)), 50.0)
+
+
+def test_radius_to_angsize():
+    # 1 Mpc at Da=100 Mpc -> 0.01 rad
+    npt.assert_allclose(float(gt.radius_to_angsize(1.0, 100.0, arcmin=False)), 0.01)
+
+
+def test_sph_cart_jacobians_inverse():
+    th, ph = 0.7, 1.3
+    J1 = np.asarray(gt.cart_to_sph_jacobian(th, ph))
+    J2 = np.asarray(gt.sph_to_cart_jacobian(th, ph))
+    # One is the (transposed) inverse of the other: rotations
+    npt.assert_allclose(J1 @ J2, np.eye(3), atol=1e-6)
+
+
+def test_vector_roundtrip():
+    th = jnp.array([0.3, 1.1])
+    ph = jnp.array([0.2, 2.0])
+    v_cart = jnp.array([[1.0, 2.0, 3.0], [0.5, -1.0, 0.7]])
+    v_sph = gt.convert_vec_cart_to_sph(th, ph, v_cart)
+    v_back = gt.convert_vec_sph_to_cart(th, ph, v_sph)
+    npt.assert_allclose(np.asarray(v_back), np.asarray(v_cart), atol=1e-5)
+
+
+def test_radial_velocity_along_z():
+    # A velocity along +z at theta=0 must be purely radial
+    v_cart = jnp.array([[0.0, 0.0, 5.0]])
+    v_sph = gt.convert_vec_cart_to_sph(jnp.array([1e-8]), jnp.array([0.0]), v_cart)
+    npt.assert_allclose(float(v_sph[0, 0]), 5.0, atol=1e-5)
+
+
+def test_box_to_lightcone():
+    pos = jnp.array([[250.0, 250.0, 0.0]])
+    out = gt.transform_box_to_lc_cart_coords(pos, boxsize=500.0, boxdist=1000.0)
+    npt.assert_allclose(np.asarray(out), [[0.0, 0.0, 1000.0]])
+    r = gt.radial_coordinate_in_lc(out)
+    npt.assert_allclose(float(r[0]), 1000.0)
+
+
+def test_angular_coordinate():
+    pos = jnp.array([[10.0, 0.0, 1000.0]])
+    t1, t2 = gt.angular_coordinate_in_lc(pos, unit="rad")
+    npt.assert_allclose(float(t1[0]), np.arctan(0.01), rtol=1e-6)
+    npt.assert_allclose(float(t2[0]), 0.0, atol=1e-8)
