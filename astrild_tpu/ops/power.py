@@ -31,16 +31,25 @@ class PowerResult(NamedTuple):
     nmodes: jnp.ndarray   # hermitian-weighted mode count per bin
 
 
+def mode_radius_rfft(ngrid: int, dtype=jnp.float32):
+    """|k|/kf on the rfftn grid: sqrt of exact integer mode-number sums.
+
+    Binning on this unit-free quantity (instead of physical |k|) makes the
+    shell assignment bit-identical between the local and the distributed
+    estimators — shells that land exactly on a bin edge can otherwise flip
+    bins from float rounding-order differences.
+    """
+    ix = (jnp.fft.fftfreq(ngrid) * ngrid).astype(dtype)
+    iz = (jnp.fft.rfftfreq(ngrid) * ngrid).astype(dtype)
+    m2 = (ix[:, None, None] ** 2 + ix[None, :, None] ** 2
+          + iz[None, None, :] ** 2)
+    return jnp.sqrt(m2)
+
+
 def kmag_rfft(ngrid: int, boxsize: float, dtype=jnp.float32):
-    """|k| on the rfftn grid, shape (n, n, n//2+1), units 2*pi/boxsize * cycles."""
+    """|k| on the rfftn grid, shape (n, n, n//2+1), units h/Mpc."""
     kf = 2.0 * jnp.pi / boxsize
-    ix = jnp.fft.fftfreq(ngrid) * ngrid  # integer mode numbers
-    iz = jnp.fft.rfftfreq(ngrid) * ngrid
-    kx = (kf * ix).astype(dtype)
-    kz = (kf * iz).astype(dtype)
-    return jnp.sqrt(
-        kx[:, None, None] ** 2 + kx[None, :, None] ** 2 + kz[None, None, :] ** 2
-    )
+    return mode_radius_rfft(ngrid, dtype) * kf
 
 
 def hermitian_weights(ngrid: int, dtype=jnp.float32):
@@ -87,34 +96,35 @@ def delta_k(grid, grid_shifted=None, window: Optional[str] = None,
     return dk
 
 
-@partial(jax.jit, static_argnames=("nbins",))
+@partial(jax.jit, static_argnames=("ngrid", "nbins"))
 def shell_average(values, ngrid: int, boxsize: float, nbins: int,
                   kmin=None, kmax=None):
     """Average `values` (real, rfftn layout) over |k| shells.
 
     Returns (k_mean, value_mean, nmodes). Bins are linear in k with width
     the fundamental mode kf = 2 pi / boxsize by default (matching the
-    reference's dk=kf choice, power_spectrum_3d.py:189-195).
+    reference's dk=kf choice, power_spectrum_3d.py:189-195). kmin/kmax are
+    interpreted in units of kf (mode units) so the shell assignment is
+    bit-identical with the distributed estimator.
     """
+    mmin = 0.5 if kmin is None else kmin
+    mmax = ngrid / 2.0 if kmax is None else kmax
     kf = 2.0 * jnp.pi / boxsize
-    kny = jnp.pi * ngrid / boxsize
-    kmin = kf / 2.0 if kmin is None else kmin
-    kmax = kny if kmax is None else kmax
-    kmag = kmag_rfft(ngrid, boxsize)
-    w = hermitian_weights(ngrid) * jnp.ones_like(kmag)
+    m = mode_radius_rfft(ngrid).reshape(-1)
+    w = (hermitian_weights(ngrid) * jnp.ones((ngrid, ngrid, ngrid // 2 + 1)))
     # drop the k=0 (DC) mode
     w = w.at[0, 0, 0].set(0.0)
-    edges = jnp.linspace(kmin, kmax, nbins + 1)
+    edges = jnp.linspace(mmin, mmax, nbins + 1)
     binidx = jnp.clip(
-        jnp.searchsorted(edges, kmag.reshape(-1), side="right") - 1, 0, nbins - 1
+        jnp.searchsorted(edges, m, side="right") - 1, 0, nbins - 1
     )
-    inside = (kmag.reshape(-1) >= kmin) & (kmag.reshape(-1) <= kmax)
+    inside = (m >= mmin) & (m <= mmax)
     wf = w.reshape(-1) * inside
     nm = jax.ops.segment_sum(wf, binidx, num_segments=nbins)
-    ksum = jax.ops.segment_sum(wf * kmag.reshape(-1), binidx, num_segments=nbins)
+    msum = jax.ops.segment_sum(wf * m, binidx, num_segments=nbins)
     vsum = jax.ops.segment_sum(wf * values.reshape(-1), binidx, num_segments=nbins)
     denom = jnp.where(nm > 0, nm, 1.0)
-    return ksum / denom, vsum / denom, nm
+    return msum / denom * kf, vsum / denom, nm
 
 
 def auto_power(grid, boxsize: float, nbins: int = 0, window: Optional[str] = None,

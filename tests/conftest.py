@@ -7,18 +7,16 @@ of the default suite.
 """
 import os
 
-# Must be set before jax is imported anywhere. The outer environment pins
-# JAX_PLATFORMS to the TPU tunnel ("axon"); tests always run on the virtual
-# 8-device CPU backend, so override unconditionally.
+# The outer environment pins JAX_PLATFORMS to the TPU tunnel ("axon") and a
+# sitecustomize.py pre-imports jax before this file runs, so env vars alone
+# are too late — use jax.config updates (honored lazily at backend init).
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache makes repeated test runs much faster.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")

@@ -1,0 +1,129 @@
+"""Painting + P(k) estimator tests: analytic anchors, not goldens."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+from astrild_tpu.ops import paint as P
+from astrild_tpu.ops import power as PS
+
+BOX = 100.0
+NG = 16
+
+
+def lattice_positions(n, box):
+    """Particles exactly at CIC cell centers."""
+    x = (np.arange(n) + 0.5) * box / n
+    g = np.stack(np.meshgrid(x, x, x, indexing="ij"), axis=-1)
+    return jnp.asarray(g.reshape(-1, 3))
+
+
+@pytest.mark.parametrize("window", ["ngp", "cic", "tsc"])
+def test_mass_conservation(window, rng):
+    pos = jnp.asarray(rng.uniform(0, BOX, (1000, 3)))
+    g = P.paint(pos, NG, BOX, window=window)
+    npt.assert_allclose(float(jnp.sum(g)), 1000.0, rtol=1e-5)
+
+
+@pytest.mark.parametrize("window", ["ngp", "cic", "tsc"])
+def test_weighted_mass_conservation(window, rng):
+    pos = jnp.asarray(rng.uniform(0, BOX, (500, 3)))
+    w = jnp.asarray(rng.uniform(0.5, 2.0, (500,)).astype(np.float32))
+    g = P.paint(pos, NG, BOX, weights=w, window=window)
+    npt.assert_allclose(float(jnp.sum(g)), float(jnp.sum(w)), rtol=1e-5)
+
+
+def test_cic_lattice_uniform():
+    # particles at cell centers -> exactly 1 per cell under CIC
+    pos = lattice_positions(NG, BOX)
+    g = P.paint(pos, NG, BOX, window="cic")
+    npt.assert_allclose(np.asarray(g), np.ones((NG, NG, NG)), atol=1e-5)
+
+
+def test_tsc_lattice_uniform():
+    pos = lattice_positions(NG, BOX)
+    g = P.paint(pos, NG, BOX, window="tsc")
+    npt.assert_allclose(np.asarray(g), np.ones((NG, NG, NG)), atol=1e-5)
+
+
+def test_cic_single_particle_weights():
+    # particle 1/4 cell off a cell center along x splits 0.75/0.25
+    cell = BOX / NG
+    pos = jnp.array([[0.5 * cell + 0.25 * cell, 0.5 * cell, 0.5 * cell]])
+    g = np.asarray(P.paint(pos, NG, BOX, window="cic"))
+    npt.assert_allclose(g[0, 0, 0], 0.75, rtol=1e-5)
+    npt.assert_allclose(g[1, 0, 0], 0.25, rtol=1e-5)
+
+
+def test_periodic_wrap():
+    # particle at the upper box edge must wrap to cell 0 side
+    pos = jnp.array([[BOX - 1e-4, BOX - 1e-4, BOX - 1e-4]])
+    g = np.asarray(P.paint(pos, NG, BOX, window="cic"))
+    npt.assert_allclose(g.sum(), 1.0, rtol=1e-5)
+    # nearly all weight at corner cell (n-1,n-1,n-1) corner region incl wrap
+    assert g[NG - 1, NG - 1, NG - 1] > 0.12  # (~1/8 at exact corner)
+
+
+def test_compensation_kernel_values():
+    ck = np.asarray(P.compensation_kernel(NG, "cic"))
+    npt.assert_allclose(ck[0, 0, 0], 1.0, rtol=1e-6)
+    # Nyquist along z: 1/sinc(1/2)^2 = (pi/2)^2
+    npt.assert_allclose(ck[0, 0, NG // 2], (np.pi / 2) ** 2, rtol=1e-5)
+
+
+def test_single_mode_power():
+    # grid = 1 + A cos(kf x): the two +-kf modes carry |delta_k|^2 = A^2/4
+    # each, so the total weighted power in the bin containing kf must be
+    # 2 * (A^2/4) * V = A^2 V / 2; every other mode contributes nothing.
+    A = 0.1
+    x = (jnp.arange(NG) + 0.5) * BOX / NG
+    grid = 1.0 + A * jnp.cos(2 * jnp.pi * x / BOX)[:, None, None]
+    grid = grid * jnp.ones((NG, NG, NG))
+    res = PS.auto_power(grid, BOX, nbins=NG // 2)
+    kf = 2 * np.pi / BOX
+    # kf lands in the first bin
+    total_first = float(res.power[0] * res.nmodes[0])
+    npt.assert_allclose(total_first, A ** 2 * BOX ** 3 / 2.0, rtol=1e-4)
+    # all other bins ~ 0
+    npt.assert_allclose(np.asarray(res.power[1:]), 0.0, atol=1e-6 * BOX ** 3)
+    # mean k of first bin is pulled toward kf-shell k values
+    assert float(res.k[0]) < 2 * kf
+
+
+def test_poisson_shot_noise(rng):
+    n_part = 40000
+    pos = jnp.asarray(rng.uniform(0, BOX, (n_part, 3)))
+    g = P.paint(pos, NG, BOX, window="cic")
+    res = PS.auto_power(g, BOX, nbins=6, window="cic")
+    sn = BOX ** 3 / n_part
+    # Poisson: P(k) ~ shot noise (stat scatter); skip the Nyquist bin where
+    # compensated CIC aliasing inflates the estimate (known estimator
+    # property, not a bug)
+    pk = np.asarray(res.power)
+    npt.assert_allclose(pk[:-1], sn, rtol=0.25)
+    assert np.all(np.isfinite(pk))
+
+
+def test_cross_power_equals_auto(rng):
+    pos = jnp.asarray(rng.uniform(0, BOX, (5000, 3)))
+    g = P.paint(pos, NG, BOX, window="cic")
+    auto = PS.auto_power(g, BOX, nbins=8, window="cic")
+    cross = PS.cross_power(g, g, BOX, nbins=8, window="cic")
+    npt.assert_allclose(np.asarray(cross.power), np.asarray(auto.power), rtol=1e-5)
+
+
+def test_interlacing_runs(rng):
+    pos = jnp.asarray(rng.uniform(0, BOX, (2000, 3)))
+    g, g2 = P.paint(pos, NG, BOX, window="tsc", interlaced=True)
+    res = PS.auto_power(g, BOX, nbins=6, window="tsc", grid_shifted=g2,
+                        interlaced=True)
+    assert np.all(np.isfinite(np.asarray(res.power)))
+
+
+def test_paint_vmap_over_sims(rng):
+    pos = jnp.asarray(rng.uniform(0, BOX, (4, 800, 3)))
+    paint_b = jax.vmap(lambda p: P.paint(p, NG, BOX, window="cic"))
+    grids = paint_b(pos)
+    assert grids.shape == (4, NG, NG, NG)
+    npt.assert_allclose(np.asarray(jnp.sum(grids, axis=(1, 2, 3))), 800.0, rtol=1e-5)
