@@ -1,3 +1,3 @@
-from . import paint, power
+from . import filters, lensing, paint, power
 
-__all__ = ["paint", "power"]
+__all__ = ["filters", "lensing", "paint", "power"]

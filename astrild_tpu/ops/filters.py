@@ -1,0 +1,182 @@
+"""Flat-sky filter bank as jit-able FFT operations.
+
+TPU-native port of the reference's Filters toolbox
+(/root/reference/src/astrild/rays/utils/filters.py): Gaussian low/high-pass
+(:181-249), DGD3 third-derivative dipole filter (:260-356), first-derivative
+(:359-400), compensated Gaussian (arxiv:1907.06657 Eq. 16, :415-459),
+compensated top-hat (:461-502), aperture photometry (kSZ disk-ring, :40-73)
+and Hann apodization (:150-178).
+
+All filters act on (npix, npix) maps (batch with vmap) and run as FFT
+multiplies — on TPU the FFT path beats real-space convolution at every size,
+so the reference's 500-pixel crossover heuristic is dropped.
+
+Angles: `theta` is the map opening angle in degrees; filter scales are in
+arcmin (matching the reference's astropy-unit call sites).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "sigma_to_fwhm", "fwhm_to_sigma", "gaussian", "gaussian_high_pass",
+    "gaussian_derivative", "dgd3", "gaussian_compensated",
+    "aperture_photometry", "apodization", "tophat_compensated",
+    "fft_smooth",
+]
+
+_FWHM_FACTOR = 2.0 * math.sqrt(2.0 * math.log(2.0))
+
+
+def sigma_to_fwhm(sigma):
+    return sigma * _FWHM_FACTOR
+
+
+def fwhm_to_sigma(fwhm):
+    return fwhm / _FWHM_FACTOR
+
+
+def _pix_freqs(npix):
+    """Angular frequencies [1/pixel] * 2 pi for both axes."""
+    k = jnp.fft.fftfreq(npix) * 2.0 * jnp.pi
+    return k[:, None], k[None, :]
+
+
+def fft_smooth(img, transfer):
+    """Multiply img's FFT by a transfer function and return the real part."""
+    return jnp.real(jnp.fft.ifft2(jnp.fft.fft2(img) * transfer))
+
+
+def _sigma_pix(npix, theta_deg, scale_arcmin):
+    """Convert an arcmin filter scale to pixels."""
+    return scale_arcmin / 60.0 * npix / theta_deg
+
+
+@partial(jax.jit, static_argnames=())
+def _gaussian_transfer(img, sigma_pix):
+    n = img.shape[-1]
+    k1, k2 = _pix_freqs(n)
+    return jnp.exp(-0.5 * sigma_pix ** 2 * (k1 ** 2 + k2 ** 2))
+
+
+def gaussian(img, theta_deg, sigma_arcmin=None, fwhm_arcmin=None):
+    """Gaussian low-pass filter (reference filters.py:181-225).
+
+    Provide the kernel scale either as sigma or FWHM [arcmin].
+    """
+    if sigma_arcmin is None:
+        if fwhm_arcmin is None:
+            raise ValueError("need sigma_arcmin or fwhm_arcmin")
+        sigma_arcmin = fwhm_to_sigma(fwhm_arcmin)
+    sp = _sigma_pix(img.shape[-1], theta_deg, sigma_arcmin)
+    return fft_smooth(img, _gaussian_transfer(img, sp))
+
+
+def gaussian_high_pass(img, theta_deg, sigma_arcmin=None, fwhm_arcmin=None):
+    """img minus its Gaussian low-pass (reference filters.py:228-249)."""
+    return img - gaussian(img, theta_deg, sigma_arcmin, fwhm_arcmin)
+
+
+def gaussian_derivative(img, theta_deg, sigma_arcmin, orders: Tuple[int, int]):
+    """Derivative-of-Gaussian filter: conv with d^o0/dx0 d^o1/dx1 G_sigma.
+
+    Spectral version of scipy.ndimage.gaussian_filter(..., order=orders)
+    used by the reference's DGD3/DGD1 dipole filters (filters.py:260-305).
+    Derivatives are with respect to pixel coordinates (matching ndimage's
+    sigma-in-pixels convention).
+    """
+    n = img.shape[-1]
+    sp = _sigma_pix(n, theta_deg, sigma_arcmin)
+    k1, k2 = _pix_freqs(n)
+    transfer = jnp.exp(-0.5 * sp ** 2 * (k1 ** 2 + k2 ** 2)).astype(jnp.complex64)
+    transfer = transfer * (1j * k1) ** orders[0] * (1j * k2) ** orders[1]
+    return jnp.real(jnp.fft.ifft2(jnp.fft.fft2(img) * transfer))
+
+
+def dgd3(img, theta_deg, theta_i_arcmin, axis: int = 0):
+    """DGD3 dipole filter (Yasini+18, arxiv:1812.04241; filters.py:260-305).
+
+    Sum of third-derivative Gaussians at scales (0.5, 1, 2) * theta_i:
+    g(0.5) - g(1) + g(2), derivative taken along `axis`.
+    """
+    orders = (3, 0) if axis == 0 else (0, 3)
+    g1 = gaussian_derivative(img, theta_deg, 0.5 * theta_i_arcmin, orders)
+    g2 = gaussian_derivative(img, theta_deg, 1.0 * theta_i_arcmin, orders)
+    g3 = gaussian_derivative(img, theta_deg, 2.0 * theta_i_arcmin, orders)
+    return g1 - g2 + g3
+
+
+def gaussian_compensated(img, theta_deg, theta_i_arcmin, theta_o_arcmin):
+    """Compensated-Gaussian filter (arxiv:1907.06657 Eq. 16;
+    reference filters.py:415-459).
+
+    W(theta) = e^(-x^2)/(pi t_i^2) - (1 - e^(-x_o^2))/(pi t_o^2) for
+    theta < theta_o, else 0; x = theta/t_i (all in pixel units).
+    """
+    n = img.shape[-1]
+    pw_deg = theta_deg / n
+    ti = theta_i_arcmin / 60.0 / pw_deg  # pixels
+    to = theta_o_arcmin / 60.0 / pw_deg
+    # build the centered kernel on the full map grid (wrap-around layout)
+    ax = jnp.arange(n)
+    ax = jnp.where(ax > n // 2, ax - n, ax).astype(jnp.float32)
+    dist = jnp.sqrt(ax[:, None] ** 2 + ax[None, :] ** 2)
+    x = dist / ti
+    xo = to / ti
+    w = (jnp.exp(-x ** 2) / (jnp.pi * ti ** 2)
+         - (1.0 - jnp.exp(-xo ** 2)) / (jnp.pi * to ** 2))
+    w = jnp.where(dist <= to, w, 0.0)
+    return jnp.real(jnp.fft.ifft2(jnp.fft.fft2(img) * jnp.fft.fft2(w)))
+
+
+def aperture_photometry(img, theta_deg, alpha_arcmin):
+    """kSZ-style ring-mean subtraction (arxiv:1607.02139 Sec III.B;
+    reference filters.py:40-73): subtract from the whole image the mean of
+    the ring [alpha, alpha*sqrt(2)] around the image centre.
+    """
+    n = img.shape[-1]
+    e = jnp.linspace(1.0, n, n) - n / 2.0 - 0.5
+    dist = jnp.sqrt(e[:, None] ** 2 + e[None, :] ** 2)
+    pix_per_deg = n / theta_deg
+    alpha_pix = jnp.ceil(alpha_arcmin / 60.0 * pix_per_deg)
+    ring = (dist > alpha_pix) & (dist < alpha_pix * jnp.sqrt(2.0))
+    ringsum = jnp.sum(jnp.where(ring, img, 0.0))
+    ringcnt = jnp.sum(ring)
+    return img - ringsum / jnp.maximum(ringcnt, 1)
+
+
+def _hann(n):
+    """Periodic-symmetric Hann window matching scipy.signal.hann(sym=True)."""
+    i = jnp.arange(n)
+    return 0.5 * (1.0 - jnp.cos(2.0 * jnp.pi * i / (n - 1)))
+
+
+def apodization(img):
+    """Hann-window apodization (reference filters.py:150-178)."""
+    n = img.shape[-1]
+    w = _hann(n)
+    return img * (w[:, None] * w[None, :])
+
+
+def tophat_compensated(img, theta_deg, rad_obj_arcmin, alpha: float = 0.65):
+    """Compensated top-hat statistic about the image centre
+    (reference filters.py:461-502; DOI 10.1088/0004-637X/786/2/110):
+    mean within alpha*rad minus mean in [alpha*rad, sqrt(2)*alpha*rad].
+
+    Returns a scalar (white_hat - black_hat).
+    """
+    n = img.shape[-1]
+    e = jnp.linspace(1.0, n, n) - n / 2.0 - 0.5
+    dist = jnp.sqrt(e[:, None] ** 2 + e[None, :] ** 2)
+    pix_per_deg = n / theta_deg
+    rad_pix = alpha * rad_obj_arcmin / 60.0 * pix_per_deg
+    disk = dist <= rad_pix
+    ring = (dist > rad_pix) & (dist <= jnp.sqrt(2.0) * rad_pix)
+    white = jnp.sum(jnp.where(disk, img, 0.0)) / jnp.maximum(jnp.sum(disk), 1)
+    black = jnp.sum(jnp.where(ring, img, 0.0)) / jnp.maximum(jnp.sum(ring), 1)
+    return white - black

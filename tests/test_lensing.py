@@ -1,0 +1,146 @@
+"""Lensing ops tests: reference golden values + analytic limits."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+from astrild_tpu.ops import lensing as L
+
+# Halo row 0 of the reference's tests/test_data/rockstar_in_lc.h5 — the
+# inputs behind the reference's golden-value tests
+# (tests/unit/rays/skys/test_skyarray.py:22-48).
+HALO = dict(
+    r200_deg=0.07890977884225592,
+    m200=306600000000000.0,
+    c_NFW=1.9267420919614187,
+    rad_dist=961.2600098657648,
+    theta1_tv=-739.4726456797774,
+    theta2_tv=305.8846747823117,
+    r200_pix=33,
+)
+
+
+def test_nfw_alpha_golden():
+    """Reference golden: alpha extrema +-9.022627514863e-05."""
+    npix = int(2 * HALO["r200_pix"] * 10) + 1
+    amap = L.nfw_deflection_angle_map(
+        HALO["r200_deg"], HALO["m200"], HALO["c_NFW"], HALO["rad_dist"],
+        npix=npix, extent=10, directions=(0, 1), suppress=True,
+        suppression_r=10,
+    )
+    amap = np.asarray(amap)
+    npt.assert_allclose(amap.min(), -9.02262751486356e-05, rtol=1e-4)
+    npt.assert_allclose(amap.max(), 9.02262751486356e-05, rtol=1e-4)
+
+
+def test_nfw_dt_golden():
+    """Reference golden: dT/T extrema +-1.7028239210e-07."""
+    npix = int(2 * HALO["r200_pix"] * 10) + 1
+    dt = L.nfw_temperature_perturbation_map(
+        HALO["r200_deg"], HALO["m200"], HALO["c_NFW"],
+        jnp.array([HALO["theta1_tv"], HALO["theta2_tv"]]),
+        HALO["rad_dist"], npix=npix, extent=10, directions=(0, 1),
+        suppress=True, suppression_r=10,
+    )
+    dt = np.asarray(dt)
+    npt.assert_allclose(dt.min(), -1.7028239210299853e-07, rtol=1e-4)
+    npt.assert_allclose(dt.max(), 1.7028239210299855e-07, rtol=1e-4)
+    # antisymmetric dipole: mean ~ 0
+    assert abs(dt.mean()) < 1e-12
+
+
+def test_kappa_to_alpha_point_mass():
+    """Band-limited 'point mass' (narrow blob): alpha_r = m/(pi r) outward.
+
+    Matches the reference C-library kernel x/(pi r^2)
+    (lib_so_cgls/lensing_funcs.c:45-115).
+    """
+    n = 128
+    oa = 1.0  # opening angle (radians, arbitrary unit)
+    ds = oa / n
+    sigma = 2.0 * ds
+    e = (jnp.arange(n) + 0.5) * ds - oa / 2.0
+    r2 = e[:, None] ** 2 + e[None, :] ** 2
+    kappa = jnp.exp(-r2 / (2 * sigma ** 2))
+    m = float(jnp.sum(kappa)) * ds * ds
+    a1, a2 = L.kappa_to_alpha(kappa, oa, padding_factor=4)
+    a1 = np.asarray(a1)
+    offsets = np.array([10, 16, 24])
+    # the blob center sits between pixels n//2-1 and n//2; sample along
+    # axis 0 at radius (off+0.5)*ds from the center
+    vals = a1[n // 2 + offsets, n // 2 - 1:n // 2 + 1].mean(axis=1)
+    x = (offsets + 0.5) * ds
+    expect = (m / np.pi) / x
+    npt.assert_allclose(vals, expect, rtol=0.05)
+
+
+def test_kappa_alpha_gamma_roundtrip_gaussian():
+    """For kappa = gaussian blob, div(alpha)/2 recovers kappa (center)."""
+    n = 128
+    oa = 1.0
+    e = (jnp.arange(n) + 0.5) / n - 0.5
+    r2 = e[:, None] ** 2 + e[None, :] ** 2
+    kappa = jnp.exp(-r2 / (2 * 0.05 ** 2))
+    a1, a2 = L.kappa_to_alpha(kappa, oa, padding_factor=4)
+    ds = oa / n
+    div = (jnp.gradient(a1, ds, axis=0) + jnp.gradient(a2, ds, axis=1))
+    got = np.asarray(div / 2.0)
+    want = np.asarray(kappa)
+    c = n // 2
+    sl = np.s_[c - 16:c + 16, c - 16:c + 16]
+    npt.assert_allclose(got[sl], want[sl], atol=0.02)
+
+
+def test_alpha_to_gamma_shapes_and_symmetry():
+    n = 64
+    key = jax.random.PRNGKey(0)
+    kappa = jax.random.normal(key, (n, n)) * 0.01
+    a1, a2 = L.kappa_to_alpha(kappa, 1.0)
+    g1, g2 = L.alpha_to_gamma(a1, a2, 1.0)
+    assert g1.shape == (n, n) and g2.shape == (n, n)
+    assert np.all(np.isfinite(np.asarray(g1)))
+
+
+def test_add_patch_to_map_center_and_clip():
+    big = jnp.zeros((10, 10))
+    patch = jnp.ones((3, 3))
+    out = np.asarray(L.add_patch_to_map(big, patch, (5, 5)))
+    assert out.sum() == 9.0
+    assert out[5, 5] == 1.0 and out[4, 4] == 1.0
+    # clipped at corner: only the in-bounds quarter lands
+    out2 = np.asarray(L.add_patch_to_map(big, patch, (0, 0)))
+    npt.assert_allclose(out2.sum(), 4.0)
+    assert out2[0, 0] == 1.0
+
+
+def test_paint_halo_patches_matches_loop(rng):
+    big = jnp.zeros((32, 32))
+    patches = jnp.asarray(rng.standard_normal((5, 7, 7)).astype(np.float32))
+    centers = jnp.asarray(rng.integers(0, 32, (5, 2)).astype(np.int32))
+    got = L.paint_halo_patches(big, patches, centers)
+    want = big
+    for i in range(5):
+        want = L.add_patch_to_map(want, patches[i], (centers[i][0], centers[i][1]))
+    npt.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_born_convergence_single_plane():
+    # One plane at chi = chi_s/2 with delta=1 everywhere:
+    # kappa = 1.5 Om (H0/c)^2 * (chi_s/4) * dchi
+    n = 8
+    chi_s = 2000.0
+    chis = jnp.array([1000.0])
+    dchis = jnp.array([100.0])
+    planes = jnp.ones((1, n, n))
+    om = 0.3
+    kappa = L.born_convergence(planes, chis, dchis, chi_s, om)
+    expect = 1.5 * om * (100.0 / 299792.458) ** 2 * (chi_s / 4.0) * 100.0
+    npt.assert_allclose(np.asarray(kappa), expect, rtol=1e-5)
+
+
+def test_code_to_phy_units():
+    c = 299792.458
+    npt.assert_allclose(L.code_to_phy_units_factor("kappa_2"), 1 / c ** 2)
+    npt.assert_allclose(L.code_to_phy_units_factor("isw_rs"), 1 / c ** 3)
+    npt.assert_allclose(L.code_to_phy_units_factor("other"), 1.0)
