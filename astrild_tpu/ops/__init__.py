@@ -1,3 +1,4 @@
-from . import filters, lensing, paint, power
+from . import filters, lensing, paint, peaks, power, profiles, voids
 
-__all__ = ["filters", "lensing", "paint", "power"]
+__all__ = ["filters", "lensing", "paint", "peaks", "power", "profiles",
+           "voids"]

@@ -1,0 +1,207 @@
+"""Void finders on flat-sky maps: tunnels (largest empty circles) and
+watershed — native reimplementations.
+
+The reference shells out to Marius Cautun's external C++ binary
+`void_finder_spherical_2D` (arxiv:1710.01730) through a custom binary wire
+format (/root/reference/src/astrild/rays/voids/tunnel.py:158-221); the
+binary itself is not in the repo. Here the tunnels algorithm is
+reconstructed natively as a grid algorithm: a distance transform from the
+tracer (peak) set — evaluated as a blocked min-reduction that runs on the
+MXU — followed by local-maximum candidate extraction and greedy
+overlap-pruned acceptance (the binary's `-a 0.2` overlap flag).
+
+The watershed finder reimplements rays/utils/watershed_voids.py:27-110
+(skimage pipeline) with a steepest-descent pointer-jumping labeling that is
+fully parallel (no flood queue), since skimage is unavailable and queues are
+TPU-hostile.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "VoidCatalog", "distance_transform", "find_tunnels",
+    "circle_overlap_fraction", "watershed_labels", "watershed_voids",
+]
+
+
+class VoidCatalog(NamedTuple):
+    """Fixed-capacity void list; entries [n:] have radius 0."""
+
+    pos: jnp.ndarray     # (K, 2) pixel coords (row, col) of void centers
+    radius: jnp.ndarray  # (K,) radii in pixels
+    n: jnp.ndarray       # scalar int: number of valid voids
+
+
+# ------------------------------------------------------------------ tunnels
+@partial(jax.jit, static_argnames=("npix", "block"))
+def distance_transform(peak_pos, peak_valid, npix: int, block: int = 65536):
+    """Distance from every pixel to the nearest valid peak.
+
+    peak_pos: (P, 2) float pixel coordinates; peak_valid: (P,) bool.
+    Computed as a blocked min over peaks using the |x|^2+|p|^2-2x.p
+    expansion — the cross term is a matmul, so the O(npix^2 * P) work runs
+    on the MXU.
+    """
+    ii = jnp.arange(npix, dtype=jnp.float32)
+    px = jnp.stack(jnp.meshgrid(ii, ii, indexing="ij"), axis=-1).reshape(-1, 2)
+    peaks = peak_pos.astype(jnp.float32)
+    big = jnp.float32(4.0 * npix * npix)
+    p2 = jnp.sum(peaks ** 2, axis=1)
+    p2 = jnp.where(peak_valid, p2, big)
+
+    def body(chunk):
+        x2 = jnp.sum(chunk ** 2, axis=1, keepdims=True)
+        cross = chunk @ peaks.T  # (B, P) on the MXU
+        d2 = x2 + p2[None, :] - 2.0 * cross
+        d2 = jnp.where(peak_valid[None, :], d2, jnp.inf)
+        return jnp.min(d2, axis=1)
+
+    nblocks = (px.shape[0] + block - 1) // block
+    pad = nblocks * block - px.shape[0]
+    pxp = jnp.pad(px, ((0, pad), (0, 0)))
+    d2 = jax.lax.map(body, pxp.reshape(nblocks, block, 2)).reshape(-1)[
+        : npix * npix]
+    return jnp.sqrt(jnp.clip(d2, 0.0, None)).reshape(npix, npix)
+
+
+def circle_overlap_fraction(c1, r1, c2, r2):
+    """Area of circle-1 covered by circle-2, as a fraction of circle-1.
+
+    Standard two-circle lens formula; degenerate cases handled:
+    d >= r1+r2 -> 0; d <= |r1-r2| -> full containment.
+    """
+    d = jnp.sqrt(jnp.sum((c1 - c2) ** 2, axis=-1))
+    r1 = jnp.maximum(r1, 1e-12)
+    d_safe = jnp.maximum(d, 1e-12)
+    x1 = jnp.clip((d_safe ** 2 + r1 ** 2 - r2 ** 2) / (2 * d_safe * r1), -1, 1)
+    x2 = jnp.clip((d_safe ** 2 + r2 ** 2 - r1 ** 2) / (2 * d_safe * r2 + 1e-30),
+                  -1, 1)
+    t = ((-d + r1 + r2) * (d + r1 - r2) * (d - r1 + r2) * (d + r1 + r2))
+    lens = (r1 ** 2 * jnp.arccos(x1) + r2 ** 2 * jnp.arccos(x2)
+            - 0.5 * jnp.sqrt(jnp.clip(t, 0.0, None)))
+    frac = lens / (jnp.pi * r1 ** 2)
+    contained = jnp.minimum(r1, r2) ** 2 / r1 ** 2
+    frac = jnp.where(d <= jnp.abs(r1 - r2), contained, frac)
+    frac = jnp.where(d >= r1 + r2, 0.0, frac)
+    return jnp.clip(frac, 0.0, 1.0)
+
+
+@partial(jax.jit, static_argnames=("npix", "max_voids"))
+def find_tunnels(peak_pos, peak_valid, npix: int, max_voids: int = 256,
+                 overlap: float = 0.2, min_radius: float = 1.0):
+    """Tunnels void finder (Cautun arxiv:1710.01730), native grid version.
+
+    Voids are maximal circles empty of tracers: candidates are local maxima
+    of the tracer distance transform (radius = distance to nearest tracer),
+    accepted greedily in decreasing-radius order if the overlap fraction
+    with every already-accepted void stays below `overlap` (the reference
+    binary's `-a 0.2` flag, tunnel.py:209-213).
+
+    Args:
+      peak_pos: (P, 2) tracer pixel coordinates.
+      peak_valid: (P,) bool mask of usable tracers.
+      npix: map resolution.
+      max_voids: static candidate/catalog capacity.
+    """
+    from .peaks import local_maxima
+
+    dist = distance_transform(peak_pos, peak_valid, npix)
+    cand_mask = local_maxima(dist) & (dist >= min_radius)
+    score = jnp.where(cand_mask, dist, -jnp.inf).reshape(-1)
+    vals, idx = jax.lax.top_k(score, max_voids)
+    cpos = jnp.stack([(idx // npix).astype(jnp.float32),
+                      (idx % npix).astype(jnp.float32)], axis=-1)
+    cvalid = vals > -jnp.inf
+    crad = jnp.where(cvalid, vals, 0.0)
+
+    # greedy acceptance in decreasing radius order (top_k already sorted)
+    def body(i, accepted):
+        ov = circle_overlap_fraction(cpos[i], crad[i], cpos, crad)
+        ov = ov * accepted  # only count accepted voids
+        ov = ov.at[i].set(0.0)
+        ok = (jnp.max(ov) <= overlap) & cvalid[i]
+        return accepted.at[i].set(jnp.where(ok, 1.0, 0.0))
+
+    accepted = jax.lax.fori_loop(0, max_voids, body,
+                                 jnp.zeros((max_voids,), jnp.float32))
+    acc = accepted > 0
+    radius = jnp.where(acc, crad, 0.0)
+    # compact: accepted first, by decreasing radius (rejected -> key -1)
+    order = jnp.argsort(-jnp.where(acc, radius, -1.0))
+    return VoidCatalog(pos=cpos[order], radius=radius[order],
+                       n=jnp.sum(acc))
+
+
+# ---------------------------------------------------------------- watershed
+def _neighbor_min_pointer(img):
+    """For each pixel, flat index of the smallest 3x3 neighbour (incl. self)."""
+    n = img.shape[-1]
+    inf = jnp.array(jnp.inf, img.dtype)
+    padded = jnp.pad(img, 1, constant_values=inf)
+    flat_idx = jnp.arange(n * n).reshape(n, n)
+    best_val = img
+    best_idx = flat_idx
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            if di == 0 and dj == 0:
+                continue
+            nb = padded[1 + di:1 + di + n, 1 + dj:1 + dj + n]
+            nb_idx = jnp.clip(
+                (jnp.arange(n)[:, None] + di), 0, n - 1) * n + jnp.clip(
+                (jnp.arange(n)[None, :] + dj), 0, n - 1)
+            better = nb < best_val
+            best_val = jnp.where(better, nb, best_val)
+            best_idx = jnp.where(better, nb_idx, best_idx)
+    return best_idx.reshape(-1)
+
+
+@jax.jit
+def watershed_labels(img):
+    """Steepest-descent basin labels: each pixel's label is the flat index
+    of the local minimum its descent path reaches.
+
+    Pointer-jumping (ptr = ptr[ptr]) converges in O(log n) fully-parallel
+    steps — the TPU-friendly replacement for skimage's flooding watershed
+    (reference rays/utils/watershed_voids.py:80-102).
+    """
+    import math
+
+    n = img.shape[-1]
+    ptr = _neighbor_min_pointer(img)
+    steps = int(math.ceil(math.log2(n * n))) + 1
+
+    def body(_, p):
+        return p[p]
+
+    ptr = jax.lax.fori_loop(0, steps, body, ptr)
+    return ptr.reshape(n, n)
+
+
+@partial(jax.jit, static_argnames=("max_voids",))
+def watershed_voids(img, max_voids: int = 256, percentile_mask: float = 80.0):
+    """Watershed void catalog from a (smoothed) map.
+
+    Mirrors the reference pipeline (watershed_voids.py:27-110): label basins
+    by steepest descent, keep only pixels below the `percentile_mask`-th
+    percentile of the map (the reference masks the 80th percentile of the
+    distance-transformed field), then report per-basin area, effective
+    radius sqrt(area/pi) and the basin-minimum position.
+    """
+    n = img.shape[-1]
+    labels = watershed_labels(img)
+    thresh = jnp.percentile(img, percentile_mask)
+    inmask = (img <= thresh).reshape(-1)
+    flat_labels = labels.reshape(-1)
+    area = jax.ops.segment_sum(inmask.astype(jnp.float32), flat_labels,
+                               num_segments=n * n)
+    # basins are identified by their minimum's flat index; rank by area
+    vals, idx = jax.lax.top_k(area, max_voids)
+    pos = jnp.stack([(idx // n).astype(jnp.float32),
+                     (idx % n).astype(jnp.float32)], axis=-1)
+    radius = jnp.sqrt(vals / jnp.pi)
+    return VoidCatalog(pos=pos, radius=radius, n=jnp.sum(vals > 0))

@@ -1,0 +1,192 @@
+"""Peaks / tunnels voids / watershed / radial profiles tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+from astrild_tpu.ops import peaks as PK
+from astrild_tpu.ops import profiles as PR
+from astrild_tpu.ops import voids as V
+
+
+def make_blob_map(n, centers, amp=1.0, sigma=3.0):
+    e = np.arange(n)
+    img = np.zeros((n, n), np.float32)
+    for (r, c) in centers:
+        img += amp * np.exp(-(((e[:, None] - r) ** 2 + (e[None, :] - c) ** 2)
+                              / (2 * sigma ** 2)))
+    return img
+
+
+# ------------------------------------------------------------------- peaks
+def test_find_peaks_known_blobs():
+    centers = [(20, 30), (50, 60), (90, 10)]
+    img = jnp.asarray(make_blob_map(128, centers))
+    cat = PK.find_peaks(img, threshold=0.5, max_peaks=16)
+    assert int(cat.n) == 3
+    got = sorted(map(tuple, np.asarray(cat.pos[:3]).tolist()))
+    assert got == sorted(centers)
+
+
+def test_find_peaks_edge_trim():
+    centers = [(2, 2), (50, 60)]
+    img = jnp.asarray(make_blob_map(128, centers))
+    cat = PK.find_peaks(img, threshold=0.5, max_peaks=16, edge_pix=5)
+    assert int(cat.n) == 1
+    assert tuple(np.asarray(cat.pos[0])) == (50, 60)
+
+
+def test_peak_snr_matches_std():
+    img = jnp.asarray(make_blob_map(64, [(32, 32)]))
+    cat = PK.find_peaks(img, threshold=0.5, max_peaks=4)
+    expect = float(img[32, 32] / jnp.std(img))
+    npt.assert_allclose(float(cat.snr[0]), expect, rtol=1e-5)
+
+
+def test_peak_counts_histogram():
+    centers = [(20, 30), (50, 60), (90, 10)]
+    img = jnp.asarray(make_blob_map(128, centers))
+    c, h = PK.peak_counts(img, 0.5, 1.5, nbins=10)
+    assert float(jnp.sum(h)) == 3.0  # three unit-amplitude peaks
+
+
+# ----------------------------------------------------------------- tunnels
+def test_distance_transform_exact():
+    pos = jnp.array([[10.0, 10.0], [40.0, 50.0]])
+    valid = jnp.array([True, True])
+    d = V.distance_transform(pos, valid, 64)
+    npt.assert_allclose(float(d[10, 10]), 0.0, atol=1e-3)
+    npt.assert_allclose(float(d[10, 20]), 10.0, rtol=1e-5)
+    npt.assert_allclose(float(d[25, 30]), min(np.hypot(15, 20),
+                                              np.hypot(15, 20)), rtol=1e-5)
+
+
+def test_find_tunnels_empty_region():
+    # tracers on a ring -> one big void at the center
+    n = 64
+    theta = np.linspace(0, 2 * np.pi, 24, endpoint=False)
+    pos = np.stack([32 + 25 * np.sin(theta), 32 + 25 * np.cos(theta)], -1)
+    cat = V.find_tunnels(jnp.asarray(pos, jnp.float32),
+                         jnp.ones(24, bool), n, max_voids=64)
+    assert int(cat.n) >= 1
+    # largest void centered near (32, 32) with radius ~ 25
+    npt.assert_allclose(np.asarray(cat.pos[0]), [32, 32], atol=1.5)
+    npt.assert_allclose(float(cat.radius[0]), 25.0, rtol=0.05)
+
+
+def test_find_tunnels_overlap_pruning():
+    # two tracers far apart: many candidate circles, but overlapping ones
+    # must be pruned
+    pos = jnp.array([[16.0, 16.0], [48.0, 48.0]])
+    cat = V.find_tunnels(pos, jnp.ones(2, bool), 64, max_voids=64,
+                         overlap=0.2)
+    r = np.asarray(cat.radius[: int(cat.n)])
+    c = np.asarray(cat.pos[: int(cat.n)])
+    # check pairwise overlap constraint holds among accepted voids
+    for i in range(len(r)):
+        for j in range(len(r)):
+            if i == j:
+                continue
+            f = V.circle_overlap_fraction(jnp.asarray(c[i]), r[i],
+                                          jnp.asarray(c[j]), r[j])
+            assert float(f) <= 0.2 + 1e-3
+
+
+def test_circle_overlap_fraction_cases():
+    c0 = jnp.array([0.0, 0.0])
+    # identical circles -> 1
+    npt.assert_allclose(float(V.circle_overlap_fraction(c0, 1.0, c0, 1.0)),
+                        1.0, atol=1e-6)
+    # disjoint -> 0
+    f = V.circle_overlap_fraction(c0, 1.0, jnp.array([5.0, 0.0]), 1.0)
+    npt.assert_allclose(float(f), 0.0, atol=1e-6)
+    # half-offset known value
+    f = V.circle_overlap_fraction(c0, 1.0, jnp.array([1.0, 0.0]), 1.0)
+    expect = (2 * np.arccos(0.5) - np.sqrt(3) / 2 * 2 / 2) / np.pi
+    # lens area for d=r1=r2=1: 2 r^2 cos^-1(d/2r) - d/2 sqrt(4r^2-d^2)
+    expect = (2 * np.arccos(0.5) - 0.5 * np.sqrt(3)) / np.pi
+    npt.assert_allclose(float(f), expect, rtol=1e-4)
+
+
+# --------------------------------------------------------------- watershed
+def test_watershed_two_basins():
+    # two gaussian wells -> two dominant basins
+    n = 64
+    img = -make_blob_map(n, [(16, 16), (48, 48)], sigma=6.0)
+    labels = np.asarray(V.watershed_labels(jnp.asarray(img)))
+    # pixels at the two minima map to themselves
+    assert labels[16, 16] == 16 * n + 16
+    assert labels[48, 48] == 48 * n + 48
+    # well interiors belong to their basin
+    assert labels[20, 20] == 16 * n + 16
+    assert labels[44, 44] == 48 * n + 48
+
+
+def test_watershed_voids_catalog():
+    n = 64
+    img = -make_blob_map(n, [(16, 16), (48, 48)], sigma=6.0)
+    cat = V.watershed_voids(jnp.asarray(img), max_voids=8)
+    assert int(cat.n) >= 2
+    pos = np.asarray(cat.pos[:2]).tolist()
+    assert [16.0, 16.0] in pos and [48.0, 48.0] in pos
+
+
+# ---------------------------------------------------------------- profiles
+def test_object_profiles_radial_step():
+    # map = 1 inside r<R, 0 outside: profile must step from 1 to 0 at eta=1
+    n = 128
+    e = np.arange(n)
+    R = 10.0
+    r = np.sqrt((e[:, None] - 64.0) ** 2 + (e[None, :] - 64.0) ** 2)
+    img = jnp.asarray((r < R).astype(np.float32))
+    eta, vals = PR.object_profiles(
+        img, jnp.array([[64, 64]]), jnp.array([R]), patch_half=25,
+        nbins=10, extend=2.0)
+    v = np.asarray(vals[0])
+    npt.assert_allclose(v[:4], 1.0, atol=0.05)   # inside
+    npt.assert_allclose(v[6:], 0.0, atol=0.05)   # outside
+
+
+def test_object_profiles_vmap_multiple():
+    n = 128
+    img = jnp.asarray(np.ones((n, n), np.float32) * 3.0)
+    centers = jnp.array([[30, 30], [90, 90], [64, 64]])
+    radii = jnp.array([5.0, 8.0, 12.0])
+    eta, vals = PR.object_profiles(img, centers, radii, patch_half=30,
+                                   nbins=8, extend=2.0)
+    npt.assert_allclose(np.asarray(vals), 3.0, atol=1e-5)
+
+
+def test_mean_and_interpolate_nan_fill():
+    p = jnp.array([[1.0, jnp.nan, 3.0, 4.0],
+                   [1.0, jnp.nan, 5.0, 4.0]])
+    out = np.asarray(PR.mean_and_interpolate(p))
+    npt.assert_allclose(out[0], 1.0)
+    npt.assert_allclose(out[2], 4.0)
+    npt.assert_allclose(out[1], 2.5, atol=1e-5)  # linear fill between 1 and 4
+
+
+def test_bootstrap_profiles_brackets_mean(rng):
+    profiles = jnp.asarray(rng.normal(2.0, 0.1, (64, 6)).astype(np.float32))
+    centers = jnp.asarray(rng.integers(0, 512, (64, 2)).astype(np.int32))
+    lo, hi = PR.bootstrap_profiles(profiles, centers, jax.random.PRNGKey(0),
+                                   n_boot=50, block_pix=128, npix=512)
+    assert np.all(np.asarray(lo) < 2.05)
+    assert np.all(np.asarray(hi) > 1.95)
+    assert np.all(np.asarray(lo) <= np.asarray(hi))
+
+
+def test_tangential_shear_uniform_kappa_is_zero():
+    eta = jnp.linspace(0.1, 2.0, 10)
+    kappa = jnp.ones((10,)) * 0.3
+    gt = np.asarray(PR.tangential_shear(eta, kappa))
+    npt.assert_allclose(gt, 0.0, atol=1e-6)
+
+
+def test_tangential_shear_central_overdensity():
+    # kappa concentrated at center -> positive gamma_t outside
+    eta = jnp.linspace(0.1, 2.0, 10)
+    kappa = jnp.zeros((10,)).at[0].set(1.0)
+    gt = np.asarray(PR.tangential_shear(eta, kappa))
+    assert np.all(gt[1:] > 0)
