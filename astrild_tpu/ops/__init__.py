@@ -1,4 +1,5 @@
-from . import filters, lensing, paint, peaks, power, profiles, voids
+from . import (filters, halo_stats, lensing, paint, pairwise, peaks, power,
+               profiles, tpcf, voids)
 
-__all__ = ["filters", "lensing", "paint", "peaks", "power", "profiles",
-           "voids"]
+__all__ = ["filters", "halo_stats", "lensing", "paint", "pairwise", "peaks",
+           "power", "profiles", "tpcf", "voids"]

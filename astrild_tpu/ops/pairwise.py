@@ -1,0 +1,140 @@
+"""Blocked O(N^2) pairwise-velocity estimators on device.
+
+TPU-native replacement for the reference's numba kernel
+(/root/reference/src/astrild/particles/hutils/mean_pairwise_velocity.py:122-173,
+hard-capped at 50k objects) and the Cython variants
+(particles/utils_cython/pairwise_velocity.pyx:32-313). Pairs are processed
+in (B x B) tiles inside a lax.fori_loop: each tile evaluates all pair
+vectors by broadcasting and reduces into distance bins with segment-sums —
+no cap on catalog size, vmap-able over simulation batches.
+
+Estimator (Yasini et al. 2018, arxiv:1812.04241 Eq. 6):
+  v12(r) = sum_pairs (v_i - v_j) . q_ij / sum_pairs |q_ij|^2
+  q_ij = [2 rhat_ij - phat_i (rhat_ij.phat_i) - phat_j (rhat_ij.phat_j)] / 2
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.geometry import angular_coordinate_in_lc, convert_vec_sph_to_cart
+
+__all__ = ["mean_pairwise_velocity", "mean_pv_from_tv", "make_rsep"]
+
+
+def make_rsep(binnr: int, binwidth: float):
+    """Histogram bin centers (reference mean_pairwise_velocity.py:176-196)."""
+    return jnp.linspace(0.0, (binnr - 1) * binwidth, binnr) + binwidth / 2.0
+
+
+def _pad_blocks(arr, block):
+    n = arr.shape[0]
+    nb = (n + block - 1) // block
+    pad = nb * block - n
+    return jnp.pad(arr, ((0, pad),) + ((0, 0),) * (arr.ndim - 1)), nb
+
+
+@partial(jax.jit, static_argnames=("binnr", "block"))
+def _pairwise_accumulate(pos, vel, n_valid, binnr: int, binwidth,
+                         block: int = 512):
+    """Accumulate Yasini Eq. 6 numerator/denominator over all pairs i<j."""
+    posp, nb = _pad_blocks(pos.astype(jnp.float32), block)
+    velp, _ = _pad_blocks(vel.astype(jnp.float32), block)
+    npad = posp.shape[0]
+    pnorm = jnp.linalg.norm(posp, axis=1, keepdims=True)
+    phat = posp / jnp.maximum(pnorm, 1e-12)
+
+    def tile(carry, ab):
+        nom, den = carry
+        a, b = ab
+        ia = a * block + jnp.arange(block)
+        jb = b * block + jnp.arange(block)
+        pi = jax.lax.dynamic_slice(posp, (a * block, 0), (block, 3))
+        pj = jax.lax.dynamic_slice(posp, (b * block, 0), (block, 3))
+        vi = jax.lax.dynamic_slice(velp, (a * block, 0), (block, 3))
+        vj = jax.lax.dynamic_slice(velp, (b * block, 0), (block, 3))
+        hi = jax.lax.dynamic_slice(phat, (a * block, 0), (block, 3))
+        hj = jax.lax.dynamic_slice(phat, (b * block, 0), (block, 3))
+        rij = pi[:, None, :] - pj[None, :, :]              # (B, B, 3)
+        rnorm = jnp.linalg.norm(rij, axis=-1)
+        rhat = rij / jnp.maximum(rnorm, 1e-12)[..., None]
+        di = jnp.einsum("abk,ak->ab", rhat, hi)
+        dj = jnp.einsum("abk,bk->ab", rhat, hj)
+        q = (2.0 * rhat - hi[:, None, :] * di[..., None]
+             - hj[None, :, :] * dj[..., None]) * 0.5       # (B, B, 3)
+        vij = vi[:, None, :] - vj[None, :, :]
+        nom_ij = jnp.einsum("abk,abk->ab", vij, q)
+        den_ij = jnp.einsum("abk,abk->ab", q, q)
+        mask = ((ia[:, None] < jb[None, :])
+                & (ia[:, None] < n_valid) & (jb[None, :] < n_valid))
+        binidx = jnp.clip((rnorm / binwidth).astype(jnp.int32), 0, binnr)
+        binidx = jnp.where(rnorm / binwidth < binnr, binidx, binnr)
+        w = mask.astype(jnp.float32).reshape(-1)
+        bflat = jnp.where(mask, binidx, binnr).reshape(-1)
+        nom = nom + jax.ops.segment_sum(w * nom_ij.reshape(-1), bflat,
+                                        num_segments=binnr + 1)[:binnr]
+        den = den + jax.ops.segment_sum(w * den_ij.reshape(-1), bflat,
+                                        num_segments=binnr + 1)[:binnr]
+        return (nom, den), None
+
+    # only upper-triangular block pairs (a <= b)
+    pairs = [(a, b) for a in range(nb) for b in range(nb) if a <= b]
+    ab = jnp.array(pairs, jnp.int32)
+    (nom, den), _ = jax.lax.scan(tile,
+                                 (jnp.zeros((binnr,)), jnp.zeros((binnr,))),
+                                 (ab[:, 0], ab[:, 1]))
+    return nom, den
+
+
+def mean_pairwise_velocity(pos_cart, vel_cart, bins, n_valid=None,
+                           block: int = 512):
+    """Mean pairwise velocity estimate from cartesian velocities.
+
+    Args:
+      pos_cart: (n, 3) positions [Mpc/h] (lightcone frame, observer at 0).
+      vel_cart: (n, 3) velocities [km/s] (use the transverse components for
+        the Yasini estimator — see mean_pv_from_tv).
+      bins: (binnr,) distance bin edges starting at 0 with uniform width.
+      n_valid: number of valid rows (for padded catalogs).
+
+    Returns (rsep, v12): bin centers and the estimate (NaN on empty bins).
+    """
+    binnr = int(bins.shape[0])
+    binwidth = float(bins[1] - bins[0])
+    n = pos_cart.shape[0] if n_valid is None else n_valid
+    nom, den = _pairwise_accumulate(pos_cart, vel_cart, n, binnr, binwidth,
+                                    block=block)
+    v12 = jnp.where(den > 0, nom / jnp.maximum(den, 1e-30), jnp.nan)
+    return make_rsep(binnr, binwidth), v12
+
+
+def mean_pv_from_tv(pos_cart, vel_ang, bins, theta1=None, theta2=None,
+                    block: int = 512):
+    """Mean pairwise velocity from transverse (angular) velocities.
+
+    Exact functional mirror of the reference entry point
+    (mean_pairwise_velocity.py:16-118): angular velocities [vel_RA, vel_DEC]
+    are embedded as a spherical vector [v_r=0, vel_ang0, vel_ang1] and
+    rotated to cartesian with the (theta2, theta1) jacobian before the pair
+    accumulation; with no angles given they derive from the lightcone
+    positions shifted by 10 deg.
+    """
+    pos_cart = jnp.asarray(pos_cart)
+    vel_ang = jnp.asarray(vel_ang)
+    if theta1 is None:
+        t1, t2 = angular_coordinate_in_lc(pos_cart, unit="rad")
+        t1 = t1 + 10.0 * jnp.pi / 180.0
+        t2 = t2 + 10.0 * jnp.pi / 180.0
+    else:
+        theta1 = jnp.asarray(theta1)
+        theta2 = jnp.asarray(theta2)
+        deg = jnp.max(theta1) > 2.0 * jnp.pi
+        t1 = jnp.where(deg, jnp.deg2rad(theta1), theta1)
+        t2 = jnp.where(deg, jnp.deg2rad(theta2), theta2)
+    vel_sph = jnp.concatenate(
+        [jnp.zeros((pos_cart.shape[0], 1)), vel_ang], axis=1)
+    vel_cart = convert_vec_sph_to_cart(t2, t1, vel_sph)
+    return mean_pairwise_velocity(pos_cart, vel_cart, bins, block=block)

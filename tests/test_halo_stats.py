@@ -1,0 +1,186 @@
+"""Halo statistics, pairwise velocities (incl. reference golden), TPCF."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+from astrild_tpu.ops import halo_stats as HS
+from astrild_tpu.ops import pairwise as PW
+from astrild_tpu.ops import tpcf as TP
+
+
+# ------------------------------------------------------------- mass function
+def test_halo_mass_function_cumulative():
+    mass = jnp.asarray(10.0 ** np.array([12.0, 12.5, 13.0, 13.5, 14.0]))
+    centers, cum = HS.halo_mass_function(mass, limits=(11.78, 16.0), nbins=20)
+    cum = np.asarray(cum)
+    assert cum[0] == 5.0          # all halos above the lowest bin
+    assert cum[-1] == 0.0
+    assert np.all(np.diff(cum) <= 0)  # monotone decreasing
+
+
+def test_halo_mass_function_ignores_padding():
+    mass = jnp.asarray([1e12, 1e13, 0.0, -1.0])
+    _, cum = HS.halo_mass_function(mass, limits=(11.78, 16.0), nbins=10)
+    assert float(cum[0]) == 2.0
+
+
+def test_binned_mean_matches_scipy():
+    from scipy.stats import binned_statistic
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(1, 10, 500)
+    v = rng.normal(size=500)
+    edges = np.linspace(1, 10, 11)
+    want, _, _ = binned_statistic(x, v, statistic="mean", bins=edges)
+    got = np.asarray(HS.binned_mean(jnp.asarray(x), jnp.asarray(v),
+                                    jnp.asarray(edges), 10))
+    npt.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_histogram_density_normalized(rng):
+    v = jnp.asarray(rng.normal(0, 1, 4000).astype(np.float32))
+    centers, dens = HS.histogram_density(v, 20, (-4.0, 4.0))
+    width = 8.0 / 20
+    npt.assert_allclose(float(jnp.sum(dens) * width), 1.0, rtol=1e-3)
+
+
+# ------------------------------------------------------------ concentration
+def test_concentration_prada_roundtrip():
+    # forward: vmax/v200 ratio from known c, then invert
+    def ratio(c):
+        mu = np.log(1 + c) - c / (1 + c)
+        return np.sqrt(0.216 * c / mu)
+
+    c_true = np.array([3.0, 5.0, 8.0, 12.0])
+    vmax = ratio(c_true)
+    v200 = np.ones(4)
+    c_got, conv = HS.concentration_prada(jnp.asarray(vmax), jnp.asarray(v200))
+    assert bool(jnp.all(conv))
+    npt.assert_allclose(np.asarray(c_got), c_true, rtol=1e-3)
+
+
+def test_concentration_mass_rockstar():
+    m = jnp.asarray([1e12, 2e12, 1e13, 2e13])
+    r200 = jnp.asarray([1.0, 1.0, 2.0, 2.0])
+    rs = jnp.asarray([0.25, 0.25, 0.25, 0.25])
+    centers, cm = HS.concentration_mass_rockstar(m, r200, rs, (11.5, 13.7),
+                                                 nbins=2)
+    cm = np.asarray(cm)
+    npt.assert_allclose(cm[0], 4.0, rtol=1e-5)   # low-mass bin
+    npt.assert_allclose(cm[1], 8.0, rtol=1e-5)   # high-mass bin
+
+
+# ----------------------------------------------------- pairwise velocities
+def reference_pairwise_fixture():
+    """The reference's synthetic test setup
+    (tests/unit/particles/test_mean_pairwise_velocity.py:18-32)."""
+    n = 2000
+    pos = np.zeros((n, 3))
+    pos[:, 0] = np.linspace(-10, 10, n)
+    pos[:1000, 1] = -5
+    pos[1000:, 1] = np.linspace(5, 50, 1000)
+    pos[:, 2] = 500
+    tvel = np.zeros((n, 2))
+    tvel[:1000, 1] = 100
+    tvel[1000:, 1] = -100
+    return pos, tvel
+
+
+def test_make_rsep_golden():
+    bins = np.linspace(0, 50, 40)
+    rsep = np.asarray(PW.make_rsep(40, np.diff(bins)[0]))
+    npt.assert_almost_equal(rsep[0], 0.64102564, decimal=6)
+    npt.assert_almost_equal(rsep[-1], 50.64102564, decimal=4)
+
+
+def test_mean_pv_from_tv_reference_golden():
+    """Reference golden values: vij[0] = -9.98742453e-2,
+    vij[-1] = -1.80198e2 (test_mean_pairwise_velocity.py:44-53)."""
+    pos, tvel = reference_pairwise_fixture()
+    bins = jnp.asarray(np.linspace(0, 50, 40))
+    rsep, vij = PW.mean_pv_from_tv(jnp.asarray(pos), jnp.asarray(tvel), bins)
+    vij = np.asarray(vij)
+    assert vij.shape == (40,)
+    npt.assert_allclose(vij[0], -9.98742453e-02, rtol=1e-3)
+    npt.assert_allclose(vij[-1], -1.80198033658e+02, rtol=1e-3)
+
+
+def test_pairwise_infall_sign():
+    # two groups moving toward each other along x -> negative v12 at their
+    # separation
+    rng = np.random.default_rng(0)
+    n = 256
+    pos = np.zeros((2 * n, 3), np.float32)
+    pos[:n] = rng.normal([480, 500, 500], 1.0, (n, 3))
+    pos[n:] = rng.normal([520, 500, 500], 1.0, (n, 3))
+    vel = np.zeros((2 * n, 3), np.float32)
+    vel[:n, 0] = 100.0   # moving toward +x
+    vel[n:, 0] = -100.0  # moving toward -x
+    bins = jnp.asarray(np.linspace(0, 50, 25))
+    rsep, v12 = PW.mean_pairwise_velocity(jnp.asarray(pos), jnp.asarray(vel),
+                                          bins)
+    v12 = np.asarray(v12)
+    i40 = np.argmin(np.abs(np.asarray(rsep) - 40.0))
+    assert v12[i40] < -100.0  # infall: v12 ~ -200 * geometry factor
+
+
+# ---------------------------------------------------------------------- tpcf
+def test_to_redshift_space():
+    pos = jnp.asarray([[10.0, 10.0, 10.0]])
+    vel = jnp.asarray([[0.0, 0.0, 500.0]])
+    out = np.asarray(TP.to_redshift_space(pos, vel, 100.0))
+    npt.assert_allclose(out[0], [10.0, 10.0, 15.0])
+    # periodic wrap
+    out2 = np.asarray(TP.to_redshift_space(
+        jnp.asarray([[10.0, 10.0, 98.0]]), vel, 100.0))
+    npt.assert_allclose(out2[0, 2], 3.0, atol=1e-5)
+
+
+def test_tpcf_random_is_zero(rng):
+    n = 2048
+    box = 100.0
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)).astype(np.float32))
+    r_edges = jnp.asarray(np.linspace(5.0, 40.0, 8))
+    r, xi = TP.tpcf_real(pos, box, r_edges)
+    # Poisson points: xi ~ 0 within sampling noise
+    npt.assert_allclose(np.asarray(xi), 0.0, atol=0.1)
+
+
+def test_tpcf_clustered_positive(rng):
+    # clustered sample: pairs at small separations -> xi > 0 at small r
+    box = 100.0
+    centers = rng.uniform(10, 90, (40, 3))
+    pts = (centers[:, None, :] + rng.normal(0, 1.0, (40, 25, 3))).reshape(-1, 3)
+    pos = jnp.asarray(np.mod(pts, box).astype(np.float32))
+    r_edges = jnp.asarray(np.linspace(0.5, 20.0, 10))
+    r, xi = TP.tpcf_real(pos, box, r_edges)
+    assert float(xi[0]) > 5.0       # strongly clustered at ~1 Mpc/h
+    assert float(xi[-1]) < 1.0      # decorrelates at large r
+
+
+def test_tpcf_multipoles_isotropic():
+    # isotropic xi(s, mu): quadrupole and hexadecapole vanish
+    xi = jnp.ones((6, 20)) * 0.5
+    xi0 = np.asarray(TP.tpcf_multipoles(xi, 0))
+    xi2 = np.asarray(TP.tpcf_multipoles(xi, 2))
+    xi4 = np.asarray(TP.tpcf_multipoles(xi, 4))
+    npt.assert_allclose(xi0, 0.5, rtol=1e-5)
+    npt.assert_allclose(xi2, 0.0, atol=1e-2)
+    npt.assert_allclose(xi4, 0.0, atol=1e-2)
+
+
+def test_kaiser_quadrupole_sign(rng):
+    # coherent infall along the LOS squashes xi(s, mu) -> negative
+    # quadrupole... emulate: clustered pairs compressed along z
+    box = 100.0
+    centers = rng.uniform(10, 90, (60, 3))
+    disp = rng.normal(0, 1.0, (60, 30, 3))
+    disp[:, :, 2] *= 0.3  # squashed along LOS
+    pts = (centers[:, None, :] + disp).reshape(-1, 3)
+    pos = jnp.asarray(np.mod(pts, box).astype(np.float32))
+    s_edges = jnp.asarray(np.linspace(0.5, 8.0, 5))
+    s, mu, xi = TP.tpcf_s_mu(pos, box, s_edges, nmu=10)
+    xi2 = np.asarray(TP.tpcf_multipoles(xi, 2))
+    assert np.mean(xi2) < 0.0
