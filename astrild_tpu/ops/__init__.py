@@ -1,5 +1,7 @@
-from . import (filters, halo_stats, lensing, paint, pairwise, peaks, power,
-               profiles, tpcf, voids)
+from . import (angular_power, bispectrum, filters, halo_stats, lensing,
+               linear_power, paint, pairwise, peaks, power, profiles, tpcf,
+               voids)
 
-__all__ = ["filters", "halo_stats", "lensing", "paint", "pairwise", "peaks",
-           "power", "profiles", "tpcf", "voids"]
+__all__ = ["angular_power", "bispectrum", "filters", "halo_stats", "lensing",
+           "linear_power", "paint", "pairwise", "peaks", "power", "profiles",
+           "tpcf", "voids"]

@@ -1,0 +1,147 @@
+"""Linear matter power spectrum (Eisenstein & Hu 1998) and ISW source power.
+
+Replaces the reference's CLASS/CAMB/nbodykit bridge
+(/root/reference/src/astrild/power_spectra/linear_power_spectrum.py:87-126)
+with the EH98 transfer-function fit (ApJ 496, 605; including baryon
+acoustic features) in pure JAX, sigma8-normalized. Accuracy vs Boltzmann
+codes is the EH98 fit's few-percent level — adequate for all of the
+reference's uses (theory overlays, ISW Cl integrands).
+
+P_dpdp implements the linear ISW source power (arxiv:0809.4488 Eq. 6),
+mirroring LinearPowerSpectrum.P_dpdp (linear_power_spectrum.py:141-183).
+
+Units: k in h/Mpc, P in (Mpc/h)^3.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.cosmology import Cosmology
+
+__all__ = ["eh98_transfer", "linear_power", "sigma_r", "normalization",
+           "p_dpdp"]
+
+
+def eh98_transfer(k_hmpc, cosmo: Cosmology):
+    """EH98 matter transfer function T(k) with baryon features.
+
+    k in h/Mpc; internally converted to 1/Mpc as the fit requires.
+    """
+    h = cosmo.h
+    k = jnp.asarray(k_hmpc) * h  # [1/Mpc]
+    om = cosmo.Om0 * h ** 2
+    ob = cosmo.Ob0 * h ** 2
+    oc = om - ob
+    fb = ob / om
+    fc = oc / om
+    theta = cosmo.Tcmb / 2.7
+
+    z_eq = 2.50e4 * om * theta ** -4
+    k_eq = 7.46e-2 * om * theta ** -2  # [1/Mpc]
+
+    b1d = 0.313 * om ** -0.419 * (1.0 + 0.607 * om ** 0.674)
+    b2d = 0.238 * om ** 0.223
+    z_d = (1291.0 * om ** 0.251 / (1.0 + 0.659 * om ** 0.828)
+           * (1.0 + b1d * ob ** b2d))
+
+    def R_of(z):
+        return 31.5 * ob * theta ** -4 * (1.0e3 / z)
+
+    r_d = R_of(z_d)
+    r_eq = R_of(z_eq)
+    s = (2.0 / (3.0 * k_eq) * jnp.sqrt(6.0 / r_eq)
+         * jnp.log((jnp.sqrt(1.0 + r_d) + jnp.sqrt(r_d + r_eq))
+                   / (1.0 + jnp.sqrt(r_eq))))
+    k_silk = (1.6 * ob ** 0.52 * om ** 0.73
+              * (1.0 + (10.4 * om) ** -0.95))
+
+    q = k / (13.41 * k_eq)
+
+    # ---- CDM piece ----
+    a1 = (46.9 * om) ** 0.670 * (1.0 + (32.1 * om) ** -0.532)
+    a2 = (12.0 * om) ** 0.424 * (1.0 + (45.0 * om) ** -0.582)
+    alpha_c = a1 ** (-fb) * a2 ** (-fb ** 3)
+    bb1 = 0.944 / (1.0 + (458.0 * om) ** -0.708)
+    bb2 = (0.395 * om) ** -0.0266
+    beta_c = 1.0 / (1.0 + bb1 * (fc ** bb2 - 1.0))
+
+    def t0(q, alpha, beta):
+        c = 14.2 / alpha + 386.0 / (1.0 + 69.9 * q ** 1.08)
+        lnarg = jnp.log(jnp.e + 1.8 * beta * q)
+        return lnarg / (lnarg + c * q ** 2)
+
+    f = 1.0 / (1.0 + (k * s / 5.4) ** 4)
+    t_c = f * t0(q, 1.0, beta_c) + (1.0 - f) * t0(q, alpha_c, beta_c)
+
+    # ---- baryon piece ----
+    def G(y):
+        sq = jnp.sqrt(1.0 + y)
+        return y * (-6.0 * sq + (2.0 + 3.0 * y)
+                    * jnp.log((sq + 1.0) / (sq - 1.0)))
+
+    alpha_b = (2.07 * k_eq * s * (1.0 + r_d) ** -0.75
+               * G((1.0 + z_eq) / (1.0 + z_d)))
+    beta_b = 0.5 + fb + (3.0 - 2.0 * fb) * jnp.sqrt((17.2 * om) ** 2 + 1.0)
+    beta_node = 8.41 * om ** 0.435
+    ks = jnp.maximum(k * s, 1e-12)
+    s_tilde = s / (1.0 + (beta_node / ks) ** 3) ** (1.0 / 3.0)
+    x = jnp.maximum(k * s_tilde, 1e-12)
+    j0 = jnp.sin(x) / x
+    t_b = (t0(q, 1.0, 1.0) / (1.0 + (ks / 5.2) ** 2)
+           + alpha_b / (1.0 + (beta_b / ks) ** 3)
+           * jnp.exp(-((k / k_silk) ** 1.4))) * j0
+
+    return fb * t_b + fc * t_c
+
+
+def _unnormalized_power(k, cosmo: Cosmology):
+    t = eh98_transfer(k, cosmo)
+    return jnp.asarray(k) ** cosmo.ns * t ** 2
+
+
+def sigma_r(r_hmpc, cosmo: Cosmology, amplitude=1.0, nk: int = 1024):
+    """sigma(R) of the (amplitude-scaled) linear power at z=0."""
+    lnk = jnp.linspace(jnp.log(1e-4), jnp.log(50.0), nk)
+    k = jnp.exp(lnk)
+    p = amplitude * _unnormalized_power(k, cosmo)
+    x = k * r_hmpc
+    w = 3.0 * (jnp.sin(x) - x * jnp.cos(x)) / x ** 3
+    integrand = k ** 3 * p * w ** 2 / (2.0 * jnp.pi ** 2)  # d(lnk) measure
+    dlnk = lnk[1] - lnk[0]
+    var = jnp.sum(0.5 * (integrand[1:] + integrand[:-1]) * dlnk)
+    return jnp.sqrt(var)
+
+
+def normalization(cosmo: Cosmology) -> jnp.ndarray:
+    """Amplitude A such that sigma(8 Mpc/h) = cosmo.sigma8."""
+    s1 = sigma_r(8.0, cosmo, amplitude=1.0)
+    return (cosmo.sigma8 / s1) ** 2
+
+
+def linear_power(k_hmpc, cosmo: Cosmology, z=0.0, amplitude=None):
+    """Linear matter P(k, z) [(Mpc/h)^3], sigma8-normalized at z=0."""
+    if amplitude is None:
+        amplitude = normalization(cosmo)
+    d = cosmo.growth_factor(z)
+    return amplitude * _unnormalized_power(k_hmpc, cosmo) * d ** 2
+
+
+def p_dpdp(k_hmpc, z, cosmo: Cosmology, amplitude=None):
+    """Linear ISW source power (arxiv:0809.4488 Eq. 6).
+
+    Mirrors the reference's default branch (scale=False,
+    linear_power_spectrum.py:169-183):
+      P = (9/4) (H0/k)^4 Om^2 * H(z) * [D(z)(1-f(z))]^2 * P_dd(k, z=0)
+    with H0 = 100 (h-units).
+    """
+    k = jnp.asarray(k_hmpc)
+    p_dd = linear_power(k, cosmo, z=0.0, amplitude=amplitude)
+    d = cosmo.growth_factor(z)
+    f = cosmo.growth_rate(z)
+    hz = 100.0 * cosmo.efunc(z)
+    pref_static = 9.0 / 4.0 * (100.0 / k) ** 4 * cosmo.Om0 ** 2
+    pref_dyn = hz * (d * (1.0 - f)) ** 2
+    return pref_static * pref_dyn * p_dd

@@ -79,11 +79,11 @@ def delta_k(grid, grid_shifted=None, window: Optional[str] = None,
     n = grid.shape[-1]
     mean = jnp.mean(grid)
     d = grid / jnp.where(mean == 0, 1.0, mean) - 1.0
-    dk = jnp.fft.rfftn(d) / (n ** 3)
+    dk = jnp.fft.rfftn(d) / float(n) ** 3
     if interlaced:
         mean2 = jnp.mean(grid_shifted)
         d2 = grid_shifted / jnp.where(mean2 == 0, 1.0, mean2) - 1.0
-        dk2 = jnp.fft.rfftn(d2) / (n ** 3)
+        dk2 = jnp.fft.rfftn(d2) / float(n) ** 3
         # shift by +H/2 per axis: multiply by exp(+i (kx+ky+kz) H/2)
         ix = jnp.fft.fftfreq(n) * n
         iz = jnp.fft.rfftfreq(n) * n
