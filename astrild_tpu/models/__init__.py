@@ -1,0 +1,19 @@
+from .dipoles import Dipoles
+from .halos import Halos, Rockstar, SubFind
+from .peaks import Peaks
+from .power import (AngularPowerSpectrum, Bispectrum2D, Bispectrum3D,
+                    LinearAngularPowerSpectrum, LinearPowerSpectrum, PowMes,
+                    PowerSpectrum3D)
+from .simcoll import SimulationCollection
+from .simulation import Ecosmog, RayRamses, Simulation
+from .skymap import SkyArray, SkyMap
+from .voids import TunnelsFinder, Voids, WatershedFinder
+
+__all__ = [
+    "Dipoles", "Halos", "Rockstar", "SubFind", "Peaks",
+    "AngularPowerSpectrum", "Bispectrum2D", "Bispectrum3D",
+    "LinearAngularPowerSpectrum", "LinearPowerSpectrum", "PowMes",
+    "PowerSpectrum3D", "SimulationCollection", "Ecosmog", "RayRamses",
+    "Simulation", "SkyArray", "SkyMap", "TunnelsFinder", "Voids",
+    "WatershedFinder",
+]

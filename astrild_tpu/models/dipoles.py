@@ -1,0 +1,158 @@
+"""Dipoles: moving-lens dipole detection and transverse-velocity
+measurement.
+
+Rebuild of /root/reference/src/astrild/rays/dipole_finder.py:48-592
+(Yasini et al. 2018, arxiv:1812.04241): peak detection on filtered dT
+maps, halo <-> dipole matching, and the per-dipole crop -> aperture
+photometry -> DGD3 filter -> vt = -c Sum(dT)/Sum(alpha) pipeline — the
+joblib loop replaced by a vmapped batch over dipoles.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import filters as filter_ops
+from ..ops import peaks as peak_ops
+from ..utils.constants import C_LIGHT_KMS
+
+__all__ = ["Dipoles"]
+
+
+class Dipoles:
+    """Dipole catalog (column dict)."""
+
+    def __init__(self, data: Dict[str, np.ndarray]):
+        self.data = data
+
+    # ------------------------------------------------------------- detection
+    @classmethod
+    def from_sky(cls, skymap, on: str = "orig", snr_threshold: float = 0.0,
+                 max_peaks: int = 4096, edge_pix: int = 0) -> "Dipoles":
+        """Detect dipoles as |dT| local maxima on a (filtered) map
+        (dipole_finder.py:78-132)."""
+        img = jnp.abs(skymap.data[on])
+        cat = peak_ops.find_peaks(img, threshold=0.0, max_peaks=max_peaks,
+                                  edge_pix=edge_pix)
+        n = int(cat.n)
+        snr = np.asarray(cat.snr[:n])
+        keep = snr > snr_threshold
+        pix2deg = skymap.opening_angle / skymap.npix
+        pos = np.asarray(cat.pos[:n])[keep]
+        return cls({
+            "theta1_pix": pos[:, 1],
+            "theta2_pix": pos[:, 0],
+            "theta1_deg": pos[:, 1] * pix2deg,
+            "theta2_deg": pos[:, 0] * pix2deg,
+            "dT": np.asarray(cat.values[:n])[keep],
+            "snr": snr[keep],
+        })
+
+    # -------------------------------------------------------------- matching
+    def find_nearest(self, halos: Dict[str, np.ndarray],
+                     keys=("theta1_deg", "theta2_deg"),
+                     halo_keys=("theta1_deg", "theta2_deg"),
+                     max_distance: Optional[float] = None) -> None:
+        """Match each dipole to its nearest halo with duplicate resolution
+        (dipole_finder.py:231-347): if several dipoles claim one halo, the
+        closest pair wins and the rest are unmatched (-1)."""
+        from scipy.spatial import cKDTree
+
+        hp = np.stack([np.asarray(halos[k]) for k in halo_keys], axis=-1)
+        dp = np.stack([np.asarray(self.data[k]) for k in keys], axis=-1)
+        dist, idx = cKDTree(hp).query(dp, k=1)
+        match = idx.astype(int)
+        if max_distance is not None:
+            match[dist > max_distance] = -1
+        # duplicate resolution: keep the closest claimant per halo
+        order = np.argsort(dist)
+        seen = set()
+        for i in order:
+            if match[i] == -1:
+                continue
+            if match[i] in seen:
+                match[i] = -1
+            else:
+                seen.add(match[i])
+        self.data["halo_idx"] = match
+        self.data["halo_dist"] = dist
+        # copy matched halo properties used downstream
+        for col in ("r200_deg", "r200_pix", "m200", "c_NFW",
+                    "theta1_vel", "theta2_vel"):
+            if col in halos:
+                vals = np.full(len(match), np.nan)
+                ok = match >= 0
+                vals[ok] = np.asarray(halos[col])[match[ok]]
+                self.data[col] = vals
+
+    # --------------------------------------------- transverse velocities
+    @staticmethod
+    def get_single_transverse_velocity_from_sky(deltaTx, deltaTy, alphax,
+                                                alphay) -> Tuple[float, float]:
+        """vt = -c Sum(dT)/Sum(alpha) per component (Yasini+18 Eq. 9;
+        dipole_finder.py:567-592)."""
+        vx = -C_LIGHT_KMS * jnp.sum(deltaTx) / jnp.sum(alphax)
+        vy = -C_LIGHT_KMS * jnp.sum(deltaTy) / jnp.sum(alphay)
+        return vx, vy
+
+    def get_transverse_velocities_from_sky(self, isw_map, alpha_x_map,
+                                           alpha_y_map, opening_angle: float,
+                                           extend: float = 1.0,
+                                           patch_pix: int = 64) -> None:
+        """Measure vt for every matched dipole (dipole_finder.py:368-497).
+
+        Args:
+          isw_map, alpha_x_map, alpha_y_map: (npix, npix) device arrays
+            (unfiltered dT/T and deflection components).
+          opening_angle: map FOV [deg].
+          patch_pix: static half-size of the crop around each dipole
+            (replaces the per-halo variable crop with a masked fixed-size
+            patch so the whole batch vmaps).
+        """
+        npix = isw_map.shape[-1]
+        n = len(self.data["theta1_pix"])
+        ok = np.isfinite(np.asarray(self.data.get(
+            "r200_deg", np.full(n, np.nan))))
+        # objects too close to the edge cannot host a full patch
+        t1 = np.asarray(self.data["theta1_pix"], int)
+        t2 = np.asarray(self.data["theta2_pix"], int)
+        ok &= ((t1 - patch_pix >= 0) & (t1 + patch_pix < npix)
+               & (t2 - patch_pix >= 0) & (t2 + patch_pix < npix))
+        p = 2 * patch_pix
+        patch_oa = opening_angle * p / npix  # [deg]
+
+        def one(c1, c2, r200_deg):
+            def crop(m):
+                return jax.lax.dynamic_slice(m, (c2 - patch_pix,
+                                                 c1 - patch_pix), (p, p))
+
+            dT = crop(isw_map)
+            ax = crop(alpha_x_map)
+            ay = crop(alpha_y_map)
+            # centre dT on mean within ring at R200 (aperture photometry)
+            dT = filter_ops.aperture_photometry(dT, patch_oa,
+                                                r200_deg * 60.0)
+            ti = r200_deg * 60.0  # arcmin
+            dT_x = filter_ops.dgd3(dT, patch_oa, ti, axis=1)
+            dT_y = filter_ops.dgd3(dT, patch_oa, ti, axis=0)
+            ax_f = filter_ops.dgd3(ax, patch_oa, ti, axis=1)
+            ay_f = filter_ops.dgd3(ay, patch_oa, ti, axis=0)
+            vx = -C_LIGHT_KMS * jnp.sum(dT_x) / jnp.sum(ax_f)
+            vy = -C_LIGHT_KMS * jnp.sum(dT_y) / jnp.sum(ay_f)
+            return vx, vy
+
+        fail = -99999.0
+        vx = np.full(n, fail)
+        vy = np.full(n, fail)
+        idx = np.where(ok)[0]
+        if len(idx):
+            vxs, vys = jax.vmap(one)(
+                jnp.asarray(t1[idx]), jnp.asarray(t2[idx]),
+                jnp.asarray(np.asarray(self.data["r200_deg"])[idx]))
+            vx[idx] = np.asarray(vxs)
+            vy[idx] = np.asarray(vys)
+        self.data["theta1_mtvel"] = vx
+        self.data["theta2_mtvel"] = vy

@@ -1,0 +1,248 @@
+"""Spectra pipeline classes: PowerSpectrum3D, AngularPowerSpectrum,
+LinearPowerSpectrum, LinearAngularPowerSpectrum, Bispectrum2D/3D, PowMes.
+
+User-facing rebuild of the reference's power_spectra/ and bispectra/
+packages on the device ops:
+  PowerSpectrum3D       (power_spectrum_3d.py:28-249, nbodykit -> ops.power)
+  AngularPowerSpectrum  (angular_power_spectrum.py:38-105)
+  LinearPowerSpectrum   (linear_power_spectrum.py:60-183)
+  LinearAngularPowerSpectrum (linear_angular_power_spectrum.py:100-225)
+  Bispectrum2D/3D       (bispectra/, the 3D stub fixed by ops.bispectrum)
+  PowMes                (powmes.py:40-102 output reader; the estimator
+                         itself is subsumed by PowerSpectrum3D)
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..io import columnar_h5
+from ..ops import angular_power as ap_ops
+from ..ops import bispectrum as bs_ops
+from ..ops import linear_power as lp_ops
+from ..ops import paint as paint_ops
+from ..ops import power as power_ops
+from ..utils.cosmology import Cosmology
+
+__all__ = ["PowerSpectrum3D", "AngularPowerSpectrum", "LinearPowerSpectrum",
+           "LinearAngularPowerSpectrum", "Bispectrum2D", "Bispectrum3D",
+           "PowMes"]
+
+
+class PowerSpectrum3D:
+    """Auto & cross P(k) of gridded or point-set quantities."""
+
+    def __init__(self, sim_type: str = "particles", simulation=None,
+                 window: str = "cic"):
+        self.sim = simulation
+        self.sim_type = sim_type
+        self.window = window
+
+    # ------------------------------------------------------- low-level API
+    def power_from_grid(self, grid, boxsize: float, nbins: int = 0,
+                        shotnoise: float = 0.0, window=None):
+        res = power_ops.auto_power(jnp.asarray(grid), boxsize,
+                                   nbins=nbins, window=window,
+                                   shotnoise=shotnoise)
+        return np.asarray(res.k), np.asarray(res.power)
+
+    def power_from_points(self, pos, boxsize: float, ngrid: int,
+                          weights=None, nbins: int = 0,
+                          interlaced: bool = False):
+        """Point set -> paint -> P(k) (power_spectrum_3d.py:140-195)."""
+        pos = jnp.asarray(pos)
+        painted = paint_ops.paint(pos, ngrid, boxsize, weights=weights,
+                                  window=self.window, interlaced=interlaced)
+        if interlaced:
+            g, g2 = painted
+        else:
+            g, g2 = painted, None
+        res = power_ops.auto_power(g, boxsize, nbins=nbins,
+                                   window=self.window, grid_shifted=g2,
+                                   interlaced=interlaced,
+                                   shotnoise=boxsize ** 3 / pos.shape[0])
+        return np.asarray(res.k), np.asarray(res.power)
+
+    def cross_power_from_grids(self, grid1, grid2, boxsize: float,
+                               nbins: int = 0, window=None):
+        """TSC-compensated cross spectrum (power_spectrum_3d.py:197-222)."""
+        res = power_ops.cross_power(jnp.asarray(grid1), jnp.asarray(grid2),
+                                    boxsize, nbins=nbins, window=window)
+        return np.asarray(res.k), np.asarray(res.power)
+
+    # ---------------------------------------------------------- file-driven
+    def compute(self, quantities: Sequence[str], file_dsc: Sequence[dict],
+                snap_nrs=None, dir_out=None, save: bool = True,
+                boxsize: Optional[float] = None, ngrid: int = 256):
+        """File-driven pipeline (power_spectrum_3d.py:33-111): reads h5
+        point sets or npy grids per snapshot; auto (1 file_dsc) or cross
+        (2 file_dscs)."""
+        boxsize = boxsize or getattr(self.sim, "boxsize", 500.0)
+        fd = dict(file_dsc[0])
+        path = fd.pop("path", None)
+        snap_ids = self.sim.get_file_nrs(fd, path, "max")
+        paths1 = self.sim.get_file_paths(fd, path, "max")
+        if snap_nrs is not None:
+            keep = [i for i, s in enumerate(np.sort(snap_ids))
+                    if s in set(snap_nrs)]
+            paths1 = [paths1[i] for i in keep]
+            snap_ids = [np.sort(snap_ids)[i] for i in keep]
+        pk = {"k": {}, "P": {}}
+        for snap_nr, p1 in zip(np.sort(np.asarray(snap_ids)), paths1):
+            arr = self._read_data(p1, quantities)
+            if arr.ndim == 2 and arr.shape[1] == 3:
+                k, P = self.power_from_points(arr, boxsize, ngrid)
+            else:
+                k, P = self.power_from_grid(arr, boxsize)
+            pk["k"][f"snap_{snap_nr}"] = k
+            pk["P"][f"snap_{snap_nr}"] = P
+        if save and dir_out:
+            cols = {"k": next(iter(pk["k"].values()))}
+            cols.update(pk["P"])
+            columnar_h5.write_table(
+                os.path.join(dir_out, f"pk_{'_'.join(quantities)}.h5"), cols)
+        return pk
+
+    def _read_data(self, path: str, quantities) -> np.ndarray:
+        """h5 point set (x,y,z columns) -> positions; npy -> grid
+        (power_spectrum_3d.py:140-163)."""
+        if path.endswith(".npy"):
+            return np.load(path)
+        cols = columnar_h5.read_table(path)
+        return np.stack([cols["x"], cols["y"], cols["z"]], axis=-1)
+
+
+class AngularPowerSpectrum:
+    """Cl estimators on flat-sky maps (angular_power_spectrum.py:38-105)."""
+
+    @staticmethod
+    def from_array(img, opening_angle_deg: float, nbins: int = 50):
+        ell, cl = ap_ops.cl_flat_sky(jnp.asarray(img), opening_angle_deg,
+                                     nbins=nbins)
+        return np.asarray(ell), np.asarray(cl)
+
+    @staticmethod
+    def from_skymap(skymap, on: str = "orig", nbins: int = 50):
+        return AngularPowerSpectrum.from_array(
+            skymap.data[on], skymap.opening_angle, nbins=nbins)
+
+    @staticmethod
+    def to_flat_map(ells, cls_vals, npix: int, opening_angle_deg: float,
+                    rnd_seed: int = 0):
+        import jax
+
+        return np.asarray(ap_ops.cl_to_flat_map(
+            jax.random.PRNGKey(rnd_seed), jnp.asarray(ells),
+            jnp.asarray(cls_vals), npix, opening_angle_deg))
+
+
+class LinearPowerSpectrum:
+    """Theory P(k) (EH98) + ISW source power (linear_power_spectrum.py)."""
+
+    def __init__(self, cosmo: Optional[Cosmology] = None):
+        self.cosmo = cosmo or Cosmology()
+        self._amp = lp_ops.normalization(self.cosmo)
+
+    def P_dd(self, k, z=0.0):
+        return np.asarray(lp_ops.linear_power(jnp.asarray(k), self.cosmo,
+                                              z=z, amplitude=self._amp))
+
+    def P_dpdp(self, z, k):
+        return np.asarray(lp_ops.p_dpdp(jnp.asarray(k), z, self.cosmo,
+                                        amplitude=self._amp))
+
+    def growth_functions(self, z):
+        return (float(self.cosmo.growth_factor(z)),
+                float(self.cosmo.growth_rate(z)))
+
+
+class LinearAngularPowerSpectrum:
+    """Linear ISW Cl_TT via Limber (linear_angular_power_spectrum.py)."""
+
+    def __init__(self, ell_range, z_range, cosmo: Optional[Cosmology] = None):
+        self._ell_range = np.asarray(ell_range, float)
+        self._z_range = np.asarray(z_range, float)
+        self.cosmo = cosmo or Cosmology()
+        self._C_tt = None
+        self._outdated = True
+
+    @property
+    def ells(self):
+        return self._ell_range
+
+    @property
+    def Cl(self):
+        if self._outdated:
+            self.compute_C_tt()
+        return self._C_tt
+
+    def compute_C_tt(self):
+        self._C_tt = np.asarray(ap_ops.cl_isw_limber(
+            jnp.asarray(self._ell_range), self.cosmo,
+            z_min=float(self._z_range.min()),
+            z_max=float(self._z_range.max())))
+        self._outdated = False
+        return self._C_tt
+
+
+class Bispectrum2D:
+    """Equilateral B(ell) of flat-sky maps (bispectrum_2d.py:33-50)."""
+
+    @staticmethod
+    def compute(skymap_or_img, opening_angle_deg: Optional[float] = None,
+                nbins: int = 16, on: str = "orig"):
+        if hasattr(skymap_or_img, "data"):
+            img = skymap_or_img.data[on]
+            opening_angle_deg = skymap_or_img.opening_angle
+        else:
+            img = jnp.asarray(skymap_or_img)
+        ell, b, ntri = bs_ops.bispectrum_2d_equilateral(
+            img, opening_angle_deg, nbins=nbins)
+        return np.asarray(ell), np.asarray(b), np.asarray(ntri)
+
+
+class Bispectrum3D:
+    """Real B(k1,k2,k3) estimator — the reference's Bispectrum3D was a
+    stub copy of the power spectrum (bispectrum_3d.py:41-44)."""
+
+    @staticmethod
+    def compute(grid, boxsize: float, nbins: int = 8, m_min: float = 1.0,
+                m_max=None):
+        res = bs_ops.bispectrum_3d(jnp.asarray(grid), boxsize, nbins=nbins,
+                                   m_min=m_min, m_max=m_max)
+        return {k: np.asarray(v) for k, v in res._asdict().items()}
+
+    @staticmethod
+    def from_points(pos, boxsize: float, ngrid: int, nbins: int = 8,
+                    window: str = "cic"):
+        grid = paint_ops.paint(jnp.asarray(pos), ngrid, boxsize,
+                               window=window)
+        return Bispectrum3D.compute(grid, boxsize, nbins=nbins)
+
+
+class PowMes:
+    """Reader for POWMES output files (powmes.py:40-102). The estimator
+    itself is replaced by PowerSpectrum3D."""
+
+    @staticmethod
+    def read_pk_file(path, boxsize: float):
+        """POWMES .ascii table: columns (i, P(i), ...) with k = i * 2pi/L;
+        returns (k, P)."""
+        tab = np.loadtxt(path, comments="#", ndmin=2)
+        k = tab[:, 0] * 2.0 * np.pi / boxsize
+        return k, tab[:, 1]
+
+    @staticmethod
+    def to_table(paths: Dict[int, str], boxsize: float, dir_out=None):
+        cols = {}
+        for snap, p in paths.items():
+            k, P = PowMes.read_pk_file(p, boxsize)
+            cols.setdefault("k", k)
+            cols[f"snap_{snap}"] = P
+        if dir_out:
+            columnar_h5.write_table(os.path.join(dir_out, "powmes_pk.h5"),
+                                    cols)
+        return cols

@@ -1,0 +1,283 @@
+"""Simulation file model: manifest-based discovery of RAMSES-family outputs.
+
+API-compatible rebuild of the reference's Simulation / Ecosmog / RayRamses
+handles (/root/reference/src/astrild/simulation.py:31-204,
+particles/ecosmog.py:39-254, rays/rayramses.py:33-150): directory/file
+discovery by glob + regex id extraction, snapshot compression, and —
+replacing the external DTFE binary (particles/hutils/dtfe.py:37-52) —
+on-device CIC/TSC density and velocity grid estimation.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import re
+from pathlib import Path
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+
+from ..utils.cosmology import Cosmology
+
+__all__ = ["Simulation", "Ecosmog", "RayRamses"]
+
+
+class Simulation:
+    """Base simulation handle; discovers numbered dirs/files on disk.
+
+    Mirrors reference Simulation.__init__ (simulation.py:31-57): `dirs`
+    maps role -> path(s); `files[root]` is a sorted path list (or a
+    {dir_nr: paths} dict when files live in numbered subdirectories);
+    `file_nrs`/`dir_nrs` hold the extracted integer ids.
+    """
+
+    def __init__(self, dir_sim: str, dir_out: Optional[str] = None,
+                 file_dsc: Dict[str, Optional[str]] = None,
+                 dir_root: Optional[str] = None):
+        file_dsc = file_dsc or {"root": None, "extension": None}
+        if dir_out is None:
+            dir_out = dir_sim
+        self.dirs = {"sim": dir_sim, "out": dir_out}
+        self.name = [e for e in dir_sim.split("/") if e][-1]
+        self.file_dsc = file_dsc
+        if dir_root is None:
+            self.dir_root = "sim"
+        else:
+            self.dir_root = dir_root
+            self.dir_nrs = self.get_dir_nrs(sort=True)
+            self.dirs[dir_root] = self.get_dir_paths(None, dir_root)
+        if file_dsc.get("root") is None:
+            self.file_nrs = None
+            self.files = {}
+        else:
+            self.file_nrs = self.get_file_nrs(file_dsc, self.dirs["sim"],
+                                              "max", True)
+            self.files = {
+                file_dsc["root"]: self.get_file_paths(file_dsc,
+                                                      self.dirs["sim"], "max")
+            }
+        self.dimensions = 3
+
+    # ------------------------------------------------------------ discovery
+    def _get_all_files(self, file_dsc, directory=None) -> List[str]:
+        if directory is None:
+            directory = self.dirs["sim"]
+        template = f"{directory}/{file_dsc['root']}_*{file_dsc['extension']}"
+        return glob.glob(template)
+
+    def get_file_nrs(self, file_dsc, directory=None, uniques="max",
+                     sort: bool = False) -> np.ndarray:
+        """Integer ids from filenames (simulation.py:78-114): when names
+        carry several numbers, keep the column with the most (or fewest)
+        unique values."""
+        if directory is None:
+            directory = self.dirs["sim"]
+        files = self._get_all_files(file_dsc, directory)
+        if len(files) == 0 and self.dir_root in self.dirs and isinstance(
+                self.dirs[self.dir_root], list) and self.dirs[self.dir_root]:
+            files = self._get_all_files(file_dsc, self.dirs[self.dir_root][0])
+        if not files:
+            return np.array([], int)
+        ids = np.array(
+            [re.findall(r"\d+", f.split("/")[-1]) for f in files]).astype(int)
+        if ids.ndim == 2 and ids.shape[1] > 1:
+            var = np.array([len(np.unique(c)) for c in ids.T])
+            col = np.argmax(var) if uniques == "max" else np.argmin(var)
+            ids = ids[:, col]
+        else:
+            ids = ids.reshape(-1)
+        return np.sort(ids) if sort else ids
+
+    def get_file_paths(self, file_dsc=None, directory=None, uniques="max"):
+        """File paths sorted by id; falls back to per-numbered-dir dict
+        (simulation.py:117-145)."""
+        if file_dsc is None:
+            file_dsc = self.file_dsc
+        if directory is None:
+            directory = self.dirs["sim"]
+        files = self._get_all_files(file_dsc, directory)
+        if len(files) == 0 and hasattr(self, "dir_nrs"):
+            out = {}
+            for dnr, d in zip(self.dir_nrs, self.dirs[self.dir_root]):
+                fps = self._get_all_files(file_dsc, d)
+                fids = self.get_file_nrs(file_dsc, d, uniques, sort=False)
+                order = np.argsort(fids)
+                out[str(dnr)] = [fps[i] for i in order]
+            return out
+        if len(files) > 1:
+            fids = self.get_file_nrs(file_dsc, directory, uniques, sort=False)
+            order = np.argsort(fids)
+            files = [files[i] for i in order]
+        return files
+
+    def _get_all_paths(self, dir_root=None) -> List[str]:
+        if dir_root is None:
+            dir_root = self.dir_root
+        dirs = glob.glob(os.path.join(self.dirs["sim"], dir_root + "_*"))
+        return [p for p in dirs if "." not in os.path.basename(p)]
+
+    def get_dir_nrs(self, dir_root=None, sort: bool = True) -> np.ndarray:
+        if dir_root is None:
+            dir_root = self.dir_root
+        dirs = self._get_all_paths(dir_root)
+        ids = np.array([int(re.findall(r"\d+", d.split("/")[-1])[0])
+                        for d in dirs]) if dirs else np.array([], int)
+        return np.sort(ids) if sort else ids
+
+    def get_dir_paths(self, dir_ids, dir_root) -> List[str]:
+        if dir_root is None:
+            dir_root = self.dir_root
+        if dir_ids is None:
+            dirs = self._get_all_paths(dir_root)
+            ids = self.get_dir_nrs(dir_root, sort=False)
+            order = np.argsort(ids)
+            return [dirs[i] for i in order]
+        out = []
+        root = dir_root if "_" in dir_root else dir_root + "_%03d"
+        for di in dir_ids:
+            d = os.path.join(self.dirs["sim"], root % di) + "/"
+            if not os.path.isdir(d):
+                raise FileNotFoundError(d)
+            out.append(d)
+        return out
+
+    @staticmethod
+    def remove_files(files: List[str]) -> None:
+        for f in files:
+            Path(f).unlink()
+
+
+class Ecosmog(Simulation):
+    """ECOSMOG / Gadget particle-simulation handle (ecosmog.py:39-254).
+
+    The external DTFE shell-out becomes native on-device painting:
+    `density_fields` estimates density (and optionally velocity) grids
+    with CIC/TSC windows via ops.paint.
+    """
+
+    def __init__(self, config=None, dir_sim: str = ".", dir_out=None,
+                 file_dsc=None, dir_root: Optional[str] = None,
+                 boxsize: float = 500.0, domain_level: int = 512,
+                 cosmo: Optional[Cosmology] = None):
+        super().__init__(dir_sim, dir_out,
+                         file_dsc or {"root": None, "extension": None},
+                         dir_root)
+        self.config = config
+        self.boxsize = boxsize
+        self.domain_level = domain_level
+        self.npar = domain_level
+        self.cosmo = cosmo or Cosmology()
+
+    # ------------------------------------------------- native DTFE stand-in
+    def density_fields(self, pos, vel=None, ngrid: Optional[int] = None,
+                       window: str = "tsc", fields=("density",)):
+        """Grid fields from particles — native replacement for
+        Ecosmog.dtfe (ecosmog.py:79-137) + hutils/dtfe.py.
+
+        Returns {field: (ngrid,)*3 array (+component axis for velocity)}.
+        """
+        import jax.numpy as jnp
+
+        from ..ops import paint as paint_ops
+
+        ngrid = ngrid or self.domain_level
+        pos = jnp.asarray(pos)
+        out = {}
+        rho = paint_ops.paint(pos, ngrid, self.boxsize, window=window)
+        if "density" in fields:
+            cell_vol = (self.boxsize / ngrid) ** 3
+            out["density"] = rho / cell_vol
+        if "velocity" in fields:
+            assert vel is not None
+            vel = jnp.asarray(vel)
+            comps = []
+            for c in range(vel.shape[1]):
+                mom = paint_ops.paint(pos, ngrid, self.boxsize,
+                                      weights=vel[:, c], window=window)
+                comps.append(mom / jnp.maximum(rho, 1e-12))
+            out["velocity"] = jnp.stack(comps, axis=-1)
+        return out
+
+    def compress_snapshot(self, amr_levels, domain_level, fields,
+                          snap_nrs=None, file_root: str = "grav",
+                          dir_out=None, save: bool = True):
+        """Transcribe grav_*.out????? F77 files -> columnar h5
+        (ecosmog.py:139-254)."""
+        from ..io import columnar_h5, ramses
+
+        levelmin, levelmax = min(amr_levels), max(amr_levels)
+        results = {}
+        for snap_nr, snap_dir in zip(self.dir_nrs, self.dirs[self.dir_root]):
+            if snap_nrs is not None and snap_nr not in snap_nrs:
+                continue
+            files = glob.glob(
+                os.path.join(snap_dir, f"{file_root}_{snap_nr:05d}.out?????"))
+            if not files:
+                continue
+            data = ramses.read_grav_snapshot(files, fields, levelmin,
+                                             levelmax, self.dimensions)
+            if save:
+                fname = file_root.split("_")[0] + "_out%05d.h5" % snap_nr
+                columnar_h5.write_table(
+                    os.path.join(dir_out or self.dirs["sim"], fname), data)
+            results[int(snap_nr)] = data
+        return results
+
+
+class RayRamses(Simulation):
+    """Ray-Ramses lightcone handle (rayramses.py:33-150)."""
+
+    def __init__(self, config=None, dir_sim: str = ".", dir_out=None,
+                 file_dsc=None, dir_root: Optional[str] = None,
+                 opening_angle: float = 20.0, npix: int = 8192,
+                 cosmo: Optional[Cosmology] = None):
+        super().__init__(dir_sim, dir_out,
+                         file_dsc or {"root": None, "extension": None},
+                         dir_root)
+        self.config = config
+        self.opening_angle = opening_angle
+        self.npix = npix
+        self.cosmo = cosmo or Cosmology()
+
+    def compress_snapshot(self, columns, dir_out=None, save: bool = True):
+        """Merge per-CPU ray ascii outputs into one columnar h5 per ray
+        snapshot (rayramses.py:69-150), applying the shear sign
+        corrections at compress time (:118-132)."""
+        from ..io import columnar_h5
+        from ..io.rays import SHEAR_CORRECTIONS, merge_ray_outputs
+
+        results = {}
+        root = self.file_dsc["root"]
+        for snap_nr in np.unique(self.file_nrs):
+            paths = [p for p in self.files[root]
+                     if int(re.findall(r"\d+", os.path.basename(p))[0])
+                     == snap_nr]
+            data = merge_ray_outputs(paths, columns)
+            for col, fac in SHEAR_CORRECTIONS.items():
+                if col in data:
+                    data[col] = data[col] * fac
+            if save:
+                fname = f"Ray_maps_output{snap_nr:05d}.h5"
+                columnar_h5.write_table(
+                    os.path.join(dir_out or self.dirs["sim"], fname), data)
+            results[int(snap_nr)] = data
+        return results
+
+    def sum_snapshots(self, columns, snap_nrs=None):
+        """Sum ray maps over snapshots (rayramses.py:151-267 light)."""
+        from ..io import columnar_h5
+
+        total = None
+        root = self.file_dsc["root"]
+        for path in self.files[root]:
+            data = columnar_h5.read_table(path)
+            if total is None:
+                total = {c: np.array(data[c]) for c in columns}
+            else:
+                for c in columns:
+                    total[c] = total[c] + data[c]
+        return total
+
+    def Dc_to_redshift(self, dc):
+        """Comoving distance -> redshift (rayramses.py:702-705)."""
+        return self.cosmo.redshift_at_comoving_distance(dc)

@@ -1,0 +1,273 @@
+"""Void finding + void-catalog analysis on flat-sky maps.
+
+Rebuild of the reference's TunnelsFinder (rays/voids/tunnel.py:26-470 — the
+external void_finder_spherical_2D binary becomes ops.voids.find_tunnels),
+WatershedFinder (rays/voids/watershed.py + rays/utils/watershed_voids.py)
+and the Voids catalog manager (rays/void.py:23-545: void size function,
+radial profiles, bootstrap stats, tangential shear).
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.dataset import Dataset
+from ..io import columnar_h5
+from ..ops import filters as filter_ops
+from ..ops import peaks as peak_ops
+from ..ops import profiles as prof_ops
+from ..ops import voids as void_ops
+
+__all__ = ["TunnelsFinder", "WatershedFinder", "Voids"]
+
+
+class TunnelsFinder:
+    """Tunnels void finder (Cautun arxiv:1710.01730) on kappa maps.
+
+    Mirrors the reference workflow (tunnel.py:44-248): find_peaks on the
+    convergence map (threshold ladder bottom + SNR + edge trim), then
+    find_voids per SNR cut via the native largest-empty-circle grid
+    algorithm; results are column dicts in both pixel and degree units.
+    """
+
+    def __init__(self, skymap):
+        self.skymap = skymap
+        self.peaks: Optional[dict] = None
+        self.voids: Optional[dict] = None
+
+    def find_peaks(self, on: str = "orig", field_conversion: str = None,
+                   thresholds_dsc: dict = None, snr_sigma=None,
+                   max_peaks: int = 4096, edge_pix: int = 0) -> dict:
+        img = self.skymap.data[on]
+        if field_conversion == "normalize":
+            img = img - jnp.mean(img)
+        nbins = (thresholds_dsc or {}).get("nbins", 100)
+        on_thr = (thresholds_dsc or {}).get("on", on)
+        thr_img = self.skymap.data[on_thr]
+        vmin = float(jnp.min(thr_img))
+        vmax = float(jnp.max(thr_img))
+        threshold = vmin + (vmax - vmin) / nbins  # ladder bottom
+        cat = peak_ops.find_peaks(img, threshold=threshold,
+                                  max_peaks=max_peaks, edge_pix=edge_pix,
+                                  sigma=snr_sigma)
+        n = int(cat.n)
+        pix2deg = self.skymap.opening_angle / self.skymap.npix
+        self.on = on
+        self.peaks = {
+            "x_pix": np.asarray(cat.pos[:n, 1]),
+            "y_pix": np.asarray(cat.pos[:n, 0]),
+            "x_deg": np.asarray(cat.pos[:n, 1]) * pix2deg,
+            "y_deg": np.asarray(cat.pos[:n, 0]) * pix2deg,
+            "kappa": np.asarray(cat.values[:n]),
+            "snr": np.asarray(cat.snr[:n]),
+        }
+        return self.peaks
+
+    def find_voids(self, sigmas: Sequence[float] = (0.0,),
+                   overlap: float = 0.2, max_voids: int = 1024) -> dict:
+        """Per-SNR-cut void catalogs (tunnel.py:158-221: the txt->bin->
+        external-binary->bin->df chain becomes one on-device call)."""
+        assert self.peaks is not None, "run find_peaks first"
+        npix = self.skymap.npix
+        pix2deg = self.skymap.opening_angle / npix
+        all_cols: Dict[str, list] = {k: [] for k in
+                                     ("x_pix", "y_pix", "x_deg", "y_deg",
+                                      "rad_pix", "rad_deg", "sigma")}
+        peaks_pos = jnp.stack(
+            [jnp.asarray(self.peaks["y_pix"]),
+             jnp.asarray(self.peaks["x_pix"])], axis=-1).astype(jnp.float32)
+        snr = np.asarray(self.peaks["snr"])
+        for sigma in sigmas:
+            valid = jnp.asarray(snr > sigma)
+            if int(valid.sum()) == 0:
+                continue
+            cat = void_ops.find_tunnels(peaks_pos, valid, npix,
+                                        max_voids=max_voids, overlap=overlap)
+            n = int(cat.n)
+            all_cols["x_pix"].append(np.asarray(cat.pos[:n, 1]))
+            all_cols["y_pix"].append(np.asarray(cat.pos[:n, 0]))
+            all_cols["x_deg"].append(np.asarray(cat.pos[:n, 1]) * pix2deg)
+            all_cols["y_deg"].append(np.asarray(cat.pos[:n, 0]) * pix2deg)
+            all_cols["rad_pix"].append(np.asarray(cat.radius[:n]))
+            all_cols["rad_deg"].append(np.asarray(cat.radius[:n]) * pix2deg)
+            all_cols["sigma"].append(np.full(n, sigma))
+        self.voids = {k: (np.concatenate(v) if v else np.empty(0))
+                      for k, v in all_cols.items()}
+        self.filtered_peaks = self.peaks
+        return self.voids
+
+    def set_peak_radii(self, peaks: Optional[dict] = None,
+                       voids: Optional[dict] = None) -> dict:
+        """Peak radius = distance to nearest void center
+        (tunnel.py:250-295)."""
+        from scipy.spatial import cKDTree
+
+        peaks = peaks or self.peaks
+        voids = voids or self.voids
+        vp = np.stack([voids["x_deg"], voids["y_deg"]], axis=-1)
+        pp = np.stack([peaks["x_deg"], peaks["y_deg"]], axis=-1)
+        dist, _ = cKDTree(vp).query(pp, k=1)
+        peaks = dict(peaks)
+        peaks["rad_deg"] = dist
+        peaks["rad_pix"] = np.rint(
+            dist * self.skymap.npix / self.skymap.opening_angle).astype(int)
+        return peaks
+
+
+class WatershedFinder:
+    """Watershed void finder (watershed.py + watershed_voids.py:27-110)."""
+
+    def __init__(self, skymap):
+        self.skymap = skymap
+        self.voids: Optional[dict] = None
+
+    def find_voids(self, on: str = "orig", smooth_arcmin: float = 5.0,
+                   percentile_mask: float = 80.0, max_voids: int = 1024
+                   ) -> dict:
+        img = self.skymap.data[on]
+        img = filter_ops.gaussian(img, self.skymap.opening_angle,
+                                  sigma_arcmin=smooth_arcmin)
+        cat = void_ops.watershed_voids(img, max_voids=max_voids,
+                                       percentile_mask=percentile_mask)
+        n = int(cat.n)
+        pix2deg = self.skymap.opening_angle / self.skymap.npix
+        self.voids = {
+            "x_pix": np.asarray(cat.pos[:n, 1]),
+            "y_pix": np.asarray(cat.pos[:n, 0]),
+            "x_deg": np.asarray(cat.pos[:n, 1]) * pix2deg,
+            "y_deg": np.asarray(cat.pos[:n, 0]) * pix2deg,
+            "rad_pix": np.asarray(cat.radius[:n]),
+            "rad_deg": np.asarray(cat.radius[:n]) * pix2deg,
+            "sigma": np.zeros(n),
+        }
+        return self.voids
+
+
+class Voids:
+    """Void-catalog manager for finders {tunnels, svf, zobov, wvf}
+    (rays/void.py:23-545)."""
+
+    FINDER_SIGMA_NAMES = {"tunnels": "sigma", "svf": "void_overlap",
+                          "zobov": "void_min_den", "wvf": "sigma"}
+
+    def __init__(self, data: Dict[str, np.ndarray], finder: str = "tunnels",
+                 skymap_dsc: Optional[dict] = None, file_in=None):
+        self.data = data
+        self.finder = finder
+        self.skymap_dsc = skymap_dsc or {}
+        self.file_in = file_in
+        self.profiles: Optional[dict] = None
+        self.field_conversion = None
+
+    @classmethod
+    def from_file(cls, finder: str, skymap_dsc: dict, ffile: str) -> "Voids":
+        return cls(columnar_h5.read_table(ffile), finder, skymap_dsc, ffile)
+
+    @classmethod
+    def from_finder(cls, finder_obj, skymap_dsc: Optional[dict] = None
+                    ) -> "Voids":
+        name = ("tunnels" if isinstance(finder_obj, TunnelsFinder) else "wvf")
+        return cls(dict(finder_obj.voids), name, skymap_dsc)
+
+    # ------------------------------------------------------------ statistics
+    def get_void_size_fct(self, nbins: int, limits=None) -> Dict[str, dict]:
+        """Cumulative void size function per sigma (void.py:141-186)."""
+        out = {}
+        sigmas = np.unique(self.data["sigma"])
+        for idx, nu in enumerate(sigmas):
+            sel = self.data["sigma"] == nu
+            rad = np.asarray(self.data["rad_deg"])[sel]
+            if limits is None:
+                lo, hi = np.percentile(rad, 5), np.percentile(rad, 95)
+            else:
+                lo, hi = min(limits[idx]), max(limits[idx])
+            bins = np.arange(lo, hi, (hi - lo) / nbins)
+            hist, edges = np.histogram(rad, bins=bins, density=False)
+            hist = np.cumsum(hist[::-1])[::-1]
+            out[float(nu)] = {"rad": 0.5 * (edges[1:] + edges[:-1]),
+                              "counts": hist}
+        return out
+
+    # -------------------------------------------------------------- profiles
+    def get_profiles(self, radii_max: float, nr_rad_bins: int,
+                     skymap=None, field_conversion=None) -> dict:
+        """Radial profiles of all voids on the map (void.py:188-257)."""
+        img = jnp.asarray(skymap)
+        if field_conversion == "normalize":
+            img = img - jnp.mean(img)
+        self.field_conversion = field_conversion
+        centers = jnp.stack(
+            [jnp.asarray(self.data["y_pix"], jnp.int32),
+             jnp.asarray(self.data["x_pix"], jnp.int32)], axis=-1)
+        radii = jnp.asarray(self.data["rad_pix"], jnp.float32)
+        patch_half = int(np.ceil(float(jnp.max(radii)) * radii_max)) + 1
+        eta, values = prof_ops.object_profiles(
+            img, centers, radii, patch_half=patch_half, nbins=nr_rad_bins,
+            extend=radii_max)
+        self.profiles = {"radii": np.asarray(eta), "values": np.asarray(values)}
+        return self.profiles
+
+    def get_profile_stats(self, cats: Sequence[str] = ("sigma",),
+                          field_conversion=None, n_boot: int = 100,
+                          dir_out=None, save: bool = False) -> Dataset:
+        """Mean + bootstrap 16/84 envelopes per category (void.py:259-410)."""
+        if field_conversion:
+            self.field_conversion = field_conversion
+        assert self.profiles is not None, "run get_profiles first"
+        sigmas = np.unique(self.data["sigma"])
+        nr = len(self.profiles["radii"])
+        mean = np.zeros((len(sigmas), nr))
+        lo = np.zeros_like(mean)
+        hi = np.zeros_like(mean)
+        smin = np.zeros(len(sigmas))
+        smax = np.zeros(len(sigmas))
+        nobj = np.zeros(len(sigmas))
+        npix = self.skymap_dsc.get("npix", 4096)
+        for ss, sigma in enumerate(sigmas):
+            sel = np.where(self.data["sigma"] == sigma)[0]
+            profs = jnp.asarray(self.profiles["values"][sel])
+            m = prof_ops.mean_and_interpolate(profs)
+            if self.field_conversion == "tangential_shear":
+                m = prof_ops.tangential_shear(
+                    jnp.asarray(self.profiles["radii"]), m)
+            mean[ss] = np.asarray(m)
+            centers = jnp.stack(
+                [jnp.asarray(self.data["y_pix"], jnp.int32)[sel],
+                 jnp.asarray(self.data["x_pix"], jnp.int32)[sel]], axis=-1)
+            l, h = prof_ops.bootstrap_profiles(
+                profs, centers, jax.random.PRNGKey(ss), n_boot=n_boot,
+                block_pix=max(npix // 16, 1), npix=npix)
+            lo[ss] = np.asarray(l)
+            hi[ss] = np.asarray(h)
+            rads = np.asarray(self.data["rad_deg"])[sel]
+            smin[ss], smax[ss] = rads.min(), rads.max()
+            nobj[ss] = len(sel)
+        ds = Dataset(
+            data_vars={"mean": (("sigma", "radius"), mean),
+                       "lowerr": (("sigma", "radius"), lo),
+                       "higherr": (("sigma", "radius"), hi)},
+            coords={"sigma": sigmas, "radius": self.profiles["radii"],
+                    "size_min": (("sigma",), smin),
+                    "size_max": (("sigma",), smax),
+                    "nr_of_obj": (("sigma",), nobj)},
+        )
+        if save and dir_out:
+            Path(dir_out).mkdir(parents=True, exist_ok=True)
+            ds.to_hdf5(os.path.join(dir_out,
+                                    f"{self.finder}_profiles.stats.h5"))
+        return ds
+
+    def trim_edges(self, npix: Optional[int] = None) -> None:
+        """Drop voids whose profile reach crosses the map edge
+        (void.py:412-424)."""
+        npix = npix or self.skymap_dsc.get("npix")
+        r = np.asarray(self.data["rad_pix"])
+        x = np.asarray(self.data["x_pix"])
+        y = np.asarray(self.data["y_pix"])
+        keep = ((x - r > 0) & (x + r < npix) & (y - r > 0) & (y + r < npix))
+        self.data = {k: np.asarray(v)[keep] for k, v in self.data.items()}

@@ -1,0 +1,251 @@
+"""Model-layer tests: API mirroring + end-to-end pipelines."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+from astrild_tpu.models import (Bispectrum2D, Bispectrum3D, Dipoles, Halos,
+                                LinearAngularPowerSpectrum,
+                                LinearPowerSpectrum, Peaks, PowerSpectrum3D,
+                                AngularPowerSpectrum, Simulation, SkyArray,
+                                SkyMap, TunnelsFinder, Voids, WatershedFinder)
+
+
+# -------------------------------------------------------------- simulation
+@pytest.fixture
+def fake_sim_tree(tmp_path):
+    """Reference-style directory tree: box*/rockstar_*/halos_0.*.ascii
+    (mirrors tests/unit/file_structures/conftest.py:8-18)."""
+    for snap in [8, 9, 10]:
+        d = tmp_path / f"rockstar_{snap:03d}"
+        d.mkdir()
+        for fn in range(2):
+            p = d / f"halos_0.{fn}.ascii"
+            with open(p, "w") as f:
+                f.write("#id x y z vx vy vz m200c r200c Rs\n")
+                for _ in range(19):
+                    f.write("# c\n")
+                rng = np.random.default_rng(snap * 10 + fn)
+                for i in range(30):
+                    x, y, z = rng.uniform(0, 100, 3)
+                    vx, vy, vz = rng.normal(0, 100, 3)
+                    m = 10 ** rng.uniform(12.5, 14.5)
+                    f.write(f"{i} {x} {y} {z} {vx} {vy} {vz} {m} "
+                            f"{0.2} {0.05}\n")
+    return str(tmp_path)
+
+
+def test_simulation_discovery(fake_sim_tree):
+    sim = Simulation(fake_sim_tree, None,
+                     {"root": "halos", "extension": ".ascii"},
+                     dir_root="rockstar")
+    assert list(sim.dir_nrs) == [8, 9, 10]
+    files = sim.get_file_paths({"root": "halos", "extension": ".ascii"},
+                               None, "max")
+    assert set(files.keys()) == {"8", "9", "10"}
+    assert len(files["9"]) == 2
+
+
+def test_halos_stats_pipeline(fake_sim_tree, tmp_path):
+    sim = Simulation(fake_sim_tree, None,
+                     {"root": "halos", "extension": ".ascii"},
+                     dir_root="rockstar")
+    sim.files["halos"] = sim.get_file_paths(
+        {"root": "halos", "extension": ".ascii"}, None, "max")
+    halos = Halos.from_rockstar(9, sim)
+    assert len(halos.data["m200c"]) == 60
+    cfg = "astrild_tpu/configs/halo_stats.yaml"
+    stats = halos._get_stats("rockstar", cfg, snap_nrs=[9], save=False,
+                             dm_particle_mass=1e8)
+    hmf = stats["halo_mass_fct"]["results"]
+    assert "snap_9" in hmf["values"]
+    assert np.all(np.diff(hmf["values"]["snap_9"]) <= 0)
+    v12 = stats["mean_pairwise_velocity"]["results"]["values"]["snap_9"]
+    assert v12.shape == (25,)
+
+
+# ------------------------------------------------------------------ skymap
+@pytest.fixture
+def kappa_sky(rng):
+    n = 256
+    img = rng.normal(0, 0.01, (n, n)).astype(np.float32)
+    # add a few massive peaks
+    e = np.arange(n)
+    for (r, c) in [(64, 64), (128, 192), (200, 80)]:
+        img += 0.1 * np.exp(-((e[:, None] - r) ** 2 + (e[None, :] - c) ** 2)
+                            / (2 * 4.0 ** 2))
+    return SkyArray.from_array(img, opening_angle=10.0, quantity="kappa_2")
+
+
+def test_skyarray_layers_and_filters(kappa_sky):
+    sky = kappa_sky
+    assert sky.npix == 256
+    sky.filter({"gaussian": {"abbrev": "smooth", "fwhm_arcmin": 5.0}})
+    assert "orig_smooth" in sky.data
+    sky.create_galaxy_shape_noise(std=0.4, ngal=40.0, rnd_seed=1)
+    out = sky.add_galaxy_shape_noise()
+    assert out.shape == (256, 256)
+    pdf = sky.pdf(nbins=20)
+    assert pdf["values"].shape == (20,)
+    pc = sky.wl_peak_counts(nbins=10)
+    assert pc["counts"].sum() > 0
+
+
+def test_skyarray_tiles_roundtrip(kappa_sky):
+    tiles = kappa_sky.division(4)
+    assert tiles.shape == (16, 64, 64)
+    merged = SkyArray.merge(tiles)
+    npt.assert_allclose(np.asarray(merged),
+                        np.asarray(kappa_sky.data["orig"]), atol=1e-6)
+
+
+def test_skyarray_lensing_chain(kappa_sky):
+    a1, a2 = kappa_sky.convert_convergence_to_deflection()
+    g1, g2 = kappa_sky.convert_deflection_to_shear()
+    for layer in ("defltx", "deflty", "shearx", "sheary"):
+        assert layer in kappa_sky.data
+        assert np.all(np.isfinite(np.asarray(kappa_sky.data[layer])))
+
+
+def test_skymap_from_file_roundtrip(tmp_path, kappa_sky):
+    f = kappa_sky.to_file(str(tmp_path), extension="npy")
+    sky2 = SkyMap.from_file(256, 10.0, "kappa_2", str(tmp_path), f)
+    npt.assert_allclose(np.asarray(sky2.data["orig"]),
+                        np.asarray(kappa_sky.data["orig"]), atol=1e-6)
+
+
+# ---------------------------------------------------------- voids pipeline
+def test_tunnels_end_to_end(kappa_sky):
+    finder = TunnelsFinder(kappa_sky)
+    finder.find_peaks(thresholds_dsc={"on": "orig", "nbins": 100},
+                      edge_pix=2)
+    assert len(finder.peaks["snr"]) > 0
+    finder.find_voids(sigmas=[0.0, 1.0])
+    assert len(finder.voids["rad_pix"]) > 0
+    peaks = finder.set_peak_radii()
+    assert "rad_deg" in peaks
+
+    voids = Voids.from_finder(finder, {"npix": kappa_sky.npix})
+    voids.trim_edges(kappa_sky.npix)
+    vsf = voids.get_void_size_fct(nbins=8)
+    assert len(vsf) >= 1
+    profiles = voids.get_profiles(2.0, 8,
+                                  skymap=kappa_sky.data["orig"])
+    assert profiles["values"].shape[1] == 8
+    ds = voids.get_profile_stats(n_boot=20)
+    assert ds["mean"].shape[-1] == 8
+    assert np.all(ds["lowerr"] <= ds["higherr"] + 1e-12)
+
+
+def test_tangential_shear_profile_stats(kappa_sky):
+    finder = TunnelsFinder(kappa_sky)
+    finder.find_peaks()
+    finder.find_voids(sigmas=[0.0])
+    voids = Voids.from_finder(finder, {"npix": kappa_sky.npix})
+    voids.trim_edges(kappa_sky.npix)
+    voids.get_profiles(2.0, 8, skymap=kappa_sky.data["orig"])
+    ds = voids.get_profile_stats(field_conversion="tangential_shear",
+                                 n_boot=10)
+    assert np.all(np.isfinite(ds["mean"]))
+
+
+def test_watershed_finder(kappa_sky):
+    finder = WatershedFinder(kappa_sky)
+    out = finder.find_voids(smooth_arcmin=5.0)
+    assert len(out["rad_pix"]) > 0
+
+
+def test_peaks_from_finder(kappa_sky):
+    finder = TunnelsFinder(kappa_sky)
+    finder.find_peaks()
+    finder.find_voids(sigmas=[0.0])
+    peaks = Peaks.from_tunnels_finder(finder)
+    assert "rad_deg" in peaks.data
+    peaks.get_profiles(1.0, 6, skymap=kappa_sky.data["orig"])
+    ds = peaks.get_profile_stats(n_boot=10)
+    assert ds["mean"].shape == (6,)
+
+
+# ----------------------------------------------------------------- spectra
+def test_power_spectrum_3d_from_points(rng):
+    ps = PowerSpectrum3D()
+    pos = rng.uniform(0, 100.0, (20000, 3)).astype(np.float32)
+    k, P = ps.power_from_points(jnp.asarray(pos), 100.0, 32)
+    sn = 100.0 ** 3 / 20000
+    npt.assert_allclose(P[:10] + sn, sn, rtol=0.3)
+
+
+def test_linear_spectra_classes():
+    lps = LinearPowerSpectrum()
+    P = lps.P_dd(np.array([0.01, 0.1, 1.0]))
+    assert np.all(P > 0)
+    laps = LinearAngularPowerSpectrum(np.array([10.0, 100.0]),
+                                      np.array([0.08, 0.9]))
+    cl = laps.Cl
+    assert cl.shape == (2,) and np.all(cl > 0)
+
+
+def test_bispectrum_classes(rng):
+    g = rng.normal(1.0, 0.01, (32, 32, 32)).astype(np.float32)
+    out = Bispectrum3D.compute(jnp.asarray(g), 100.0, nbins=4)
+    assert out["b"].shape == out["k1"].shape
+    img = rng.normal(0, 1, (64, 64)).astype(np.float32)
+    ell, b, nt = Bispectrum2D.compute(jnp.asarray(img), 5.0, nbins=6)
+    assert ell.shape == (6,)
+
+
+# ----------------------------------------------------------------- dipoles
+def test_dipoles_pipeline(rng):
+    n = 256
+    # paint a couple of NFW dT dipoles on a map
+    from astrild_tpu.ops import lensing as L
+
+    canvas = jnp.zeros((n, n))
+    halos = {"theta1_pix": np.array([80, 180]),
+             "theta2_pix": np.array([90, 160]),
+             "theta1_deg": np.array([80, 180]) * (10.0 / n),
+             "theta2_deg": np.array([90, 160]) * (10.0 / n),
+             "r200_deg": np.array([0.15, 0.12]),
+             "r200_pix": np.array([4, 3]),
+             "m200": np.array([5e14, 3e14]),
+             "c_NFW": np.array([3.0, 3.0]),
+             "theta1_vel": np.array([500.0, -300.0]),
+             "theta2_vel": np.array([200.0, 100.0])}
+    patches = []
+    for i in range(2):
+        patches.append(L.nfw_temperature_perturbation_map(
+            halos["r200_deg"][i], halos["m200"][i], halos["c_NFW"][i],
+            jnp.array([halos["theta1_vel"][i], halos["theta2_vel"][i]]),
+            1000.0, npix=41, extent=5))
+    canvas = L.paint_halo_patches(
+        canvas, jnp.stack(patches),
+        jnp.stack([jnp.asarray(halos["theta1_pix"]),
+                   jnp.asarray(halos["theta2_pix"])], -1))
+    sky = SkyArray.from_array(canvas, 10.0, "isw_rs")
+    dips = Dipoles.from_sky(sky, snr_threshold=1.0, edge_pix=4)
+    assert len(dips.data["snr"]) >= 2
+    dips.find_nearest(halos)
+    matched = dips.data["halo_idx"] >= 0
+    assert matched.sum() >= 2
+    # transverse velocity measurement runs and produces finite values
+    ax = jnp.zeros((n, n))
+    ay = jnp.zeros((n, n))
+    for i in range(2):
+        amap_x = L.nfw_deflection_angle_map(
+            halos["r200_deg"][i], halos["m200"][i], halos["c_NFW"][i],
+            1000.0, npix=41, extent=5, directions=(0,))
+        amap_y = L.nfw_deflection_angle_map(
+            halos["r200_deg"][i], halos["m200"][i], halos["c_NFW"][i],
+            1000.0, npix=41, extent=5, directions=(1,))
+        cen = jnp.array([[halos["theta1_pix"][i], halos["theta2_pix"][i]]])
+        ax = L.paint_halo_patches(ax, amap_x[None], cen)
+        ay = L.paint_halo_patches(ay, amap_y[None], cen)
+    dips.get_transverse_velocities_from_sky(canvas, ax, ay, 10.0,
+                                            patch_pix=32)
+    vx = dips.data["theta1_mtvel"]
+    ok = vx > -99999
+    assert ok.sum() >= 1
+    assert np.all(np.isfinite(vx[ok]))
