@@ -1,7 +1,9 @@
 from . import (angular_power, bispectrum, filters, halo_stats, lensing,
-               linear_power, paint, pairwise, peaks, power, profiles, tpcf,
+               linear_power, map_transform, object_selection, paint,
+               pairwise, peaks, power, profiles, profiles3d, tpcf, troughs,
                voids)
 
 __all__ = ["angular_power", "bispectrum", "filters", "halo_stats", "lensing",
-           "linear_power", "paint", "pairwise", "peaks", "power", "profiles",
-           "tpcf", "voids"]
+           "linear_power", "map_transform", "object_selection", "paint",
+           "pairwise", "peaks", "power", "profiles", "profiles3d", "tpcf",
+           "troughs", "voids"]

@@ -1,4 +1,5 @@
-from . import constants, cosmology, geometry
+from . import analysis, constants, cosmology, geometry, observability
 from .cosmology import Cosmology, PLANCK18
 
-__all__ = ["constants", "cosmology", "geometry", "Cosmology", "PLANCK18"]
+__all__ = ["analysis", "constants", "cosmology", "geometry",
+           "observability", "Cosmology", "PLANCK18"]
