@@ -1,0 +1,99 @@
+"""SkyHealpix: full-sky map container on the native RING pixelization.
+
+Rebuild of /root/reference/src/astrild/rays/skys/sky_healpix.py:30-418 and
+rays/skyio.py:15-30 without healpy: DataFrame/column binning into maps,
+cartesian (flat-sky) projection to SkyArray, rotation, masks, and CMB
+lensing by deflection remapping (rays/utils/healpytools.py:52-59).
+Spherical-harmonic synthesis from Cl is not available natively — use the
+flat-sky synthesis (SkyArray.create_cmb) instead.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..utils import healpix as hp
+
+__all__ = ["SkyHealpix"]
+
+
+class SkyHealpix:
+    """Named full-sky layers at a fixed nside (RING)."""
+
+    def __init__(self, hpmap: np.ndarray, quantity: str = "kappa_2"):
+        self.data: Dict[str, np.ndarray] = {"orig": np.asarray(hpmap)}
+        self.quantity = quantity
+        self.nside = hp.npix2nside(len(hpmap))
+
+    # ---------------------------------------------------------- constructors
+    @classmethod
+    def from_columns(cls, cols, quantity: str, nside: int,
+                     theta1_key: str = "the_co", theta2_key: str = "phi_co"
+                     ) -> "SkyHealpix":
+        """Bin (theta, phi) samples into a map: ang2pix + per-pixel mean
+        (skyio.py:15-30). Angles in radians."""
+        theta = np.asarray(cols[theta1_key])
+        phi = np.asarray(cols[theta2_key])
+        vals = np.asarray(cols[quantity])
+        pix = hp.ang2pix_ring(nside, theta, phi)
+        npix = hp.nside2npix(nside)
+        ssum = np.bincount(pix, weights=vals, minlength=npix)
+        cnt = np.bincount(pix, minlength=npix)
+        out = np.full(npix, hp.UNSEEN)
+        good = cnt > 0
+        out[good] = ssum[good] / cnt[good]
+        return cls(out, quantity)
+
+    from_dataframe = from_columns
+
+    # -------------------------------------------------------------- analysis
+    def to_skyarray(self, opening_angle_deg: float, npix: int,
+                    center_theta_phi=(np.pi / 2, 0.0), of: str = "orig"):
+        """Gnomonic-like projection onto a flat grid around a center
+        (sky_healpix.py:250-278)."""
+        from .skymap import SkyArray
+
+        t0, p0 = center_theta_phi
+        half = np.deg2rad(opening_angle_deg) / 2.0
+        d = np.linspace(-half, half, npix)
+        dt, dp = np.meshgrid(d, d, indexing="ij")
+        theta = t0 + dt
+        phi = p0 + dp / np.maximum(np.sin(np.clip(theta, 1e-6, np.pi - 1e-6)),
+                                   1e-6)
+        vals = hp.get_interp_val_nearest(self.data[of], theta, phi)
+        return SkyArray.from_array(vals, opening_angle_deg, self.quantity)
+
+    def rotate(self, rot_matrix, of: str = "orig") -> np.ndarray:
+        """(sky_healpix.py:369-398)"""
+        out = hp.rotate_map(self.data[of], rot_matrix)
+        self.data[of + "_rot"] = out
+        return out
+
+    def create_mask(self, theta_range=None, phi_range=None,
+                    of: str = "orig") -> np.ndarray:
+        """Boolean mask of pixels inside the given angular ranges
+        (sky_healpix.py:334-366)."""
+        ipix = np.arange(hp.nside2npix(self.nside))
+        theta, phi = hp.pix2ang_ring(self.nside, ipix)
+        mask = np.ones(len(ipix), bool)
+        if theta_range is not None:
+            mask &= (theta >= theta_range[0]) & (theta <= theta_range[1])
+        if phi_range is not None:
+            mask &= (phi >= phi_range[0]) & (phi <= phi_range[1])
+        self.data["mask"] = mask
+        return mask
+
+    def lens_cmb_by_deflection(self, cmb_map, alpha_theta, alpha_phi
+                               ) -> np.ndarray:
+        """Lens a CMB map by remapping with a deflection field: sample the
+        unlensed map at the source-plane positions
+        (healpytools.py:52-59)."""
+        ipix = np.arange(hp.nside2npix(self.nside))
+        theta, phi = hp.pix2ang_ring(self.nside, ipix)
+        ts = theta + np.asarray(alpha_theta)
+        ps = phi + np.asarray(alpha_phi) / np.maximum(np.sin(theta), 1e-6)
+        ts = np.clip(ts, 0.0, np.pi)
+        lensed = hp.get_interp_val_nearest(np.asarray(cmb_map), ts, ps)
+        self.data["cmb_lensed"] = lensed
+        return lensed
