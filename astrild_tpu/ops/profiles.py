@@ -47,6 +47,8 @@ def object_profiles(skymap, centers_pix, radii_pix, patch_half: int,
       values: (nobj, nbins) annulus means (NaN where annulus empty).
     """
     n = skymap.shape[-1]
+    # patch cannot exceed the map; pixels beyond extend*R are masked anyway
+    patch_half = min(patch_half, (n - 1) // 2)
     p = 2 * patch_half + 1
     rows = jnp.arange(p) - patch_half
     cols = jnp.arange(p) - patch_half

@@ -70,10 +70,18 @@ def local_shell_average(values, m, ngrid, boxsize, nbins,
     mf = m.reshape(-1)
     binidx = jnp.clip(jnp.searchsorted(edges, mf, side="right") - 1, 0, nbins - 1)
     inside = ((mf >= mmin) & (mf <= mmax)).astype(values.dtype)
-    nm = jax.ops.segment_sum(inside, binidx, num_segments=nbins)
-    msum = jax.ops.segment_sum(inside * mf, binidx, num_segments=nbins)
-    vsum = jax.ops.segment_sum(inside * values.reshape(-1), binidx,
-                               num_segments=nbins)
+    # masked-sum reduction per bin (see ops.power.shell_average: TPU
+    # scatter-adds serialize; tree reductions do not)
+    wv = inside * values.reshape(-1)
+    wm = inside * mf
+
+    def one_bin(b):
+        sel = binidx == b
+        return (jnp.sum(jnp.where(sel, inside, 0.0)),
+                jnp.sum(jnp.where(sel, wm, 0.0)),
+                jnp.sum(jnp.where(sel, wv, 0.0)))
+
+    nm, msum, vsum = jax.vmap(one_bin)(jnp.arange(nbins))
     for axname in axes:
         nm = jax.lax.psum(nm, axname)
         msum = jax.lax.psum(msum, axname)

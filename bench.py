@@ -1,13 +1,21 @@
-"""Benchmark runner: z=0 analysis-suite throughput on the real chip.
+"""Benchmark runner: full z=0 analysis-suite wall-clock on the real chip.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Baseline (BASELINE.json north star): full z=0 suite for a 1024^3-particle
-snapshot in < 60 s on a TPU v4-8, i.e. 1024^3 / (60 s * 8 chips)
-= 2.24 M particles/s/chip. The suite grows as components land; the bench
-always measures the per-snapshot wall-clock of everything currently
-implemented, at the largest scale that fits one chip, and reports
-throughput normalized per chip.
+Baseline (BASELINE.json north star): full z=0 suite — P(k), B(k), 2048^2
+kappa/gamma maps, void catalog — for a 1024^3-particle snapshot in < 60 s
+on a TPU v4-8 (8 chips). This runs the whole implemented suite at
+1/64-scale particle count (256^3 particles) on ONE chip and reports the
+per-chip particle throughput against the north star's
+1024^3/(60 s * 8 chips) = 2.24 Mparticles/s/chip.
+
+Suite stages (all jit-compiled, timed end-to-end with host sync):
+  TSC paint 256^3 grid <- 256^3 particles
+  auto P(k) (64 bins, window-compensated, shot-noise subtracted)
+  bispectrum B(k1,k2,k3) over 4 shells
+  Born kappa integration over 64 lens planes at 2048^2
+  kappa -> alpha -> gamma chain at 2048^2
+  peak catalog + tunnels void finding on the 2048^2 kappa map
 """
 import json
 import sys
@@ -20,49 +28,71 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 sys.path.insert(0, "/root/repo")
 
-# Baseline: north-star suite throughput per chip [particles/s]
 BASELINE_PPS_PER_CHIP = 1024 ** 3 / (60.0 * 8)
 
+N_SIDE = 256          # particles per side -> 16.8M particles
+NGRID = 256
+NPIX = 2048
+BOX = 500.0
+OPENING_ANGLE_RAD = 0.35  # ~20 deg FOV
 
-def suite_step(pos, boxsize, ngrid):
-    """The z=0 suite over one snapshot (components implemented so far)."""
-    from astrild_tpu.ops import paint, power
 
-    g = paint.paint(pos, ngrid, boxsize, window="tsc")
-    res = power.auto_power(g, boxsize, nbins=ngrid // 2, window="tsc",
-                           shotnoise=boxsize ** 3 / pos.shape[0])
-    return res
+def suite(pos, planes_seed):
+    from astrild_tpu.ops import bispectrum, lensing, paint, peaks, power, voids
+
+    n_part = pos.shape[0]
+    # --- matter statistics ------------------------------------------------
+    grid = paint.paint(pos, NGRID, BOX, window="tsc")
+    pk = power.auto_power(grid, BOX, nbins=64, window="tsc",
+                          shotnoise=BOX ** 3 / n_part)
+    bs = bispectrum.bispectrum_3d(grid, BOX, nbins=4, m_min=2.0, m_max=32.0)
+
+    # --- lensing maps at 2048^2 ------------------------------------------
+    # lens planes: project grid slabs, upsample to map resolution
+    delta = grid / jnp.mean(grid) - 1.0
+    nplanes = 64
+    slabs = delta.reshape(NGRID // nplanes, nplanes, NGRID, NGRID).sum(0)
+    planes = jax.image.resize(slabs, (nplanes, NPIX, NPIX), method="linear")
+    chis = jnp.linspace(200.0, 2800.0, nplanes)
+    dchis = jnp.full((nplanes,), BOX / nplanes)
+    kappa = lensing.born_convergence(planes, chis, dchis, 3000.0, 0.3089)
+    a1, a2 = lensing.kappa_to_alpha(kappa, OPENING_ANGLE_RAD,
+                                    padding_factor=2)
+    g1, g2 = lensing.alpha_to_gamma(a1, a2, OPENING_ANGLE_RAD)
+
+    # --- voids on the kappa map ------------------------------------------
+    cat = peaks.find_peaks(kappa, threshold=jnp.std(kappa),
+                           max_peaks=2048, edge_pix=8)
+    vcat = voids.find_tunnels(cat.pos.astype(jnp.float32),
+                              cat.values > -jnp.inf, NPIX, max_voids=256)
+    return (pk.power, bs.b, kappa, g1, g2, vcat.radius)
 
 
 def main():
-    n_side = 256          # particles per side (256^3 = 16.8M)
-    ngrid = 256
-    boxsize = 500.0
-    n_part = n_side ** 3
-
+    n_part = N_SIDE ** 3
     key = jax.random.PRNGKey(0)
-    pos = jax.random.uniform(key, (n_part, 3), minval=0.0, maxval=boxsize,
+    pos = jax.random.uniform(key, (n_part, 3), minval=0.0, maxval=BOX,
                              dtype=jnp.float32)
-    jax.block_until_ready(pos)
-
-    step = jax.jit(lambda p: suite_step(p, boxsize, ngrid))
-    # warmup/compile (host transfer forces full sync even on async backends)
-    _ = list(map(float, step(pos).power[:1]))
+    step = jax.jit(suite)
+    # compile + warmup (forces full execution via host transfer)
+    out = step(pos, 0)
+    _ = [float(jnp.real(x).ravel()[0]) for x in jax.tree_util.tree_leaves(out)]
 
     times = []
-    for i in range(3):
-        # nudge input so cached-result shortcuts can't fake the clock
+    for i in range(2):
         p_i = pos + jnp.float32(i) * 1e-6
-        jax.block_until_ready(p_i)
+        _ = float(p_i.ravel()[0])
         t0 = time.perf_counter()
-        res = step(p_i)
-        _ = float(res.power[0])  # device->host sync
+        out = step(p_i, i)
+        _ = [float(jnp.real(x).ravel()[0])
+             for x in jax.tree_util.tree_leaves(out)]
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
-    pps = n_part / dt  # particles/s on this one chip
+    pps = n_part / dt
     print(json.dumps({
-        "metric": "z=0 suite throughput (paint+P(k), 256^3 grid)",
+        "metric": "full z=0 suite (P(k)+B(k)+2048^2 kappa/gamma+voids), "
+                  "256^3 particles, 1 chip",
         "value": round(pps / 1e6, 3),
         "unit": "Mparticles/s/chip",
         "vs_baseline": round(pps / BASELINE_PPS_PER_CHIP, 3),

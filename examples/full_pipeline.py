@@ -1,0 +1,99 @@
+"""End-to-end example: the translated astrild workflow on synthetic data.
+
+Mirrors the reference example notebook's flow (collection -> density fields
+-> P(k)) and continues through the lensing/void pipeline. Runs on any
+backend; on TPU every stage is jit-compiled.
+
+  python examples/full_pipeline.py
+"""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from astrild_tpu import Cosmology
+from astrild_tpu.models import (Bispectrum3D, PowerSpectrum3D, SkyArray,
+                                TunnelsFinder, Voids)
+from astrild_tpu.ops import lensing, paint, power
+from astrild_tpu.utils.observability import get_logger, stage
+
+log = get_logger()
+
+BOX = 250.0        # Mpc/h
+NGRID = 128
+N_PART = 64 ** 3
+N_SIMS = 4         # the "simulation collection" (realizations)
+
+
+def synthetic_particles(key, n):
+    """Clumpy particle distribution (Poisson-sampled halos + field)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    n_halo = n // 2
+    centers = jax.random.uniform(k1, (64, 3), minval=0.0, maxval=BOX)
+    which = jax.random.randint(k2, (n_halo,), 0, 64)
+    halo_pos = centers[which] + 2.0 * jax.random.normal(k3, (n_halo, 3))
+    field_pos = jax.random.uniform(k1, (n - n_halo, 3), minval=0.0,
+                                   maxval=BOX)
+    return jnp.concatenate([halo_pos, field_pos]) % BOX
+
+
+def main():
+    cosmo = Cosmology()
+    keys = jax.random.split(jax.random.PRNGKey(0), N_SIMS)
+
+    # --- simulation array: P(k) per realization, vmapped ----------------
+    with stage("collection P(k)"):
+        pos_batch = jnp.stack([synthetic_particles(k, N_PART) for k in keys])
+
+        def pk_one(pos):
+            g = paint.paint(pos, NGRID, BOX, window="tsc")
+            return power.auto_power(g, BOX, nbins=32, window="tsc",
+                                    shotnoise=BOX ** 3 / N_PART)
+
+        res = jax.vmap(pk_one)(pos_batch)
+        jax.block_until_ready(res.power)
+    log.info("P(k) over %d sims: k[0]=%.3f, P[0,0]=%.1f", N_SIMS,
+             float(res.k[0, 0]), float(res.power[0, 0]))
+
+    # --- bispectrum on one realization ----------------------------------
+    with stage("bispectrum"):
+        g = paint.paint(pos_batch[0], NGRID, BOX, window="cic")
+        bs = Bispectrum3D.compute(g, BOX, nbins=4)
+    log.info("B(k) triples: %d (max |B| = %.2e)", len(bs["b"]),
+             float(np.nanmax(np.abs(bs["b"]))))
+
+    # --- Born convergence map from density planes ------------------------
+    with stage("born kappa map"):
+        delta = g / jnp.mean(g) - 1.0
+        planes = jnp.transpose(delta, (2, 0, 1))[:32]  # slabs along z
+        chis = jnp.linspace(100.0, 1500.0, 32)
+        dchis = jnp.full((32,), BOX / NGRID)
+        kappa = lensing.born_convergence(planes, chis, dchis, 2000.0,
+                                         cosmo.Om0)
+    log.info("kappa map extrema: %.2e .. %.2e", float(kappa.min()),
+             float(kappa.max()))
+
+    # --- void pipeline on the kappa map ----------------------------------
+    with stage("tunnels voids"):
+        sky = SkyArray.from_array(kappa, opening_angle=5.0,
+                                  quantity="kappa_2")
+        sky.smoothing(2.0)
+        finder = TunnelsFinder(sky)
+        finder.find_peaks(on="orig_smooth")
+        finder.find_voids(sigmas=[0.0])
+        voids = Voids.from_finder(finder, {"npix": sky.npix})
+        voids.trim_edges(sky.npix)
+        voids.get_profiles(2.0, 10, skymap=sky.data["orig"])
+        ds = voids.get_profile_stats(n_boot=30)
+    log.info("voids found: %d; mean profile at r/R=0: %.3e",
+             len(voids.data["rad_pix"]), float(ds["mean"][0, 0]))
+
+    print("pipeline complete")
+
+
+if __name__ == "__main__":
+    main()
