@@ -37,35 +37,61 @@ BOX = 500.0
 OPENING_ANGLE_RAD = 0.35  # ~20 deg FOV
 
 
-def suite(pos, planes_seed):
+def _sync(out):
+    return [float(jnp.real(x).ravel()[0])
+            for x in jax.tree_util.tree_leaves(out)]
+
+
+def make_stages():
+    """Separately-jitted pipeline stages (keeps each compile tractable)."""
     from astrild_tpu.ops import bispectrum, lensing, paint, peaks, power, voids
 
-    n_part = pos.shape[0]
-    # --- matter statistics ------------------------------------------------
-    grid = paint.paint(pos, NGRID, BOX, window="tsc")
-    pk = power.auto_power(grid, BOX, nbins=64, window="tsc",
-                          shotnoise=BOX ** 3 / n_part)
-    bs = bispectrum.bispectrum_3d(grid, BOX, nbins=4, m_min=2.0, m_max=32.0)
+    @jax.jit
+    def stage_matter(pos):
+        n_part = pos.shape[0]
+        grid = paint.paint(pos, NGRID, BOX, window="tsc")
+        pk = power.auto_power(grid, BOX, nbins=64, window="tsc",
+                              shotnoise=BOX ** 3 / n_part)
+        return grid, pk.power
 
-    # --- lensing maps at 2048^2 ------------------------------------------
-    # lens planes: project grid slabs, upsample to map resolution
-    delta = grid / jnp.mean(grid) - 1.0
-    nplanes = 64
-    slabs = delta.reshape(NGRID // nplanes, nplanes, NGRID, NGRID).sum(0)
-    planes = jax.image.resize(slabs, (nplanes, NPIX, NPIX), method="linear")
-    chis = jnp.linspace(200.0, 2800.0, nplanes)
-    dchis = jnp.full((nplanes,), BOX / nplanes)
-    kappa = lensing.born_convergence(planes, chis, dchis, 3000.0, 0.3089)
-    a1, a2 = lensing.kappa_to_alpha(kappa, OPENING_ANGLE_RAD,
-                                    padding_factor=2)
-    g1, g2 = lensing.alpha_to_gamma(a1, a2, OPENING_ANGLE_RAD)
+    @jax.jit
+    def stage_bispectrum(grid):
+        return bispectrum.bispectrum_3d(grid, BOX, nbins=4, m_min=2.0,
+                                        m_max=32.0).b
 
-    # --- voids on the kappa map ------------------------------------------
-    cat = peaks.find_peaks(kappa, threshold=jnp.std(kappa),
-                           max_peaks=2048, edge_pix=8)
-    vcat = voids.find_tunnels(cat.pos.astype(jnp.float32),
-                              cat.values > -jnp.inf, NPIX, max_voids=256)
-    return (pk.power, bs.b, kappa, g1, g2, vcat.radius)
+    @jax.jit
+    def stage_lensing(grid):
+        delta = grid / jnp.mean(grid) - 1.0
+        nplanes = 64
+        slabs = delta.reshape(NGRID // nplanes, nplanes, NGRID, NGRID).sum(0)
+        planes = jax.image.resize(slabs, (nplanes, NPIX, NPIX),
+                                  method="linear")
+        chis = jnp.linspace(200.0, 2800.0, nplanes)
+        dchis = jnp.full((nplanes,), BOX / nplanes)
+        kappa = lensing.born_convergence(planes, chis, dchis, 3000.0,
+                                         0.3089)
+        a1, a2 = lensing.kappa_to_alpha(kappa, OPENING_ANGLE_RAD,
+                                        padding_factor=2)
+        g1, g2 = lensing.alpha_to_gamma(a1, a2, OPENING_ANGLE_RAD)
+        return kappa, g1, g2
+
+    @jax.jit
+    def stage_voids(kappa):
+        cat = peaks.find_peaks(kappa, threshold=jnp.std(kappa),
+                               max_peaks=2048, edge_pix=8)
+        vcat = voids.find_tunnels(cat.pos.astype(jnp.float32),
+                                  cat.values > -jnp.inf, NPIX,
+                                  max_voids=256)
+        return vcat.radius
+
+    def run(pos):
+        grid, pk = stage_matter(pos)
+        b = stage_bispectrum(grid)
+        kappa, g1, g2 = stage_lensing(grid)
+        rad = stage_voids(kappa)
+        return pk, b, kappa, g1, g2, rad
+
+    return run
 
 
 def main():
@@ -73,20 +99,19 @@ def main():
     key = jax.random.PRNGKey(0)
     pos = jax.random.uniform(key, (n_part, 3), minval=0.0, maxval=BOX,
                              dtype=jnp.float32)
-    step = jax.jit(suite)
-    # compile + warmup (forces full execution via host transfer)
-    out = step(pos, 0)
-    _ = [float(jnp.real(x).ravel()[0]) for x in jax.tree_util.tree_leaves(out)]
+    run = make_stages()
+    print("# compiling...", file=sys.stderr, flush=True)
+    _sync(run(pos))
+    print("# compiled; timing", file=sys.stderr, flush=True)
 
     times = []
     for i in range(2):
         p_i = pos + jnp.float32(i) * 1e-6
         _ = float(p_i.ravel()[0])
         t0 = time.perf_counter()
-        out = step(p_i, i)
-        _ = [float(jnp.real(x).ravel()[0])
-             for x in jax.tree_util.tree_leaves(out)]
+        _sync(run(p_i))
         times.append(time.perf_counter() - t0)
+        print(f"# iter {i}: {times[-1]:.2f} s", file=sys.stderr, flush=True)
     dt = min(times)
 
     pps = n_part / dt
