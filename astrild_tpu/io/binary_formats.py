@@ -204,6 +204,19 @@ def write_halo_catalog(path, ints, floats, int_names: Sequence[str],
         _write_buffered(f, floats.reshape(-1))
 
 
+# -------------------------------------------------------------- info header
+def write_info_header(binary_path, description: str, columns=None):
+    """Write the companion '<file>.info' text header the reference's
+    toolchain leaves beside binary files
+    (rays/voids/tunnels/infoHeader.py:1-28)."""
+    path = str(binary_path) + ".info"
+    with open(path, "w") as f:
+        f.write(description.rstrip() + "\n")
+        for i, c in enumerate(columns or []):
+            f.write(f"  column {i}: {c}\n")
+    return path
+
+
 # --------------------------------------------------------------- text table
 def read_text_table(path, no_comment_lines: int = 0):
     """Plain whitespace table -> (n, ncol) float array

@@ -18,7 +18,8 @@ from ..utils.constants import C_LIGHT_KMS, DEG2RAD
 from ..utils.cosmology import Cosmology
 from .linear_power import normalization, p_dpdp
 
-__all__ = ["cl_flat_sky", "cl_to_flat_map", "cl_isw_limber"]
+__all__ = ["cl_flat_sky", "cl_to_flat_map", "cl_isw_limber",
+           "cl_flat_sky_masked"]
 
 
 @partial(jax.jit, static_argnames=("nbins",))
@@ -79,6 +80,29 @@ def cl_to_flat_map(key, cl_tab_ell, cl_tab_val, npix: int,
                                            (0, 1))))
     # restore unit variance per independent mode after averaging
     return jnp.real(jnp.fft.ifft2(sym * jnp.sqrt(2.0)))
+
+
+@partial(jax.jit, static_argnames=("nbins",))
+def cl_flat_sky_masked(img, mask, opening_angle_deg, nbins: int = 50,
+                       apodize_arcmin: float = 0.0):
+    """Pseudo-Cl of a masked flat-sky map with mean-w^2 deconvolution.
+
+    The role of the reference's SkyNamaster wrapper
+    (/root/reference/src/astrild/rays/skys/sky_namaster.py — its pymaster
+    calls were commented out, i.e. never functional): the mask is
+    optionally apodized with a Gaussian taper and the measured Cl is
+    divided by <w^2> (the diagonal of the mode-coupling matrix; exact for
+    masks smooth on the scales of interest).
+    """
+    from .filters import gaussian as gaussian_filter
+
+    w = jnp.asarray(mask, jnp.float32)
+    if apodize_arcmin > 0:
+        w = gaussian_filter(w, opening_angle_deg,
+                            sigma_arcmin=apodize_arcmin)
+    ell, cl = cl_flat_sky(img * w, opening_angle_deg, nbins=nbins)
+    w2 = jnp.mean(w ** 2)
+    return ell, cl / jnp.maximum(w2, 1e-12)
 
 
 def cl_isw_limber(ells, cosmo: Cosmology, z_min=0.08, z_max=0.9,

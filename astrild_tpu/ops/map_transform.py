@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["divergence", "gradient_3d", "scatter_points_to_grid",
-           "object_cutouts", "paint_objects_on_map"]
+           "object_cutouts", "paint_objects_on_map", "slice_map"]
 
 
 @jax.jit
@@ -45,6 +45,30 @@ def scatter_points_to_grid(pos, values, ngrid: int, boxsize,
     else:
         out = vsum
     return out.reshape(ngrid, ngrid, ngrid)
+
+
+@partial(jax.jit, static_argnames=("npix", "axis"))
+def slice_map(pos, values, npix: int, boxsize, axis: int = 2,
+              slab_center=None, slab_width=None):
+    """2D map of a scalar sampled on points within a slab.
+
+    Equivalent of the reference's grav-map script (particles/hutils/
+    grav_maps.py:61-100: slice + scipy.griddata) with NGP mean gridding —
+    empty pixels hold 0.
+    """
+    if slab_center is None:
+        slab_center = boxsize / 2.0
+    if slab_width is None:
+        slab_width = boxsize / 16.0
+    sel = jnp.abs(pos[:, axis] - slab_center) <= slab_width / 2.0
+    axes = [a for a in range(3) if a != axis]
+    u = jnp.floor(pos[:, axes] / (boxsize / npix)).astype(jnp.int32) % npix
+    flat = u[:, 0] * npix + u[:, 1]
+    w = sel.astype(jnp.float32)
+    vsum = jax.ops.segment_sum(w * values, flat, num_segments=npix ** 2)
+    cnt = jax.ops.segment_sum(w, flat, num_segments=npix ** 2)
+    out = jnp.where(cnt > 0, vsum / jnp.maximum(cnt, 1), 0.0)
+    return out.reshape(npix, npix)
 
 
 @partial(jax.jit, static_argnames=("patch_half",))
