@@ -280,6 +280,17 @@ class Halos:
                 for k, v in snapshot.items()}
 
     @staticmethod
+    def filter_nonzero_subfind_halos_size(snapshot):
+        """Drop groups/subhalos with zero radius (halo.py:228-243)."""
+        if "Group_R_Crit200" not in snapshot:
+            return snapshot
+        mask = np.asarray(snapshot["Group_R_Crit200"]) > 0
+        n = mask.shape[0]
+        return {k: (np.asarray(v)[mask] if np.ndim(v) >= 1
+                    and len(v) == n else v)
+                for k, v in snapshot.items()}
+
+    @staticmethod
     def _sort_statistics(statistics) -> List[str]:
         res = [int(s["resolution"]) for s in statistics.values()]
         order = np.argsort(res)

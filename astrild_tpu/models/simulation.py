@@ -198,6 +198,23 @@ class Ecosmog(Simulation):
             out["velocity"] = jnp.stack(comps, axis=-1)
         return out
 
+    def to_gadget(self, path, pos, vel, ids=None, masses=None,
+                  redshift: float = 0.0, snap_format: int = 2):
+        """Write particles as a Gadget binary snapshot — implements the
+        reference's `to_gadget` stub (ecosmog.py:75-77) via
+        io.gadget_binary."""
+        import numpy as np
+
+        from ..io.gadget_binary import write_gadget
+
+        if ids is None:
+            ids = np.arange(len(pos), dtype=np.uint32)
+        write_gadget(path, pos, vel, ids, self.boxsize, masses=masses,
+                     redshift=redshift, omega_m=self.cosmo.Om0,
+                     omega_l=self.cosmo.Ode0, hubble=self.cosmo.h,
+                     snap_format=snap_format)
+        return path
+
     def compress_snapshot(self, amr_levels, domain_level, fields,
                           snap_nrs=None, file_root: str = "grav",
                           dir_out=None, save: bool = True):
@@ -281,3 +298,48 @@ class RayRamses(Simulation):
     def Dc_to_redshift(self, dc):
         """Comoving distance -> redshift (rayramses.py:702-705)."""
         return self.cosmo.redshift_at_comoving_distance(dc)
+
+    def find_halos_in_raytracing_box(self, ecosmog, snapdist, box_nr: int,
+                                     boxsize: float, halofinder: str =
+                                     "rockstar"):
+        """Halo lightcone catalog across this box's ray snapshots
+        (rayramses.py:450-502), via models.lightcone."""
+        import numpy as np
+
+        from .halos import Halos
+        from .lightcone import (halo_lightcone_catalog,
+                                merge_lightcone_catalogs)
+
+        boxdist = snapdist[-1]
+        parts = []
+        ray_nrs = np.unique(self.file_nrs)[:-1]
+        for ray_nr in ray_nrs:
+            snap_nr = int(ray_nr)
+            if halofinder == "rockstar":
+                halos = Halos.from_rockstar(snap_nr, ecosmog)
+                cat = halos.data
+                if cat is None or not len(next(iter(cat.values()))):
+                    continue
+                pos = np.stack([cat["x"], cat["y"], cat["z"]], -1)
+                vel = np.stack([cat["vx"], cat["vy"], cat["vz"]], -1)
+                m200 = np.asarray(cat["m200c"])
+                r200 = np.asarray(cat["r200c"])
+                extra = {k: cat[k] for k in ("Rs",) if k in cat}
+            else:
+                halos = Halos.from_subfind(snap_nr, ecosmog)
+                cat = halos.data
+                if not cat.get("n_groups", 0):
+                    continue
+                pos = np.asarray(cat["GroupPos"])
+                vel = np.asarray(cat.get("GroupVel",
+                                         np.zeros_like(pos)))
+                m200 = np.asarray(cat["Group_M_Crit200"])
+                r200 = np.asarray(cat["Group_R_Crit200"])
+                extra = None
+            parts.append(halo_lightcone_catalog(
+                pos, vel, m200, r200, boxsize, boxdist,
+                (snapdist[ray_nr - 1], snapdist[ray_nr]),
+                self.opening_angle, self.npix, box_nr=box_nr,
+                snap_nr=snap_nr, ray_nr=int(ray_nr),
+                extra_columns=extra))
+        return merge_lightcone_catalogs(parts)

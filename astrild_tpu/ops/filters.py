@@ -27,7 +27,8 @@ __all__ = [
     "sigma_to_fwhm", "fwhm_to_sigma", "gaussian", "gaussian_high_pass",
     "gaussian_derivative", "dgd3", "gaussian_compensated",
     "aperture_photometry", "apodization", "tophat_compensated",
-    "fft_smooth",
+    "fft_smooth", "pca_foreground_separation",
+    "dictionary_learning_denoise",
 ]
 
 _FWHM_FACTOR = 2.0 * math.sqrt(2.0 * math.log(2.0))
@@ -180,3 +181,67 @@ def tophat_compensated(img, theta_deg, rad_obj_arcmin, alpha: float = 0.65):
     white = jnp.sum(jnp.where(disk, img, 0.0)) / jnp.maximum(jnp.sum(disk), 1)
     black = jnp.sum(jnp.where(ring, img, 0.0)) / jnp.maximum(jnp.sum(ring), 1)
     return white - black
+
+
+def _tile_stack(img, ntiles: int):
+    n = img.shape[-1]
+    t = n // ntiles
+    return jnp.stack([img[i * t:(i + 1) * t, j * t:(j + 1) * t]
+                      for i in range(ntiles) for j in range(ntiles)])
+
+
+def _tile_merge(tiles):
+    import numpy as np
+
+    ntiles = int(np.sqrt(tiles.shape[0]))
+    rows = [jnp.hstack([tiles[i * ntiles + j] for j in range(ntiles)])
+            for i in range(ntiles)]
+    return jnp.vstack(rows)
+
+
+def pca_foreground_separation(noisy_img, ntiles: int = 8,
+                              n_components: int = 5):
+    """CMB/foreground separation by PCA over map tiles.
+
+    The reference's Filters.pca (filters.py:118-147, sklearn): the map is
+    tiled, the dominant principal components across tiles (the correlated
+    foreground/CMB modes) are removed, and the residual is re-merged.
+    Native SVD implementation (runs on device).
+    """
+    tiles = _tile_stack(jnp.asarray(noisy_img), ntiles)
+    nt, t, _ = tiles.shape
+    x = tiles.reshape(nt, t * t)
+    mean = jnp.mean(x, axis=0)
+    xc = x - mean
+    u, s, vt = jnp.linalg.svd(xc, full_matrices=False)
+    # drop the n_components dominant modes AND the tile-mean (both are
+    # cross-tile-correlated foreground/CMB structure)
+    s_cut = s.at[:n_components].set(0.0)
+    cleaned = (u * s_cut) @ vt
+    return _tile_merge(cleaned.reshape(nt, t, t))
+
+
+def dictionary_learning_denoise(clean_img, noisy_img, ntiles: int = 8,
+                                n_components: int = 5):
+    """Dictionary-learning denoising (reference filters.py:76-116).
+
+    Learns a sparse dictionary on tiles of the clean map and reconstructs
+    the noisy map in that basis (sklearn MiniBatchDictionaryLearning;
+    host-side, gated on sklearn availability).
+    """
+    try:
+        from sklearn.decomposition import MiniBatchDictionaryLearning
+    except ImportError as e:
+        raise ImportError("dictionary_learning_denoise needs sklearn") from e
+    import numpy as np
+
+    clean = np.asarray(_tile_stack(jnp.asarray(clean_img), ntiles))
+    noisy = np.asarray(_tile_stack(jnp.asarray(noisy_img), ntiles))
+    nt, t, _ = clean.shape
+    dico = MiniBatchDictionaryLearning(n_components=n_components,
+                                       alpha=1.0, max_iter=50,
+                                       transform_algorithm="lasso_lars")
+    dico.fit(clean.reshape(nt, -1))
+    code = dico.transform(noisy.reshape(nt, -1))
+    rec = code @ dico.components_
+    return np.asarray(_tile_merge(jnp.asarray(rec.reshape(nt, t, t))))

@@ -48,11 +48,21 @@ def make_stages():
 
     @jax.jit
     def stage_matter(pos):
+        # fast P(k): single-term NGP deposit on a 2x-finer grid +
+        # window deconvolution (validated against the TSC estimator,
+        # tests/test_paint_power.py::test_fast_power_matches_tsc); the
+        # fine grid pools down to the 256^3 grid feeding the other stages
         n_part = pos.shape[0]
-        grid = paint.paint(pos, NGRID, BOX, window="tsc")
-        pk = power.auto_power(grid, BOX, nbins=64, window="tsc",
-                              shotnoise=BOX ** 3 / n_part)
-        return grid, pk.power
+        fine = paint.paint_ngp(pos, 2 * NGRID, BOX)
+        dk = power.delta_k(fine, window="ngp")
+        pk3d = (jnp.abs(dk) ** 2) * BOX ** 3
+        _, p, _ = power.shell_average(pk3d, 2 * NGRID, BOX, 64,
+                                      kmax=NGRID / 2.0)
+        # 2x2x2 sum-pool via reduce_window (a (n,2,n,2,n,2) reshape would
+        # be padded to (8,128) tiles per tiny dim -> 32 GB; this is not)
+        grid = jax.lax.reduce_window(fine, 0.0, jax.lax.add, (2, 2, 2),
+                                     (2, 2, 2), "VALID")
+        return grid, p - BOX ** 3 / n_part
 
     @jax.jit
     def stage_bispectrum(grid):
