@@ -5,7 +5,10 @@ from .power import (AngularPowerSpectrum, Bispectrum2D, Bispectrum3D,
                     LinearAngularPowerSpectrum, LinearPowerSpectrum, PowMes,
                     PowerSpectrum3D)
 from .simcoll import SimulationCollection
+from .lightcone import halo_lightcone_catalog, merge_lightcone_catalogs
+from .siminfo import snapshot_info_table, write_snapshot_info
 from .simulation import Ecosmog, RayRamses, Simulation
+from .skyhealpix import SkyHealpix
 from .skymap import SkyArray, SkyMap
 from .voids import TunnelsFinder, Voids, WatershedFinder
 
@@ -14,6 +17,8 @@ __all__ = [
     "AngularPowerSpectrum", "Bispectrum2D", "Bispectrum3D",
     "LinearAngularPowerSpectrum", "LinearPowerSpectrum", "PowMes",
     "PowerSpectrum3D", "SimulationCollection", "Ecosmog", "RayRamses",
-    "Simulation", "SkyArray", "SkyMap", "TunnelsFinder", "Voids",
-    "WatershedFinder",
+    "Simulation", "SkyArray", "SkyMap", "SkyHealpix", "TunnelsFinder",
+    "Voids", "WatershedFinder", "halo_lightcone_catalog",
+    "merge_lightcone_catalogs", "snapshot_info_table",
+    "write_snapshot_info",
 ]

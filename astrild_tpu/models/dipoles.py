@@ -79,14 +79,21 @@ class Dipoles:
                 seen.add(match[i])
         self.data["halo_idx"] = match
         self.data["halo_dist"] = dist
-        # copy matched halo properties used downstream
+        # copy matched halo properties used downstream; halo centers keep a
+        # halo_ prefix (the dipole position is a lobe peak, offset from the
+        # halo center — the velocity measurement must center on the halo)
+        ok = match >= 0
         for col in ("r200_deg", "r200_pix", "m200", "c_NFW",
                     "theta1_vel", "theta2_vel"):
             if col in halos:
                 vals = np.full(len(match), np.nan)
-                ok = match >= 0
                 vals[ok] = np.asarray(halos[col])[match[ok]]
                 self.data[col] = vals
+        for col in ("theta1_pix", "theta2_pix"):
+            if col in halos:
+                vals = np.full(len(match), -1.0)
+                vals[ok] = np.asarray(halos[col])[match[ok]]
+                self.data["halo_" + col] = vals
 
     # --------------------------------------------- transverse velocities
     @staticmethod
@@ -116,9 +123,14 @@ class Dipoles:
         n = len(self.data["theta1_pix"])
         ok = np.isfinite(np.asarray(self.data.get(
             "r200_deg", np.full(n, np.nan))))
-        # objects too close to the edge cannot host a full patch
-        t1 = np.asarray(self.data["theta1_pix"], int)
-        t2 = np.asarray(self.data["theta2_pix"], int)
+        # center on the matched halo when available (the dipole peak is a
+        # lobe, offset from the halo center by ~R200)
+        t1_key = ("halo_theta1_pix" if "halo_theta1_pix" in self.data
+                  else "theta1_pix")
+        t2_key = ("halo_theta2_pix" if "halo_theta2_pix" in self.data
+                  else "theta2_pix")
+        t1 = np.asarray(self.data[t1_key], int)
+        t2 = np.asarray(self.data[t2_key], int)
         ok &= ((t1 - patch_pix >= 0) & (t1 + patch_pix < npix)
                & (t2 - patch_pix >= 0) & (t2 + patch_pix < npix))
         p = 2 * patch_pix
@@ -132,16 +144,18 @@ class Dipoles:
             dT = crop(isw_map)
             ax = crop(alpha_x_map)
             ay = crop(alpha_y_map)
-            # centre dT on mean within ring at R200 (aperture photometry)
+            # centre dT on mean within ring at R200 (aperture photometry;
+            # the matched windows have zero sum, so this only suppresses
+            # large-scale gradients, not the estimate itself)
             dT = filter_ops.aperture_photometry(dT, patch_oa,
                                                 r200_deg * 60.0)
             ti = r200_deg * 60.0  # arcmin
-            dT_x = filter_ops.dgd3(dT, patch_oa, ti, axis=1)
-            dT_y = filter_ops.dgd3(dT, patch_oa, ti, axis=0)
-            ax_f = filter_ops.dgd3(ax, patch_oa, ti, axis=1)
-            ay_f = filter_ops.dgd3(ay, patch_oa, ti, axis=0)
-            vx = -C_LIGHT_KMS * jnp.sum(dT_x) / jnp.sum(ax_f)
-            vy = -C_LIGHT_KMS * jnp.sum(dT_y) / jnp.sum(ay_f)
+            # matched-filter inner products: v_j = -c <W_j, dT>/<W_j, a_j>
+            # (theta1/x varies along array axis 1 in the map convention)
+            w_x = filter_ops.dgd3_window(p, patch_oa, ti, axis=1)
+            w_y = filter_ops.dgd3_window(p, patch_oa, ti, axis=0)
+            vx = -C_LIGHT_KMS * jnp.sum(w_x * dT) / jnp.sum(w_x * ax)
+            vy = -C_LIGHT_KMS * jnp.sum(w_y * dT) / jnp.sum(w_y * ay)
             return vx, vy
 
         fail = -99999.0

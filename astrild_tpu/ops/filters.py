@@ -112,6 +112,33 @@ def dgd3(img, theta_deg, theta_i_arcmin, axis: int = 0):
     return g1 - g2 + g3
 
 
+def dgd3_window(npix: int, theta_deg, theta_i_arcmin, axis: int = 1):
+    """Centered analytic DGD3 window W = sum_i s_i d^3/du^3 G(sigma_i).
+
+    The reference's analytic-window dipole filter (filters.py:307-356).
+    Used as a matched filter by inner product: for the moving-lens signal
+    dT = -(alpha_x v_x + alpha_y v_y)/c,
+      v_x = -c <W_x, dT> / <W_x, alpha_x>
+    exactly (the cross term <W_x, alpha_y> vanishes by symmetry). Note the
+    spectral dgd3() filter cannot be summed over the full map for this
+    estimator: its DC response is zero, making both sums vanish.
+
+    axis=1 differentiates along array axis 1 (the theta_x direction of the
+    NFW patch convention), axis=0 along theta_y.
+    """
+    sp = _sigma_pix(npix, theta_deg, theta_i_arcmin)
+    e = jnp.arange(npix) - npix // 2
+    r2 = e[:, None] ** 2.0 + e[None, :] ** 2.0
+    u = e[None, :] * jnp.ones((npix, 1)) if axis == 1 else \
+        e[:, None] * jnp.ones((1, npix))
+    w = jnp.zeros((npix, npix))
+    for s, sign in ((0.5, 1.0), (1.0, -1.0), (2.0, 1.0)):
+        sig = s * sp
+        g = jnp.exp(-r2 / (2.0 * sig ** 2)) / (2.0 * jnp.pi * sig ** 2)
+        w = w + sign * (3.0 * u / sig ** 4 - u ** 3 / sig ** 6) * g
+    return w
+
+
 def gaussian_compensated(img, theta_deg, theta_i_arcmin, theta_o_arcmin):
     """Compensated-Gaussian filter (arxiv:1907.06657 Eq. 16;
     reference filters.py:415-459).

@@ -99,6 +99,44 @@ def delta_k(grid, grid_shifted=None, window: Optional[str] = None,
 _SHELL_CACHE = {}
 
 
+def _shell_binning_host_from_freqs(fx, fy, fz, nbins, mmin, mmax,
+                                   ngrid_for_weights: int, cache_key):
+    """Generic host binning-structure builder over given mode-number axes."""
+    import numpy as np
+
+    if cache_key in _SHELL_CACHE:
+        return _SHELL_CACHE[cache_key]
+    m = np.sqrt(fx[:, None, None] ** 2 + fy[None, :, None] ** 2
+                + fz[None, None, :] ** 2)
+    # hermitian weights along the rfft axis
+    w = np.full(m.shape, 2.0, np.float32)
+    w[..., fz == 0] = 1.0
+    if ngrid_for_weights % 2 == 0:
+        w[..., np.abs(fz) == ngrid_for_weights // 2] = 1.0
+    w[(fx == 0)[:, None, None] * (fy == 0)[None, :, None]
+      * (fz == 0)[None, None, :]] = 0.0
+    mf = m.reshape(-1)
+    wf = w.reshape(-1)
+    edges = np.linspace(mmin, mmax, nbins + 1, dtype=np.float32)
+    binidx = np.clip(np.searchsorted(edges, mf, side="right") - 1, 0,
+                     nbins - 1)
+    ok = (mf >= mmin) & (mf <= mmax) & (wf > 0)
+    lists = [np.where(ok & (binidx == b))[0] for b in range(nbins)]
+    lmax = max(max((len(l) for l in lists), default=1), 1)
+    gidx = np.full((nbins, lmax), mf.size, np.int32)
+    gw = np.zeros((nbins, lmax), np.float32)
+    nm = np.zeros(nbins, np.float32)
+    kmean = np.zeros(nbins, np.float32)
+    for b, l in enumerate(lists):
+        gidx[b, :len(l)] = l
+        gw[b, :len(l)] = wf[l]
+        nm[b] = wf[l].sum()
+        kmean[b] = (wf[l] * mf[l]).sum() / max(nm[b], 1.0)
+    out = (gidx, gw, nm, kmean)
+    _SHELL_CACHE[cache_key] = out
+    return out
+
+
 def _shell_binning_host(ngrid: int, nbins: int, mmin: float, mmax: float):
     """Host-precomputed shell-binning structures (cached per config).
 
@@ -211,17 +249,58 @@ def auto_power_fast(pos, ngrid: int, boxsize: float, nbins: int = 0,
 
     Returns the same binning as auto_power(grid(ngrid), nbins).
     """
+    import itertools
+
+    import numpy as np
+
     nf = ngrid * fine_factor
     n_part = pos.shape[0]
     from .paint import paint_ngp
 
-    grid = paint_ngp(pos, nf, boxsize, weights)
+    fine = paint_ngp(pos, nf, boxsize, weights)
     nbins = nbins or (ngrid // 2)
-    dk = delta_k(grid, window="ngp")
+
+    # POWMES-style folding: FFT_fine(m) for |m| below the coarse Nyquist
+    # equals the phase-weighted sum of the FFTs of the fine_factor^3
+    # interleaved coarse subgrids (decimation in time). This avoids the
+    # single big FFT whose TPU-internal [n,n,n/4,4] reshape pads 32x.
+    mode = (jnp.fft.fftfreq(ngrid) * ngrid).astype(jnp.float32)
+    mz = (jnp.fft.rfftfreq(ngrid) * ngrid).astype(jnp.float32)
+    F = jnp.zeros((ngrid, ngrid, ngrid // 2 + 1), jnp.complex64)
+    for s in itertools.product(range(fine_factor), repeat=3):
+        g = fine[s[0]::fine_factor, s[1]::fine_factor, s[2]::fine_factor]
+        spec = jnp.fft.rfftn(g)
+        ph = (-2.0 * jnp.pi / nf) * (mode[:, None, None] * s[0]
+                                     + mode[None, :, None] * s[1]
+                                     + mz[None, None, :] * s[2])
+        F = F + spec * jnp.exp(1j * ph)
+    total = jnp.sum(fine)
+    mean = total / float(nf) ** 3
+    dk = F / jnp.where(total == 0, 1.0, total)  # = FFT(delta)/Nf^3 (+DC)
+    # NGP window deconvolution at the fine resolution
+    def axis_win(m):
+        x = m / nf
+        return jnp.where(x == 0.0, 1.0, jnp.sinc(x))
+
+    dk = dk / (axis_win(mode)[:, None, None] * axis_win(mode)[None, :, None]
+               * axis_win(mz)[None, None, :])
     pk3d = (jnp.abs(dk) ** 2) * (boxsize ** 3)
+    mmin = 0.5 if kmin is None else kmin
     mmax = ngrid / 2.0 if kmax is None else kmax
-    k, p, nm = shell_average(pk3d, nf, boxsize, nbins, kmin=kmin, kmax=mmax)
-    return PowerResult(k, p - boxsize ** 3 / n_part, nm)
+    fxy = np.asarray(np.fft.fftfreq(ngrid) * ngrid, np.float32)
+    fz = np.arange(ngrid // 2 + 1, dtype=np.float32)
+    gidx, gw, nm, kmean = _shell_binning_host_from_freqs(
+        fxy, fxy, fz, nbins, mmin, mmax, nf,
+        cache_key=("fine", ngrid, fine_factor, nbins, float(mmin),
+                   float(mmax)))
+    flat = jnp.concatenate([pk3d.reshape(-1), jnp.zeros((1,), pk3d.dtype)])
+    vsum = jnp.sum(flat[jnp.asarray(gidx)] * jnp.asarray(gw), axis=1)
+    nm = jnp.asarray(nm)
+    denom = jnp.where(nm > 0, nm, 1.0)
+    kf = 2.0 * jnp.pi / boxsize
+    p = vsum / denom
+    return PowerResult(jnp.asarray(kmean) * kf, p - boxsize ** 3 / n_part,
+                       nm)
 
 
 def cross_power(grid1, grid2, boxsize: float, nbins: int = 0,

@@ -46,23 +46,21 @@ def make_stages():
     """Separately-jitted pipeline stages (keeps each compile tractable)."""
     from astrild_tpu.ops import bispectrum, lensing, paint, peaks, power, voids
 
+    # fast P(k): single-term NGP deposit on a 2x-finer grid + window
+    # deconvolution (validated against the TSC estimator,
+    # tests/test_paint_power.py::test_fast_power_matches_tsc). Kept as its
+    # own jit so the 512^3 intermediates don't coexist with later stages.
     @jax.jit
+    def stage_pk(pos):
+        return power.auto_power_fast(pos, NGRID, BOX, nbins=64,
+                                     fine_factor=2).power
+
+    @jax.jit
+    def stage_grid(pos):
+        return paint.paint_ngp(pos, NGRID, BOX)
+
     def stage_matter(pos):
-        # fast P(k): single-term NGP deposit on a 2x-finer grid +
-        # window deconvolution (validated against the TSC estimator,
-        # tests/test_paint_power.py::test_fast_power_matches_tsc); the
-        # fine grid pools down to the 256^3 grid feeding the other stages
-        n_part = pos.shape[0]
-        fine = paint.paint_ngp(pos, 2 * NGRID, BOX)
-        dk = power.delta_k(fine, window="ngp")
-        pk3d = (jnp.abs(dk) ** 2) * BOX ** 3
-        _, p, _ = power.shell_average(pk3d, 2 * NGRID, BOX, 64,
-                                      kmax=NGRID / 2.0)
-        # 2x2x2 sum-pool via reduce_window (a (n,2,n,2,n,2) reshape would
-        # be padded to (8,128) tiles per tiny dim -> 32 GB; this is not)
-        grid = jax.lax.reduce_window(fine, 0.0, jax.lax.add, (2, 2, 2),
-                                     (2, 2, 2), "VALID")
-        return grid, p - BOX ** 3 / n_part
+        return stage_grid(pos), stage_pk(pos)
 
     @jax.jit
     def stage_bispectrum(grid):

@@ -246,6 +246,11 @@ def test_dipoles_pipeline(rng):
     dips.get_transverse_velocities_from_sky(canvas, ax, ay, 10.0,
                                             patch_pix=32)
     vx = dips.data["theta1_mtvel"]
+    vy = dips.data["theta2_mtvel"]
     ok = vx > -99999
-    assert ok.sum() >= 1
-    assert np.all(np.isfinite(vx[ok]))
+    assert ok.sum() >= 2
+    # quantitative recovery: matched-filter estimate reproduces the input
+    # transverse velocities of the matched halos
+    for i in np.where(ok)[0]:
+        npt.assert_allclose(vx[i], dips.data["theta1_vel"][i], rtol=0.35)
+        npt.assert_allclose(vy[i], dips.data["theta2_vel"][i], rtol=0.35)
