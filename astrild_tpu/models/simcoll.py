@@ -47,7 +47,8 @@ class SimulationCollection:
         (simcoll.py:57-94)."""
         with open(config_file) as f:
             sims_args = yaml.safe_load(f)
-        config = read_pandas_fixed_hdf_as_dict(config_file_df, key="df")
+        # reads both this engine's columnar layout and pandas fixed stores
+        config = columnar_h5.read_table(config_file_df, key="df")
         sims = {}
         for idx, (name, args) in enumerate(sims_args.items()):
             sub = cls._config_rows(config, idx + 1)
@@ -185,9 +186,15 @@ class SimulationCollection:
             rows = self._config_rows(self.config, box_nr)
             root = sim.file_dsc["root"]
             for ray_nr in box_ray[box_nr]:
-                matches = glob.glob(os.path.join(
-                    sim.dirs["sim"],
-                    f"{root}_*{ray_nr}.{sim.file_dsc['extension']}"))
+                patterns = [f"{root}_*{ray_nr}.{sim.file_dsc['extension']}",
+                            f"{root}*{ray_nr}.{sim.file_dsc['extension']}"]
+                matches = []
+                for pat in patterns:
+                    matches = glob.glob(os.path.join(sim.dirs["sim"], pat))
+                    if matches:
+                        break
+                if not matches:
+                    continue
                 data = columnar_h5.read_table(matches[0])
                 if z_src_shift is not None:
                     sel = np.asarray(rows["_index_1"]) == ray_nr

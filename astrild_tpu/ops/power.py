@@ -235,7 +235,8 @@ def auto_power(grid, boxsize: float, nbins: int = 0, window: Optional[str] = Non
 
 def auto_power_fast(pos, ngrid: int, boxsize: float, nbins: int = 0,
                     fine_factor: int = 2, weights=None,
-                    kmin=None, kmax=None) -> PowerResult:
+                    kmin=None, kmax=None,
+                    return_coarse_grid: bool = False) -> PowerResult:
     """Fast P(k): NGP deposit on a fine_factor-finer grid + deconvolution.
 
     TPU scatters serialize per update, so the deposit dominates the
@@ -267,8 +268,12 @@ def auto_power_fast(pos, ngrid: int, boxsize: float, nbins: int = 0,
     mode = (jnp.fft.fftfreq(ngrid) * ngrid).astype(jnp.float32)
     mz = (jnp.fft.rfftfreq(ngrid) * ngrid).astype(jnp.float32)
     F = jnp.zeros((ngrid, ngrid, ngrid // 2 + 1), jnp.complex64)
+    coarse = jnp.zeros((ngrid, ngrid, ngrid), jnp.float32)
     for s in itertools.product(range(fine_factor), repeat=3):
         g = fine[s[0]::fine_factor, s[1]::fine_factor, s[2]::fine_factor]
+        if return_coarse_grid:
+            # the decimated subgrids sum to the coarse-grid NGP deposit
+            coarse = coarse + g
         spec = jnp.fft.rfftn(g)
         ph = (-2.0 * jnp.pi / nf) * (mode[:, None, None] * s[0]
                                      + mode[None, :, None] * s[1]
@@ -299,8 +304,11 @@ def auto_power_fast(pos, ngrid: int, boxsize: float, nbins: int = 0,
     denom = jnp.where(nm > 0, nm, 1.0)
     kf = 2.0 * jnp.pi / boxsize
     p = vsum / denom
-    return PowerResult(jnp.asarray(kmean) * kf, p - boxsize ** 3 / n_part,
-                       nm)
+    res = PowerResult(jnp.asarray(kmean) * kf, p - boxsize ** 3 / n_part,
+                      nm)
+    if return_coarse_grid:
+        return res, coarse
+    return res
 
 
 def cross_power(grid1, grid2, boxsize: float, nbins: int = 0,

@@ -51,16 +51,11 @@ def make_stages():
     # tests/test_paint_power.py::test_fast_power_matches_tsc). Kept as its
     # own jit so the 512^3 intermediates don't coexist with later stages.
     @jax.jit
-    def stage_pk(pos):
-        return power.auto_power_fast(pos, NGRID, BOX, nbins=64,
-                                     fine_factor=2).power
-
-    @jax.jit
-    def stage_grid(pos):
-        return paint.paint_ngp(pos, NGRID, BOX)
-
     def stage_matter(pos):
-        return stage_grid(pos), stage_pk(pos)
+        res, grid = power.auto_power_fast(pos, NGRID, BOX, nbins=64,
+                                          fine_factor=2,
+                                          return_coarse_grid=True)
+        return grid, res.power
 
     @jax.jit
     def stage_bispectrum(grid):
