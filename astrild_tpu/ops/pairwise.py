@@ -91,7 +91,7 @@ def _pairwise_accumulate(pos, vel, n_valid, binnr: int, binwidth,
 
 
 def mean_pairwise_velocity(pos_cart, vel_cart, bins, n_valid=None,
-                           block: int = 512):
+                           block: int = 512, backend: str = "auto"):
     """Mean pairwise velocity estimate from cartesian velocities.
 
     Args:
@@ -100,14 +100,26 @@ def mean_pairwise_velocity(pos_cart, vel_cart, bins, n_valid=None,
         the Yasini estimator — see mean_pv_from_tv).
       bins: (binnr,) distance bin edges starting at 0 with uniform width.
       n_valid: number of valid rows (for padded catalogs).
+      backend: 'auto' (Pallas kernel on TPU, XLA scan elsewhere),
+        'pallas', or 'xla'. The Pallas tile kernel is ~4x faster on-chip
+        (see ops/pallas_pairwise.py).
 
     Returns (rsep, v12): bin centers and the estimate (NaN on empty bins).
     """
     binnr = int(bins.shape[0])
     binwidth = float(bins[1] - bins[0])
     n = pos_cart.shape[0] if n_valid is None else n_valid
-    nom, den = _pairwise_accumulate(pos_cart, vel_cart, n, binnr, binwidth,
-                                    block=block)
+    use_pallas = (backend == "pallas"
+                  or (backend == "auto"
+                      and jax.default_backend() == "tpu"))
+    if use_pallas:
+        from .pallas_pairwise import pairwise_accumulate_pallas
+
+        nom, den = pairwise_accumulate_pallas(pos_cart, vel_cart, n,
+                                              binwidth, binnr)
+    else:
+        nom, den = _pairwise_accumulate(pos_cart, vel_cart, n, binnr,
+                                        binwidth, block=block)
     v12 = jnp.where(den > 0, nom / jnp.maximum(den, 1e-30), jnp.nan)
     return make_rsep(binnr, binwidth), v12
 
