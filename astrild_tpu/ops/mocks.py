@@ -1,0 +1,89 @@
+"""Mock fields and catalogs: Gaussian random fields, Zel'dovich
+displacements, lognormal maps.
+
+Capability beyond the reference (it only consumed external simulations):
+device-native mocks close the loop for estimator validation — a particle
+set with known input P(k) must return that P(k) through the full
+paint -> FFT -> bin pipeline (tests/test_mocks.py) — and provide cheap
+realizations for covariance work.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["gaussian_field", "zeldovich_catalog", "lognormal_map"]
+
+
+@partial(jax.jit, static_argnames=("ngrid", "pk_fn"))
+def gaussian_field(key, ngrid: int, boxsize, pk_fn: Callable):
+    """Real-space GRF delta(x) with isotropic target power pk_fn(k).
+
+    Conventions match ops/power.py: <|FFT(delta)/N^3|^2> V = P(k).
+    """
+    kf = 2.0 * jnp.pi / boxsize
+    f = (jnp.fft.fftfreq(ngrid) * ngrid).astype(jnp.float32)
+    m = jnp.sqrt(f[:, None, None] ** 2 + f[None, :, None] ** 2
+                 + f[None, None, :] ** 2)
+    p = pk_fn(jnp.maximum(m, 1e-6) * kf)
+    p = jnp.where(m == 0.0, 0.0, p)
+    amp = jnp.sqrt(p / boxsize ** 3) * float(ngrid) ** 3
+    # hermitian white modes from a real white field
+    white = jax.random.normal(key, (ngrid, ngrid, ngrid))
+    modes = jnp.fft.fftn(white) / float(ngrid) ** 1.5
+    return jnp.real(jnp.fft.ifftn(modes * amp))
+
+
+@partial(jax.jit, static_argnames=("ngrid", "pk_fn"))
+def zeldovich_catalog(key, ngrid: int, boxsize, pk_fn: Callable):
+    """Particle catalog by Zel'dovich-displacing a uniform lattice.
+
+    psi = grad(invlap(delta)) evaluated at lattice points; positions are
+    lattice + psi (periodic). Returns (ngrid^3, 3) positions whose
+    large-scale P(k) matches pk_fn to linear order.
+    """
+    kf = 2.0 * jnp.pi / boxsize
+    f = (jnp.fft.fftfreq(ngrid) * ngrid).astype(jnp.float32)
+    m2 = (f[:, None, None] ** 2 + f[None, :, None] ** 2
+          + f[None, None, :] ** 2)
+    p = pk_fn(jnp.maximum(jnp.sqrt(m2), 1e-6) * kf)
+    p = jnp.where(m2 == 0.0, 0.0, p)
+    amp = jnp.sqrt(p / boxsize ** 3) * float(ngrid) ** 3
+    white = jax.random.normal(key, (ngrid, ngrid, ngrid))
+    dk = jnp.fft.fftn(white) / float(ngrid) ** 1.5 * amp
+    k2 = (m2 * kf ** 2)
+    k2safe = jnp.where(k2 == 0.0, 1.0, k2)
+    phi_k = jnp.where(k2 == 0.0, 0.0, -dk / k2safe)  # lap phi = delta
+    # psi = -grad phi ; odd transfers must vanish on their Nyquist plane
+    ny = ngrid // 2
+
+    def comp(axis):
+        kvec = (f * kf).astype(jnp.float32)
+        shape = [1, 1, 1]
+        shape[axis] = ngrid
+        kv = kvec.reshape(shape)
+        fac = jnp.asarray(-1j) * kv
+        mask = jnp.ones((ngrid,)).at[ny].set(0.0).reshape(shape)
+        return jnp.real(jnp.fft.ifftn(fac * mask * phi_k))
+
+    psi = jnp.stack([comp(0), comp(1), comp(2)], axis=-1)
+    cell = boxsize / ngrid
+    x = (jnp.arange(ngrid, dtype=jnp.float32) + 0.5) * cell
+    lattice = jnp.stack(jnp.meshgrid(x, x, x, indexing="ij"), axis=-1)
+    pos = (lattice + psi).reshape(-1, 3) % boxsize
+    return pos
+
+
+@partial(jax.jit, static_argnames=("npix",))
+def lognormal_map(key, npix: int, opening_angle_deg, cl_tab_ell,
+                  cl_tab_val):
+    """Lognormal (positive-definite) flat-sky map from a Cl table."""
+    from .angular_power import cl_to_flat_map
+
+    g = cl_to_flat_map(key, cl_tab_ell, cl_tab_val, npix,
+                       opening_angle_deg)
+    var = jnp.var(g)
+    return jnp.exp(g - var / 2.0) - 1.0
