@@ -1,9 +1,10 @@
 from . import (angular_power, bispectrum, filters, halo_stats, lensing,
-               linear_power, map_transform, object_selection, paint,
-               pairwise, peaks, power, profiles, profiles3d, tpcf, troughs,
-               voids)
+               linear_power, map_transform, mocks, object_selection, paint,
+               pairwise, pallas_pairwise, peaks, power, profiles, profiles3d,
+               strong_lensing, tpcf, troughs, voids)
 
 __all__ = ["angular_power", "bispectrum", "filters", "halo_stats", "lensing",
-           "linear_power", "map_transform", "object_selection", "paint",
-           "pairwise", "peaks", "power", "profiles", "profiles3d", "tpcf",
-           "troughs", "voids"]
+           "linear_power", "map_transform", "mocks", "object_selection",
+           "paint", "pairwise", "pallas_pairwise", "peaks", "power",
+           "profiles", "profiles3d", "strong_lensing", "tpcf", "troughs",
+           "voids"]

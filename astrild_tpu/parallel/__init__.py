@@ -1,4 +1,5 @@
-from . import mesh, pfft, power
-from .mesh import make_mesh, auto_mesh, sim_axis_mesh
+from . import maps, mesh, pfft, power
+from .mesh import auto_mesh, make_mesh, sim_axis_mesh
 
-__all__ = ["mesh", "pfft", "power", "make_mesh", "auto_mesh", "sim_axis_mesh"]
+__all__ = ["maps", "mesh", "pfft", "power", "auto_mesh", "make_mesh",
+           "sim_axis_mesh"]

@@ -87,3 +87,24 @@ def trace(log_dir: str = "/tmp/astrild_tpu_trace"):
 def log_compile_cache(cache_dir: str = "/tmp/jax_cache"):
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def enable_nan_checks(enable: bool = True):
+    """Debug mode: raise on NaN production inside jitted code
+    (jax_debug_nans). The reference had no failure detection (SURVEY §5);
+    this plus `check_finite` is the engine's fault-detection layer."""
+    jax.config.update("jax_debug_nans", enable)
+
+
+def check_finite(tree, name: str = "result"):
+    """Raise ValueError when any leaf holds non-finite values (host sync)."""
+    import numpy as np
+
+    for i, leaf in enumerate(jax.tree_util.tree_leaves(tree)):
+        arr = np.asarray(leaf)
+        if not np.all(np.isfinite(arr)):
+            bad = int(np.sum(~np.isfinite(arr)))
+            raise ValueError(
+                f"{name}: leaf {i} has {bad} non-finite values "
+                f"(shape {arr.shape})")
+    return tree
