@@ -72,11 +72,13 @@ def kappa_to_alpha(kappa, opening_angle, padding_factor: int = 4):
     lpad = L * npad / n
     kf = 2.0 * jnp.pi / lpad
     kx = (jnp.fft.fftfreq(npad) * npad * kf)
+    kzr = (jnp.fft.rfftfreq(npad) * npad * kf)
     k1 = kx[:, None]
-    k2 = kx[None, :]
+    k2 = kzr[None, :]
     k2mag = k1 ** 2 + k2 ** 2
     k2safe = jnp.where(k2mag == 0.0, 1.0, k2mag)
-    kap_ft = jnp.fft.fft2(kappa, s=(npad, npad))
+    # rfft2 (half spectrum): real input, ~2x cheaper than full fft2
+    kap_ft = jnp.fft.rfft2(kappa, s=(npad, npad))
     fac1 = jnp.where(k2mag == 0.0, 0.0, 2.0 * k1 / k2safe)
     fac2 = jnp.where(k2mag == 0.0, 0.0, 2.0 * k2 / k2safe)
     # an odd transfer function must vanish on its own Nyquist plane
@@ -84,9 +86,9 @@ def kappa_to_alpha(kappa, opening_angle, padding_factor: int = 4):
     # and silently halves the on-axis response
     ny = npad // 2
     fac1 = fac1.at[ny, :].set(0.0)
-    fac2 = fac2.at[:, ny].set(0.0)
-    a1 = jnp.real(jnp.fft.ifft2(1j * fac1 * kap_ft))[:n, :n]
-    a2 = jnp.real(jnp.fft.ifft2(1j * fac2 * kap_ft))[:n, :n]
+    fac2 = fac2.at[:, -1].set(0.0)  # rfft last column IS the Nyquist
+    a1 = jnp.fft.irfft2(1j * fac1 * kap_ft, s=(npad, npad))[:n, :n]
+    a2 = jnp.fft.irfft2(1j * fac2 * kap_ft, s=(npad, npad))[:n, :n]
     # sign convention matches the reference's trailing `return -alpha`
     return -a1, -a2
 
