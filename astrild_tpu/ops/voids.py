@@ -127,8 +127,9 @@ def find_tunnels(peak_pos, peak_valid, npix: int, max_voids: int = 256,
         ok = (jnp.max(ov) <= overlap) & cvalid[i]
         return accepted.at[i].set(jnp.where(ok, 1.0, 0.0))
 
-    accepted = jax.lax.fori_loop(0, max_voids, body,
-                                 jnp.zeros((max_voids,), jnp.float32))
+    # init derives from a kernel input so its device-variance annotation
+    # matches the body output under shard_map
+    accepted = jax.lax.fori_loop(0, max_voids, body, jnp.zeros_like(crad))
     acc = accepted > 0
     radius = jnp.where(acc, crad, 0.0)
     # compact: accepted first, by decreasing radius (rejected -> key -1)

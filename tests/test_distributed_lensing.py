@@ -1,0 +1,48 @@
+"""Distributed lensing suite == per-sim local pipeline."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from astrild_tpu.ops import lensing as L
+from astrild_tpu.ops import peaks as PK
+from astrild_tpu.ops import voids as V
+from astrild_tpu.parallel import make_mesh
+from astrild_tpu.parallel.lensing import make_distributed_lensing_suite
+
+
+def test_distributed_lensing_matches_local(rng):
+    mesh = make_mesh(n_sim=4, n_x=1, n_y=2)
+    nsim, nplane, npix = 4, 8, 64
+    oa = 0.1
+    chi_s, om = 3000.0, 0.3
+    planes = rng.normal(0, 0.5, (nsim, nplane, npix, npix)).astype(np.float32)
+    chis = jnp.linspace(300.0, 2500.0, nplane)
+    dchis = jnp.full((nplane,), 50.0)
+
+    fn = make_distributed_lensing_suite(mesh, npix, oa, chi_s, om,
+                                        max_peaks=128, max_voids=32)
+    planes_sh = jax.device_put(jnp.asarray(planes),
+                               NamedSharding(mesh, P("sim")))
+    out = fn(planes_sh, chis, dchis)
+    assert out.kappa.shape == (nsim, npix, npix)
+    assert out.void_radius.shape == (nsim, 32)
+
+    # compare one realization against the local pipeline
+    s = 2
+    kap = L.born_convergence(jnp.asarray(planes[s]), chis, dchis, chi_s, om)
+    npt.assert_allclose(np.asarray(out.kappa[s]), np.asarray(kap),
+                        rtol=1e-5, atol=1e-8)
+    a1, a2 = L.kappa_to_alpha(kap, oa, padding_factor=2)
+    g1, g2 = L.alpha_to_gamma(a1, a2, oa)
+    npt.assert_allclose(np.asarray(out.gamma1[s]), np.asarray(g1),
+                        rtol=1e-4, atol=1e-7)
+    cat = PK.find_peaks(kap, threshold=jnp.std(kap), max_peaks=128,
+                        edge_pix=4)
+    vcat = V.find_tunnels(cat.pos.astype(jnp.float32),
+                          cat.values > -jnp.inf, npix, max_voids=32)
+    npt.assert_allclose(np.asarray(out.void_radius[s]),
+                        np.asarray(vcat.radius), rtol=1e-5)
+    assert int(out.n_voids[s]) == int(vcat.n)
