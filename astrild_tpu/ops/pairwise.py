@@ -38,6 +38,60 @@ def _pad_blocks(arr, block):
     return jnp.pad(arr, ((0, pad),) + ((0, 0),) * (arr.ndim - 1)), nb
 
 
+def _pairwise_accumulate_tiles(pos_i, vel_i, hat_i, pos_j, vel_j, hat_j,
+                               ia0, jb0, nbins: int, binwidth,
+                               block: int = 256):
+    """Yasini accumulation over all pairs between two chunks.
+
+    ia0/jb0 are the GLOBAL index offsets of the chunks; a pair counts only
+    when its global i < global j (so ring-rotation schedules count each
+    unordered pair exactly once). Used by parallel/pairwise.py.
+    """
+    ni = pos_i.shape[0]
+    nj = pos_j.shape[0]
+    assert ni % block == 0 and nj % block == 0, \
+        "chunk sizes must be multiples of block (pad before sharding)"
+    nbi = ni // block
+    nbj = nj // block
+
+    def tile(carry, ab):
+        nom, den = carry
+        a, b = ab
+        ia = ia0 + a * block + jnp.arange(block)
+        jb = jb0 + b * block + jnp.arange(block)
+        pi = jax.lax.dynamic_slice(pos_i, (a * block, 0), (block, 3))
+        pj = jax.lax.dynamic_slice(pos_j, (b * block, 0), (block, 3))
+        vi = jax.lax.dynamic_slice(vel_i, (a * block, 0), (block, 3))
+        vj = jax.lax.dynamic_slice(vel_j, (b * block, 0), (block, 3))
+        hi = jax.lax.dynamic_slice(hat_i, (a * block, 0), (block, 3))
+        hj = jax.lax.dynamic_slice(hat_j, (b * block, 0), (block, 3))
+        rij = pi[:, None, :] - pj[None, :, :]
+        rnorm = jnp.linalg.norm(rij, axis=-1)
+        rhat = rij / jnp.maximum(rnorm, 1e-12)[..., None]
+        di = jnp.einsum("abk,ak->ab", rhat, hi)
+        dj = jnp.einsum("abk,bk->ab", rhat, hj)
+        q = (2.0 * rhat - hi[:, None, :] * di[..., None]
+             - hj[None, :, :] * dj[..., None]) * 0.5
+        vij = vi[:, None, :] - vj[None, :, :]
+        nom_ij = jnp.einsum("abk,abk->ab", vij, q)
+        den_ij = jnp.einsum("abk,abk->ab", q, q)
+        mask = (ia[:, None] < jb[None, :])
+        binidx = jnp.clip((rnorm / binwidth).astype(jnp.int32), 0, nbins)
+        w = mask.astype(jnp.float32).reshape(-1)
+        bflat = jnp.where(mask, binidx, nbins).reshape(-1)
+        nom = nom + jax.ops.segment_sum(w * nom_ij.reshape(-1), bflat,
+                                        num_segments=nbins + 1)[:nbins]
+        den = den + jax.ops.segment_sum(w * den_ij.reshape(-1), bflat,
+                                        num_segments=nbins + 1)[:nbins]
+        return (nom, den), None
+
+    pairs = [(a, b) for a in range(nbi) for b in range(nbj)]
+    ab = jnp.array(pairs, jnp.int32)
+    zero = jnp.zeros((nbins,), jnp.float32) + 0.0 * jnp.sum(pos_i[:1, :1])
+    (nom, den), _ = jax.lax.scan(tile, (zero, zero), (ab[:, 0], ab[:, 1]))
+    return nom, den
+
+
 @partial(jax.jit, static_argnames=("binnr", "block"))
 def _pairwise_accumulate(pos, vel, n_valid, binnr: int, binwidth,
                          block: int = 512):

@@ -1,5 +1,5 @@
-from . import lensing, maps, mesh, pfft, power
+from . import lensing, maps, mesh, pairwise, pfft, power
 from .mesh import auto_mesh, make_mesh, sim_axis_mesh
 
-__all__ = ["lensing", "maps", "mesh", "pfft", "power", "auto_mesh", "make_mesh",
+__all__ = ["lensing", "maps", "mesh", "pairwise", "pfft", "power", "auto_mesh", "make_mesh",
            "sim_axis_mesh"]

@@ -88,3 +88,26 @@ def test_distributed_power_batched_sims(mesh22, rng):
                                    shotnoise=BOX ** 3 / n_part)
         npt.assert_allclose(np.asarray(got.power[s]), np.asarray(ref.power),
                             rtol=5e-3, atol=1e-3 * BOX ** 3 / n_part)
+
+
+def test_distributed_pairwise_matches_local(rng):
+    from astrild_tpu.ops import pairwise as PW
+    from astrild_tpu.parallel.pairwise import make_distributed_pairwise
+
+    mesh = make_mesh(n_sim=4, n_x=1, n_y=1)
+    n = 1024  # 256 per shard
+    pos = rng.uniform(400, 600, (n, 3)).astype(np.float32)
+    vel = rng.normal(0, 100, (n, 3)).astype(np.float32)
+    nbins, binw = 16, 10.0
+    fn = make_distributed_pairwise(mesh, nbins, binw, axis="sim", block=256)
+    pos_sh = jax.device_put(jnp.asarray(pos), NamedSharding(mesh, P("sim", None)))
+    vel_sh = jax.device_put(jnp.asarray(vel), NamedSharding(mesh, P("sim", None)))
+    nom_d, den_d = fn(pos_sh, vel_sh)
+    bins = jnp.asarray(np.arange(nbins, dtype=np.float64) * binw)
+    rsep, v12_local = PW.mean_pairwise_velocity(jnp.asarray(pos),
+                                                jnp.asarray(vel), bins,
+                                                backend="xla")
+    v12_d = np.asarray(nom_d) / np.maximum(np.asarray(den_d), 1e-30)
+    good = np.isfinite(np.asarray(v12_local))
+    npt.assert_allclose(v12_d[good], np.asarray(v12_local)[good],
+                        rtol=2e-3, atol=0.3)
