@@ -187,7 +187,7 @@ class Ecosmog(Simulation):
         if "density" in fields:
             cell_vol = (self.boxsize / ngrid) ** 3
             out["density"] = rho / cell_vol
-        if "velocity" in fields:
+        if "velocity" in fields or "divergence" in fields:
             assert vel is not None
             vel = jnp.asarray(vel)
             comps = []
@@ -195,7 +195,16 @@ class Ecosmog(Simulation):
                 mom = paint_ops.paint(pos, ngrid, self.boxsize,
                                       weights=vel[:, c], window=window)
                 comps.append(mom / jnp.maximum(rho, 1e-12))
-            out["velocity"] = jnp.stack(comps, axis=-1)
+            vgrid = jnp.stack(comps, axis=-1)
+            if "velocity" in fields:
+                out["velocity"] = vgrid
+            if "divergence" in fields:
+                # theta = div v (the DTFE 'divergence_a' quantity used by
+                # the reference example notebook)
+                from ..ops.map_transform import divergence
+
+                out["divergence"] = divergence(
+                    jnp.moveaxis(vgrid, -1, 0), self.boxsize / ngrid)
         return out
 
     def to_gadget(self, path, pos, vel, ids=None, masses=None,

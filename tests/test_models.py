@@ -254,3 +254,19 @@ def test_dipoles_pipeline(rng):
     for i in np.where(ok)[0]:
         npt.assert_allclose(vx[i], dips.data["theta1_vel"][i], rtol=0.35)
         npt.assert_allclose(vy[i], dips.data["theta2_vel"][i], rtol=0.35)
+
+
+def test_ecosmog_density_fields(tmp_path, rng):
+    from astrild_tpu.models import Ecosmog
+
+    sim = Ecosmog(dir_sim=str(tmp_path), boxsize=100.0, domain_level=16)
+    pos = jnp.asarray(rng.uniform(0, 100, (5000, 3)).astype(np.float32))
+    vel = jnp.asarray(rng.normal(0, 100, (5000, 3)).astype(np.float32))
+    out = sim.density_fields(pos, vel, ngrid=16,
+                             fields=("density", "velocity", "divergence"))
+    # mean density = N / V
+    npt.assert_allclose(float(jnp.mean(out["density"])), 5000 / 100.0 ** 3,
+                        rtol=1e-5)
+    assert out["velocity"].shape == (16, 16, 16, 3)
+    assert out["divergence"].shape == (16, 16, 16)
+    assert np.all(np.isfinite(np.asarray(out["divergence"])))
