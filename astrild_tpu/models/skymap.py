@@ -156,11 +156,17 @@ class SkyArray:
 
         patches = jnp.stack([one(i) for i in range(nh)])
         centers = jnp.stack(
-            [jnp.asarray(get("theta1_pix"), jnp.int32),
-             jnp.asarray(get("theta2_pix"), jnp.int32)], axis=-1)
+            [jnp.asarray(get("theta1_pix"), jnp.int32).astype(jnp.int32),
+             jnp.asarray(get("theta2_pix"), jnp.int32).astype(jnp.int32)],
+            axis=-1)
         canvas = jnp.zeros((npix, npix))
         out = lensing.paint_halo_patches(canvas, patches, centers)
-        oa = opening_angle if opening_angle is not None else npix * 0.0
+        if opening_angle is None:
+            # infer the FOV from the pixel scale implied by the first halo
+            oa = float(get("r200_deg")[0] * npix
+                       / max(float(np.asarray(halo_cat["r200_pix"])[0]), 1))
+        else:
+            oa = opening_angle
         return cls(out, oa, "rs" if to == "dT" else "alpha")
 
     # -------------------------------------------------------------- analysis

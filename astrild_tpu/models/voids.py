@@ -219,7 +219,8 @@ class Voids:
         if field_conversion:
             self.field_conversion = field_conversion
         assert self.profiles is not None, "run get_profiles first"
-        sigmas = np.unique(self.data["sigma"])
+        cat_key = cats[0] if cats else "sigma"
+        sigmas = np.unique(self.data[cat_key])
         nr = len(self.profiles["radii"])
         mean = np.zeros((len(sigmas), nr))
         lo = np.zeros_like(mean)
@@ -229,7 +230,7 @@ class Voids:
         nobj = np.zeros(len(sigmas))
         npix = self.skymap_dsc.get("npix", 4096)
         for ss, sigma in enumerate(sigmas):
-            sel = np.where(self.data["sigma"] == sigma)[0]
+            sel = np.where(self.data[cat_key] == sigma)[0]
             profs = jnp.asarray(self.profiles["values"][sel])
             m = prof_ops.mean_and_interpolate(profs)
             if self.field_conversion == "tangential_shear":
@@ -248,13 +249,13 @@ class Voids:
             smin[ss], smax[ss] = rads.min(), rads.max()
             nobj[ss] = len(sel)
         ds = Dataset(
-            data_vars={"mean": (("sigma", "radius"), mean),
-                       "lowerr": (("sigma", "radius"), lo),
-                       "higherr": (("sigma", "radius"), hi)},
-            coords={"sigma": sigmas, "radius": self.profiles["radii"],
-                    "size_min": (("sigma",), smin),
-                    "size_max": (("sigma",), smax),
-                    "nr_of_obj": (("sigma",), nobj)},
+            data_vars={"mean": ((cat_key, "radius"), mean),
+                       "lowerr": ((cat_key, "radius"), lo),
+                       "higherr": ((cat_key, "radius"), hi)},
+            coords={cat_key: sigmas, "radius": self.profiles["radii"],
+                    "size_min": ((cat_key,), smin),
+                    "size_max": ((cat_key,), smax),
+                    "nr_of_obj": ((cat_key,), nobj)},
         )
         if save and dir_out:
             Path(dir_out).mkdir(parents=True, exist_ok=True)

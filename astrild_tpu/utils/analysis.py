@@ -83,3 +83,21 @@ def pca(data, n_components: int = None):
         vt = vt[:n_components]
         var = var[:n_components]
     return vt, var, mean
+
+
+def covariance_from_realizations(samples, correlation: bool = False):
+    """Covariance (or correlation) matrix over realizations.
+
+    samples: (n_real, nbin) statistic per realization (e.g. a vmapped
+    P(k) batch). The unbiased estimator with 1/(n-1); use with
+    ops/mocks realizations for covariance work (capability beyond the
+    reference).
+    """
+    x = jnp.asarray(samples)
+    mean = jnp.mean(x, axis=0)
+    d = x - mean
+    cov = d.T @ d / (x.shape[0] - 1)
+    if correlation:
+        s = jnp.sqrt(jnp.diag(cov))
+        cov = cov / jnp.outer(s, s)
+    return cov
