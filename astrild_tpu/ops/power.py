@@ -233,6 +233,8 @@ def auto_power(grid, boxsize: float, nbins: int = 0, window: Optional[str] = Non
     return PowerResult(k, p - shotnoise, nm)
 
 
+@partial(jax.jit, static_argnames=("ngrid", "nbins", "fine_factor",
+                                   "kmin", "kmax", "return_coarse_grid"))
 def auto_power_fast(pos, ngrid: int, boxsize: float, nbins: int = 0,
                     fine_factor: int = 2, weights=None,
                     kmin=None, kmax=None,

@@ -30,8 +30,12 @@ sys.path.insert(0, "/root/repo")
 
 BASELINE_PPS_PER_CHIP = 1024 ** 3 / (60.0 * 8)
 
-N_SIDE = 256          # particles per side -> 16.8M particles
-NGRID = 256
+import os
+
+# BENCH_NSIDE=512 runs the exact north-star per-chip share:
+# 1024^3 particles / 8 chips = 512^3 particles per chip
+N_SIDE = int(os.environ.get("BENCH_NSIDE", "256"))
+NGRID = int(os.environ.get("BENCH_NGRID", str(N_SIDE)))
 NPIX = 2048
 BOX = 500.0
 OPENING_ANGLE_RAD = 0.35  # ~20 deg FOV
@@ -66,7 +70,8 @@ def make_stages():
     def stage_lensing(grid):
         delta = grid / jnp.mean(grid) - 1.0
         nplanes = 64
-        slabs = delta.reshape(NGRID // nplanes, nplanes, NGRID, NGRID).sum(0)
+        slabs = delta.reshape(NGRID // nplanes, nplanes, NGRID,
+                              NGRID).sum(0)
         chis = jnp.linspace(200.0, 2800.0, nplanes)
         dchis = jnp.full((nplanes,), BOX / nplanes)
         # Born integration is linear and resize is linear, so integrating
@@ -122,7 +127,7 @@ def main():
     pps = n_part / dt
     print(json.dumps({
         "metric": "full z=0 suite (P(k)+B(k)+2048^2 kappa/gamma+voids), "
-                  "256^3 particles, 1 chip",
+                  f"{N_SIDE}^3 particles, 1 chip",
         "value": round(pps / 1e6, 3),
         "unit": "Mparticles/s/chip",
         "vs_baseline": round(pps / BASELINE_PPS_PER_CHIP, 3),
