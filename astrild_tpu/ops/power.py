@@ -189,9 +189,67 @@ def _shell_binning_host(ngrid: int, nbins: int, mmin: float, mmax: float):
     return out
 
 
-@partial(jax.jit, static_argnames=("ngrid", "nbins", "kmin", "kmax"))
+_DEVICE_BIN_CACHE = {}
+
+
+def _device_binning(cache_key, builder):
+    """Host binning structures as DEVICE arrays (cached).
+
+    Passed to the jitted reductions as arguments rather than closure
+    constants: baked-in gather matrices ballooned the serialized HLO to
+    hundreds of MB (the remote compiler rejects the upload at 512^3).
+    """
+    if cache_key not in _DEVICE_BIN_CACHE:
+        gidx, gw, nm, kmean = builder()
+        _DEVICE_BIN_CACHE[cache_key] = (jnp.asarray(gidx), jnp.asarray(gw),
+                                        jnp.asarray(nm), jnp.asarray(kmean))
+    return _DEVICE_BIN_CACHE[cache_key]
+
+
+def get_shell_binning(ngrid: int, nbins: int, kmin=None, kmax=None):
+    """Device-array shell-binning structures for auto_power/shell_average.
+
+    Fetch ONCE outside jit and pass via the `binning=` argument when the
+    caller is itself jit-compiled for TPU: as closure constants these
+    gather matrices serialize into the HLO upload (hundreds of MB at
+    512^3) and the remote compiler rejects them.
+    """
+    mmin = 0.5 if kmin is None else kmin
+    mmax = ngrid / 2.0 if kmax is None else kmax
+    return _device_binning(
+        ("shell", ngrid, nbins, float(mmin), float(mmax)),
+        lambda: _shell_binning_host(ngrid, nbins, mmin, mmax))
+
+
+def get_fast_binning(ngrid: int, nbins: int, fine_factor: int = 2,
+                     kmin=None, kmax=None):
+    """Binning structures for auto_power_fast (folded fine spectrum)."""
+    import numpy as np
+
+    mmin = 0.5 if kmin is None else kmin
+    mmax = ngrid / 2.0 if kmax is None else kmax
+    nf = ngrid * fine_factor
+    fxy = np.asarray(np.fft.fftfreq(ngrid) * ngrid, np.float32)
+    fz = np.arange(ngrid // 2 + 1, dtype=np.float32)
+    return _device_binning(
+        ("fine", ngrid, fine_factor, nbins, float(mmin), float(mmax)),
+        lambda: _shell_binning_host_from_freqs(
+            fxy, fxy, fz, nbins, mmin, mmax, nf,
+            cache_key=("fine-host", ngrid, fine_factor, nbins,
+                       float(mmin), float(mmax))))
+
+
+@jax.jit
+def _gathered_shell_reduce(values_flat, gidx, gw, nm):
+    flat = jnp.concatenate([values_flat,
+                            jnp.zeros((1,), values_flat.dtype)])
+    vsum = jnp.sum(flat[gidx] * gw, axis=1)
+    denom = jnp.where(nm > 0, nm, 1.0)
+    return vsum / denom
+
+
 def shell_average(values, ngrid: int, boxsize: float, nbins: int,
-                  kmin=None, kmax=None):
+                  kmin=None, kmax=None, binning=None):
     """Average `values` (real, rfftn layout) over |k| shells.
 
     Returns (k_mean, value_mean, nmodes). Bins are linear in k with width
@@ -205,21 +263,18 @@ def shell_average(values, ngrid: int, boxsize: float, nbins: int,
     segment_sum version cost 27x the FFT itself at 256^3); dense gathers
     and tree reductions do not (measured 6x faster end-to-end).
     """
-    mmin = 0.5 if kmin is None else kmin
-    mmax = ngrid / 2.0 if kmax is None else kmax
     kf = 2.0 * jnp.pi / boxsize
-    gidx, gw, nm, kmean = _shell_binning_host(ngrid, nbins, mmin, mmax)
-    flat = jnp.concatenate([values.reshape(-1),
-                            jnp.zeros((1,), values.dtype)])
-    vsum = jnp.sum(flat[jnp.asarray(gidx)] * jnp.asarray(gw), axis=1)
-    nm = jnp.asarray(nm)
-    denom = jnp.where(nm > 0, nm, 1.0)
-    return jnp.asarray(kmean) * kf, vsum / denom, nm
+    if binning is None:
+        binning = get_shell_binning(ngrid, nbins, kmin, kmax)
+    gidx, gw, nm, kmean = binning
+    p = _gathered_shell_reduce(values.reshape(-1), gidx, gw, nm)
+    return kmean * kf, p, nm
 
 
 def auto_power(grid, boxsize: float, nbins: int = 0, window: Optional[str] = None,
                grid_shifted=None, interlaced: bool = False,
-               shotnoise: float = 0.0, kmin=None, kmax=None) -> PowerResult:
+               shotnoise: float = 0.0, kmin=None, kmax=None,
+               binning=None) -> PowerResult:
     """Auto power spectrum P(k) of a painted grid.
 
     shotnoise: V/N_particles for discrete tracers (subtracted after
@@ -229,16 +284,16 @@ def auto_power(grid, boxsize: float, nbins: int = 0, window: Optional[str] = Non
     nbins = nbins or (n // 2)
     dk = delta_k(grid, grid_shifted, window=window, interlaced=interlaced)
     pk3d = (jnp.abs(dk) ** 2) * (boxsize ** 3)
-    k, p, nm = shell_average(pk3d, n, boxsize, nbins, kmin, kmax)
+    k, p, nm = shell_average(pk3d, n, boxsize, nbins, kmin, kmax,
+                             binning=binning)
     return PowerResult(k, p - shotnoise, nm)
 
 
-@partial(jax.jit, static_argnames=("ngrid", "nbins", "fine_factor",
-                                   "kmin", "kmax", "return_coarse_grid"))
 def auto_power_fast(pos, ngrid: int, boxsize: float, nbins: int = 0,
                     fine_factor: int = 2, weights=None,
                     kmin=None, kmax=None,
-                    return_coarse_grid: bool = False) -> PowerResult:
+                    return_coarse_grid: bool = False,
+                    binning=None) -> PowerResult:
     """Fast P(k): NGP deposit on a fine_factor-finer grid + deconvolution.
 
     TPU scatters serialize per update, so the deposit dominates the
@@ -252,14 +307,26 @@ def auto_power_fast(pos, ngrid: int, boxsize: float, nbins: int = 0,
 
     Returns the same binning as auto_power(grid(ngrid), nbins).
     """
-    import itertools
+    nf = ngrid * fine_factor  # noqa: F841 (docstring context)
+    del nf
+    if binning is None:
+        binning = get_fast_binning(ngrid, nbins, fine_factor, kmin, kmax)
+    return _auto_power_fast_impl(pos, boxsize, weights, binning,
+                                 ngrid=ngrid, nbins=nbins,
+                                 fine_factor=fine_factor,
+                                 return_coarse_grid=return_coarse_grid)
 
-    import numpy as np
+
+@partial(jax.jit, static_argnames=("ngrid", "nbins", "fine_factor",
+                                   "return_coarse_grid"))
+def _auto_power_fast_impl(pos, boxsize, weights, binning, *, ngrid: int,
+                          nbins: int, fine_factor: int,
+                          return_coarse_grid: bool):
+    import itertools
 
     nf = ngrid * fine_factor
     ff = fine_factor
     n_part = pos.shape[0]
-    nbins = nbins or (ngrid // 2)
 
     # POWMES-style folding: FFT_fine(m) for |m| below the coarse Nyquist
     # equals the phase-weighted sum of the FFTs of the fine_factor^3
@@ -300,22 +367,10 @@ def auto_power_fast(pos, ngrid: int, boxsize: float, nbins: int = 0,
     dk = dk / (axis_win(mode)[:, None, None] * axis_win(mode)[None, :, None]
                * axis_win(mz)[None, None, :])
     pk3d = (jnp.abs(dk) ** 2) * (boxsize ** 3)
-    mmin = 0.5 if kmin is None else kmin
-    mmax = ngrid / 2.0 if kmax is None else kmax
-    fxy = np.asarray(np.fft.fftfreq(ngrid) * ngrid, np.float32)
-    fz = np.arange(ngrid // 2 + 1, dtype=np.float32)
-    gidx, gw, nm, kmean = _shell_binning_host_from_freqs(
-        fxy, fxy, fz, nbins, mmin, mmax, nf,
-        cache_key=("fine", ngrid, fine_factor, nbins, float(mmin),
-                   float(mmax)))
-    flat = jnp.concatenate([pk3d.reshape(-1), jnp.zeros((1,), pk3d.dtype)])
-    vsum = jnp.sum(flat[jnp.asarray(gidx)] * jnp.asarray(gw), axis=1)
-    nm = jnp.asarray(nm)
-    denom = jnp.where(nm > 0, nm, 1.0)
+    gidx, gw, nm, kmean = binning
     kf = 2.0 * jnp.pi / boxsize
-    p = vsum / denom
-    res = PowerResult(jnp.asarray(kmean) * kf, p - boxsize ** 3 / n_part,
-                      nm)
+    p = _gathered_shell_reduce(pk3d.reshape(-1), gidx, gw, nm)
+    res = PowerResult(kmean * kf, p - boxsize ** 3 / n_part, nm)
     if return_coarse_grid:
         return res, coarse
     return res

@@ -54,11 +54,17 @@ def make_stages():
     # deconvolution (validated against the TSC estimator,
     # tests/test_paint_power.py::test_fast_power_matches_tsc). Kept as its
     # own jit so the 512^3 intermediates don't coexist with later stages.
+    # binning gather matrices are fetched ONCE here and passed as jit
+    # ARGUMENTS — as closure constants they serialize into the HLO upload
+    # (hundreds of MB at 512^3; the remote compiler rejects it)
+    binning = power.get_fast_binning(NGRID, 64, 2)
+
     @jax.jit
-    def stage_matter(pos):
+    def stage_matter(pos, binning):
         res, grid = power.auto_power_fast(pos, NGRID, BOX, nbins=64,
                                           fine_factor=2,
-                                          return_coarse_grid=True)
+                                          return_coarse_grid=True,
+                                          binning=binning)
         return grid, res.power
 
     @jax.jit
@@ -95,12 +101,16 @@ def make_stages():
         return vcat.radius
 
     def run(pos):
-        grid, pk = stage_matter(pos)
+        grid, pk = stage_matter(pos, binning)
         b = stage_bispectrum(grid)
         kappa, g1, g2 = stage_lensing(grid)
         rad = stage_voids(kappa)
         return pk, b, kappa, g1, g2, rad
 
+    # expose the exact jitted stages so warmup scripts can precompile them
+    run.stages = {"matter": lambda p: stage_matter(p, binning),
+                  "bispectrum": stage_bispectrum,
+                  "lensing": stage_lensing, "voids": stage_voids}
     return run
 
 
