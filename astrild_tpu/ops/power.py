@@ -307,8 +307,7 @@ def auto_power_fast(pos, ngrid: int, boxsize: float, nbins: int = 0,
 
     Returns the same binning as auto_power(grid(ngrid), nbins).
     """
-    nf = ngrid * fine_factor  # noqa: F841 (docstring context)
-    del nf
+    nbins = nbins or (ngrid // 2)
     if binning is None:
         binning = get_fast_binning(ngrid, nbins, fine_factor, kmin, kmax)
     return _auto_power_fast_impl(pos, boxsize, weights, binning,
@@ -326,21 +325,33 @@ def _auto_power_fast_impl(pos, boxsize, weights, binning, *, ngrid: int,
 
     nf = ngrid * fine_factor
     ff = fine_factor
-    n_part = pos.shape[0]
 
     # POWMES-style folding: FFT_fine(m) for |m| below the coarse Nyquist
     # equals the phase-weighted sum of the FFTs of the fine_factor^3
     # interleaved coarse subgrids (decimation in time). This avoids the
     # single big FFT whose TPU-internal [n,n,n/4,4] reshape pads 32x.
     # The deposit goes straight into subgrid-major layout — strided
-    # slicing a 512^3 array afterwards was the dominant cost.
+    # slicing a 512^3 array afterwards was the dominant cost — and all
+    # per-particle arithmetic stays on flat (N,) components: a resident
+    # (N, 3) array pads its 3-wide dim to 128 lanes (42x memory) at
+    # large N.
+    if isinstance(pos, (tuple, list)):
+        x, y, z = pos
+    else:
+        x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
+    n_part = x.shape[0]
     w0 = (jnp.ones((n_part,), jnp.float32) if weights is None
           else weights.astype(jnp.float32))
-    u = jnp.floor(pos / (boxsize / nf)).astype(jnp.int32) % nf
-    s_id = ((u[:, 0] % ff) * ff + (u[:, 1] % ff)) * ff + (u[:, 2] % ff)
-    p = u // ff
-    flat = (s_id * ngrid + p[:, 0]) * ngrid * ngrid \
-        + p[:, 1] * ngrid + p[:, 2]
+    inv_cell = float(nf) / boxsize if isinstance(boxsize, float) else \
+        nf / boxsize
+
+    def cell(c):
+        return jnp.floor(c * inv_cell).astype(jnp.int32) % nf
+
+    ux, uy, uz = cell(x), cell(y), cell(z)
+    s_id = ((ux % ff) * ff + (uy % ff)) * ff + (uz % ff)
+    flat = ((s_id * ngrid + ux // ff) * ngrid + uy // ff) * ngrid \
+        + uz // ff
     dep = jnp.zeros((ff ** 3 * ngrid ** 3,), jnp.float32)
     dep = dep.at[flat].add(w0)
     dep = dep.reshape(ff ** 3, ngrid, ngrid, ngrid)
