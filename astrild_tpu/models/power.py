@@ -109,7 +109,8 @@ class PowerSpectrum3D:
                 k, P = self.power_from_grid(arr, boxsize)
             pk["k"][f"snap_{snap_nr}"] = k
             pk["P"][f"snap_{snap_nr}"] = P
-        if save and dir_out:
+        if save and dir_out and pk["k"]:
+            os.makedirs(dir_out, exist_ok=True)
             cols = {"k": next(iter(pk["k"].values()))}
             cols.update(pk["P"])
             columnar_h5.write_table(
