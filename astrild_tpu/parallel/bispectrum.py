@@ -1,0 +1,90 @@
+"""Distributed 3D bispectrum over the device mesh (pencil-FFT shells).
+
+Device-mesh version of ops/bispectrum.bispectrum_3d (itself the working
+replacement of the reference's stub bispectrum_3d.py:41-44): the density
+grid arrives pencil-sharded P('x','y',None); one forward pencil FFT, then
+one inverse pencil FFT per |k| shell produces the real-space shell fields
+I_i(x) / n_i(x) on the same pencils, and the triple products reduce with
+psum. All collectives are the all_to_all transposes inside pfft3d_local /
+pifft3d_local plus per-triple scalar psums — everything rides ICI.
+
+  B(b1,b2,b3) = V^2 * sum_x Re[I_1 I_2 I_3] / sum_x Re[n_1 n_2 n_3]
+
+Identical normalization & shell edges to the single-device estimator
+(integer mode radii), so results agree up to fp reassociation
+(tests/test_distributed.py::test_distributed_bispectrum_matches_local).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.bispectrum import BispectrumResult
+from .pfft import pfft3d_local, pifft3d_local
+from .power import local_mode_radius
+
+__all__ = ["make_distributed_bispectrum"]
+
+
+def make_distributed_bispectrum(mesh: Mesh, ngrid: int, boxsize: float,
+                                nbins: int = 4, m_min: float = 1.0,
+                                m_max: Optional[float] = None):
+    """Build a jitted distributed B(k1,k2,k3) estimator over `mesh`.
+
+    Returns fn(grid) -> BispectrumResult where grid is a global (n,n,n)
+    density array sharded P('x','y',None); the result is replicated.
+    Shells are |k|/kf in [m_min, m_max] (default m_max = n/2 - 1).
+    """
+    mmax = (ngrid / 2.0 - 1.0) if m_max is None else m_max
+    triples = [(a, b, c) for a in range(nbins) for b in range(a, nbins)
+               for c in range(b, nbins)]
+
+    def body(block):
+        # same float32 linspace as ops._bispectrum_core so shell boundaries
+        # are bit-identical (e.g. linspace(1,7,4)[2] = 5.0000005, which
+        # decides which shell owns the |k|/kf == 5 modes)
+        edges = jnp.linspace(m_min, mmax, nbins + 1)
+        # density contrast with the global mean
+        mean = jax.lax.psum(jnp.sum(block), ("x", "y")) / float(ngrid) ** 3
+        delta = block / jnp.where(mean == 0, 1.0, mean) - 1.0
+        dk = pfft3d_local(delta)                    # (n, n/PX, n/PY)
+        m = local_mode_radius(ngrid)                # same layout
+
+        i_fs, n_fs, mmean = [], [], []
+        for b in range(nbins):                      # static, small
+            mask = ((m >= edges[b]) & (m < edges[b + 1])
+                    ).astype(jnp.complex64)
+            i_fs.append(jnp.real(pifft3d_local(mask * dk)))
+            n_fs.append(jnp.real(pifft3d_local(mask)))
+            msum = jax.lax.psum(jnp.sum(jnp.real(mask) * m), ("x", "y"))
+            mcnt = jax.lax.psum(jnp.sum(jnp.real(mask)), ("x", "y"))
+            mmean.append(msum / jnp.maximum(mcnt, 1.0))
+
+        kf = 2.0 * jnp.pi / boxsize
+        k1, k2, k3, bvals, ntris = [], [], [], [], []
+        for (a, b, c) in triples:
+            num = jax.lax.psum(jnp.sum(i_fs[a] * i_fs[b] * i_fs[c]),
+                               ("x", "y"))
+            den = jax.lax.psum(jnp.sum(n_fs[a] * n_fs[b] * n_fs[c]),
+                               ("x", "y"))
+            ntris.append(den * float(ngrid) ** 6)
+            bvals.append(jnp.where(
+                den > 1e-10,
+                boxsize ** 6 * num / jnp.maximum(den, 1e-30)
+                / float(ngrid) ** 9,
+                jnp.nan))
+            k1.append(mmean[a] * kf)
+            k2.append(mmean[b] * kf)
+            k3.append(mmean[c] * kf)
+        return BispectrumResult(
+            k1=jnp.stack(k1), k2=jnp.stack(k2), k3=jnp.stack(k3),
+            b=jnp.stack(bvals), ntri=jnp.stack(ntris))
+
+    fn = jax.shard_map(
+        body, mesh=mesh, in_specs=P("x", "y", None),
+        out_specs=BispectrumResult(P(), P(), P(), P(), P()),
+    )
+    return jax.jit(fn)

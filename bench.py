@@ -32,10 +32,13 @@ BASELINE_PPS_PER_CHIP = 1024 ** 3 / (60.0 * 8)
 
 import os
 
-# BENCH_NSIDE=512 runs the exact north-star per-chip share:
-# 1024^3 particles / 8 chips = 512^3 particles per chip
-N_SIDE = int(os.environ.get("BENCH_NSIDE", "256"))
-NGRID = int(os.environ.get("BENCH_NGRID", str(N_SIDE)))
+# Default runs the exact north-star per-chip share: 1024^3 particles /
+# 8 chips = 512^3 particles per chip, and a 512^3 global analysis mesh /
+# 8 chips = 256^3 grid cells per chip. (NGRID=512 on ONE chip does not
+# fit: the rfft's internal [n,n,n/4,4] layout pads 32x in HBM.)
+# BENCH_NSIDE=256 gives a faster smoke-scale run.
+N_SIDE = int(os.environ.get("BENCH_NSIDE", "512"))
+NGRID = int(os.environ.get("BENCH_NGRID", str(min(N_SIDE, 256))))
 NPIX = 2048
 BOX = 500.0
 OPENING_ANGLE_RAD = 0.35  # ~20 deg FOV

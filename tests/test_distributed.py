@@ -15,6 +15,7 @@ from astrild_tpu.ops import paint as paint_ops
 from astrild_tpu.ops import power as power_ops
 from astrild_tpu.parallel import make_mesh
 from astrild_tpu.parallel.pfft import make_pfft3d
+from astrild_tpu.parallel.bispectrum import make_distributed_bispectrum
 from astrild_tpu.parallel.power import make_distributed_auto_power
 
 BOX = 100.0
@@ -111,3 +112,20 @@ def test_distributed_pairwise_matches_local(rng):
     good = np.isfinite(np.asarray(v12_local))
     npt.assert_allclose(v12_d[good], np.asarray(v12_local)[good],
                         rtol=2e-3, atol=0.3)
+
+
+def test_distributed_bispectrum_matches_local(mesh22, rng):
+    from astrild_tpu.ops import bispectrum as bs_ops
+
+    grid = jnp.asarray(
+        1.0 + 0.2 * rng.standard_normal((NG, NG, NG)).astype(np.float32))
+    want = bs_ops.bispectrum_3d(grid, BOX, nbins=3, m_min=1.0, m_max=7.0)
+    gs = jax.device_put(grid, NamedSharding(mesh22, P("x", "y", None)))
+    got = make_distributed_bispectrum(mesh22, NG, BOX, nbins=3, m_min=1.0,
+                                      m_max=7.0)(gs)
+    npt.assert_allclose(np.asarray(got.ntri), np.asarray(want.ntri),
+                        rtol=1e-4)
+    closed = np.asarray(want.ntri) > 0
+    npt.assert_allclose(np.asarray(got.b)[closed],
+                        np.asarray(want.b)[closed], rtol=2e-3, atol=1e-8)
+    npt.assert_allclose(np.asarray(got.k1), np.asarray(want.k1), rtol=1e-5)
