@@ -2,10 +2,10 @@
 
 Rebuild of /root/reference/src/astrild/rays/skys/sky_healpix.py:30-418 and
 rays/skyio.py:15-30 without healpy: DataFrame/column binning into maps,
-cartesian (flat-sky) projection to SkyArray, rotation, masks, and CMB
-lensing by deflection remapping (rays/utils/healpytools.py:52-59).
-Spherical-harmonic synthesis from Cl is not available natively — use the
-flat-sky synthesis (SkyArray.create_cmb) instead.
+cartesian (flat-sky) projection to SkyArray, rotation, masks, CMB
+lensing by deflection remapping (rays/utils/healpytools.py:52-59), and
+native spherical-harmonic synthesis/analysis via ops/sht.py (the
+reference's hp.sphtfunc.synfast calls, sky_healpix.py:183-241).
 """
 from __future__ import annotations
 
@@ -47,6 +47,45 @@ class SkyHealpix:
 
     from_dataframe = from_columns
 
+    @classmethod
+    def from_array(cls, hpmap, quantity: str = "kappa_2") -> "SkyHealpix":
+        """(sky_healpix.py:159-180)"""
+        return cls(np.asarray(hpmap), quantity)
+
+    @classmethod
+    def from_Cl_array(cls, cl_array, quantity: str, nside: int,
+                      lmax: Optional[int] = None, rnd_seed: int = 0
+                      ) -> "SkyHealpix":
+        """Gaussian random sky from an angular power spectrum — the
+        reference's hp.sphtfunc.synfast path (sky_healpix.py:219-241),
+        here the native MXU spherical-harmonic synthesis (ops/sht.py)."""
+        import jax
+
+        from ..ops import sht
+
+        cl = np.asarray(cl_array, np.float64)
+        if lmax is not None:
+            cl = cl[: lmax + 1]
+        m = sht.synfast(jax.random.PRNGKey(rnd_seed), cl, nside)
+        return cls(np.asarray(m), quantity)
+
+    @classmethod
+    def from_Cl_file(cls, cl_file: str, quantity: str, nside: int,
+                     lmax: Optional[int] = None, key: Optional[str] = None,
+                     rnd_seed: int = 0) -> "SkyHealpix":
+        """(sky_healpix.py:183-215): .npy or .npz[key] Cl table."""
+        ext = cl_file.rsplit(".", 1)[-1]
+        if ext == "npy":
+            cl = np.load(cl_file)
+        elif ext == "npz":
+            cl = np.load(cl_file)[key]
+        else:
+            raise ValueError(f"unsupported Cl file format: {ext}")
+        return cls.from_Cl_array(cl, quantity, nside, lmax=lmax,
+                                 rnd_seed=rnd_seed)
+
+    create_cmb = from_Cl_array
+
     # -------------------------------------------------------------- analysis
     def to_skyarray(self, opening_angle_deg: float, npix: int,
                     center_theta_phi=(np.pi / 2, 0.0), of: str = "orig"):
@@ -83,6 +122,26 @@ class SkyHealpix:
             mask &= (phi >= phi_range[0]) & (phi <= phi_range[1])
         self.data["mask"] = mask
         return mask
+
+    def anafast(self, lmax: int, of: str = "orig", niter: int = 3
+                ) -> np.ndarray:
+        """Angular power spectrum of a layer (native SHT analysis)."""
+        from ..ops import sht
+
+        return np.asarray(sht.anafast(self.data[of], lmax, niter=niter))
+
+    def sum_of_maps(self, map1: str, map2: str) -> None:
+        """(sky_healpix.py:310-312)"""
+        self.data[f"{map1}_{map2}"] = self.data[map1] + self.data[map2]
+
+    def arithmetic_operation_with(self, other_map, on: str = "orig",
+                                  operation: str = "add") -> np.ndarray:
+        """(sky_healpix.py:314-331)"""
+        ops = {"add": np.add, "sub": np.subtract, "mul": np.multiply,
+               "div": np.divide}
+        out = ops[operation](self.data[on], np.asarray(other_map))
+        self.data[f"{on}_{operation}"] = out
+        return out
 
     def lens_cmb_by_deflection(self, cmb_map, alpha_theta, alpha_phi
                                ) -> np.ndarray:
