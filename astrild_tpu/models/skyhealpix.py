@@ -123,6 +123,17 @@ class SkyHealpix:
         self.data["mask"] = mask
         return mask
 
+    def smoothing(self, fwhm_rad: float, lmax: Optional[int] = None,
+                  of: str = "orig") -> np.ndarray:
+        """Harmonic-space Gaussian smoothing (healpy hp.smoothing parity,
+        healpytools.py:11); stores '<of>_smooth'."""
+        from ..ops import sht
+
+        L = lmax if lmax is not None else 3 * self.nside - 1
+        out = np.asarray(sht.smoothing(self.data[of], fwhm_rad, L))
+        self.data[of + "_smooth"] = out
+        return out
+
     def anafast(self, lmax: int, of: str = "orig", niter: int = 3
                 ) -> np.ndarray:
         """Angular power spectrum of a layer (native SHT analysis)."""

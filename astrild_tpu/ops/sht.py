@@ -33,7 +33,7 @@ from ..utils import healpix as hpx
 
 __all__ = ["RingGeometry", "ring_geometry", "legendre_table", "SHTTables",
            "sht_tables", "synthesize", "analyze", "alm2cl", "synfast",
-           "anafast"]
+           "anafast", "smoothing"]
 
 
 class RingGeometry(NamedTuple):
@@ -224,3 +224,18 @@ def anafast(hpmap, lmax: int, niter: int = 3,
     nside = hpx.npix2nside(hpmap.shape[0])
     a_re, a_im = analyze(hpmap, nside, lmax, niter=niter, tables=tables)
     return alm2cl(a_re, a_im)
+
+
+def smoothing(hpmap, fwhm_rad: float, lmax: int, niter: int = 3,
+              tables: Optional[SHTTables] = None):
+    """Gaussian-beam smoothing in harmonic space (healpy
+    sphtfunc.smoothing parity — referenced at healpytools.py:11):
+    a_lm -> a_lm exp(-l(l+1) sigma^2 / 2), sigma = fwhm / sqrt(8 ln 2)."""
+    hpmap = jnp.asarray(hpmap, jnp.float32)
+    nside = hpx.npix2nside(hpmap.shape[0])
+    tab = tables if tables is not None else sht_tables(nside, lmax)
+    a_re, a_im = analyze(hpmap, nside, lmax, niter=niter, tables=tab)
+    sigma = fwhm_rad / np.sqrt(8.0 * np.log(2.0))
+    ell = jnp.arange(lmax + 1, dtype=jnp.float32)
+    bl = jnp.exp(-0.5 * ell * (ell + 1.0) * sigma ** 2)[:, None]
+    return synthesize(a_re * bl, a_im * bl, nside, lmax, tables=tab)

@@ -94,3 +94,23 @@ def test_skyhealpix_arithmetic():
     npt.assert_allclose(sky.data["orig_b"], 5.0)
     out = sky.arithmetic_operation_with(np.full(npix, 4.0), operation="mul")
     npt.assert_allclose(out, 8.0)
+
+
+def test_smoothing_beam():
+    # a pure multipole scales by exactly b_l = exp(-l(l+1) sigma^2/2)
+    fwhm = 0.1
+    a_re = _alm({(8, 0): 1.0})
+    m = sht.synthesize(a_re, _alm({}), NSIDE, LMAX)
+    sm = np.asarray(sht.smoothing(m, fwhm, LMAX))
+    sigma = fwhm / np.sqrt(8 * np.log(2))
+    bl = np.exp(-0.5 * 8 * 9 * sigma ** 2)
+    npt.assert_allclose(sm, bl * np.asarray(m), atol=5e-5)
+
+
+def test_skyhealpix_smoothing():
+    ell = np.arange(LMAX + 1)
+    sky = SkyHealpix.from_Cl_array(1e-2 / (1.0 + ell) ** 2, "cmb", NSIDE)
+    out = sky.smoothing(0.2, lmax=LMAX)
+    assert "orig_smooth" in sky.data
+    # smoothing strictly reduces variance
+    assert np.var(out) < np.var(sky.data["orig"])
