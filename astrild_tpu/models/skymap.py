@@ -169,6 +169,18 @@ class SkyArray:
             oa = opening_angle
         return cls(out, oa, "rs" if to == "dT" else "alpha")
 
+    @classmethod
+    def from_halo_catalogue_to_temperature_perturbation_map(
+            cls, halo_cat, extent: float = 1.0, direction=(0, 1),
+            suppress: bool = False, suppression_R: float = 1.0,
+            npix: int = 8192, opening_angle: float = 20.0, **kw
+    ) -> "SkyArray":
+        """Reference-named alias (sky_array.py:341-353, the RS/BG moving-
+        cluster dT map) for from_halo_dataframe(to='dT')."""
+        return cls.from_halo_dataframe(
+            halo_cat, npix, extent, list(direction), suppress,
+            suppression_R, to="dT", opening_angle=opening_angle, **kw)
+
     # -------------------------------------------------------------- analysis
     def pdf(self, nbins: int, of: str = "orig") -> dict:
         vals, bins = np.histogram(np.asarray(self.data[of]), bins=nbins,
@@ -294,6 +306,34 @@ class SkyArray:
             jax.random.PRNGKey(rnd_seed), jnp.asarray(cl_ell),
             jnp.asarray(cl_val), self.npix, self._opening_angle)
         return self.data["cmb"]
+
+    def add_cmb(self, filepath_cl: Optional[str] = None,
+                filepath_cmb: Optional[str] = None, on: str = "orig",
+                lmax: Optional[int] = None, rnd_seed: int = 0,
+                overwrite: bool = True) -> np.ndarray:
+        """Add a CMB layer to the map (sky_array.py:742-775). The
+        reference's create_cmb body was nonfunctional (its pymaster
+        synfast_flat call is commented out at sky_array.py:735-737); here
+        the flat-sky GRF synthesis is real. filepath_cl: .npy with rows
+        [ell, Cl_TT]; filepath_cmb: precomputed map .npy."""
+        if "cmb" not in self.data:
+            if filepath_cl is not None:
+                tab = np.load(filepath_cl)
+                ell, cl = np.asarray(tab[0]), np.asarray(tab[1])
+                if lmax is not None:
+                    keep = ell <= lmax
+                    ell, cl = ell[keep], cl[keep]
+                self.create_cmb(ell, cl, rnd_seed=rnd_seed)
+            elif filepath_cmb is not None:
+                self.data["cmb"] = np.load(filepath_cmb)
+            else:
+                raise ValueError("need filepath_cl or filepath_cmb")
+        out = np.asarray(self.data[on]) + np.asarray(self.data["cmb"])
+        if overwrite:
+            self.data[on] = out
+        else:
+            self.data[f"{on}_cmb"] = out
+        return out
 
     # --------------------------------------------------------------- lensing
     def convert_convergence_to_deflection(self, on: str = "orig",

@@ -270,3 +270,46 @@ def test_ecosmog_density_fields(tmp_path, rng):
     assert out["velocity"].shape == (16, 16, 16, 3)
     assert out["divergence"].shape == (16, 16, 16)
     assert np.all(np.isfinite(np.asarray(out["divergence"])))
+
+
+def test_skyarray_add_cmb(tmp_path, rng):
+    """add_cmb (sky_array.py:742-775): file-driven Cl -> GRF layer + sum."""
+    from astrild_tpu.models import SkyArray
+
+    npix = 64
+    base = rng.normal(0, 1e-6, (npix, npix))
+    sky = SkyArray.from_array(base, 5.0, "isw_rs")
+    ell = np.arange(2, 3000, dtype=float)
+    cl = 2e-9 / (ell * (ell + 1.0))
+    np.save(tmp_path / "cl.npy", np.stack([ell, cl]))
+    out = sky.add_cmb(filepath_cl=str(tmp_path / "cl.npy"), rnd_seed=2,
+                      overwrite=False)
+    assert "orig_cmb" in sky.data and out.shape == (npix, npix)
+    npt.assert_allclose(out, base + np.asarray(sky.data["cmb"]),
+                        rtol=1e-5, atol=1e-11)
+    # precomputed-map path + overwrite semantics
+    sky2 = SkyArray.from_array(base, 5.0, "isw_rs")
+    np.save(tmp_path / "cmb.npy", np.asarray(sky.data["cmb"]))
+    out2 = sky2.add_cmb(filepath_cmb=str(tmp_path / "cmb.npy"))
+    # npy round trip stores float32; compare at that precision
+    npt.assert_allclose(out2, out, rtol=1e-5, atol=1e-11)
+    npt.assert_allclose(sky2.data["orig"], out2)  # overwritten
+    with pytest.raises(ValueError):
+        SkyArray.from_array(base, 5.0, "isw").add_cmb()
+
+
+def test_skyarray_halo_catalogue_alias(rng):
+    from astrild_tpu.models import SkyArray
+
+    nh = 3
+    cat = {"m200": np.full(nh, 1e14), "c_NFW": np.full(nh, 5.0),
+           "r200_deg": np.full(nh, 0.05), "Dc": np.full(nh, 1000.0),
+           "theta1_tv": np.full(nh, 500.0), "theta2_tv": np.zeros(nh),
+           "theta1_pix": np.array([32, 96, 64]),
+           "theta2_pix": np.array([32, 64, 96]),
+           "r200_pix": np.full(nh, 4.0)}
+    sky = SkyArray.from_halo_catalogue_to_temperature_perturbation_map(
+        cat, extent=1.0, direction=[0], npix=128, opening_angle=2.0,
+        patch_npix=33)
+    assert sky.data["orig"].shape == (128, 128)
+    assert float(np.abs(np.asarray(sky.data["orig"])).max()) > 0
