@@ -154,6 +154,18 @@ class SkyHealpix:
         self.data[f"{on}_{operation}"] = out
         return out
 
+    def add_mask(self, on: str = "orig", theta_range=None,
+                 phi_range=None) -> np.ndarray:
+        """Store '<on>_mask': the layer with masked pixels set to UNSEEN
+        (sky_healpix.py:334-340; healpy's hp.ma -> explicit sentinel)."""
+        if "mask" not in self.data or theta_range is not None \
+                or phi_range is not None:
+            self.create_mask(theta_range=theta_range, phi_range=phi_range)
+        out = np.where(self.data["mask"], np.asarray(self.data[on]),
+                       hp.UNSEEN)
+        self.data[on + "_mask"] = out
+        return out
+
     def lens_cmb_by_deflection(self, cmb_map, alpha_theta, alpha_phi
                                ) -> np.ndarray:
         """Lens a CMB map by remapping with a deflection field: sample the

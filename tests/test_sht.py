@@ -114,3 +114,14 @@ def test_skyhealpix_smoothing():
     assert "orig_smooth" in sky.data
     # smoothing strictly reduces variance
     assert np.var(out) < np.var(sky.data["orig"])
+
+
+def test_skyhealpix_add_mask():
+    npix = hpx.nside2npix(NSIDE)
+    sky = SkyHealpix.from_array(np.ones(npix), "kappa_2")
+    out = sky.add_mask(theta_range=(0.0, np.pi / 2))
+    th, _ = (np.asarray(x) for x in
+             hpx.pix2ang_ring(NSIDE, jnp.arange(npix)))
+    inside = th <= np.pi / 2
+    npt.assert_allclose(out[inside], 1.0)
+    assert np.all(out[~inside] == hpx.UNSEEN)
