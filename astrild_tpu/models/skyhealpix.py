@@ -53,6 +53,28 @@ class SkyHealpix:
         return cls(np.asarray(hpmap), quantity)
 
     @classmethod
+    def from_file(cls, map_file: str, quantity: str = "kappa_2",
+                  nside: Optional[int] = None,
+                  convert_unit: bool = True) -> "SkyHealpix":
+        """Load a full-sky map from .h5 (ray-sample columns, binned to
+        nside) or .npy (pixel array) — sky_healpix.py:80-125; the fits
+        branch is healpy-only and not supported."""
+        ext = map_file.rsplit(".", 1)[-1]
+        if ext == "h5":
+            from ..io import columnar_h5
+            from ..utils.constants import C_LIGHT_KMS
+
+            cols = dict(columnar_h5.read_table(map_file))
+            if nside is None:
+                raise ValueError("nside is required for .h5 ray samples")
+            if convert_unit and quantity in cols:
+                cols[quantity] = np.asarray(cols[quantity]) / C_LIGHT_KMS ** 2
+            return cls.from_columns(cols, quantity, nside)
+        if ext == "npy":
+            return cls.from_array(np.load(map_file), quantity)
+        raise ValueError(f"unsupported map file format: {ext}")
+
+    @classmethod
     def from_Cl_array(cls, cl_array, quantity: str, nside: int,
                       lmax: Optional[int] = None, rnd_seed: int = 0
                       ) -> "SkyHealpix":

@@ -125,3 +125,27 @@ def test_skyhealpix_add_mask():
     inside = th <= np.pi / 2
     npt.assert_allclose(out[inside], 1.0)
     assert np.all(out[~inside] == hpx.UNSEEN)
+
+
+def test_skyhealpix_from_file(tmp_path, rng):
+    from astrild_tpu.io import columnar_h5
+    from astrild_tpu.utils.constants import C_LIGHT_KMS
+
+    npix = hpx.nside2npix(NSIDE)
+    # ray samples at pixel centers, code units
+    th, ph = (np.asarray(x) for x in
+              hpx.pix2ang_ring(NSIDE, jnp.arange(npix)))
+    vals = rng.normal(0, 0.01, npix)
+    p = str(tmp_path / "rays.h5")
+    columnar_h5.write_table(p, {"the_co": th, "phi_co": ph,
+                                "isw_rs": vals * C_LIGHT_KMS ** 2})
+    sky = SkyHealpix.from_file(p, "isw_rs", nside=NSIDE)
+    npt.assert_allclose(sky.data["orig"], vals, rtol=1e-5, atol=1e-9)
+    # npy path
+    np.save(tmp_path / "m.npy", vals)
+    sky2 = SkyHealpix.from_file(str(tmp_path / "m.npy"), "isw_rs")
+    npt.assert_allclose(sky2.data["orig"], vals)
+    with pytest.raises(ValueError):
+        SkyHealpix.from_file("map.fits")
+    with pytest.raises(ValueError):
+        SkyHealpix.from_file(p, "isw_rs")  # h5 without nside
