@@ -129,3 +129,25 @@ def test_distributed_bispectrum_matches_local(mesh22, rng):
     npt.assert_allclose(np.asarray(got.b)[closed],
                         np.asarray(want.b)[closed], rtol=2e-3, atol=1e-8)
     npt.assert_allclose(np.asarray(got.k1), np.asarray(want.k1), rtol=1e-5)
+
+
+def test_distributed_sht_matches_local(mesh22, rng):
+    from astrild_tpu.ops import sht as sht_ops
+    from astrild_tpu.parallel.sht import (make_distributed_sht, pad_map,
+                                          unpad_map)
+
+    nside, lmax = 8, 12
+    valid = np.tril(np.ones((lmax + 1, lmax + 1), np.float32))
+    a_re = rng.standard_normal((lmax + 1, lmax + 1)).astype(np.float32) * valid
+    a_im = rng.standard_normal((lmax + 1, lmax + 1)).astype(np.float32) * valid
+    a_im[:, 0] = 0.0
+    want_map = np.asarray(sht_ops.synthesize(a_re, a_im, nside, lmax))
+
+    synth, analyze = make_distributed_sht(mesh22, nside, lmax)
+    got_pad = synth(a_re, a_im)
+    got_map = unpad_map(np.asarray(got_pad)[: 4 * nside - 1], nside)
+    npt.assert_allclose(got_map, want_map, atol=2e-5)
+
+    b_re, b_im = analyze(pad_map(want_map, nside), niter=3)
+    npt.assert_allclose(np.asarray(b_re), a_re, atol=5e-4)
+    npt.assert_allclose(np.asarray(b_im), a_im, atol=5e-4)
