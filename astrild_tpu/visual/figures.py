@@ -11,7 +11,8 @@ import numpy as np
 
 __all__ = ["figure_size", "plot_map", "plot_power_spectra",
            "plot_halo_mass_function", "plot_velocity_field",
-           "plot_void_profiles"]
+           "plot_void_profiles", "plot_dipole_maps",
+           "plot_dipole_cross_section"]
 
 
 def _plt():
@@ -134,5 +135,73 @@ def plot_void_profiles(radii, mean, lowerr=None, higherr=None, fname=None):
     ax.set_ylabel(r"$\kappa(r)$")
     if fname:
         fig.savefig(fname, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def plot_dipole_maps(dipoles, skymap, indices, extent_deg: float = 1.0,
+                     opening_angle_deg: float = 20.0, fname=None):
+    """Cutouts of the dT map around selected dipoles, transverse-velocity
+    arrow overlaid (astrildvisual/rays/visuals.py:162-238).
+
+    dipoles: dict of columns with theta1_pix/theta2_pix and
+    theta1_mtvel/theta2_mtvel (or *_tv); skymap: 2D array.
+    """
+    plt = _plt()
+    img = np.asarray(skymap)
+    npix = img.shape[0]
+    pix_per_deg = npix / opening_angle_deg
+    half = max(2, int(extent_deg * pix_per_deg / 2))
+    get = lambda k: np.asarray(dipoles[k], float)
+    vk = "theta1_mtvel" if "theta1_mtvel" in dipoles else "theta1_tv"
+    vk2 = vk.replace("theta1", "theta2")
+    fig, axes = plt.subplots(1, len(indices), figsize=(5 * len(indices), 5),
+                             squeeze=False)
+    for ax, i in zip(axes[0], indices):
+        r = int(get("theta1_pix")[i])
+        c = int(get("theta2_pix")[i])
+        r0, r1 = max(0, r - half), min(npix, r + half)
+        c0, c1 = max(0, c - half), min(npix, c + half)
+        cut = img[r0:r1, c0:c1]
+        vmax = float(np.abs(cut).max()) or 1.0
+        ax.imshow(cut, cmap="RdBu_r", vmin=-vmax, vmax=vmax,
+                  origin="lower")
+        ax.quiver([c - c0], [r - r0], [get(vk2)[i]], [get(vk)[i]],
+                  color="k")
+        ax.set_title(f"dipole {i}")
+    if fname:
+        fig.savefig(fname, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def plot_dipole_cross_section(dipoles, skymap, index: int,
+                              extent_deg: float = 1.0,
+                              opening_angle_deg: float = 20.0, axis: int = 1,
+                              fname=None):
+    """1D dT profile through a dipole center along the given array axis
+    (astrildvisual/rays/visuals.py:241-300)."""
+    plt = _plt()
+    img = np.asarray(skymap)
+    npix = img.shape[0]
+    pix_per_deg = npix / opening_angle_deg
+    half = max(2, int(extent_deg * pix_per_deg / 2))
+    r = int(np.asarray(dipoles["theta1_pix"], float)[index])
+    c = int(np.asarray(dipoles["theta2_pix"], float)[index])
+    if axis == 1:
+        lo, hi = max(0, c - half), min(npix, c + half)
+        prof = img[r, lo:hi]
+        x = (np.arange(lo, hi) - c) / pix_per_deg
+    else:
+        lo, hi = max(0, r - half), min(npix, r + half)
+        prof = img[lo:hi, c]
+        x = (np.arange(lo, hi) - r) / pix_per_deg
+    fig, ax = plt.subplots(figsize=figure_size())
+    ax.plot(x, prof)
+    ax.axhline(0.0, color="0.6", lw=0.8)
+    ax.set_xlabel(r"offset [deg]")
+    ax.set_ylabel(r"$\Delta T$")
+    if fname:
+        fig.savefig(fname, bbox_inches="tight")
         plt.close(fig)
     return fig

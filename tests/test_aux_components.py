@@ -205,3 +205,25 @@ def test_io_save_helpers(tmp_path):
                         np.ones(5), {0: np.ones(5)})
     tab = aio.columnar_h5.read_table(p2)
     assert "xi_0" in tab
+
+
+def test_dipole_figures(tmp_path, rng):
+    """visual/figures dipole plots (astrildvisual/rays/visuals.py parity)."""
+    pytest.importorskip("matplotlib")
+    from astrild_tpu.visual import figures
+
+    npix = 128
+    img = rng.normal(0, 1e-7, (npix, npix))
+    img[60:68, 60:68] += 1e-6
+    cat = {"theta1_pix": np.array([64.0, 30.0]),
+           "theta2_pix": np.array([64.0, 90.0]),
+           "theta1_mtvel": np.array([300.0, -100.0]),
+           "theta2_mtvel": np.array([0.0, 200.0])}
+    f1 = str(tmp_path / "maps.png")
+    figures.plot_dipole_maps(cat, img, [0, 1], extent_deg=1.0,
+                             opening_angle_deg=20.0, fname=f1)
+    f2 = str(tmp_path / "cross.png")
+    figures.plot_dipole_cross_section(cat, img, 0, fname=f2)
+    import os
+
+    assert os.path.getsize(f1) > 0 and os.path.getsize(f2) > 0
