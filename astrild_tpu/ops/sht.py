@@ -33,7 +33,7 @@ from ..utils import healpix as hpx
 
 __all__ = ["RingGeometry", "ring_geometry", "legendre_table", "SHTTables",
            "sht_tables", "synthesize", "analyze", "alm2cl", "synfast",
-           "anafast", "smoothing"]
+           "anafast", "smoothing", "anafast_masked"]
 
 
 class RingGeometry(NamedTuple):
@@ -239,3 +239,19 @@ def smoothing(hpmap, fwhm_rad: float, lmax: int, niter: int = 3,
     ell = jnp.arange(lmax + 1, dtype=jnp.float32)
     bl = jnp.exp(-0.5 * ell * (ell + 1.0) * sigma ** 2)[:, None]
     return synthesize(a_re * bl, a_im * bl, nside, lmax, tables=tab)
+
+
+def anafast_masked(hpmap, mask, lmax: int, niter: int = 3,
+                   tables: Optional[SHTTables] = None):
+    """f_sky-corrected pseudo-Cl of a masked map: Cl(map*mask)/<mask^2>.
+
+    The functional replacement for the reference's sky_namaster.py intent
+    (its pymaster calls are commented out); exact mode decoupling is not
+    attempted — the <w^2> normalization is unbiased for spectra smooth on
+    the mask's coupling scale (same estimator as the flat-sky
+    ops/angular_power.cl_flat_sky_masked)."""
+    mask = jnp.asarray(mask, jnp.float32)
+    w2 = jnp.mean(mask ** 2)
+    cl = anafast(jnp.asarray(hpmap, jnp.float32) * mask, lmax, niter=niter,
+                 tables=tables)
+    return cl / jnp.maximum(w2, 1e-12)

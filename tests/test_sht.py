@@ -149,3 +149,18 @@ def test_skyhealpix_from_file(tmp_path, rng):
         SkyHealpix.from_file("map.fits")
     with pytest.raises(ValueError):
         SkyHealpix.from_file(p, "isw_rs")  # h5 without nside
+
+
+def test_anafast_masked_unbiased():
+    """f_sky-corrected pseudo-Cl recovers the unmasked spectrum."""
+    ell = np.arange(LMAX + 1)
+    cl_in = 1e-2 / (1.0 + ell) ** 2
+    m = sht.synfast(jax.random.PRNGKey(11), cl_in, NSIDE)
+    npix = hpx.nside2npix(NSIDE)
+    th, _ = hpx.pix2ang_ring(NSIDE, jnp.arange(npix))
+    mask = (np.asarray(th) < 2.2).astype(np.float32)  # ~80% sky
+    cl_full = np.asarray(sht.anafast(m, LMAX))
+    cl_mask = np.asarray(sht.anafast_masked(m, mask, LMAX))
+    # broadband ratio ~ 1 (mode coupling smears individual ells)
+    r = cl_mask[4:20].mean() / cl_full[4:20].mean()
+    assert 0.75 < r < 1.3
