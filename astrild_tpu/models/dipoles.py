@@ -28,6 +28,28 @@ class Dipoles:
     def __init__(self, data: Dict[str, np.ndarray]):
         self.data = data
 
+    # ----------------------------------------------------------- persistence
+    @classmethod
+    def from_dataframe(cls, df) -> "Dipoles":
+        """From a pandas DataFrame or a dict of columns
+        (dipole_finder.py from_dataframe)."""
+        cols = df.columns if hasattr(df, "columns") else df.keys()
+        return cls({k: np.asarray(df[k]) for k in cols})
+
+    @classmethod
+    def from_file(cls, path: str) -> "Dipoles":
+        """Load a saved dipole catalog (.h5 columnar table)
+        (dipole_finder.py from_file)."""
+        from ..io import columnar_h5
+
+        return cls(dict(columnar_h5.read_table(path)))
+
+    def to_file(self, path: str) -> None:
+        from ..io import columnar_h5
+
+        columnar_h5.write_table(path, {k: np.asarray(v)
+                                       for k, v in self.data.items()})
+
     # ------------------------------------------------------------- detection
     @classmethod
     def from_sky(cls, skymap, on: str = "orig", snr_threshold: float = 0.0,

@@ -313,3 +313,23 @@ def test_skyarray_halo_catalogue_alias(rng):
         patch_npix=33)
     assert sky.data["orig"].shape == (128, 128)
     assert float(np.abs(np.asarray(sky.data["orig"])).max()) > 0
+
+
+def test_dipoles_catalog_roundtrip(tmp_path):
+    """Dipoles from_dataframe/from_file/to_file (dipole_finder.py parity)."""
+    from astrild_tpu.models.dipoles import Dipoles
+
+    cat = {"theta1_pix": np.array([3.0, 7.0]),
+           "theta2_pix": np.array([4.0, 1.0]),
+           "dT": np.array([1e-6, -2e-6]), "snr": np.array([5.0, 7.0])}
+    d1 = Dipoles.from_dataframe(cat)
+    p = str(tmp_path / "dip.h5")
+    d1.to_file(p)
+    d2 = Dipoles.from_file(p)
+    for k in cat:
+        npt.assert_allclose(d2.data[k], cat[k])
+    # pandas DataFrame input path
+    import pandas as pd
+
+    d3 = Dipoles.from_dataframe(pd.DataFrame(cat))
+    npt.assert_allclose(d3.data["snr"], cat["snr"])
