@@ -19,6 +19,7 @@ import numpy as np
 from ..core.dataset import Dataset
 from ..io import columnar_h5
 from ..ops import filters as filter_ops
+from ..ops import object_selection
 from ..ops import peaks as peak_ops
 from ..ops import profiles as prof_ops
 from ..ops import voids as void_ops
@@ -173,6 +174,31 @@ class Voids:
                     ) -> "Voids":
         name = ("tunnels" if isinstance(finder_obj, TunnelsFinder) else "wvf")
         return cls(dict(finder_obj.voids), name, skymap_dsc)
+
+    # -------------------------------------------------------------- selection
+    def categorize_sizes(self, bins: int, min_obj_nr: int) -> None:
+        """Log-binned size categories, undersized bins dropped
+        (void.py:481-493 -> ops.object_selection.categorize_sizes)."""
+        self.data = object_selection.categorize_sizes(
+            self.data, "log", bins, min_obj_nr)
+
+    def filter_size(self, size_bin: int) -> Dict[str, np.ndarray]:
+        """Rows of one size category (void.py:454-467)."""
+        keep = np.asarray(self.data["size_cat"]) == size_bin
+        return {k: np.asarray(v)[keep] for k, v in self.data.items()}
+
+    def filter_sigma(self, sigma: float) -> Dict[str, np.ndarray]:
+        """Rows at one detection threshold; the key depends on the finder
+        (void.py:433-452)."""
+        key = self.FINDER_SIGMA_NAMES[self.finder]
+        keep = np.asarray(self.data[key]) == sigma
+        return {k: np.asarray(v)[keep] for k, v in self.data.items()}
+
+    def select_type(self, void_type: str, tracers, args: dict) -> None:
+        """(void.py:469-474): 'minimal' voids = tracer-free interiors."""
+        if void_type == "minimal":
+            self.data = object_selection.minimal_voids(
+                self.data, tracers, args)
 
     # ------------------------------------------------------------ statistics
     def get_void_size_fct(self, nbins: int, limits=None) -> Dict[str, dict]:

@@ -190,3 +190,22 @@ def test_tangential_shear_central_overdensity():
     kappa = jnp.zeros((10,)).at[0].set(1.0)
     gt = np.asarray(PR.tangential_shear(eta, kappa))
     assert np.all(gt[1:] > 0)
+
+
+def test_voids_selection_methods():
+    """Voids categorize_sizes/filter_size/filter_sigma (void.py:433-493)."""
+    from astrild_tpu.models import Voids
+
+    n = 40
+    rng = np.random.default_rng(3)
+    data = {"rad_deg": 10 ** rng.uniform(-1.5, 0.0, n),
+            "rad_pix": rng.uniform(3, 60, n),
+            "sigma": np.repeat([0.0, 1.0], n // 2)}
+    v = Voids(dict(data), finder="tunnels")
+    v.categorize_sizes(bins=4, min_obj_nr=2)
+    assert "size_cat" in v.data and len(v.data["rad_deg"]) <= n
+    cats = np.unique(v.data["size_cat"])
+    sub = v.filter_size(int(cats[0]))
+    assert np.all(sub["size_cat"] == cats[0]) and len(sub["rad_deg"]) >= 2
+    s0 = v.filter_sigma(0.0)
+    assert np.all(s0["sigma"] == 0.0)
