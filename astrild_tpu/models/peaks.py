@@ -34,6 +34,33 @@ class Peaks:
         return cls(dict(data), {"npix": finder.skymap.npix,
                                 "opening_angle": finder.skymap.opening_angle})
 
+    @classmethod
+    def from_txt(cls, fname: str, npix: int, field_width_deg: float,
+                 skymap_dsc: Optional[dict] = None) -> "Peaks":
+        """Whitespace table (x_deg, y_deg, nu) + derived pixel coords
+        (peak.py:347-365 load_txt_add_pix)."""
+        tab = np.loadtxt(fname, ndmin=2)
+        scale = npix / field_width_deg
+        data = {"x_deg": tab[:, 0], "y_deg": tab[:, 1], "nu": tab[:, 2],
+                "x_pix": np.rint(tab[:, 0] * scale).astype(int),
+                "y_pix": np.rint(tab[:, 1] * scale).astype(int)}
+        return cls(data, skymap_dsc)
+
+    def categorize_sizes(self, bins: int, min_obj_nr: int) -> None:
+        """(peak.py categorize_sizes -> ops.object_selection)"""
+        from ..ops import object_selection
+
+        self.data = object_selection.categorize_sizes(
+            self.data, "log", bins, min_obj_nr)
+
+    def filter_size(self, size_bin: int) -> Dict[str, np.ndarray]:
+        keep = np.asarray(self.data["size_cat"]) == size_bin
+        return {k: np.asarray(v)[keep] for k, v in self.data.items()}
+
+    def filter_sigma(self, sigma: float) -> Dict[str, np.ndarray]:
+        keep = np.asarray(self.data["sigma"]) == sigma
+        return {k: np.asarray(v)[keep] for k, v in self.data.items()}
+
     def set_radii(self, voids_data: Dict[str, np.ndarray]) -> None:
         """Peak radius = distance to nearest void center (peak.py:307-344)."""
         from scipy.spatial import cKDTree

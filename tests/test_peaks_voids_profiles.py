@@ -209,3 +209,20 @@ def test_voids_selection_methods():
     assert np.all(sub["size_cat"] == cats[0]) and len(sub["rad_deg"]) >= 2
     s0 = v.filter_sigma(0.0)
     assert np.all(s0["sigma"] == 0.0)
+
+
+def test_peaks_txt_and_selection(tmp_path):
+    """Peaks.from_txt (peak.py:347-365) + size/sigma selection."""
+    from astrild_tpu.models.peaks import Peaks
+
+    rows = np.array([[1.0, 2.0, 3.5], [5.0, 4.0, 4.2], [9.9, 0.1, 2.8]])
+    f = str(tmp_path / "peaks.txt")
+    np.savetxt(f, rows)
+    pk = Peaks.from_txt(f, npix=128, field_width_deg=10.0)
+    npt.assert_array_equal(pk.data["x_pix"], [13, 64, 127])
+    npt.assert_array_equal(pk.data["y_pix"], [26, 51, 1])
+    pk.data["rad_deg"] = np.array([0.1, 0.5, 1.0])
+    pk.data["sigma"] = np.array([0.0, 0.0, 3.0])
+    pk.categorize_sizes(bins=2, min_obj_nr=1)
+    assert "size_cat" in pk.data
+    assert len(pk.filter_sigma(0.0)["nu"]) == 2
