@@ -119,6 +119,20 @@ class TunnelsFinder:
             dist * self.skymap.npix / self.skymap.opening_angle).astype(int)
         return peaks
 
+    def to_file(self, dir_out: str) -> None:
+        """Persist peaks and voids as columnar h5 tables (tunnel.py:223-248;
+        the reference's txt/bin/fits shims for the external binary are
+        obsolete — catalogs are arrays here)."""
+        os.makedirs(dir_out, exist_ok=True)
+        if self.peaks is not None:
+            columnar_h5.write_table(
+                os.path.join(dir_out, "peaks_in_kappa2.h5"),
+                {k: np.asarray(v) for k, v in self.peaks.items()})
+        if self.voids is not None:
+            columnar_h5.write_table(
+                os.path.join(dir_out, "voids_in_kappa2.h5"),
+                {k: np.asarray(v) for k, v in self.voids.items()})
+
 
 class WatershedFinder:
     """Watershed void finder (watershed.py + watershed_voids.py:27-110)."""

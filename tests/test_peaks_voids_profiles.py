@@ -226,3 +226,27 @@ def test_peaks_txt_and_selection(tmp_path):
     pk.categorize_sizes(bins=2, min_obj_nr=1)
     assert "size_cat" in pk.data
     assert len(pk.filter_sigma(0.0)["nu"]) == 2
+
+
+def test_tunnels_finder_to_file(tmp_path, rng):
+    """TunnelsFinder.to_file persists peaks+voids as h5 (tunnel.py:223-248)."""
+    from astrild_tpu.io import columnar_h5
+    from astrild_tpu.models import SkyArray, TunnelsFinder
+
+    npix = 64
+    e = np.arange(npix)
+    img = rng.normal(0, 0.005, (npix, npix))
+    for (r, c) in [(20, 20), (40, 45)]:
+        img += 0.05 * np.exp(-((e[:, None] - r) ** 2
+                               + (e[None, :] - c) ** 2) / 8.0)
+    sky = SkyArray.from_array(img, 5.0, "kappa_2")
+    finder = TunnelsFinder(sky)
+    finder.find_peaks(edge_pix=2)
+    finder.find_voids(sigmas=[0.0])
+    out = str(tmp_path / "cat")
+    finder.to_file(out)
+    import os
+
+    pk = columnar_h5.read_table(os.path.join(out, "peaks_in_kappa2.h5"))
+    vd = columnar_h5.read_table(os.path.join(out, "voids_in_kappa2.h5"))
+    assert len(pk["x_pix"]) > 0 and len(vd["rad_pix"]) > 0
