@@ -10,4 +10,14 @@ shard_map over TPU device meshes.
 
 __version__ = "0.1.0"
 
-from .utils import Cosmology, PLANCK18  # noqa: F401
+from .utils import Cosmology  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy PLANCK18 (PEP 562): constructing it builds distance/growth tables
+    # on the active JAX backend, which must not happen at import time.
+    if name == "PLANCK18":
+        from . import utils
+
+        return utils.PLANCK18
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

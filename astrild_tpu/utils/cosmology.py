@@ -218,4 +218,17 @@ class Cosmology:
         return d_l * d_ls / (jnp.where(d_s > 0, d_s, 1.0) * pref)
 
 
-PLANCK18 = Cosmology()
+_PLANCK18_CACHE = None
+
+
+def __getattr__(name):
+    """PEP 562 lazy module attribute: building ``PLANCK18`` runs jnp table
+    construction (device work), so it must not happen at import time —
+    drivers configure the backend (platform, device count) *after* importing
+    the package."""
+    if name == "PLANCK18":
+        global _PLANCK18_CACHE
+        if _PLANCK18_CACHE is None:
+            _PLANCK18_CACHE = Cosmology()
+        return _PLANCK18_CACHE
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
