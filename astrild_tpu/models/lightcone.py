@@ -47,12 +47,14 @@ def halo_lightcone_catalog(
     Returns the reference's column schema (rayramses.py:565-594) or None
     when no halo lands in the shell.
     """
-    import jax.numpy as jnp
-
+    # Host numpy float64 throughout: at chi ~ 2000-3000 Mpc/h float32
+    # positions carry ~0.1 Mpc/h quantization, and this transform runs
+    # pre-device anyway. (Round-1 regression: jnp.float64 without x64
+    # enabled silently truncated to float32.)
     pos = np.asarray(transform_box_to_lc_cart_coords(
-        jnp.asarray(pos_box, jnp.float64), boxsize, boxdist))
-    rad = np.asarray(radial_coordinate_in_lc(jnp.asarray(pos)))
-    t1, t2 = angular_coordinate_in_lc(jnp.asarray(pos), unit="deg")
+        np.asarray(pos_box, np.float64), boxsize, boxdist))
+    rad = np.asarray(radial_coordinate_in_lc(pos))
+    t1, t2 = angular_coordinate_in_lc(pos, unit="deg")
     t1 = np.asarray(t1)
     t2 = np.asarray(t2)
     sel = ((rad >= min(snaplimit)) & (rad <= max(snaplimit))

@@ -30,7 +30,12 @@ class Peaks:
 
     @classmethod
     def from_tunnels_finder(cls, finder, with_radii: bool = True) -> "Peaks":
-        data = finder.set_peak_radii() if with_radii else dict(finder.peaks)
+        # Prefer the per-sigma filtered peaks (carry 'sigma' + per-cut radii,
+        # mirroring the reference's peaks_df_sum, tunnel.py:180-240).
+        data = getattr(finder, "filtered_peaks", None)
+        if data is None:
+            data = (finder.set_peak_radii() if with_radii
+                    else dict(finder.peaks))
         return cls(dict(data), {"npix": finder.skymap.npix,
                                 "opening_angle": finder.skymap.opening_angle})
 

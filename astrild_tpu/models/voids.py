@@ -83,6 +83,12 @@ class TunnelsFinder:
             [jnp.asarray(self.peaks["y_pix"]),
              jnp.asarray(self.peaks["x_pix"])], axis=-1).astype(jnp.float32)
         snr = np.asarray(self.peaks["snr"])
+        # Per-sigma filtered-peaks accumulation mirroring the reference's
+        # peaks_df_sum (tunnel.py:180-240): each SNR cut's surviving peaks
+        # carry a 'sigma' column and radii measured against THAT cut's voids.
+        peak_cols: Dict[str, list] = {
+            k: [] for k in ("x_pix", "y_pix", "x_deg", "y_deg", "kappa",
+                            "snr", "sigma", "rad_pix", "rad_deg")}
         for sigma in sigmas:
             valid = jnp.asarray(snr > sigma)
             if int(valid.sum()) == 0:
@@ -90,17 +96,42 @@ class TunnelsFinder:
             cat = void_ops.find_tunnels(peaks_pos, valid, npix,
                                         max_voids=max_voids, overlap=overlap)
             n = int(cat.n)
+            void_xy_deg = np.stack(
+                [np.asarray(cat.pos[:n, 1]), np.asarray(cat.pos[:n, 0])],
+                axis=-1) * pix2deg
             all_cols["x_pix"].append(np.asarray(cat.pos[:n, 1]))
             all_cols["y_pix"].append(np.asarray(cat.pos[:n, 0]))
-            all_cols["x_deg"].append(np.asarray(cat.pos[:n, 1]) * pix2deg)
-            all_cols["y_deg"].append(np.asarray(cat.pos[:n, 0]) * pix2deg)
+            all_cols["x_deg"].append(void_xy_deg[:, 0])
+            all_cols["y_deg"].append(void_xy_deg[:, 1])
             all_cols["rad_pix"].append(np.asarray(cat.radius[:n]))
             all_cols["rad_deg"].append(np.asarray(cat.radius[:n]) * pix2deg)
             all_cols["sigma"].append(np.full(n, sigma))
+
+            sel = np.asarray(valid)
+            cut = {k: np.asarray(v)[sel] for k, v in self.peaks.items()}
+            cut["sigma"] = np.full(sel.sum(), sigma)
+            cut_radii = self._peak_radii_deg(
+                np.stack([cut["x_deg"], cut["y_deg"]], axis=-1), void_xy_deg)
+            cut["rad_deg"] = cut_radii
+            cut["rad_pix"] = np.rint(cut_radii / pix2deg).astype(int)
+            for k, v in cut.items():
+                peak_cols[k].append(v)
         self.voids = {k: (np.concatenate(v) if v else np.empty(0))
                       for k, v in all_cols.items()}
-        self.filtered_peaks = self.peaks
+        self.filtered_peaks = {k: (np.concatenate(v) if v else np.empty(0))
+                               for k, v in peak_cols.items()}
         return self.voids
+
+    @staticmethod
+    def _peak_radii_deg(peak_xy_deg: np.ndarray,
+                        void_xy_deg: np.ndarray) -> np.ndarray:
+        """Peak radius = distance to nearest void center (tunnel.py:250-295)."""
+        if len(void_xy_deg) == 0:
+            return np.zeros(len(peak_xy_deg))
+        from scipy.spatial import cKDTree
+
+        dist, _ = cKDTree(void_xy_deg).query(peak_xy_deg, k=1)
+        return dist
 
     def set_peak_radii(self, peaks: Optional[dict] = None,
                        voids: Optional[dict] = None) -> dict:
@@ -167,8 +198,10 @@ class Voids:
     """Void-catalog manager for finders {tunnels, svf, zobov, wvf}
     (rays/void.py:23-545)."""
 
+    # zobov catalogs threshold on 'halo_den' in the reference
+    # (void.py:433-452); accept the column name archived catalogs carry.
     FINDER_SIGMA_NAMES = {"tunnels": "sigma", "svf": "void_overlap",
-                          "zobov": "void_min_den", "wvf": "sigma"}
+                          "zobov": "halo_den", "wvf": "sigma"}
 
     def __init__(self, data: Dict[str, np.ndarray], finder: str = "tunnels",
                  skymap_dsc: Optional[dict] = None, file_in=None):
@@ -209,10 +242,20 @@ class Voids:
         return {k: np.asarray(v)[keep] for k, v in self.data.items()}
 
     def select_type(self, void_type: str, tracers, args: dict) -> None:
-        """(void.py:469-474): 'minimal' voids = tracer-free interiors."""
+        """(void.py:469-474): 'minimal' voids = tracer-free interiors.
+
+        tracers must be an (N, 2) array of tracer pixel positions; args must
+        carry the map width in pixels under 'field_width' (or
+        'field_width_pix').
+        """
         if void_type == "minimal":
+            width = args.get("field_width_pix", args.get("field_width"))
+            if width is None:
+                raise KeyError(
+                    "select_type('minimal', ...) needs args['field_width'] "
+                    "(map width in pixels)")
             self.data = object_selection.minimal_voids(
-                self.data, tracers, args)
+                self.data, np.asarray(tracers), float(width))
 
     # ------------------------------------------------------------ statistics
     def get_void_size_fct(self, nbins: int, limits=None) -> Dict[str, dict]:
@@ -303,12 +346,16 @@ class Voids:
                                     f"{self.finder}_profiles.stats.h5"))
         return ds
 
-    def trim_edges(self, npix: Optional[int] = None) -> None:
-        """Drop voids whose profile reach crosses the map edge
-        (void.py:412-424)."""
+    def trim_edges(self, npix: Optional[int] = None,
+                   extend: float = 1.0) -> None:
+        """Drop voids whose extend*radius profile patch crosses the map edge.
+
+        The reference passes the profile extension factor radii_max into the
+        trim (void.py:412-424 -> trim_dataframe_of_objects_crossing_edge
+        with extend*radius), so callers profiling out to radii_max*rad must
+        trim with extend=radii_max.
+        """
         npix = npix or self.skymap_dsc.get("npix")
-        r = np.asarray(self.data["rad_pix"])
-        x = np.asarray(self.data["x_pix"])
-        y = np.asarray(self.data["y_pix"])
-        keep = ((x - r > 0) & (x + r < npix) & (y - r > 0) & (y + r < npix))
-        self.data = {k: np.asarray(v)[keep] for k, v in self.data.items()}
+        self.data = object_selection.trim_objects_crossing_edge(
+            self.data, extend, npix, key_size="rad_pix",
+            pos_keys=("x_pix", "y_pix"))

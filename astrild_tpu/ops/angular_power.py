@@ -82,7 +82,7 @@ def cl_to_flat_map(key, cl_tab_ell, cl_tab_val, npix: int,
     return jnp.real(jnp.fft.ifft2(sym * jnp.sqrt(2.0)))
 
 
-@partial(jax.jit, static_argnames=("nbins",))
+@partial(jax.jit, static_argnames=("nbins", "apodize_arcmin"))
 def cl_flat_sky_masked(img, mask, opening_angle_deg, nbins: int = 50,
                        apodize_arcmin: float = 0.0):
     """Pseudo-Cl of a masked flat-sky map with mean-w^2 deconvolution.

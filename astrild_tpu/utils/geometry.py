@@ -103,25 +103,39 @@ def convert_vec_cart_to_sph(th, ph, vij_cart):
 
 
 # ------------------------------------------------------------------ lightcone
+# These three are array-namespace preserving (numpy in -> numpy out, at the
+# input dtype): the box->lightcone transform is run on host in float64 before
+# device entry (models/lightcone.py), where a silent jnp float32 cast would
+# cost ~0.1 Mpc/h position quantization at chi ~ 2000 Mpc/h.
+def _xp(arr):
+    import numpy as np
+
+    return jnp if isinstance(arr, jnp.ndarray) else np
+
+
 def transform_box_to_lc_cart_coords(pos, boxsize, boxdist):
     """Box coords -> lightcone cartesian coords (observer at origin).
 
     Pure-functional version of the reference's in-place mutation
     (geometrical_transforms.py:138-146).
     """
-    shift = jnp.array([-boxsize / 2.0, -boxsize / 2.0, boxdist])
+    xp = _xp(pos)
+    shift = xp.asarray([-boxsize / 2.0, -boxsize / 2.0, boxdist],
+                       dtype=pos.dtype if hasattr(pos, "dtype") else None)
     return pos + shift
 
 
 def radial_coordinate_in_lc(pos):
-    return jnp.sqrt(jnp.sum(pos ** 2, axis=-1))
+    xp = _xp(pos)
+    return xp.sqrt(xp.sum(pos ** 2, axis=-1))
 
 
 def angular_coordinate_in_lc(pos, unit: str = "deg"):
     """Flat-sky angles w.r.t. the z-axis."""
-    theta1 = jnp.arctan(pos[:, 0] / pos[:, 2])
-    theta2 = jnp.arctan(pos[:, 1] / pos[:, 2])
+    xp = _xp(pos)
+    theta1 = xp.arctan(pos[:, 0] / pos[:, 2])
+    theta2 = xp.arctan(pos[:, 1] / pos[:, 2])
     if unit == "deg":
-        theta1 = theta1 * 180.0 / jnp.pi
-        theta2 = theta2 * 180.0 / jnp.pi
+        theta1 = theta1 * 180.0 / xp.pi
+        theta2 = theta2 * 180.0 / xp.pi
     return theta1, theta2

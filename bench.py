@@ -4,10 +4,11 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Baseline (BASELINE.json north star): full z=0 suite — P(k), B(k), 2048^2
 kappa/gamma maps, void catalog — for a 1024^3-particle snapshot in < 60 s
-on a TPU v4-8 (8 chips). This runs the whole implemented suite at
-1/64-scale particle count (256^3 particles) on ONE chip and reports the
-per-chip particle throughput against the north star's
-1024^3/(60 s * 8 chips) = 2.24 Mparticles/s/chip.
+on a TPU v4-8 (8 chips). By default this runs the exact north-star
+PER-CHIP share on ONE chip: 1024^3/8 = 512^3 particles onto a 256^3
+per-chip analysis grid, and reports particle throughput against the north
+star's 1024^3/(60 s * 8 chips) = 2.24 Mparticles/s/chip. BENCH_NSIDE=256
+gives a faster smoke-scale run.
 
 Suite stages (all jit-compiled, timed end-to-end with host sync):
   TSC paint 256^3 grid <- 256^3 particles
@@ -121,7 +122,7 @@ def make_stages():
     return run
 
 
-def _run_suite(n_side):
+def _run_suite(n_side, fallback_from=None):
     n_part = n_side ** 3
     key = jax.random.PRNGKey(0)
     pos = jax.random.uniform(key, (3 * n_part,), minval=0.0, maxval=BOX,
@@ -140,13 +141,16 @@ def _run_suite(n_side):
     dt = min(times)
 
     pps = n_part / dt
-    print(json.dumps({
+    record = {
         "metric": "full z=0 suite (P(k)+B(k)+2048^2 kappa/gamma+voids), "
                   f"{n_side}^3 particles, 1 chip",
         "value": round(pps / 1e6, 3),
         "unit": "Mparticles/s/chip",
         "vs_baseline": round(pps / BASELINE_PPS_PER_CHIP, 3),
-    }))
+    }
+    if fallback_from:
+        record["fallback_from"] = fallback_from
+    print(json.dumps(record))
 
 
 def main():
@@ -156,10 +160,12 @@ def main():
     except Exception as e:  # e.g. cold-cache HBM variance at full scale
         if N_SIDE <= 256:
             raise
-        print(f"# {N_SIDE}^3 failed ({type(e).__name__}); "
+        print(f"# {N_SIDE}^3 failed ({type(e).__name__}: {e}); "
               "falling back to 256^3", file=sys.stderr, flush=True)
         NGRID = 256
-        _run_suite(256)
+        # the JSON records WHY full scale fell back, so a logic regression
+        # can't masquerade as a smoke-scale success
+        _run_suite(256, fallback_from=f"{N_SIDE}^3: {type(e).__name__}")
 
 
 if __name__ == "__main__":

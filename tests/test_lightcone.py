@@ -58,3 +58,27 @@ def test_empty_shell_returns_none_and_merge():
                                   opening_angle=20.0, npix=1024)
     merged = merge_lightcone_catalogs([cat, cat2, None])
     assert len(merged["m200"]) == 1
+
+
+def test_lightcone_transform_float64_precision():
+    """Box->lightcone transform must run in real float64 on host (round-1
+    regression: jnp.float64 without x64 silently truncated to float32,
+    ~0.1 Mpc/h quantization at chi ~ 3000)."""
+    import warnings
+
+    from astrild_tpu.models.lightcone import halo_lightcone_catalog
+
+    boxdist = 3000.0
+    boxsize = 500.0
+    # a position whose lightcone radius needs float64 to resolve sub-1e-3
+    pos = np.array([[250.0 + 1e-4, 250.0, 123.456789]])
+    vel = np.array([[100.0, 50.0, 25.0]])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any float64-truncation warning fails
+        cat = halo_lightcone_catalog(
+            pos, vel, np.array([1e13]), np.array([0.2]), boxsize, boxdist,
+            snaplimit=(2900.0, 3300.0), opening_angle=10.0, npix=1024)
+    assert cat is not None
+    assert cat["x"].dtype == np.float64
+    expected_rad = np.sqrt(1e-4 ** 2 + (boxdist + 123.456789) ** 2)
+    assert abs(float(cat["rad_dist"][0]) - expected_rad) < 1e-3

@@ -36,3 +36,18 @@ def test_write_info_header(tmp_path):
                           ["id", "x", "y"])
     text = open(p).read()
     assert "halo catalog" in text and "column 2: y" in text
+
+
+def test_masked_cl_explicit_apodization(rng):
+    """apodize_arcmin is a static argname: calling with an explicit value
+    (traced-bool regression, ADVICE r1) must work and stay close to the
+    unapodized white-noise answer."""
+    n = 128
+    img = jnp.asarray(rng.normal(0, 1, (n, n)).astype(np.float32))
+    mask = jnp.ones((n, n)).at[:, n // 2:].set(0.0)
+    ell0, cl0 = AP.cl_flat_sky_masked(img, mask, 5.0, nbins=8,
+                                      apodize_arcmin=0.0)
+    ell1, cl1 = AP.cl_flat_sky_masked(img, mask, 5.0, nbins=8,
+                                      apodize_arcmin=10.0)
+    assert np.all(np.isfinite(np.asarray(cl1)))
+    npt.assert_allclose(np.asarray(cl1)[2:], np.asarray(cl0)[2:], rtol=0.5)

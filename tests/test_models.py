@@ -333,3 +333,56 @@ def test_dipoles_catalog_roundtrip(tmp_path):
 
     d3 = Dipoles.from_dataframe(pd.DataFrame(cat))
     npt.assert_allclose(d3.data["snr"], cat["snr"])
+
+
+# ------------------------------------------------ ADVICE r1 regression fixes
+def test_voids_select_type_minimal(kappa_sky, rng):
+    finder = TunnelsFinder(kappa_sky)
+    finder.find_peaks()
+    finder.find_voids(sigmas=[0.0])
+    voids = Voids.from_finder(finder, {"npix": kappa_sky.npix})
+    tracers = rng.uniform(0, kappa_sky.npix, (500, 2))
+    voids.select_type("minimal", tracers,
+                      {"field_width": float(kappa_sky.npix)})
+    assert "minimal" in voids.data
+    assert voids.data["minimal"].dtype == bool
+
+
+def test_voids_filter_sigma_zobov_column():
+    data = {"halo_den": np.array([0.2, 0.2, 0.5]),
+            "rad_pix": np.array([3.0, 4.0, 5.0])}
+    v = Voids(data, finder="zobov")
+    out = v.filter_sigma(0.2)
+    assert len(out["rad_pix"]) == 2
+
+
+def test_voids_trim_edges_extend():
+    npix = 100
+    data = {"x_pix": np.array([50.0, 10.0]),
+            "y_pix": np.array([50.0, 50.0]),
+            "rad_pix": np.array([8.0, 8.0])}
+    v = Voids(dict(data), skymap_dsc={"npix": npix})
+    v.trim_edges(extend=1.0)
+    assert len(v.data["x_pix"]) == 2
+    v = Voids(dict(data), skymap_dsc={"npix": npix})
+    v.trim_edges(extend=2.0)  # 10 - 16 < 0 -> second void dropped
+    assert len(v.data["x_pix"]) == 1
+    assert v.data["x_pix"][0] == 50.0
+
+
+def test_filtered_peaks_per_sigma(kappa_sky):
+    finder = TunnelsFinder(kappa_sky)
+    finder.find_peaks()
+    finder.find_voids(sigmas=[0.0, 1.0])
+    fp = finder.filtered_peaks
+    for col in ("sigma", "rad_deg", "rad_pix", "snr", "x_pix"):
+        assert col in fp
+    sig = np.unique(fp["sigma"])
+    assert len(sig) >= 1
+    # each cut's peaks all exceed that cut's SNR threshold
+    for s in sig:
+        assert np.all(fp["snr"][fp["sigma"] == s] > s)
+    # Peaks built from the finder can filter on sigma without KeyError
+    peaks = Peaks.from_tunnels_finder(finder)
+    sub = peaks.filter_sigma(sig[0])
+    assert len(sub["x_pix"]) == int((fp["sigma"] == sig[0]).sum())
