@@ -122,7 +122,7 @@ class SkyHealpix:
         theta = t0 + dt
         phi = p0 + dp / np.maximum(np.sin(np.clip(theta, 1e-6, np.pi - 1e-6)),
                                    1e-6)
-        vals = hp.get_interp_val_nearest(self.data[of], theta, phi)
+        vals = hp.get_interp_val(self.data[of], theta, phi)
         return SkyArray.from_array(vals, opening_angle_deg, self.quantity)
 
     def rotate(self, rot_matrix, of: str = "orig") -> np.ndarray:
@@ -198,6 +198,6 @@ class SkyHealpix:
         ts = theta + np.asarray(alpha_theta)
         ps = phi + np.asarray(alpha_phi) / np.maximum(np.sin(theta), 1e-6)
         ts = np.clip(ts, 0.0, np.pi)
-        lensed = hp.get_interp_val_nearest(np.asarray(cmb_map), ts, ps)
+        lensed = hp.get_interp_val(np.asarray(cmb_map), ts, ps)
         self.data["cmb_lensed"] = lensed
         return lensed
