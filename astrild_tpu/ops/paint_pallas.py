@@ -1,0 +1,173 @@
+"""Pallas TPU deposit kernel: sorted one-hot-matmul mass assignment.
+
+The NGP scatter `grid.at[flat].add(w)` is the wall of the whole analysis
+suite: XLA lowers TPU scatter to a full sort PLUS a serialized segment
+reduce (measured on the v5e chip at 512^3: scatter 1582 ms; lax.sort alone
+450 ms; segment_sum even on pre-sorted ids 1211 ms). The sort is
+irreducible, but the post-sort accumulation is not: with keys sorted,
+every 128-lane-aligned window of the grid receives a contiguous particle
+range, and the in-window deposit
+
+    out[r, l] += sum_p w_p * [rel_p // 128 == r] * [rel_p % 128 == l]
+
+is a contraction of two on-the-fly one-hot tensors — an MXU matmul, not a
+scatter. This kernel grids over disjoint output windows, DMAs each
+window's (pre-sorted) particle range from HBM in chunks, and accumulates
+via `dot_general` into a VMEM block. Replaces the role of pmesh painting
+in the reference (/root/reference/src/astrild/particles/hutils/
+stats_subfind.py:129-141, power_spectrum_3d.py:140-153).
+
+Measured at 512^3 particles -> 8*256^3 cells (bench scale): sort+kernel
+530 ms vs 1582 ms for the XLA scatter (3.0x).
+
+Runs compiled on TPU; in interpreter mode on the CPU test mesh.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["deposit_sorted", "deposit_flat", "DEFAULT_WINDOW"]
+
+DEFAULT_WINDOW = 8192   # cells per output window (must be multiple of 128)
+_CHUNK_ROWS = 16        # particle rows (of 128) DMA'd per inner step
+
+
+def _kernel(srow_ref, nch_ref, keys_hbm, vals_hbm, out_ref, kbuf, vbuf,
+            sem_k, sem_v, *, rows: int, window: int, p1: int,
+            counts_only: bool):
+    j = pl.program_id(0)
+    base = j * window
+
+    def body(k, acc):
+        row0 = srow_ref[j] + k * p1
+        ck = pltpu.make_async_copy(keys_hbm.at[pl.ds(row0, p1), :], kbuf,
+                                   sem_k)
+        ck.start()
+        if not counts_only:
+            cv = pltpu.make_async_copy(vals_hbm.at[pl.ds(row0, p1), :],
+                                       vbuf, sem_v)
+            cv.start()
+            cv.wait()
+        ck.wait()
+        rel = kbuf[:] - base
+        inw = (rel >= 0) & (rel < window)
+        relc = jnp.clip(rel, 0, window - 1)
+        row = relc // 128
+        lane = relc - row * 128
+        if counts_only:
+            w = inw.astype(jnp.float32)
+        else:
+            w = jnp.where(inw, vbuf[:], 0.0)
+        # two one-hot factors contracted over the particle axis:
+        # H[p,r] = w_p * [row_p==r]; L[p,l] = [lane_p==l]  ->  (rows, 128).
+        # Built 3D (lane dim last) then collapsed -- the reshape merges
+        # leading dims only, so Mosaic keeps the layout.
+        h = ((row[:, :, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (p1, 128, rows), 2)).astype(jnp.float32)
+            * w[:, :, None]).reshape(p1 * 128, rows)
+        lmat = (lane[:, :, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (p1, 128, 128), 2)).astype(jnp.float32
+                                                  ).reshape(p1 * 128, 128)
+        return acc + jax.lax.dot_general(
+            h, lmat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, nch_ref[j], body,
+                            jnp.zeros((rows, 128), jnp.float32))
+    out_ref[:, :] = acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_cells", "window", "interpret"))
+def deposit_sorted(keys_sorted, vals_sorted, n_cells: int,
+                   window: int = DEFAULT_WINDOW,
+                   interpret: bool | None = None):
+    """Deposit pre-sorted (cell, weight) pairs into a flat grid.
+
+    keys_sorted: (N,) int32 ascending cell indices in [0, n_cells).
+    vals_sorted: (N,) float32 weights co-sorted with keys, or None for
+      unit weights (counts — saves the value sort AND the value DMA).
+    n_cells: total grid cells; must be a multiple of `window`.
+
+    Returns (n_cells,) float32.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert n_cells % window == 0 and window % 128 == 0
+    rows = window // 128
+    p1 = _CHUNK_ROWS
+    nw = n_cells // window
+    counts_only = vals_sorted is None
+
+    n = keys_sorted.shape[0]
+    # pad to whole chunks; sentinel key n_cells stays sorted and never
+    # lands in any window
+    nrow = -(-n // 128)
+    nrow = -(-nrow // p1) * p1 + p1  # + one spare chunk of slack
+    pad = nrow * 128 - n
+    keys2d = jnp.pad(keys_sorted, (0, pad),
+                     constant_values=n_cells).reshape(nrow, 128)
+    if counts_only:
+        vals2d = jnp.zeros((1, 128), jnp.float32)  # placeholder operand
+    else:
+        vals2d = jnp.pad(vals_sorted.astype(jnp.float32),
+                         (0, pad)).reshape(nrow, 128)
+
+    # per-window particle ranges, aligned down/up to whole rows
+    # n_cells < 2^31 always (a 1024^3 grid is 2^30), so int32 is safe
+    edges = jnp.arange(nw + 1, dtype=jnp.int32) * window
+    bounds = jnp.searchsorted(keys_sorted, edges).astype(jnp.int32)
+    srow_part = bounds[:-1] // 128
+    erow = -(-bounds[1:] // 128)  # ceil: include the shared tail row
+    nch = -(-jnp.maximum(erow - srow_part, 0) // p1)
+
+    kern = functools.partial(_kernel, rows=rows, window=window, p1=p1,
+                             counts_only=counts_only)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nw,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((rows, 128), lambda j, *prefetch: (j, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((p1, 128), jnp.int32),
+            pltpu.VMEM((p1, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_cells // 128, 128), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(srow_part, nch, keys2d, vals2d)
+    return out.reshape(-1)
+
+
+def deposit_flat(flat_idx, weights, n_cells: int,
+                 window: int = DEFAULT_WINDOW,
+                 interpret: bool | None = None):
+    """Sort + Pallas deposit: drop-in for `zeros(n).at[flat].add(w)`.
+
+    weights=None deposits counts (sorts only the keys — the common and
+    fastest path; the bench's NGP deposit is unit-weight).
+    """
+    flat_idx = flat_idx.reshape(-1).astype(jnp.int32)
+    if weights is None:
+        keys = jax.lax.sort(flat_idx)
+        return deposit_sorted(keys, None, n_cells, window=window,
+                              interpret=interpret)
+    keys, vals = jax.lax.sort(
+        (flat_idx, weights.reshape(-1).astype(jnp.float32)), num_keys=1)
+    return deposit_sorted(keys, vals, n_cells, window=window,
+                          interpret=interpret)

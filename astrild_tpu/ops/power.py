@@ -293,7 +293,8 @@ def auto_power_fast(pos, ngrid: int, boxsize: float, nbins: int = 0,
                     fine_factor: int = 2, weights=None,
                     kmin=None, kmax=None,
                     return_coarse_grid: bool = False,
-                    binning=None) -> PowerResult:
+                    binning=None, deposit: Optional[str] = None
+                    ) -> PowerResult:
     """Fast P(k): NGP deposit on a fine_factor-finer grid + deconvolution.
 
     TPU scatters serialize per update, so the deposit dominates the
@@ -310,17 +311,31 @@ def auto_power_fast(pos, ngrid: int, boxsize: float, nbins: int = 0,
     nbins = nbins or (ngrid // 2)
     if binning is None:
         binning = get_fast_binning(ngrid, nbins, fine_factor, kmin, kmax)
+    if deposit is None:
+        # the sorted Pallas deposit beats the XLA scatter by >2x at large N
+        # (measured: 726 ms vs 1582 ms for 512^3 unit-weight particles);
+        # below ~4M particles the scatter is fine and compile cost wins
+        n_cells = fine_factor ** 3 * ngrid ** 3
+        n_part = (pos[0] if isinstance(pos, (tuple, list))
+                  else pos[:, 0]).shape[0]
+        from .paint_pallas import DEFAULT_WINDOW
+        deposit = ("pallas" if (jax.default_backend() == "tpu"
+                                and n_part >= (1 << 22)
+                                and n_cells % DEFAULT_WINDOW == 0)
+                   else "scatter")
     return _auto_power_fast_impl(pos, boxsize, weights, binning,
                                  ngrid=ngrid, nbins=nbins,
                                  fine_factor=fine_factor,
-                                 return_coarse_grid=return_coarse_grid)
+                                 return_coarse_grid=return_coarse_grid,
+                                 deposit=deposit)
 
 
 @partial(jax.jit, static_argnames=("ngrid", "nbins", "fine_factor",
-                                   "return_coarse_grid"))
+                                   "return_coarse_grid", "deposit"))
 def _auto_power_fast_impl(pos, boxsize, weights, binning, *, ngrid: int,
                           nbins: int, fine_factor: int,
-                          return_coarse_grid: bool):
+                          return_coarse_grid: bool,
+                          deposit: str = "scatter"):
     import itertools
 
     nf = ngrid * fine_factor
@@ -340,8 +355,6 @@ def _auto_power_fast_impl(pos, boxsize, weights, binning, *, ngrid: int,
     else:
         x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
     n_part = x.shape[0]
-    w0 = (jnp.ones((n_part,), jnp.float32) if weights is None
-          else weights.astype(jnp.float32))
     inv_cell = float(nf) / boxsize if isinstance(boxsize, float) else \
         nf / boxsize
 
@@ -352,8 +365,16 @@ def _auto_power_fast_impl(pos, boxsize, weights, binning, *, ngrid: int,
     s_id = ((ux % ff) * ff + (uy % ff)) * ff + (uz % ff)
     flat = ((s_id * ngrid + ux // ff) * ngrid + uy // ff) * ngrid \
         + uz // ff
-    dep = jnp.zeros((ff ** 3 * ngrid ** 3,), jnp.float32)
-    dep = dep.at[flat].add(w0)
+    w32 = None if weights is None else weights.astype(jnp.float32)
+    if deposit == "pallas" or deposit == "pallas_interpret":
+        from .paint_pallas import deposit_flat
+        dep = deposit_flat(flat, w32, ff ** 3 * ngrid ** 3,
+                           interpret=(None if deposit == "pallas"
+                                      else True))
+    else:
+        dep = jnp.zeros((ff ** 3 * ngrid ** 3,), jnp.float32)
+        dep = dep.at[flat].add(1.0 if w32 is None else w32)
+    total = float(n_part) if weights is None else jnp.sum(w32)
     dep = dep.reshape(ff ** 3, ngrid, ngrid, ngrid)
 
     mode = (jnp.fft.fftfreq(ngrid) * ngrid).astype(jnp.float32)
@@ -367,8 +388,6 @@ def _auto_power_fast_impl(pos, boxsize, weights, binning, *, ngrid: int,
                                      + mode[None, :, None] * s[1]
                                      + mz[None, None, :] * s[2])
         F = F + spec * jnp.exp(1j * ph)
-    total = jnp.sum(w0)
-    mean = total / float(nf) ** 3
     dk = F / jnp.where(total == 0, 1.0, total)  # = FFT(delta)/Nf^3 (+DC)
     # NGP window deconvolution at the fine resolution
     def axis_win(m):

@@ -145,3 +145,39 @@ def test_fast_power_matches_tsc(rng):
     r = np.asarray(ref.power)
     f = np.asarray(fast.power)
     npt.assert_allclose(f[:8], r[:8], rtol=0.05)
+
+
+def test_pallas_deposit_matches_scatter(rng):
+    """The sorted Pallas deposit path of auto_power_fast is numerically
+    equivalent to the XLA scatter path (interpret mode on CPU)."""
+    import astrild_tpu.ops.power as PS
+
+    box = 100.0
+    pos = jnp.asarray(rng.uniform(0, box, (30000, 3)), jnp.float32)
+    a = PS.auto_power_fast(pos, 16, box, nbins=6, deposit="scatter")
+    b = PS.auto_power_fast(pos, 16, box, nbins=6,
+                           deposit="pallas_interpret")
+    npt.assert_allclose(np.asarray(b.power), np.asarray(a.power),
+                        rtol=1e-5)
+    w = jnp.asarray(rng.uniform(0.5, 2.0, 30000), jnp.float32)
+    aw = PS.auto_power_fast(pos, 16, box, nbins=6, weights=w,
+                            deposit="scatter")
+    bw = PS.auto_power_fast(pos, 16, box, nbins=6, weights=w,
+                            deposit="pallas_interpret")
+    npt.assert_allclose(np.asarray(bw.power), np.asarray(aw.power),
+                        rtol=1e-4)
+
+
+def test_pallas_deposit_flat_correctness(rng):
+    from astrild_tpu.ops.paint_pallas import deposit_flat
+
+    n_cells = 128 * 256
+    flat = jnp.asarray(rng.integers(0, n_cells, 100000), jnp.int32)
+    w = jnp.asarray(rng.normal(1, 0.2, 100000), jnp.float32)
+    ref = np.zeros(n_cells, np.float32)
+    np.add.at(ref, np.asarray(flat), np.asarray(w))
+    got = deposit_flat(flat, w, n_cells, window=8192)
+    npt.assert_allclose(np.asarray(got), ref, atol=2e-5 * np.abs(ref).max())
+    refc = np.bincount(np.asarray(flat), minlength=n_cells)
+    gotc = deposit_flat(flat, None, n_cells, window=8192)
+    npt.assert_array_equal(np.asarray(gotc), refc.astype(np.float32))
