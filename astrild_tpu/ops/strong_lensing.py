@@ -20,7 +20,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["sph_surface_density", "remap_image", "shear_from_potential"]
+__all__ = ["sph_surface_density", "remap_image", "shear_from_potential",
+           "mapping_triangles"]
 
 
 @partial(jax.jit, static_argnames=("npix", "n_buckets"))
@@ -109,3 +110,90 @@ def shear_from_potential(phi, opening_angle):
     gamma1 = 0.5 * (p11 - p22)
     gamma2 = p12
     return kappa, gamma1, gamma2
+
+
+@partial(jax.jit, static_argnames=("max_images",))
+def mapping_triangles(src_pos, x1, x2, y1, y2, max_images: int = 40):
+    """Image-plane root finding by triangle mapping (lensed-image finder).
+
+    Native replacement for the reference's external `mapping_triangles`
+    ctypes call (/root/reference/src/astrild/rays/skys/lm_cfuncs.py:260-291):
+    each grid cell of the image plane is split into two triangles whose
+    vertices are mapped to the source plane through (y1, y2) = the deflected
+    coordinates (y = x - alpha). A triangle whose source-plane footprint
+    contains `src_pos` contains one lensed image; its position is the
+    barycentric interpolation of the image-plane vertices (the same linear
+    model the reference's C solver uses). Fully vectorized over all 2*(n-1)^2
+    triangles — no root-polishing loop.
+
+    Args:
+      src_pos: (2,) source position (y1, y2).
+      x1, x2: (n, n) image-plane coordinate grids.
+      y1, y2: (n, n) source-plane coordinates of each image-plane node.
+      max_images: static output slots (reference assumed <= 40).
+
+    Returns (img1, img2, mag, n_found): arrays of shape (max_images,)
+    padded with -99999.0 beyond n_found; `mag` is the signed magnification
+    of each image (ratio of image- to source-triangle area).
+    """
+    fail = -99999.0
+    sy1, sy2 = src_pos[0], src_pos[1]
+
+    def corners(a):
+        return (a[:-1, :-1].ravel(), a[1:, :-1].ravel(),
+                a[:-1, 1:].ravel(), a[1:, 1:].ravel())
+
+    x1a, x1b, x1c, x1d = corners(x1)
+    x2a, x2b, x2c, x2d = corners(x2)
+    y1a, y1b, y1c, y1d = corners(y1)
+    y2a, y2b, y2c, y2d = corners(y2)
+
+    def solve_tri(p1, p2, q1, q2, r1, r2, X1, X2, Y1, Y2, Z1, Z2):
+        """Barycentric solve of src inside source-plane triangle (p,q,r);
+        (X,Y,Z) are the matching image-plane vertices."""
+        det = (q2 - r2) * (p1 - r1) + (r1 - q1) * (p2 - r2)
+        safe = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+        w1 = ((q2 - r2) * (sy1 - r1) + (r1 - q1) * (sy2 - r2)) / safe
+        w2 = ((r2 - p2) * (sy1 - r1) + (p1 - r1) * (sy2 - r2)) / safe
+        w3 = 1.0 - w1 - w2
+        inside = ((w1 >= 0) & (w2 >= 0) & (w3 >= 0)
+                  & (jnp.abs(det) > 1e-30))
+        i1 = w1 * X1 + w2 * Y1 + w3 * Z1
+        i2 = w1 * X2 + w2 * Y2 + w3 * Z2
+        # signed magnification = image-triangle area / source-triangle area
+        det_img = ((Y2 - Z2) * (X1 - Z1) + (Z1 - Y1) * (X2 - Z2))
+        mag = det_img / safe
+        return inside, i1, i2, mag
+
+    in_a, i1_a, i2_a, m_a = solve_tri(y1a, y2a, y1b, y2b, y1d, y2d,
+                                      x1a, x2a, x1b, x2b, x1d, x2d)
+    in_b, i1_b, i2_b, m_b = solve_tri(y1a, y2a, y1c, y2c, y1d, y2d,
+                                      x1a, x2a, x1c, x2c, x1d, x2d)
+
+    inside = jnp.concatenate([in_a, in_b])
+    i1 = jnp.concatenate([i1_a, i1_b])
+    i2 = jnp.concatenate([i2_a, i2_b])
+    mag = jnp.concatenate([m_a, m_b])
+    # rank hits first (stable), take max_images slots
+    order = jnp.argsort(~inside, stable=True)[:max_images]
+    got = inside[order]
+    img1 = jnp.where(got, i1[order], fail)
+    img2 = jnp.where(got, i2[order], fail)
+    mags = jnp.where(got, mag[order], fail)
+    # a source sitting exactly on a shared triangle edge is claimed by
+    # both triangles (observed in float32 on TPU): merge hits closer
+    # than ~a grid cell, keeping the first
+    cell = (jnp.max(x1) - jnp.min(x1)) / (x1.shape[0] - 1)
+    d2 = ((img1[:, None] - img1[None, :]) ** 2
+          + (img2[:, None] - img2[None, :]) ** 2)
+    idx = jnp.arange(max_images)
+    earlier = idx[None, :] < idx[:, None]
+    both = got[:, None] & got[None, :]
+    dup = jnp.any((d2 < (1.5 * cell) ** 2) & earlier & both, axis=1)
+    keep = got & ~dup
+    # compact the survivors to the front
+    order2 = jnp.argsort(~keep, stable=True)
+    img1 = jnp.where(keep[order2], img1[order2], fail)
+    img2 = jnp.where(keep[order2], img2[order2], fail)
+    mags = jnp.where(keep[order2], mags[order2], fail)
+    return img1, img2, mags, jnp.sum(keep.astype(jnp.int32))

@@ -48,6 +48,14 @@ class Cosmology:
     w0: float = -1.0
     wa: float = 0.0
     Tcmb: float = 2.7255
+    # Modified-gravity growth: G_eff = G (1 + mu(a)). mu0=0 is exact GR.
+    # mu_model 'const' is the scale-independent f(R) small-scale limit
+    # (mu0 = 1/3); 'lambda' scales mu with the dark-energy fraction
+    # (Planck mu-Sigma convention). Theory anchor for ECOSMOG fifth-force
+    # P(k) ratios — the reference's snapshot-info generator used a custom
+    # MG astropy class (reference utils/sim_collection_info.py:6,21).
+    mu0: float = 0.0
+    mu_model: str = "const"
 
     # --- derived tables (filled in __post_init__) ---
     _z_tab: jnp.ndarray = dataclasses.field(default=None, repr=False)
@@ -76,14 +84,15 @@ class Cosmology:
             self._f_tab,
         )
         aux = (self.Om0, self.Ob0, self.h, self.ns, self.sigma8, self.w0,
-               self.wa, self.Tcmb)
+               self.wa, self.Tcmb, self.mu0, self.mu_model)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        Om0, Ob0, h, ns, sigma8, w0, wa, Tcmb = aux
+        Om0, Ob0, h, ns, sigma8, w0, wa, Tcmb, mu0, mu_model = aux
         return cls(Om0=Om0, Ob0=Ob0, h=h, ns=ns, sigma8=sigma8, w0=w0,
-                   wa=wa, Tcmb=Tcmb, _z_tab=leaves[0], _chi_tab=leaves[1],
+                   wa=wa, Tcmb=Tcmb, mu0=mu0, mu_model=mu_model,
+                   _z_tab=leaves[0], _chi_tab=leaves[1],
                    _lna_tab=leaves[2], _lnD_tab=leaves[3], _f_tab=leaves[4])
 
     # ----------------------------------------------------------- background
@@ -162,13 +171,64 @@ class Cosmology:
         return jnp.interp(z, zt, cum) * hubble_time_gyr
 
     # --------------------------------------------------------------- growth
+    def mu(self, a):
+        """MG growth-source enhancement: G_eff/G - 1 at scale factor a."""
+        a = jnp.asarray(a)
+        if self.mu_model == "lambda":
+            # scale with the dark-energy fraction (Planck mu-Sigma form)
+            ode_frac = (self.Ode0 * self._de_density_ratio(a)
+                        / self.efunc_a(a) ** 2)
+            return self.mu0 * ode_frac / self.Ode0
+        return self.mu0 * jnp.ones_like(a)
+
+    def _build_growth_table_ode(self):
+        """Growth from the linear ODE with a modified source term,
+
+          D'' + (2 + dlnE/dlna) D' = 1.5 Om(a) (1 + mu(a)) D   (' = d/dlna)
+
+        integrated with RK4 from matter domination (D ~ a). This is the
+        mu(a)-parameterized growth (scale-independent f(R) / mu-Sigma);
+        at mu0=0 it reproduces the GR integral solution to <1e-4
+        (tested). Used whenever mu0 != 0.
+        """
+        lna = jnp.linspace(jnp.log(_A_MIN), 0.0, _N_TABLE)
+        dlna = lna[1] - lna[0]
+
+        def dlnE(l):
+            return jax.grad(lambda q: jnp.log(self.efunc_a(jnp.exp(q))))(l)
+
+        def rhs(l, y):
+            D, Dp = y
+            a = jnp.exp(l)
+            om = self.Om0 * a ** -3 / self.efunc_a(a) ** 2
+            acc = -(2.0 + dlnE(l)) * Dp + 1.5 * om * (1.0 + self.mu(a)) * D
+            return jnp.stack([Dp, acc])
+
+        def step(y, l):
+            k1 = rhs(l, y)
+            k2 = rhs(l + 0.5 * dlna, y + 0.5 * dlna * k1)
+            k3 = rhs(l + 0.5 * dlna, y + 0.5 * dlna * k2)
+            k4 = rhs(l + dlna, y + dlna * k3)
+            y_new = y + (dlna / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+            return y_new, y
+
+        y0 = jnp.array([_A_MIN, _A_MIN])  # matter domination: D ~ a
+        _, ys = jax.lax.scan(step, y0, lna)
+        D = ys[:, 0]
+        f = ys[:, 1] / D
+        lnD = jnp.log(D) - jnp.log(D[-1])
+        return lna, lnD, f
+
     def _build_growth_table(self):
         """Linear growth via D(a) = 5/2 Om0 E(a) int_0^a da'/(a'E(a'))^3.
 
         Valid for LCDM / smooth DE (matches the heuristic used by the
         reference's nbodykit PerturbationGrowth calls). f = dlnD/dlna from
-        the analytic derivative of the integral expression.
+        the analytic derivative of the integral expression. With mu0 != 0
+        the ODE path (_build_growth_table_ode) is used instead.
         """
+        if self.mu0 != 0.0:
+            return self._build_growth_table_ode()
         lna = jnp.linspace(jnp.log(_A_MIN), 0.0, _N_TABLE)
         a = jnp.exp(lna)
         E = self.efunc_a(a)
