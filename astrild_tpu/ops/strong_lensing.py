@@ -36,6 +36,13 @@ def sph_surface_density(pos2d, mass, hsml, npix: int, boxsize,
     FFT per bucket) — the TPU-shaped stand-in for per-particle SPH kernels
     (lm_cfuncs.py:57-113).
 
+    Kernel-model error: a Gaussian of width h replaces the cubic spline
+    (both are normalized; their profiles differ by a few % of the peak).
+    Bucket-discretization error converges with n_buckets — measured rms
+    vs the exact per-particle-width answer: ~12% at 2 buckets, <5% at 16
+    (tests/test_strong_lensing.py::test_sph_surface_density_bucket_convergence);
+    raise n_buckets when hsml spans a wide dynamic range.
+
     Args:
       pos2d: (n, 2) positions in [0, boxsize).
       mass: (n,) masses.

