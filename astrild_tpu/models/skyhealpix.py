@@ -17,6 +17,27 @@ from ..utils import healpix as hp
 
 __all__ = ["SkyHealpix"]
 
+# Above this lmax the O(lmax^2 * nring) Legendre table of ops/sht.py is
+# impractical; dispatch to the table-free ops/sht_large.py path instead.
+_TABLE_LMAX_LIMIT = 512
+
+
+def _sht_backend(nside: int, lmax: int):
+    """(synfast, anafast, smoothing) picked by scale.
+
+    The table path is exact and cheap at small lmax; the libsharp-style
+    path (ring FFTs + on-device Legendre recursion) covers the reference's
+    production healpy scale (nside 512-2048) up to lmax = 2*nside."""
+    from ..ops import sht, sht_large
+
+    if lmax <= _TABLE_LMAX_LIMIT:
+        return sht.synfast, sht.anafast, sht.smoothing
+    if lmax > 2 * nside:
+        raise ValueError(f"lmax={lmax} > 2*nside={2 * nside} is not "
+                         "supported by the large-lmax SHT path")
+    return (sht_large.synfast_large, sht_large.anafast_large,
+            sht_large.smoothing_large)
+
 
 class SkyHealpix:
     """Named full-sky layers at a fixed nside (RING)."""
@@ -80,15 +101,15 @@ class SkyHealpix:
                       ) -> "SkyHealpix":
         """Gaussian random sky from an angular power spectrum — the
         reference's hp.sphtfunc.synfast path (sky_healpix.py:219-241),
-        here the native MXU spherical-harmonic synthesis (ops/sht.py)."""
+        here the native MXU spherical-harmonic synthesis (ops/sht.py, or
+        the table-free ops/sht_large.py beyond lmax 512)."""
         import jax
-
-        from ..ops import sht
 
         cl = np.asarray(cl_array, np.float64)
         if lmax is not None:
             cl = cl[: lmax + 1]
-        m = sht.synfast(jax.random.PRNGKey(rnd_seed), cl, nside)
+        synfast, _, _ = _sht_backend(nside, cl.shape[0] - 1)
+        m = synfast(jax.random.PRNGKey(rnd_seed), cl, nside)
         return cls(np.asarray(m), quantity)
 
     @classmethod
@@ -125,9 +146,14 @@ class SkyHealpix:
         vals = hp.get_interp_val(self.data[of], theta, phi)
         return SkyArray.from_array(vals, opening_angle_deg, self.quantity)
 
-    def rotate(self, rot_matrix, of: str = "orig") -> np.ndarray:
-        """(sky_healpix.py:369-398)"""
-        out = hp.rotate_map(self.data[of], rot_matrix)
+    def rotate(self, rot, of: str = "orig") -> np.ndarray:
+        """Rotate a layer (sky_healpix.py:369-398). `rot` is either a 3x3
+        rotation matrix or a healpy-Rotator-style (a1, a2, a3) Euler-angle
+        tuple in degrees (Z-Y-X order)."""
+        rot = np.asarray(rot, float)
+        if rot.shape == (3,):
+            rot = hp.euler_matrix_zyx(*rot)
+        out = hp.rotate_map(self.data[of], rot)
         self.data[of + "_rot"] = out
         return out
 
@@ -149,19 +175,22 @@ class SkyHealpix:
                   of: str = "orig") -> np.ndarray:
         """Harmonic-space Gaussian smoothing (healpy hp.smoothing parity,
         healpytools.py:11); stores '<of>_smooth'."""
-        from ..ops import sht
-
-        L = lmax if lmax is not None else 3 * self.nside - 1
-        out = np.asarray(sht.smoothing(self.data[of], fwhm_rad, L))
+        if lmax is not None:
+            L = lmax
+        elif 3 * self.nside - 1 <= _TABLE_LMAX_LIMIT:
+            L = 3 * self.nside - 1  # healpy default, table path
+        else:
+            L = 2 * self.nside      # large-lmax path ceiling
+        _, _, smoothing = _sht_backend(self.nside, L)
+        out = np.asarray(smoothing(self.data[of], fwhm_rad, L))
         self.data[of + "_smooth"] = out
         return out
 
     def anafast(self, lmax: int, of: str = "orig", niter: int = 3
                 ) -> np.ndarray:
         """Angular power spectrum of a layer (native SHT analysis)."""
-        from ..ops import sht
-
-        return np.asarray(sht.anafast(self.data[of], lmax, niter=niter))
+        _, anafast, _ = _sht_backend(self.nside, lmax)
+        return np.asarray(anafast(self.data[of], lmax, niter=niter))
 
     def sum_of_maps(self, map1: str, map2: str) -> None:
         """(sky_healpix.py:310-312)"""

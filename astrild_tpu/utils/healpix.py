@@ -248,6 +248,24 @@ def get_interp_val(hpmap, theta, phi):
     return np.sum(hpmap[pix] * wgt, axis=0).reshape(shape)
 
 
+def euler_matrix_zyx(a1_deg, a2_deg, a3_deg):
+    """Rotation matrix from Euler angles (degrees), Z-Y-X order:
+    R = Rz(a1) @ Ry(a2) @ Rx(a3). The healpy-Rotator-style entry point for
+    SkyHealpix.rotate (reference sky_healpix.py:369-398 passes a `rot`
+    tuple straight into hp.Rotator)."""
+    a, b, c = np.deg2rad([a1_deg, a2_deg, a3_deg])
+    rz = np.array([[np.cos(a), -np.sin(a), 0.0],
+                   [np.sin(a), np.cos(a), 0.0],
+                   [0.0, 0.0, 1.0]])
+    ry = np.array([[np.cos(b), 0.0, np.sin(b)],
+                   [0.0, 1.0, 0.0],
+                   [-np.sin(b), 0.0, np.cos(b)]])
+    rx = np.array([[1.0, 0.0, 0.0],
+                   [0.0, np.cos(c), -np.sin(c)],
+                   [0.0, np.sin(c), np.cos(c)]])
+    return rz @ ry @ rx
+
+
 def rotate_map(hpmap, rot_matrix, interp: str = "bilinear"):
     """Rotate a RING map by a 3x3 rotation matrix (hp.Rotator equivalent
     used at sky_healpix.py:369-398) with bilinear (default, healpy parity)

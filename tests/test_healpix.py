@@ -221,3 +221,28 @@ def test_lensed_cmb_cl_unbiased():
     lo0 = cl0[2:20].mean()
     lo1 = cl1[2:20].mean()
     assert abs(lo1 / lo0 - 1) < 0.05
+
+
+def test_skyhealpix_rotate_euler_tuple():
+    nside = 16
+    tc, pc = hp.pix2ang_ring(nside, np.arange(hp.nside2npix(nside)))
+    v = hp.ang2vec(tc, pc)
+    m = v[:, 2] + 0.3 * v[:, 0]
+    sky = SkyHealpix(m)
+    out_tuple = sky.rotate((20.0, 10.0, 0.0))
+    R = hp.euler_matrix_zyx(20.0, 10.0, 0.0)
+    out_mat = hp.rotate_map(m, R)
+    np.testing.assert_allclose(out_tuple, out_mat)
+    # orthogonality of the euler matrix
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+
+
+def test_skyhealpix_sht_backend_dispatch():
+    from astrild_tpu.models.skyhealpix import _sht_backend
+    from astrild_tpu.ops import sht, sht_large
+
+    assert _sht_backend(128, 256)[0] is sht.synfast
+    assert _sht_backend(512, 1024)[0] is sht_large.synfast_large
+    import pytest
+    with pytest.raises(ValueError):
+        _sht_backend(256, 1024)
