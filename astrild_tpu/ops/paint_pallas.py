@@ -42,42 +42,65 @@ def _kernel(srow_ref, nch_ref, keys_hbm, vals_hbm, out_ref, kbuf, vbuf,
             counts_only: bool):
     j = pl.program_id(0)
     base = j * window
+    nch = nch_ref[j]
+
+    # double-buffered chunk DMA: slot k%2 computes while slot (k+1)%2 loads
+    def dma_k(k, slot):
+        return pltpu.make_async_copy(
+            keys_hbm.at[pl.ds(srow_ref[j] + k * p1, p1), :],
+            kbuf.at[slot], sem_k.at[slot])
+
+    def dma_v(k, slot):
+        return pltpu.make_async_copy(
+            vals_hbm.at[pl.ds(srow_ref[j] + k * p1, p1), :],
+            vbuf.at[slot], sem_v.at[slot])
+
+    @pl.when(nch > 0)
+    def _():
+        dma_k(0, 0).start()
+        if not counts_only:
+            dma_v(0, 0).start()
 
     def body(k, acc):
-        row0 = srow_ref[j] + k * p1
-        ck = pltpu.make_async_copy(keys_hbm.at[pl.ds(row0, p1), :], kbuf,
-                                   sem_k)
-        ck.start()
+        slot = k % 2
+        nxt = (k + 1) % 2
+
+        @pl.when(k + 1 < nch)
+        def _():
+            dma_k(k + 1, nxt).start()
+            if not counts_only:
+                dma_v(k + 1, nxt).start()
+
+        dma_k(k, slot).wait()
         if not counts_only:
-            cv = pltpu.make_async_copy(vals_hbm.at[pl.ds(row0, p1), :],
-                                       vbuf, sem_v)
-            cv.start()
-            cv.wait()
-        ck.wait()
-        rel = kbuf[:] - base
+            dma_v(k, slot).wait()
+        rel = kbuf[slot] - base
         inw = (rel >= 0) & (rel < window)
         relc = jnp.clip(rel, 0, window - 1)
         row = relc // 128
         lane = relc - row * 128
-        if counts_only:
-            w = inw.astype(jnp.float32)
-        else:
-            w = jnp.where(inw, vbuf[:], 0.0)
         # two one-hot factors contracted over the particle axis:
         # H[p,r] = w_p * [row_p==r]; L[p,l] = [lane_p==l]  ->  (rows, 128).
         # Built 3D (lane dim last) then collapsed -- the reshape merges
-        # leading dims only, so Mosaic keeps the layout.
+        # leading dims only, so Mosaic keeps the layout. For counts the
+        # factors are pure 0/1 -> bf16 is EXACT and runs the MXU at full
+        # rate (f32 accumulation via preferred_element_type).
+        dt = jnp.bfloat16 if counts_only else jnp.float32
+        if counts_only:
+            w = inw.astype(dt)
+        else:
+            w = jnp.where(inw, vbuf[slot], 0.0)
         h = ((row[:, :, None] == jax.lax.broadcasted_iota(
-            jnp.int32, (p1, 128, rows), 2)).astype(jnp.float32)
+            jnp.int32, (p1, 128, rows), 2)).astype(dt)
             * w[:, :, None]).reshape(p1 * 128, rows)
         lmat = (lane[:, :, None] == jax.lax.broadcasted_iota(
-            jnp.int32, (p1, 128, 128), 2)).astype(jnp.float32
+            jnp.int32, (p1, 128, 128), 2)).astype(dt
                                                   ).reshape(p1 * 128, 128)
         return acc + jax.lax.dot_general(
             h, lmat, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    acc = jax.lax.fori_loop(0, nch_ref[j], body,
+    acc = jax.lax.fori_loop(0, nch, body,
                             jnp.zeros((rows, 128), jnp.float32))
     out_ref[:, :] = acc
 
@@ -137,10 +160,10 @@ def deposit_sorted(keys_sorted, vals_sorted, n_cells: int,
         ],
         out_specs=pl.BlockSpec((rows, 128), lambda j, *prefetch: (j, 0)),
         scratch_shapes=[
-            pltpu.VMEM((p1, 128), jnp.int32),
-            pltpu.VMEM((p1, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, p1, 128), jnp.int32),
+            pltpu.VMEM((2, p1, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
