@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["deposit_sorted", "deposit_flat", "DEFAULT_WINDOW"]
+__all__ = ["deposit_sorted", "deposit_flat", "pallas_deposit_available",
+           "DEFAULT_WINDOW"]
 
 DEFAULT_WINDOW = 8192   # cells per output window (must be multiple of 128)
 _CHUNK_ROWS = 16        # particle rows (of 128) DMA'd per inner step
@@ -85,14 +86,17 @@ def _kernel(srow_ref, nch_ref, keys_hbm, vals_hbm, out_ref, kbuf, vbuf,
         # leading dims only, so Mosaic keeps the layout. For counts the
         # factors are pure 0/1 -> bf16 is EXACT and runs the MXU at full
         # rate (f32 accumulation via preferred_element_type).
+        # Mosaic only lowers minor-dim insertion ([:, :, None]) for 32-bit
+        # types, so every insertion below is on int32/float32; bf16 appears
+        # only AFTER the 3D compare. The in-window mask is folded into the
+        # row id (-1 never matches the iota), not multiplied in.
         dt = jnp.bfloat16 if counts_only else jnp.float32
-        if counts_only:
-            w = inw.astype(dt)
-        else:
-            w = jnp.where(inw, vbuf[slot], 0.0)
-        h = ((row[:, :, None] == jax.lax.broadcasted_iota(
+        rowm = jnp.where(inw, row, -1)
+        h3 = (rowm[:, :, None] == jax.lax.broadcasted_iota(
             jnp.int32, (p1, 128, rows), 2)).astype(dt)
-            * w[:, :, None]).reshape(p1 * 128, rows)
+        if not counts_only:
+            h3 = h3 * vbuf[slot][:, :, None]
+        h = h3.reshape(p1 * 128, rows)
         lmat = (lane[:, :, None] == jax.lax.broadcasted_iota(
             jnp.int32, (p1, 128, 128), 2)).astype(dt
                                                   ).reshape(p1 * 128, 128)
@@ -106,10 +110,12 @@ def _kernel(srow_ref, nch_ref, keys_hbm, vals_hbm, out_ref, kbuf, vbuf,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_cells", "window", "interpret"))
+                   static_argnames=("n_cells", "window", "interpret",
+                                    "chunk_rows"))
 def deposit_sorted(keys_sorted, vals_sorted, n_cells: int,
                    window: int = DEFAULT_WINDOW,
-                   interpret: bool | None = None):
+                   interpret: bool | None = None,
+                   chunk_rows: int = _CHUNK_ROWS):
     """Deposit pre-sorted (cell, weight) pairs into a flat grid.
 
     keys_sorted: (N,) int32 ascending cell indices in [0, n_cells).
@@ -123,7 +129,7 @@ def deposit_sorted(keys_sorted, vals_sorted, n_cells: int,
         interpret = jax.default_backend() != "tpu"
     assert n_cells % window == 0 and window % 128 == 0
     rows = window // 128
-    p1 = _CHUNK_ROWS
+    p1 = chunk_rows
     nw = n_cells // window
     counts_only = vals_sorted is None
 
@@ -177,9 +183,36 @@ def deposit_sorted(keys_sorted, vals_sorted, n_cells: int,
     return out.reshape(-1)
 
 
+@functools.cache
+def pallas_deposit_available() -> bool:
+    """Probe-compile the deposit kernel on the current default backend.
+
+    Mosaic's supported-op set moves with libtpu releases (a 2026-08 update
+    dropped non-32-bit minor-dim insertion and broke an earlier version of
+    this kernel at runtime). Callers that auto-select the Pallas path must
+    consult this probe so a lowering regression degrades to the XLA
+    scatter instead of crashing the pipeline. The tiny compile is cached
+    by the persistent compilation cache and by functools.cache.
+    """
+    try:
+        # smallest LEGAL config: window >= 1024 keeps the (rows, 128)
+        # output block at >= 8 sublanes (the Mosaic minimum)
+        keys = (jnp.arange(512, dtype=jnp.int32) * 7) % 2048
+        out = deposit_sorted(jax.lax.sort(keys), None, 2048, window=1024)
+        jax.block_until_ready(out)
+        ok = int(jnp.sum(out)) == 512
+        wts = jnp.full((512,), 0.5, jnp.float32)
+        outw = deposit_sorted(jax.lax.sort(keys), wts, 2048, window=1024)
+        jax.block_until_ready(outw)
+        return ok
+    except Exception:
+        return False
+
+
 def deposit_flat(flat_idx, weights, n_cells: int,
                  window: int = DEFAULT_WINDOW,
-                 interpret: bool | None = None):
+                 interpret: bool | None = None,
+                 chunk_rows: int = _CHUNK_ROWS):
     """Sort + Pallas deposit: drop-in for `zeros(n).at[flat].add(w)`.
 
     weights=None deposits counts (sorts only the keys — the common and
@@ -189,8 +222,8 @@ def deposit_flat(flat_idx, weights, n_cells: int,
     if weights is None:
         keys = jax.lax.sort(flat_idx)
         return deposit_sorted(keys, None, n_cells, window=window,
-                              interpret=interpret)
+                              interpret=interpret, chunk_rows=chunk_rows)
     keys, vals = jax.lax.sort(
         (flat_idx, weights.reshape(-1).astype(jnp.float32)), num_keys=1)
     return deposit_sorted(keys, vals, n_cells, window=window,
-                          interpret=interpret)
+                          interpret=interpret, chunk_rows=chunk_rows)

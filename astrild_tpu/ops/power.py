@@ -318,10 +318,11 @@ def auto_power_fast(pos, ngrid: int, boxsize: float, nbins: int = 0,
         n_cells = fine_factor ** 3 * ngrid ** 3
         n_part = (pos[0] if isinstance(pos, (tuple, list))
                   else pos[:, 0]).shape[0]
-        from .paint_pallas import DEFAULT_WINDOW
+        from .paint_pallas import DEFAULT_WINDOW, pallas_deposit_available
         deposit = ("pallas" if (jax.default_backend() == "tpu"
                                 and n_part >= (1 << 22)
-                                and n_cells % DEFAULT_WINDOW == 0)
+                                and n_cells % DEFAULT_WINDOW == 0
+                                and pallas_deposit_available())
                    else "scatter")
     return _auto_power_fast_impl(pos, boxsize, weights, binning,
                                  ngrid=ngrid, nbins=nbins,

@@ -181,3 +181,15 @@ def test_pallas_deposit_flat_correctness(rng):
     refc = np.bincount(np.asarray(flat), minlength=n_cells)
     gotc = deposit_flat(flat, None, n_cells, window=8192)
     npt.assert_array_equal(np.asarray(gotc), refc.astype(np.float32))
+    # chunk_rows only changes the DMA tiling, never the result
+    gotc2 = deposit_flat(flat, None, n_cells, window=4096, chunk_rows=32)
+    npt.assert_array_equal(np.asarray(gotc2), refc.astype(np.float32))
+
+
+def test_pallas_deposit_probe():
+    # the probe must never raise — it reports False on lowering failures
+    # (libtpu Mosaic regressions) so auto-selection degrades to scatter
+    from astrild_tpu.ops.paint_pallas import pallas_deposit_available
+
+    assert pallas_deposit_available() in (True, False)
+    assert pallas_deposit_available() is pallas_deposit_available()
