@@ -143,6 +143,14 @@ def deposit_sorted(keys_sorted, vals_sorted, n_cells: int,
                      constant_values=n_cells).reshape(nrow, 128)
     if counts_only:
         vals2d = jnp.zeros((1, 128), jnp.float32)  # placeholder operand
+        # under shard_map the placeholder must vary over the same mesh
+        # axes as the keys, or vma checking rejects the kernel jaxpr
+        try:
+            kvma = tuple(jax.typeof(keys2d).vma)
+            if kvma:
+                vals2d = jax.lax.pvary(vals2d, kvma)
+        except Exception:
+            pass
     else:
         vals2d = jnp.pad(vals_sorted.astype(jnp.float32),
                          (0, pad)).reshape(nrow, 128)
@@ -172,10 +180,20 @@ def deposit_sorted(keys_sorted, vals_sorted, n_cells: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    # propagate varying-mesh-axes so the kernel composes with shard_map
+    # (e.g. the per-chip deposit in parallel.power): the output varies
+    # over every axis an input varies over
+    try:
+        vma = frozenset(jax.typeof(keys2d).vma)
+        if not counts_only:
+            vma = vma | frozenset(jax.typeof(vals2d).vma)
+    except Exception:
+        vma = frozenset()
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_cells // 128, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_cells // 128, 128), jnp.float32,
+                                       vma=vma),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

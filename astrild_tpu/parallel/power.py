@@ -20,7 +20,8 @@ from ..ops.paint import WINDOW_ORDER, paint as paint_single
 from ..ops.power import PowerResult
 from .pfft import local_kvecs, pfft3d_local
 
-__all__ = ["make_distributed_auto_power", "local_shell_average"]
+__all__ = ["make_distributed_auto_power", "make_distributed_auto_power_fast",
+           "local_shell_average"]
 
 
 def _local_compensation(ki, kj, kk, ngrid, boxsize, window):
@@ -36,13 +37,10 @@ def _local_compensation(ki, kj, kk, ngrid, boxsize, window):
     return 1.0 / (axis_win(ki) * axis_win(kj) * axis_win(kk))
 
 
-def local_mode_radius(ngrid: int, ax: str = "x", ay: str = "y",
-                      dtype=jnp.float32):
-    """|k|/kf for the local TRANSPOSED_OUT pencil block (see pfft.py).
-
-    Built from exact integer mode numbers so shell assignment is
-    bit-identical with ops.power.mode_radius_rfft.
-    """
+def local_mode_numbers(ngrid: int, ax: str = "x", ay: str = "y",
+                       dtype=jnp.float32):
+    """Integer mode numbers (fi, fj, fk) for the local TRANSPOSED_OUT
+    pencil block (see pfft.py), broadcastable to (n, n/PX, n/PY)."""
     px = jax.lax.axis_size(ax)
     py = jax.lax.axis_size(ay)
     xi = jax.lax.axis_index(ax)
@@ -53,6 +51,17 @@ def local_mode_radius(ngrid: int, ax: str = "x", ay: str = "y",
     fi = freqs[:, None, None]
     fj = jax.lax.dynamic_slice(freqs, (xi * nj,), (nj,))[None, :, None]
     fk = jax.lax.dynamic_slice(freqs, (yi * nk,), (nk,))[None, None, :]
+    return fi, fj, fk
+
+
+def local_mode_radius(ngrid: int, ax: str = "x", ay: str = "y",
+                      dtype=jnp.float32):
+    """|k|/kf for the local TRANSPOSED_OUT pencil block (see pfft.py).
+
+    Built from exact integer mode numbers so shell assignment is
+    bit-identical with ops.power.mode_radius_rfft.
+    """
+    fi, fj, fk = local_mode_numbers(ngrid, ax, ay, dtype)
     return jnp.sqrt(fi ** 2 + fj ** 2 + fk ** 2)
 
 
@@ -156,4 +165,118 @@ def make_distributed_auto_power(mesh: Mesh, ngrid: int, boxsize: float,
             in_specs=(P(("sim", "x", "y"), None), P(("sim", "x", "y"))),
             out_specs=PowerResult(P(), P(), P()),
         )
+    return jax.jit(fn)
+
+
+def make_distributed_auto_power_fast(mesh: Mesh, ngrid: int, boxsize: float,
+                                     nbins: int, fine_factor: int = 2,
+                                     deposit: Optional[str] = None):
+    """Distributed folded fine-NGP P(k): auto_power_fast over the mesh.
+
+    The flagship single-chip estimator (ops.power.auto_power_fast —
+    fine-grid NGP deposit in subgrid-major layout + POWMES-style fold +
+    NGP deconvolution; subsumes the reference's external POWMES,
+    /root/reference/src/astrild/power_spectra/powmes.py:40-102) run over
+    the full (sim, x, y) device mesh:
+
+      1. each chip deposits its particle shard into all fine_factor^3
+         coarse subgrids locally (sorted Pallas deposit on TPU, XLA
+         scatter elsewhere);
+      2. psum_scatter re-pencils each subgrid over ('x', 'y');
+      3. the pencil FFT runs per subgrid over ICI and the decimation
+         phases exp(-2*pi*i m.s/nf) fold them into the coarse-box fine
+         spectrum;
+      4. NGP window deconvolution at the fine resolution and the
+         shell reduction (binning on |k|/kf — bit-identical shell
+         assignment with the local estimator) finish with a psum.
+
+    Returns fn(pos, weights) -> PowerResult; pos (np, 3) sharded over
+    all mesh axes on its leading dim, weights (np,) co-sharded (pass
+    ones for counts). P(k) matches ops.power.auto_power_fast to float
+    tolerance (tests/test_distributed.py::test_distributed_fast_power);
+    nmodes may differ by the z-Nyquist column double-count (hermitian
+    storage counts it twice; the full-complex pencil once).
+    """
+    import itertools
+
+    px = mesh.shape["x"]
+    py = mesh.shape["y"]
+    assert ngrid % px == 0 and ngrid % py == 0
+    ff = fine_factor
+    nf = ngrid * ff
+    n_cells = ff ** 3 * ngrid ** 3
+    if deposit is None:
+        from ..ops.paint_pallas import (DEFAULT_WINDOW,
+                                        pallas_deposit_available)
+        deposit = ("pallas" if (jax.default_backend() == "tpu"
+                                and n_cells % DEFAULT_WINDOW == 0
+                                and pallas_deposit_available())
+                   else "scatter")
+
+    def body(pos, weights):
+        part_axes = ("sim", "x", "y")
+        n_local = pos.shape[0]
+        n_tot = jax.lax.psum(jnp.asarray(n_local, jnp.float32), part_axes)
+        x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
+        inv_cell = nf / boxsize
+
+        def cell(c):
+            return jnp.floor(c * inv_cell).astype(jnp.int32) % nf
+
+        ux, uy, uz = cell(x), cell(y), cell(z)
+        s_id = ((ux % ff) * ff + (uy % ff)) * ff + (uz % ff)
+        flat = ((s_id * ngrid + ux // ff) * ngrid + uy // ff) * ngrid \
+            + uz // ff
+        w32 = weights.astype(jnp.float32)
+        if deposit in ("pallas", "pallas_interpret"):
+            from ..ops.paint_pallas import deposit_flat
+            dep = deposit_flat(flat, w32, n_cells,
+                               interpret=(None if deposit == "pallas"
+                                          else True))
+        else:
+            dep = jnp.zeros((n_cells,), jnp.float32).at[flat].add(w32)
+        total = jax.lax.psum(jnp.sum(w32), part_axes)
+        dep = dep.reshape(ff ** 3, ngrid, ngrid, ngrid)
+        # reduce the full local copies + re-pencil each subgrid
+        dep = jax.lax.psum(dep, "sim")
+        if px > 1:
+            dep = jax.lax.psum_scatter(dep, "x", scatter_dimension=1,
+                                       tiled=True)
+        if py > 1:
+            dep = jax.lax.psum_scatter(dep, "y", scatter_dimension=2,
+                                       tiled=True)
+        # fold: pencil FFT per subgrid, combined with decimation phases
+        fi, fj, fk = local_mode_numbers(ngrid)
+        F = jnp.zeros((ngrid, ngrid // px, ngrid // py), jnp.complex64)
+        for s in itertools.product(range(ff), repeat=3):
+            sid = (s[0] * ff + s[1]) * ff + s[2]
+            spec = pfft3d_local(dep[sid])
+            ph = (-2.0 * jnp.pi / nf) * (fi * s[0] + fj * s[1] + fk * s[2])
+            F = F + spec * jnp.exp(1j * ph)
+        dk = F / jnp.where(total == 0, 1.0, total)
+
+        # NGP window deconvolution at the fine resolution
+        def axis_win(m):
+            u = m / nf
+            return jnp.where(u == 0.0, 1.0, jnp.sinc(u))
+
+        dk = dk / (axis_win(fi) * axis_win(fj) * axis_win(fk))
+        m = local_mode_radius(ngrid)
+        pk3d = (jnp.abs(dk) ** 2) * boxsize ** 3
+        pk3d = jnp.where(m == 0.0, 0.0, pk3d)
+        kmean, pmean, nm = local_shell_average(pk3d, m, ngrid, boxsize,
+                                               nbins)
+        shot = boxsize ** 3 / n_tot
+        return PowerResult(kmean, pmean - shot, nm)
+
+    # interpret-mode pallas discharges the kernel into a jaxpr whose
+    # program_id-derived slice indices are non-varying; vma checking
+    # rejects that mix (jax suggests check_vma=False as the workaround).
+    # The compiled TPU kernel is opaque to the check, so it stays on.
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(("sim", "x", "y"), None), P(("sim", "x", "y"))),
+        out_specs=PowerResult(P(), P(), P()),
+        check_vma=(deposit != "pallas_interpret"),
+    )
     return jax.jit(fn)

@@ -91,6 +91,51 @@ def test_distributed_power_batched_sims(mesh22, rng):
                             rtol=5e-3, atol=1e-3 * BOX ** 3 / n_part)
 
 
+def test_distributed_fast_power_matches_local(mesh22, rng):
+    from astrild_tpu.parallel.power import make_distributed_auto_power_fast
+
+    n_part = 8192
+    nbins = 6
+    pos = rng.uniform(0, BOX, (n_part, 3)).astype(np.float32)
+    xyz = (jnp.asarray(pos[:, 0]), jnp.asarray(pos[:, 1]),
+           jnp.asarray(pos[:, 2]))
+    ref = power_ops.auto_power_fast(xyz, NG, BOX, nbins=nbins,
+                                    deposit="scatter")
+    dfn = make_distributed_auto_power_fast(mesh22, NG, BOX, nbins)
+    spec = NamedSharding(mesh22, P(("sim", "x", "y"), None))
+    pos_sh = jax.device_put(jnp.asarray(pos), spec)
+    w_sh = jax.device_put(jnp.ones((n_part,), jnp.float32),
+                          NamedSharding(mesh22, P(("sim", "x", "y"))))
+    got = dfn(pos_sh, w_sh)
+    # nmodes differ only by the z-Nyquist double count of hermitian
+    # storage (local) vs single full-complex entry (distributed)
+    npt.assert_allclose(np.asarray(got.k), np.asarray(ref.k), rtol=2e-4)
+    npt.assert_allclose(np.asarray(got.power), np.asarray(ref.power),
+                        rtol=5e-3, atol=2e-3 * BOX ** 3 / n_part)
+
+
+def test_distributed_fast_power_pallas_kernel_in_shard_map(mesh22, rng):
+    # proves the Pallas sorted-deposit composes with shard_map (interpret
+    # mode on the CPU mesh; the TPU path is the same program)
+    from astrild_tpu.parallel.power import make_distributed_auto_power_fast
+
+    n_part = 2048
+    nbins = 4
+    pos = rng.uniform(0, BOX, (n_part, 3)).astype(np.float32)
+    spec = NamedSharding(mesh22, P(("sim", "x", "y"), None))
+    pos_sh = jax.device_put(jnp.asarray(pos), spec)
+    w_sh = jax.device_put(jnp.ones((n_part,), jnp.float32),
+                          NamedSharding(mesh22, P(("sim", "x", "y"))))
+    got_s = make_distributed_auto_power_fast(mesh22, NG, BOX, nbins,
+                                             deposit="scatter")(pos_sh, w_sh)
+    got_p = make_distributed_auto_power_fast(
+        mesh22, NG, BOX, nbins, deposit="pallas_interpret")(pos_sh, w_sh)
+    npt.assert_allclose(np.asarray(got_p.power), np.asarray(got_s.power),
+                        rtol=1e-5, atol=1e-6 * BOX ** 3 / n_part)
+    npt.assert_array_equal(np.asarray(got_p.nmodes),
+                           np.asarray(got_s.nmodes))
+
+
 def test_distributed_pairwise_matches_local(rng):
     from astrild_tpu.ops import pairwise as PW
     from astrild_tpu.parallel.pairwise import make_distributed_pairwise
