@@ -1,0 +1,169 @@
+"""Sharded pipeline checkpointing: resumable long-running integrations.
+
+The reference's only resume mechanism is its file-per-stage artifact graph
+(SURVEY.md §5 "checkpoint/resume"; e.g. Ray-Ramses map sums re-read
+per-snapshot HDF5, /root/reference/src/astrild/simcoll.py:238-341). That
+works for whole stages but cannot resume *inside* a long accumulation —
+a lightcone integration over hundreds of lens planes, a simulation-array
+sweep over realizations — and it knows nothing about device meshes.
+
+This module adds first-class checkpointing for exactly those loops:
+
+  * `save_state` / `restore_state`: orbax-backed pytree checkpoints that
+    preserve `jax.sharding.NamedSharding` layouts, so a state sharded
+    over an N-chip mesh restores onto the mesh without a host gather.
+    Falls back to a plain npz snapshot (host-gathered) when orbax is
+    unavailable.
+  * `CheckpointedAccumulator`: chunked streaming accumulation (the
+    framework's version of "sum maps over ray snapshots") that persists
+    its running state every `every` chunks and resumes mid-stream.
+
+Used with `core.manifest.ArtifactStore` for the stage-level graph; this
+module covers the intra-stage loop.
+"""
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+__all__ = ["save_state", "restore_state", "CheckpointedAccumulator",
+           "have_orbax"]
+
+
+def have_orbax() -> bool:
+    try:
+        import orbax.checkpoint  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+def _as_path(path) -> Path:
+    p = Path(path).absolute()
+    p.mkdir(parents=True, exist_ok=True)
+    return p
+
+
+def save_state(path, state, step: Optional[int] = None) -> None:
+    """Persist a pytree of (possibly sharded) arrays.
+
+    With orbax the on-disk format records each leaf's sharding; without it
+    the leaves are host-gathered into a single npz (still correct, but a
+    multi-host restore re-shards from host copies).
+    """
+    p = _as_path(path)
+    meta = {"step": step}
+    if have_orbax():
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        # wrap: StandardCheckpointer rejects bare array/scalar states
+        ckptr.save(p / "state", {"tree": state}, force=True)
+        ckptr.wait_until_finished()
+    else:
+        flat, treedef = jax.tree_util.tree_flatten(state)
+        np.savez(p / "state.npz", *[np.asarray(x) for x in flat])
+        meta["treedef"] = str(treedef)
+    with open(p / "meta.json", "w") as fh:
+        json.dump(meta, fh)
+
+
+def restore_state(path, template, with_step: bool = False):
+    """Restore a pytree saved by `save_state`.
+
+    template: a pytree of arrays (or jax.ShapeDtypeStruct with sharding)
+    matching the saved structure; sharded templates restore each leaf
+    directly onto its mesh under orbax.
+    """
+    p = Path(path).absolute()
+    meta = {}
+    mp = p / "meta.json"
+    if mp.exists():
+        with open(mp) as fh:
+            meta = json.load(fh)
+    if (p / "state").exists() and have_orbax():
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        abstract = jax.tree.map(
+            lambda x: x if isinstance(x, jax.ShapeDtypeStruct)
+            else jax.ShapeDtypeStruct(
+                jax.numpy.shape(x), x.dtype,
+                sharding=getattr(x, "sharding", None)), template)
+        state = ckptr.restore(p / "state", {"tree": abstract})["tree"]
+    else:
+        flat_t, treedef = jax.tree_util.tree_flatten(template)
+        with np.load(p / "state.npz") as z:
+            flat = [z[k] for k in z.files]
+        leaves = []
+        for arr, t in zip(flat, flat_t):
+            x = jax.numpy.asarray(arr)
+            sh = getattr(t, "sharding", None)
+            if sh is not None and not isinstance(
+                    sh, jax.sharding.SingleDeviceSharding):
+                x = jax.device_put(x, sh)
+            leaves.append(x)
+        state = jax.tree_util.tree_unflatten(treedef, leaves)
+    if with_step:
+        return state, meta.get("step")
+    return state
+
+
+def checkpoint_exists(path) -> bool:
+    p = Path(path).absolute()
+    return (p / "meta.json").exists()
+
+
+class CheckpointedAccumulator:
+    """Resumable streaming accumulation over a long chunk sequence.
+
+    The TPU-native shape of the reference's per-snapshot map summation:
+    `update` folds one chunk into a (possibly mesh-sharded) running state;
+    the state is checkpointed every `every` chunks, and a rerun after an
+    interruption resumes from the last completed chunk.
+
+        acc = CheckpointedAccumulator(dir, init_state, update_fn, every=8)
+        for i, chunk in enumerate(chunks):
+            acc.step(i, chunk)          # skips chunks already folded in
+        final = acc.finish()            # state + final checkpoint
+    """
+
+    def __init__(self, dir_ckpt, init_state, update_fn: Callable,
+                 every: int = 1):
+        self.dir = Path(dir_ckpt).absolute()
+        self.update_fn = update_fn
+        self.every = max(int(every), 1)
+        if checkpoint_exists(self.dir):
+            self.state, step = restore_state(self.dir, init_state,
+                                             with_step=True)
+            self.next_index = int(step if step is not None else -1) + 1
+        else:
+            self.state = init_state
+            self.next_index = 0
+        self.resumed_at = self.next_index
+
+    def step(self, index: int, chunk) -> bool:
+        """Fold chunk `index` into the state; no-op if already folded.
+
+        Chunks must be presented in increasing index order. Returns True
+        when the chunk was applied (False = skipped on resume).
+        """
+        if index < self.next_index:
+            return False
+        if index != self.next_index:
+            raise ValueError(
+                f"chunk {index} out of order (expected {self.next_index})")
+        self.state = self.update_fn(self.state, chunk)
+        self.next_index = index + 1
+        if self.next_index % self.every == 0:
+            save_state(self.dir, self.state, step=index)
+        return True
+
+    def finish(self):
+        save_state(self.dir, self.state, step=self.next_index - 1)
+        return self.state
