@@ -107,9 +107,32 @@ def paint_tsc(pos, ngrid: int, boxsize, weights=None):
 
 _PAINTERS = {"ngp": paint_ngp, "cic": paint_cic, "tsc": paint_tsc}
 
+# auto-select the Pallas painter above this particle count on TPU (the
+# XLA scatter runs ~3.4-9 Mp/s for TSC/CIC; the sorted multi-offset
+# kernel is ~5x faster at scale, and compile cost dominates below)
+_PALLAS_PAINT_MIN_N = 1 << 21
+
+
+def _paint_one(pos, ngrid, boxsize, weights, window, deposit):
+    if deposit is None:
+        from .paint_pallas import pallas_paint_available
+        deposit = ("pallas" if (window in ("cic", "tsc")
+                                and jax.default_backend() == "tpu"
+                                and pos.shape[0] >= _PALLAS_PAINT_MIN_N
+                                and pallas_paint_available())
+                   else "scatter")
+    if deposit in ("pallas", "pallas_interpret") and window != "ngp":
+        from .paint_pallas import paint_windowed
+        pf = jnp.concatenate([pos[:, 0], pos[:, 1], pos[:, 2]])
+        return paint_windowed(pf, weights, ngrid, boxsize,
+                              order=WINDOW_ORDER[window],
+                              interpret=(None if deposit == "pallas"
+                                         else True))
+    return _PAINTERS[window](pos, ngrid, boxsize, weights)
+
 
 def paint(pos, ngrid: int, boxsize, weights=None, window: str = "cic",
-          interlaced: bool = False):
+          interlaced: bool = False, deposit: str | None = None):
     """Deposit particles onto an n^3 grid.
 
     Args:
@@ -123,13 +146,15 @@ def paint(pos, ngrid: int, boxsize, weights=None, window: str = "cic",
         Fourier space by ops.power to cancel odd alias images (the
         reference enables this for cross-spectra,
         power_spectrum_3d.py:197-222).
+      deposit: None (auto: sorted Pallas kernel on TPU at large n,
+        probe-gated) | 'scatter' | 'pallas' | 'pallas_interpret'.
     """
-    fn = _PAINTERS[window]
-    g = fn(pos, ngrid, boxsize, weights)
+    g = _paint_one(pos, ngrid, boxsize, weights, window, deposit)
     if not interlaced:
         return g
     half = 0.5 * boxsize / ngrid
-    g2 = fn((pos + half) % boxsize, ngrid, boxsize, weights)
+    g2 = _paint_one((pos + half) % boxsize, ngrid, boxsize, weights,
+                    window, deposit)
     return g, g2
 
 

@@ -31,11 +31,28 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["deposit_sorted", "deposit_flat", "pallas_deposit_available",
+__all__ = ["deposit_sorted", "deposit_flat", "paint_windowed",
+           "pallas_deposit_available", "pallas_paint_available",
            "DEFAULT_WINDOW"]
 
 DEFAULT_WINDOW = 8192   # cells per output window (must be multiple of 128)
 _CHUNK_ROWS = 16        # particle rows (of 128) DMA'd per inner step
+
+
+def _dot_f32_split(hf, lmat_bf16, p1, rows):
+    """hf @ lmat with full f32-input accuracy via a bf16 hi/lo split.
+
+    TPU MXU truncates f32 matmul inputs to bf16 at DEFAULT precision;
+    hi = bf16(hf), lo = bf16(hf - hi) recovers ~f32 accuracy in two
+    bf16-rate passes (lmat is exact 0/1 in bf16).
+    """
+    hh = hf.astype(jnp.bfloat16)
+    hl = (hf - hh.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((0,), (0,)), ((), ()))
+    return (jax.lax.dot_general(hh, lmat_bf16, dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(hl, lmat_bf16, dn,
+                                  preferred_element_type=jnp.float32))
 
 
 def _kernel(srow_ref, nch_ref, keys_hbm, vals_hbm, out_ref, kbuf, vbuf,
@@ -90,19 +107,27 @@ def _kernel(srow_ref, nch_ref, keys_hbm, vals_hbm, out_ref, kbuf, vbuf,
         # types, so every insertion below is on int32/float32; bf16 appears
         # only AFTER the 3D compare. The in-window mask is folded into the
         # row id (-1 never matches the iota), not multiplied in.
-        dt = jnp.bfloat16 if counts_only else jnp.float32
         rowm = jnp.where(inw, row, -1)
-        h3 = (rowm[:, :, None] == jax.lax.broadcasted_iota(
-            jnp.int32, (p1, 128, rows), 2)).astype(dt)
-        if not counts_only:
-            h3 = h3 * vbuf[slot][:, :, None]
-        h = h3.reshape(p1 * 128, rows)
         lmat = (lane[:, :, None] == jax.lax.broadcasted_iota(
-            jnp.int32, (p1, 128, 128), 2)).astype(dt
+            jnp.int32, (p1, 128, 128), 2)).astype(jnp.bfloat16
                                                   ).reshape(p1 * 128, 128)
-        return acc + jax.lax.dot_general(
-            h, lmat, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if counts_only:
+            # pure 0/1 factors: a single bf16 MXU pass is EXACT
+            h = (rowm[:, :, None] == jax.lax.broadcasted_iota(
+                jnp.int32, (p1, 128, rows), 2)).astype(jnp.bfloat16
+                                                       ).reshape(
+                                                           p1 * 128, rows)
+            return acc + jax.lax.dot_general(
+                h, lmat, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        # weighted: TPU truncates f32 matmul inputs to bf16 at DEFAULT
+        # precision (1e-3 relative error on weights). Split the weighted
+        # one-hot into hi+lo bf16 parts — two MXU passes recover full
+        # f32-input accuracy at bf16 speed.
+        hf = ((rowm[:, :, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (p1, 128, rows), 2)).astype(jnp.float32)
+            * vbuf[slot][:, :, None]).reshape(p1 * 128, rows)
+        return acc + _dot_f32_split(hf, lmat, p1, rows)
 
     acc = jax.lax.fori_loop(0, nch, body,
                             jnp.zeros((rows, 128), jnp.float32))
@@ -199,6 +224,241 @@ def deposit_sorted(keys_sorted, vals_sorted, n_cells: int,
             vmem_limit_bytes=100 * 1024 * 1024),
     )(srow_part, nch, keys2d, vals2d)
     return out.reshape(-1)
+
+
+# --------------------------------------------------------------------------
+# Multi-offset windowed painter: CIC/TSC as per-offset passes over ONE
+# sorted particle buffer (completes SURVEY.md hard part "scatter-add
+# painting performance": Pallas deposit + sort-by-cell replaces pmesh TSC,
+# /root/reference/src/astrild/particles/hutils/stats_subfind.py:129-141).
+#
+# The separable window deposits w = prod_axis w_axis(frac, a) into the
+# base cell shifted by each offset (dx, dy, dz). On a PADDED (n+2)^3 grid
+# the flat target key is base_key + const per offset, so ONE sort of the
+# base keys serves every offset: pass o's contributors to window w are the
+# contiguous sorted range [searchsorted(keys, w*W - off_o), ...). The
+# kernel grids over (window, offset) with the offset innermost, so the
+# output block stays resident in VMEM across all 8/27 offsets and is
+# written to HBM once. Axis weights are computed branch-free from the
+# fractional positions and the prefetched per-offset integers a:
+#   CIC (f in [0,1), a in {0,1}):    w = a*f + (1-a)*(1-f)
+#   TSC (d in [-.5,.5), a in {-1,0,1}): w = [a==0]*(0.75-d^2)
+#                                        + [a!=0]*0.5*(0.5+a*d)^2
+
+
+def _paint_kernel(off_ref, ax_ref, ay_ref, az_ref, srow_ref, nch_ref,
+                  keys_hbm, fw_hbm, out_ref, kbuf, fbuf, sem_k, sem_f, *,
+                  rows: int, window: int, p1: int, n_off: int, order: int,
+                  has_w: bool):
+    j = pl.program_id(0)
+    o = pl.program_id(1)
+    base = j * window - off_ref[o]
+    oj = o * pl.num_programs(0) + j
+    nch = nch_ref[oj]
+    nf_comp = 4 if has_w else 3
+
+    @pl.when(o == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    def dma_k(k, slot):
+        return pltpu.make_async_copy(
+            keys_hbm.at[pl.ds(srow_ref[oj] + k * p1, p1), :],
+            kbuf.at[slot], sem_k.at[slot])
+
+    def dma_f(k, slot):
+        return pltpu.make_async_copy(
+            fw_hbm.at[:, pl.ds(srow_ref[oj] + k * p1, p1), :],
+            fbuf.at[slot], sem_f.at[slot])
+
+    @pl.when(nch > 0)
+    def _():
+        dma_k(0, 0).start()
+        dma_f(0, 0).start()
+
+    def axis_w(d, a):
+        af = a.astype(jnp.float32)
+        if order == 2:    # CIC
+            return af * d + (1.0 - af) * (1.0 - d)
+        # TSC
+        is0 = (a == 0).astype(jnp.float32)
+        return is0 * (0.75 - d * d) + (1.0 - is0) * 0.5 \
+            * (0.5 + af * d) ** 2
+
+    def body(k, _):
+        slot = k % 2
+        nxt = (k + 1) % 2
+
+        @pl.when(k + 1 < nch)
+        def _():
+            dma_k(k + 1, nxt).start()
+            dma_f(k + 1, nxt).start()
+
+        dma_k(k, slot).wait()
+        dma_f(k, slot).wait()
+        rel = kbuf[slot] - base
+        inw = (rel >= 0) & (rel < window)
+        relc = jnp.clip(rel, 0, window - 1)
+        row = relc // 128
+        lane = relc - row * 128
+        w = (axis_w(fbuf[slot, 0], ax_ref[o])
+             * axis_w(fbuf[slot, 1], ay_ref[o])
+             * axis_w(fbuf[slot, 2], az_ref[o]))
+        if has_w:
+            w = w * fbuf[slot, 3]
+        rowm = jnp.where(inw, row, -1)
+        h3 = (rowm[:, :, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (p1, 128, rows), 2)).astype(jnp.float32)
+        hf = (h3 * w[:, :, None]).reshape(p1 * 128, rows)
+        lmat = (lane[:, :, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (p1, 128, 128), 2)).astype(jnp.bfloat16
+                                                  ).reshape(p1 * 128, 128)
+        out_ref[:, :] += _dot_f32_split(hf, lmat, p1, rows)
+        return 0
+
+    jax.lax.fori_loop(0, nch, body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ngrid", "order", "window", "interpret",
+                                    "chunk_rows"))
+def paint_windowed(pos_flat, weights, ngrid: int, boxsize, order: int = 3,
+                   window: int = DEFAULT_WINDOW,
+                   interpret: bool | None = None,
+                   chunk_rows: int = _CHUNK_ROWS):
+    """Pallas CIC/TSC deposit: drop-in replacement for ops.paint.paint.
+
+    pos_flat: (3*n,) float32 — x, y, z concatenated ((n,3) arrays pad
+      their 3-wide dim 42x at large n on TPU; see CLAUDE.md).
+    order: 2 (CIC, 8 offsets) or 3 (TSC, 27 offsets).
+
+    Returns (ngrid, ngrid, ngrid) float32, bit-comparable (float-sum
+    ordering aside) with paint_cic/paint_tsc.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert order in (2, 3)
+    import numpy as np
+
+    n = pos_flat.shape[0] // 3
+    x, y, z = pos_flat[:n], pos_flat[n:2 * n], pos_flat[2 * n:]
+    npd = ngrid + 2
+    h = boxsize / ngrid
+    if order == 2:
+        offs1 = (0, 1)
+        u = [c / h - 0.5 for c in (x, y, z)]
+        i0 = [jnp.floor(c) for c in u]
+        frac = [(c - i).astype(jnp.float32) for c, i in zip(u, i0)]
+        # u in [-0.5, n-0.5) -> i0 in [-1, n-1]; +1 pads into [0, n]
+        ip = [i.astype(jnp.int32) + 1 for i in i0]
+    else:
+        offs1 = (-1, 0, 1)
+        u = [c / h for c in (x, y, z)]
+        i0 = [jnp.floor(c) for c in u]
+        frac = [(c - i - 0.5).astype(jnp.float32) for c, i in zip(u, i0)]
+        ip = [jnp.clip(i.astype(jnp.int32), 0, ngrid - 1) + 1 for i in i0]
+    key = (ip[0] * npd + ip[1]) * npd + ip[2]
+
+    # one sort serves all offsets: sort (key, index), gather fracs/weights
+    keys_s, idx_s = jax.lax.sort((key, jnp.arange(n, dtype=jnp.int32)),
+                                 num_keys=1)
+    comps = [frac[0][idx_s], frac[1][idx_s], frac[2][idx_s]]
+    has_w = weights is not None
+    if has_w:
+        comps.append(weights.astype(jnp.float32)[idx_s])
+
+    rows = window // 128
+    p1 = chunk_rows
+    n_cells = -(-(npd ** 3) // window) * window
+    nw = n_cells // window
+    nrow = -(-n // 128)
+    nrow = -(-nrow // p1) * p1 + p1
+    pad = nrow * 128 - n
+    # sentinel: NEGATIVE offsets shift windows upward in key space, so the
+    # sentinel must clear n_cells by more than max|off| or padding lands
+    # in the last window
+    sentinel = n_cells + npd * npd + npd + 2
+    keys2d = jnp.pad(keys_s, (0, pad),
+                     constant_values=sentinel).reshape(nrow, 128)
+    fw = jnp.stack([jnp.pad(c, (0, pad)).reshape(nrow, 128) for c in comps])
+
+    # per-(offset, window) sorted ranges: target = key + off_flat
+    offs = [(dx, dy, dz) for dx in offs1 for dy in offs1 for dz in offs1]
+    n_off = len(offs)
+    off_flat = jnp.asarray([(dx * npd + dy) * npd + dz
+                            for dx, dy, dz in offs], jnp.int32)
+    axs = jnp.asarray([dx for dx, _, _ in offs], jnp.int32)
+    ays = jnp.asarray([dy for _, dy, _ in offs], jnp.int32)
+    azs = jnp.asarray([dz for _, _, dz in offs], jnp.int32)
+    edges = jnp.arange(nw + 1, dtype=jnp.int32) * window
+    bounds = jax.vmap(
+        lambda off: jnp.searchsorted(keys_s, edges - off).astype(jnp.int32)
+    )(off_flat)                                   # (n_off, nw+1)
+    srow = (bounds[:, :-1] // 128).reshape(-1)
+    erow = -(-bounds[:, 1:] // 128)
+    nch = (-(-jnp.maximum(erow - bounds[:, :-1] // 128, 0) // p1)
+           ).reshape(-1)
+
+    kern = functools.partial(_paint_kernel, rows=rows, window=window,
+                             p1=p1, n_off=n_off, order=order, has_w=has_w)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(nw, n_off),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((rows, 128), lambda j, o, *pref: (j, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, p1, 128), jnp.int32),
+            pltpu.VMEM((2, 4 if has_w else 3, p1, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    try:
+        vma = frozenset(jax.typeof(keys2d).vma) | frozenset(
+            jax.typeof(fw).vma)
+    except Exception:
+        vma = frozenset()
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_cells // 128, 128), jnp.float32,
+                                       vma=vma),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(off_flat, axs, ays, azs, srow, nch, keys2d, fw)
+
+    # fold the periodic pad back: padded index p -> cell (p-1) mod n
+    g = out.reshape(-1)[: npd ** 3].reshape(npd, npd, npd)
+    for ax in range(3):
+        g = jnp.moveaxis(g, ax, 0)
+        core = g[1:ngrid + 1]
+        core = core.at[ngrid - 1].add(g[0]).at[0].add(g[ngrid + 1])
+        g = jnp.moveaxis(core, 0, ax)
+    return g
+
+
+@functools.cache
+def pallas_paint_available() -> bool:
+    """Probe-compile the multi-offset CIC/TSC painter (see
+    pallas_deposit_available for why auto-selection must be gated)."""
+    try:
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        pos = jnp.asarray(rng.uniform(0, 10.0, 3 * 256), jnp.float32)
+        for order in (2, 3):
+            g = paint_windowed(pos, None, 8, 10.0, order=order,
+                               window=1024)
+            jax.block_until_ready(g)
+            if abs(float(jnp.sum(g)) - 256.0) > 0.1:  # f32 sum tolerance
+                return False
+        return True
+    except Exception:
+        return False
 
 
 @functools.cache

@@ -186,6 +186,44 @@ def test_pallas_deposit_flat_correctness(rng):
     npt.assert_array_equal(np.asarray(gotc2), refc.astype(np.float32))
 
 
+def test_pallas_paint_windowed_matches_scatter(rng):
+    from astrild_tpu.ops import paint as P
+    from astrild_tpu.ops.paint_pallas import paint_windowed
+
+    n, ng, box = 30000, 16, 50.0
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float32)
+    w = jnp.asarray(rng.uniform(0.5, 2.0, n), jnp.float32)
+    pf = jnp.concatenate([pos[:, 0], pos[:, 1], pos[:, 2]])
+    for order, ref_fn in ((2, P.paint_cic), (3, P.paint_tsc)):
+        ref = np.asarray(ref_fn(pos, ng, box))
+        got = np.asarray(paint_windowed(pf, None, ng, box, order=order,
+                                        window=1024))
+        npt.assert_allclose(got, ref, atol=2e-5 * max(1.0, ref.max()))
+        npt.assert_allclose(got.sum(), n, rtol=1e-5)
+        refw = np.asarray(ref_fn(pos, ng, box, weights=w))
+        gotw = np.asarray(paint_windowed(pf, w, ng, box, order=order,
+                                         window=1024, chunk_rows=8))
+        npt.assert_allclose(gotw, refw, atol=2e-5 * max(1.0, refw.max()))
+
+
+def test_paint_deposit_dispatch(rng):
+    # the public paint() must give identical physics through either path
+    from astrild_tpu.ops import paint as P
+
+    n, ng, box = 5000, 8, 25.0
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float32)
+    a = np.asarray(P.paint(pos, ng, box, window="tsc", deposit="scatter"))
+    b = np.asarray(P.paint(pos, ng, box, window="tsc",
+                           deposit="pallas_interpret"))
+    npt.assert_allclose(b, a, atol=2e-5 * a.max())
+    ga, ga2 = P.paint(pos, ng, box, window="cic", interlaced=True,
+                      deposit="pallas_interpret")
+    ra, ra2 = P.paint(pos, ng, box, window="cic", interlaced=True,
+                      deposit="scatter")
+    npt.assert_allclose(np.asarray(ga), np.asarray(ra), atol=2e-4)
+    npt.assert_allclose(np.asarray(ga2), np.asarray(ra2), atol=2e-4)
+
+
 def test_pallas_deposit_probe():
     # the probe must never raise — it reports False on lowering failures
     # (libtpu Mosaic regressions) so auto-selection degrades to scatter
