@@ -27,13 +27,14 @@ def _sht_backend(nside: int, lmax: int):
 
     The table path is exact and cheap at small lmax; the libsharp-style
     path (ring FFTs + on-device Legendre recursion) covers the reference's
-    production healpy scale (nside 512-2048) up to lmax = 2*nside."""
+    production healpy scale (nside 512-2048) up to lmax = 4*nside - 1
+    (belt alias-fold; includes healpy's routine lmax = 3*nside - 1)."""
     from ..ops import sht, sht_large
 
     if lmax <= _TABLE_LMAX_LIMIT:
         return sht.synfast, sht.anafast, sht.smoothing
-    if lmax > 2 * nside:
-        raise ValueError(f"lmax={lmax} > 2*nside={2 * nside} is not "
+    if lmax > 4 * nside - 1:
+        raise ValueError(f"lmax={lmax} > 4*nside-1={4 * nside - 1} is not "
                          "supported by the large-lmax SHT path")
     return (sht_large.synfast_large, sht_large.anafast_large,
             sht_large.smoothing_large)

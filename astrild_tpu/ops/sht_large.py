@@ -20,7 +20,12 @@ uses for nside 1024-2048 maps
   scaled-down values contribute only once their scale reaches zero.
 
 Memory is O(lmax * nring) — nside 1024 / lmax 2048 fits in a few hundred MB.
-Supports lmax <= 2*nside (the belt Nyquist; healpy's common choice).
+Supports lmax <= 4*nside - 1: belt rings carry n = 4*nside equally spaced
+pixels, so m > n/2 folds onto the conjugate rfft bin n - m (e^{2pi i m p/n}
+= conj(e^{2pi i (n-m) p/n}) for real maps). This covers healpy's routine
+lmax = 3*nside - 1 (map2alm/synfast defaults the reference relies on,
+/root/reference/src/astrild/rays/skys/sky_healpix.py:218-241); the cap
+rings use exact per-pixel trig at any m.
 
 Measured on the v5e chip: see CLAUDE.md (synthesize+analyze at
 nside=512/lmax=1024).
@@ -67,7 +72,8 @@ class LargeSHTTables(NamedTuple):
 
 @lru_cache(maxsize=4)
 def sht_large_tables(nside: int, lmax: int) -> LargeSHTTables:
-    assert lmax <= 2 * nside, "belt FFT path supports lmax <= 2*nside"
+    assert lmax <= 4 * nside - 1, \
+        "belt alias-fold supports lmax <= 4*nside - 1"
     geo = ring_geometry(nside)
     theta = geo.theta
     x = np.cos(theta)
@@ -294,10 +300,19 @@ def _synth_large_impl(alm_re, alm_im, tab: LargeSHTTables, nside: int,
                                  tab.phi0[belt])
     nbelt = cb_re.shape[1]
     G = jnp.zeros((nbelt, n // 2 + 1), jnp.complex64)
-    fac = jnp.where(jnp.arange(lmax + 1) == 0, float(n),
-                    jnp.where(jnp.arange(lmax + 1) == n // 2,
+    mlo = min(lmax, n // 2)
+    fac = jnp.where(jnp.arange(mlo + 1) == 0, float(n),
+                    jnp.where(jnp.arange(mlo + 1) == n // 2,
                               2.0 * n, float(n)))
-    G = G.at[:, : lmax + 1].set((cb_re + 1j * cb_im).T * fac[None, :])
+    G = G.at[:, : mlo + 1].set(
+        (cb_re[: mlo + 1] + 1j * cb_im[: mlo + 1]).T * fac[None, :])
+    if lmax > n // 2:
+        # alias fold: 2 Re(c e^{2pi i m p/n}) = 2 Re(conj(c) e^{2pi i
+        # (n-m) p/n}) for m > n/2, so the conjugate coefficient ADDS into
+        # rfft bin n-m (which irfft already weights by 2/n)
+        mh = np.arange(n // 2 + 1, lmax + 1)
+        G = G.at[:, n - mh].add(
+            (cb_re[mh] - 1j * cb_im[mh]).T * float(n))
     map_belt = jnp.fft.irfft(G, n=n, axis=1).astype(jnp.float32)
 
     # ---- caps: direct m-blocked trig evaluation (phases are in phi_cap)
@@ -324,8 +339,14 @@ def _adjoint_large_impl(hpmap, tab: LargeSHTTables, nside: int, lmax: int):
     F = jnp.fft.rfft(plane[belt], axis=1)  # sum_p x e^{-2pi i k p / n}
     # quadrature sums d[m,r] = sum_p map e^{-im phi_rp}: NO m-doubling here
     # (the 2x for m>0 lives in synthesis; analysis is a_lm = wq sum lam d)
-    d_re = F.real.T[: lmax + 1]            # (lmax+1, nbelt)
-    d_im = F.imag.T[: lmax + 1]
+    mlo = min(lmax, n // 2)
+    d_re = F.real.T[: mlo + 1]             # (mlo+1, nbelt)
+    d_im = F.imag.T[: mlo + 1]
+    if lmax > n // 2:
+        # alias unfold: sum_p x e^{-2pi i m p/n} = conj(F[n-m]) for real x
+        mh = np.arange(n // 2 + 1, lmax + 1)
+        d_re = jnp.concatenate([d_re, F.real.T[n - mh]])
+        d_im = jnp.concatenate([d_im, -F.imag.T[n - mh]])
     d_re, d_im = _rotate_phase(d_re, d_im, tab.phi0[belt], sign=-1.0)
 
     # ---- caps: direct adjoint trig sums
@@ -361,7 +382,7 @@ def _adjoint_large_impl(hpmap, tab: LargeSHTTables, nside: int, lmax: int):
 
 def synthesize_large(alm_re, alm_im, nside: int, lmax: int,
                      tables: Optional[LargeSHTTables] = None):
-    """Real-field SH synthesis without Legendre tables (lmax <= 2*nside)."""
+    """Real-field SH synthesis without Legendre tables (lmax <= 4*nside-1)."""
     tab = tables if tables is not None else sht_large_tables(nside, lmax)
     return _synth_large_impl(jnp.asarray(alm_re, jnp.float32),
                              jnp.asarray(alm_im, jnp.float32), tab,
@@ -370,7 +391,7 @@ def synthesize_large(alm_re, alm_im, nside: int, lmax: int,
 
 def analyze_large(hpmap, nside: int, lmax: int, niter: int = 3,
                   tables: Optional[LargeSHTTables] = None):
-    """Real-field SH analysis without Legendre tables (lmax <= 2*nside)."""
+    """Real-field SH analysis without Legendre tables (lmax <= 4*nside-1)."""
     tab = tables if tables is not None else sht_large_tables(nside, lmax)
     hpmap = jnp.asarray(hpmap, jnp.float32)
     a_re, a_im = _adjoint_large_impl(hpmap, tab, nside, lmax)

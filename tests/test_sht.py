@@ -228,3 +228,54 @@ def test_sht_large_smoothing_damps_high_ell():
     cl1 = np.asarray(sht_large.anafast_large(np.asarray(sm), lmax))
     assert cl1[25:].sum() < 0.05 * cl0[25:].sum()
     npt.assert_allclose(cl1[2] / cl0[2], 1.0, atol=0.2)
+
+
+def test_sht_large_alias_fold_matches_table_synthesis():
+    """lmax = 3*nside - 1 (healpy's routine choice) exercises the belt
+    m > 2*nside alias fold; the table path is the exact oracle."""
+    from astrild_tpu.ops import sht_large
+
+    nside = 16
+    L = 3 * nside - 1
+    rng = np.random.default_rng(7)
+    alm_re = rng.normal(0, 1, (L + 1, L + 1)).astype(np.float32)
+    alm_im = rng.normal(0, 1, (L + 1, L + 1)).astype(np.float32)
+    valid = np.arange(L + 1)[None, :] <= np.arange(L + 1)[:, None]
+    alm_re *= valid
+    alm_im *= valid
+    alm_im[:, 0] = 0.0
+    m_tab = np.asarray(sht.synthesize(alm_re, alm_im, nside, L))
+    m_lrg = np.asarray(sht_large.synthesize_large(alm_re, alm_im, nside, L))
+    npt.assert_allclose(m_lrg, m_tab, atol=5e-4 * np.abs(m_tab).max())
+
+
+def test_sht_large_alias_fold_matches_table_analysis():
+    from astrild_tpu.ops import sht_large
+
+    nside = 16
+    L = 3 * nside - 1
+    rng = np.random.default_rng(8)
+    m = rng.normal(0, 1, 12 * nside * nside).astype(np.float32)
+    a_re_t, a_im_t = sht.analyze(m, nside, L, niter=3)
+    a_re_l, a_im_l = sht_large.analyze_large(m, nside, L, niter=3)
+    npt.assert_allclose(np.asarray(a_re_l), np.asarray(a_re_t), atol=5e-5)
+    npt.assert_allclose(np.asarray(a_im_l), np.asarray(a_im_t), atol=5e-5)
+
+
+def test_sht_large_roundtrip_unbiased_3nside():
+    """Round trip at lmax = 3*nside - 1: the band power must come back
+    unbiased through the alias-folded belt path."""
+    from astrild_tpu.ops import sht_large
+
+    nside = 32
+    lmax = 3 * nside - 1
+    ell = np.arange(lmax + 1)
+    cl_in = np.zeros(lmax + 1, np.float32)
+    cl_in[2:] = 1.0 / ell[2:] ** 2
+    keys = jax.random.split(jax.random.PRNGKey(11), 6)
+    ratios = []
+    for k in keys:
+        m = sht_large.synfast_large(k, cl_in, nside, lmax)
+        cl_out = np.asarray(sht_large.anafast_large(m, lmax, niter=3))
+        ratios.append(cl_out[2:40].mean() / cl_in[2:40].mean())
+    assert abs(np.mean(ratios) - 1.0) < 0.15, np.mean(ratios)
