@@ -441,11 +441,41 @@ def paint_windowed(pos_flat, weights, ngrid: int, boxsize, order: int = 3,
     return g
 
 
+def _probe_outside_trace(body) -> bool:
+    """Run a probe compile with a CLEAN trace state, reporting False only
+    on genuine failure.
+
+    Auto-selection consults the probes at TRACE time of the caller's jit.
+    JAX trace state is thread-local, so running the probe body in a fresh
+    thread executes it eagerly even mid-trace; probing inline would trace
+    the kernel into the caller's jaxpr, raise on the host float() reads,
+    and report a false negative — silently degrading every pipeline to
+    the 2-3x slower scatter path (observed as the bench r2 regression).
+    """
+    import concurrent.futures
+
+    def run():
+        try:
+            return bool(body())
+        except Exception:
+            return False
+
+    try:
+        import jax.core as _core
+        clean = _core.trace_state_clean()
+    except Exception:
+        clean = False
+    if clean:
+        return run()
+    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
+        return ex.submit(run).result()
+
+
 @functools.cache
 def pallas_paint_available() -> bool:
     """Probe-compile the multi-offset CIC/TSC painter (see
     pallas_deposit_available for why auto-selection must be gated)."""
-    try:
+    def body():
         import numpy as np
 
         rng = np.random.default_rng(0)
@@ -457,8 +487,8 @@ def pallas_paint_available() -> bool:
             if abs(float(jnp.sum(g)) - 256.0) > 0.1:  # f32 sum tolerance
                 return False
         return True
-    except Exception:
-        return False
+
+    return _probe_outside_trace(body)
 
 
 @functools.cache
@@ -472,7 +502,7 @@ def pallas_deposit_available() -> bool:
     scatter instead of crashing the pipeline. The tiny compile is cached
     by the persistent compilation cache and by functools.cache.
     """
-    try:
+    def body():
         # smallest LEGAL config: window >= 1024 keeps the (rows, 128)
         # output block at >= 8 sublanes (the Mosaic minimum)
         keys = (jnp.arange(512, dtype=jnp.int32) * 7) % 2048
@@ -483,8 +513,8 @@ def pallas_deposit_available() -> bool:
         outw = deposit_sorted(jax.lax.sort(keys), wts, 2048, window=1024)
         jax.block_until_ready(outw)
         return ok
-    except Exception:
-        return False
+
+    return _probe_outside_trace(body)
 
 
 def deposit_flat(flat_idx, weights, n_cells: int,

@@ -19,6 +19,9 @@ import jax.numpy as jnp
 
 from .paint import compensation_kernel
 
+# last auto-selected deposit path ('pallas' | 'scatter'); diagnostics only
+last_auto_deposit: Optional[str] = None
+
 __all__ = [
     "PowerResult", "kmag_rfft", "hermitian_weights", "delta_k",
     "shell_average", "auto_power", "auto_power_fast", "cross_power",
@@ -324,6 +327,10 @@ def auto_power_fast(pos, ngrid: int, boxsize: float, nbins: int = 0,
                                 and n_cells % DEFAULT_WINDOW == 0
                                 and pallas_deposit_available())
                    else "scatter")
+        # expose the auto-selection so benchmarks/pipelines can assert the
+        # fast path engaged (a probe false-negative silently costs 2-3x)
+        global last_auto_deposit
+        last_auto_deposit = deposit
     return _auto_power_fast_impl(pos, boxsize, weights, binning,
                                  ngrid=ngrid, nbins=nbins,
                                  fine_factor=fine_factor,

@@ -130,7 +130,9 @@ def _run_suite(n_side, fallback_from=None):
     run = make_stages()
     print("# compiling...", file=sys.stderr, flush=True)
     _sync(run(pos))
-    print("# compiled; timing", file=sys.stderr, flush=True)
+    from astrild_tpu.ops import power as _power
+    print(f"# compiled; timing (deposit={_power.last_auto_deposit})",
+          file=sys.stderr, flush=True)
 
     times = []
     for i in range(2):

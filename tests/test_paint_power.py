@@ -231,3 +231,28 @@ def test_pallas_deposit_probe():
 
     assert pallas_deposit_available() in (True, False)
     assert pallas_deposit_available() is pallas_deposit_available()
+
+
+def test_probes_true_inside_jit_trace():
+    """Auto-selection consults the probes at TRACE time of the caller's
+    jit. A probe that traces its kernel into the caller (instead of
+    executing eagerly) raises on float() and reports False, silently
+    degrading pipelines to the scatter path (bench r2 regression)."""
+    from astrild_tpu.ops import paint_pallas as pp
+
+    pp.pallas_deposit_available.cache_clear()
+    pp.pallas_paint_available.cache_clear()
+    seen = {}
+
+    @jax.jit
+    def f(x):
+        seen["deposit"] = pp.pallas_deposit_available()
+        seen["paint"] = pp.pallas_paint_available()
+        return x + 1.0
+
+    f(jnp.zeros(4))
+    assert seen["deposit"] is True
+    assert seen["paint"] is True
+    # and the cached values remain True outside the trace
+    assert pp.pallas_deposit_available() is True
+    assert pp.pallas_paint_available() is True
