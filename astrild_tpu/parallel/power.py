@@ -77,20 +77,42 @@ def local_shell_average(values, m, ngrid, boxsize, nbins,
     kf = 2.0 * jnp.pi / boxsize
     edges = jnp.linspace(mmin, mmax, nbins + 1)
     mf = m.reshape(-1)
-    binidx = jnp.clip(jnp.searchsorted(edges, mf, side="right") - 1, 0, nbins - 1)
-    inside = ((mf >= mmin) & (mf <= mmax)).astype(values.dtype)
-    # masked-sum reduction per bin (see ops.power.shell_average: TPU
-    # scatter-adds serialize; tree reductions do not)
-    wv = inside * values.reshape(-1)
-    wm = inside * mf
+    binidx = jnp.clip(jnp.searchsorted(edges, mf, side="right") - 1, 0,
+                      nbins - 1)
+    inside = (mf >= mmin) & (mf <= mmax)
+    binidx = jnp.where(inside, binidx, nbins)  # nbins = discard slot
+    insf = inside.astype(values.dtype)
+    # fused one-hot masked sum, chunk-scanned so the (chunk, nbins+1)
+    # intermediate stays bounded (see ops.power._shell_reduce: 26 ms vs
+    # 123 ms gather / 100 ms segment_sum at 8.4M modes on-chip); the
+    # three statistics share one one-hot build per chunk
+    streams = jnp.stack([insf, insf * mf, insf * values.reshape(-1)])
+    n = mf.shape[0]
+    chunk = min(1 << 19, max(1024, n))
+    pad = (-n) % chunk
+    streams = jnp.pad(streams, ((0, 0), (0, pad))).reshape(3, -1, chunk)
+    bi = jnp.pad(binidx, (0, pad),
+                 constant_values=nbins).reshape(-1, chunk)
+    bins = jnp.arange(nbins + 1, dtype=binidx.dtype)
 
-    def one_bin(b):
-        sel = binidx == b
-        return (jnp.sum(jnp.where(sel, inside, 0.0)),
-                jnp.sum(jnp.where(sel, wm, 0.0)),
-                jnp.sum(jnp.where(sel, wv, 0.0)))
+    def body(acc, xs):
+        v, b = xs  # (3, chunk), (chunk,)
+        oh = b[:, None] == bins[None, :]
+        contrib = jnp.sum(jnp.where(oh[None], v[:, :, None], 0.0), axis=1)
+        return acc + contrib, None
 
-    nm, msum, vsum = jax.vmap(one_bin)(jnp.arange(nbins))
+    acc0 = jnp.zeros((3, nbins + 1), values.dtype)
+    try:
+        # under shard_map the carry must share the scanned values'
+        # varying-mesh-axes, or the scan rejects the carry types
+        vma = tuple(jax.typeof(streams).vma)
+        if vma:
+            acc0 = jax.lax.pvary(acc0, vma)
+    except Exception:
+        pass
+    acc, _ = jax.lax.scan(body, acc0,
+                          (jnp.moveaxis(streams, 1, 0), bi))
+    nm, msum, vsum = acc[0, :nbins], acc[1, :nbins], acc[2, :nbins]
     for axname in axes:
         nm = jax.lax.psum(nm, axname)
         msum = jax.lax.psum(msum, axname)
