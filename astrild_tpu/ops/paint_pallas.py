@@ -421,6 +421,12 @@ def paint_windowed(pos_flat, weights, ngrid: int, boxsize, order: int = 3,
             jax.typeof(fw).vma)
     except Exception:
         vma = frozenset()
+    if vma:
+        # under shard_map the CONSTANT prefetch operands must carry the
+        # same varying-mesh-axes as the data, or the kernel's internal
+        # dynamic_slice rejects the mixed-vma operands
+        off_flat, axs, ays, azs = (jax.lax.pvary(a, tuple(vma))
+                                   for a in (off_flat, axs, ays, azs))
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,

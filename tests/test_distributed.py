@@ -196,3 +196,52 @@ def test_distributed_sht_matches_local(mesh22, rng):
     b_re, b_im = analyze(pad_map(want_map, nside), niter=3)
     npt.assert_allclose(np.asarray(b_re), a_re, atol=5e-4)
     npt.assert_allclose(np.asarray(b_im), a_im, atol=5e-4)
+
+
+def test_painter_in_shard_map_matches_local(mesh22, rng):
+    """The multi-offset CIC/TSC painter composes with shard_map: each
+    device paints its particle shard onto a full local grid (interpret
+    mode on the CPU mesh; the TPU path is the same program) and the
+    psum of the shards equals the single-device paint."""
+    from astrild_tpu.ops.paint_pallas import paint_windowed
+    shard_map = jax.shard_map
+
+    n_part = 4096
+    pos = rng.uniform(0, BOX, (n_part, 3)).astype(np.float32)
+    pf = np.concatenate([pos[:, 0], pos[:, 1], pos[:, 2]])
+
+    for order in (2, 3):
+        want = np.asarray(paint_windowed(jnp.asarray(pf), None, NG, BOX,
+                                         order=order, window=1024,
+                                         interpret=True))
+
+        def body(pflat):
+            n = pflat.shape[0] // 3
+            g = paint_windowed(pflat, None, NG, BOX, order=order,
+                               window=1024, interpret=True)
+            return jax.lax.psum(g, ("sim", "x", "y"))
+
+        axes = ("sim", "x", "y")
+        # check_vma=False: pallas's interpret-mode block extraction mixes
+        # unvarying grid-loop indices with varying operands in its own
+        # dynamic_slice (jax suggests this workaround); the compiled TPU
+        # path does not go through the HLO interpreter
+        fn = shard_map(body, mesh=mesh22,
+                       in_specs=P(axes),
+                       out_specs=P(), check_vma=False)
+        # shard particles: reshape (3, n) so each component shards evenly
+        pf3 = jnp.asarray(pf).reshape(3, n_part)
+        # interleave per-device chunks: components stay contiguous per
+        # device by sharding the flat buffer in 8 equal slices of each
+        # component stacked — build per-device flat buffers explicitly
+        nd = 8
+        chunks = []
+        for d in range(nd):
+            sl = slice(d * n_part // nd, (d + 1) * n_part // nd)
+            chunks.append(np.concatenate([pos[sl, 0], pos[sl, 1],
+                                          pos[sl, 2]]))
+        flat_sh = jnp.asarray(np.concatenate(chunks))
+        spec = NamedSharding(mesh22, P(axes))
+        flat_sh = jax.device_put(flat_sh, spec)
+        got = np.asarray(fn(flat_sh))
+        npt.assert_allclose(got, want, atol=2e-5 * max(1.0, want.max()))
