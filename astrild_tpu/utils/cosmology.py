@@ -27,6 +27,7 @@ __all__ = ["Cosmology", "PLANCK18"]
 
 _A_MIN = 1.0e-3
 _N_TABLE = 1024
+_H0_HMPC = 1.0 / 2997.92458  # H0 in h/Mpc with c = 1
 _Z_MAX_TABLE = 40.0
 
 
@@ -56,6 +57,13 @@ class Cosmology:
     # MG astropy class (reference utils/sim_collection_info.py:6,21).
     mu0: float = 0.0
     mu_model: str = "const"
+    # Hu-Sawicki f(R): |f_R0| (0 = GR) and the model index n. Enables the
+    # SCALE-DEPENDENT growth methods (mu_k, growth_factor_k,
+    # fofr_pk_enhancement) — the linear-theory anchor for ECOSMOG
+    # fifth-force P(k) ratios (reference utils/sim_collection_info.py:6,21
+    # used a custom MG astropy class 'cvG' for exactly this bookkeeping).
+    fR0: float = 0.0
+    fR_n: float = 1.0
 
     # --- derived tables (filled in __post_init__) ---
     _z_tab: jnp.ndarray = dataclasses.field(default=None, repr=False)
@@ -84,14 +92,17 @@ class Cosmology:
             self._f_tab,
         )
         aux = (self.Om0, self.Ob0, self.h, self.ns, self.sigma8, self.w0,
-               self.wa, self.Tcmb, self.mu0, self.mu_model)
+               self.wa, self.Tcmb, self.mu0, self.mu_model, self.fR0,
+               self.fR_n)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        Om0, Ob0, h, ns, sigma8, w0, wa, Tcmb, mu0, mu_model = aux
+        (Om0, Ob0, h, ns, sigma8, w0, wa, Tcmb, mu0, mu_model, fR0,
+         fR_n) = aux
         return cls(Om0=Om0, Ob0=Ob0, h=h, ns=ns, sigma8=sigma8, w0=w0,
-                   wa=wa, Tcmb=Tcmb, mu0=mu0, mu_model=mu_model,
+                   wa=wa, Tcmb=Tcmb, mu0=mu0, mu_model=mu_model, fR0=fR0,
+                   fR_n=fR_n,
                    _z_tab=leaves[0], _chi_tab=leaves[1],
                    _lna_tab=leaves[2], _lnD_tab=leaves[3], _f_tab=leaves[4])
 
@@ -255,6 +266,95 @@ class Cosmology:
         """f(z) = dlnD/dlna."""
         a = 1.0 / (1.0 + jnp.asarray(z))
         return jnp.interp(jnp.log(a), self._lna_tab, self._f_tab)
+
+    # ------------------------------------ scale-dependent f(R) growth
+    def scalaron_mass2(self, a):
+        """Hu-Sawicki scalaron mass^2 M^2(a) in (h/Mpc)^2.
+
+        M^2 = H0^2 (Om a^-3 + 4 Ode)^(n+2) / ((n+1)|fR0| (Om+4 Ode)^(n+1))
+        — the standard linear-response mass of the n-index Hu-Sawicki
+        model on a LCDM background. Early times: M^2 ~ a^-3(n+2) -> GR.
+        """
+        n = self.fR_n
+        om, ol = self.Om0, self.Ode0
+        base = om * jnp.asarray(a) ** -3.0 + 4.0 * ol
+        return (base ** (n + 2.0) / ((om + 4.0 * ol) ** (n + 1.0))
+                / ((n + 1.0) * abs(self.fR0)) * _H0_HMPC ** 2)
+
+    def mu_k(self, a, k):
+        """G_eff/G - 1 at comoving k [h/Mpc]: k^2 / (3 (k^2 + a^2 M^2)).
+
+        The fifth force is unscreened (mu -> 1/3) for k/a >> M and
+        suppressed (mu -> 0, GR) for k/a << M. Linear theory only — no
+        chameleon screening (that is what the ECOSMOG simulations the
+        reference post-processes are for); this is the theory anchor for
+        their fifth-force P(k) ratios.
+        """
+        if self.fR0 == 0.0:
+            return jnp.zeros(jnp.broadcast_shapes(jnp.shape(a),
+                                                  jnp.shape(k)))
+        k2 = jnp.asarray(k) ** 2.0
+        return k2 / (3.0 * (k2 + jnp.asarray(a) ** 2
+                            * self.scalaron_mass2(a)))
+
+    def _growth_D_of_lna(self, mu_fn):
+        """RK4 growth table D(lna) for a given mu(a) source enhancement."""
+        lna = jnp.linspace(jnp.log(_A_MIN), 0.0, _N_TABLE)
+        dlna = lna[1] - lna[0]
+
+        def dlnE(l):
+            return jax.grad(lambda q: jnp.log(self.efunc_a(jnp.exp(q))))(l)
+
+        def rhs(l, y):
+            D, Dp = y
+            a = jnp.exp(l)
+            om = self.Om0 * a ** -3 / self.efunc_a(a) ** 2
+            acc = -(2.0 + dlnE(l)) * Dp + 1.5 * om * (1.0 + mu_fn(a)) * D
+            return jnp.stack([Dp, acc])
+
+        def step(y, l):
+            k1 = rhs(l, y)
+            k2 = rhs(l + 0.5 * dlna, y + 0.5 * dlna * k1)
+            k3 = rhs(l + 0.5 * dlna, y + 0.5 * dlna * k2)
+            k4 = rhs(l + dlna, y + dlna * k3)
+            return y + (dlna / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4), y[0]
+
+        y0 = jnp.array([_A_MIN, _A_MIN])  # matter domination: D ~ a
+        _, D = jax.lax.scan(step, y0, lna)
+        return lna, D
+
+    def growth_factor_k(self, k, z=0.0):
+        """Scale-dependent linear growth D(k, z), Hu-Sawicki f(R).
+
+        k: array of comoving wavenumbers [h/Mpc]; integrates the
+        mu(k, a)-modified growth ODE per k (vmapped RK4), normalized to
+        D ~ a in matter domination (same convention as the GR table, so
+        ratios against growth_factor are meaningful).
+        """
+        k = jnp.atleast_1d(jnp.asarray(k, jnp.float32))
+        a_t = 1.0 / (1.0 + z)
+
+        def one(kv):
+            lna, D = self._growth_D_of_lna(lambda a: self.mu_k(a, kv))
+            return jnp.interp(jnp.log(a_t), lna, D)
+
+        return jax.vmap(one)(k)
+
+    def fofr_pk_enhancement(self, k, z=0.0):
+        """Linear fifth-force power enhancement P_f(R)(k)/P_GR(k).
+
+        = (D_f(R)(k, z) / D_GR(z))^2 with a common early-time
+        normalization. GR limits: fR0=0 exactly 1; k -> 0 exactly 1;
+        k -> inf approaches the scale-independent mu=1/3 enhancement.
+        This is the theory anchor the reference's fifth-force spectra
+        pipelines lacked (powmes.py module script computed only the
+        simulation side).
+        """
+        lna, D_gr = self._growth_D_of_lna(lambda a: 0.0)
+        a_t = 1.0 / (1.0 + z)
+        D0 = jnp.interp(jnp.log(a_t), lna, D_gr)
+        Dk = self.growth_factor_k(k, z)
+        return (Dk / D0) ** 2
 
     # -------------------------------------------------------------- lensing
     def lensing_kernel(self, chi, chi_s):

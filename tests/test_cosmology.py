@@ -159,3 +159,38 @@ def test_mg_mu_lambda_model_weaker_than_const():
     # mu ~ Ode(a) vanishes at high z: less total enhancement than const
     z = 3.0
     assert float(lam.growth_factor(z)) > float(const.growth_factor(z))
+
+
+def test_fofr_scale_dependent_growth_limits():
+    """Hu-Sawicki D(k, a): GR at fR0=0 and at k->0; unscreened
+    enhancement grows monotonically with k and with |fR0|."""
+    from astrild_tpu.utils.cosmology import Cosmology
+
+    k = np.array([1e-4, 0.1, 1.0, 10.0], np.float32)
+    c_gr = Cosmology(fR0=0.0)
+    npt.assert_allclose(np.asarray(c_gr.fofr_pk_enhancement(k)), 1.0,
+                        atol=1e-6)
+    c4 = Cosmology(fR0=1e-4)
+    c5 = Cosmology(fR0=1e-5)
+    e4 = np.asarray(c4.fofr_pk_enhancement(k))
+    e5 = np.asarray(c5.fofr_pk_enhancement(k))
+    assert abs(e4[0] - 1.0) < 1e-4          # k -> 0 is GR
+    assert np.all(np.diff(e4) > 0)          # monotonic in k
+    assert np.all(e5[1:] < e4[1:])          # weaker field, weaker force
+    assert np.all(e5[1:] > 1.0)
+
+
+def test_fofr_enhancement_published_window():
+    """Linear (no-screening) z=0 enhancement at k=0.1 h/Mpc sits in the
+    published window: F4 ~ 1.2, F5 ~ 1.05-1.1 (e.g. Winther+15 linear
+    curves)."""
+    from astrild_tpu.utils.cosmology import Cosmology
+
+    k = np.array([0.1], np.float32)
+    e4 = float(Cosmology(fR0=1e-4).fofr_pk_enhancement(k)[0])
+    e5 = float(Cosmology(fR0=1e-5).fofr_pk_enhancement(k)[0])
+    assert 1.15 < e4 < 1.32, e4
+    assert 1.03 < e5 < 1.12, e5
+    # enhancement shrinks toward higher redshift
+    e4_z1 = float(Cosmology(fR0=1e-4).fofr_pk_enhancement(k, z=1.0)[0])
+    assert 1.0 < e4_z1 < e4
