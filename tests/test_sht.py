@@ -279,3 +279,24 @@ def test_sht_large_roundtrip_unbiased_3nside():
         cl_out = np.asarray(sht_large.anafast_large(m, lmax, niter=3))
         ratios.append(cl_out[2:40].mean() / cl_in[2:40].mean())
     assert abs(np.mean(ratios) - 1.0) < 0.15, np.mean(ratios)
+
+
+def test_sht_large_niter0_unbiased_below_2nside():
+    """The plain adjoint (niter=0) is already unbiased at lmax <= 2*nside
+    — a (2*niter+1)x cheaper analysis than the healpy-default niter=3
+    (documented in CLAUDE.md; ~1 s vs 6.8 s at nside=1024/lmax=2048)."""
+    from astrild_tpu.ops import sht_large
+
+    nside = 32
+    lmax = 2 * nside
+    ell = np.arange(lmax + 1)
+    cl_in = np.zeros(lmax + 1, np.float32)
+    cl_in[2:] = 1.0 / ell[2:] ** 2
+    band = slice(2, 40)
+    ratios = []
+    for k in jax.random.split(jax.random.PRNGKey(7), 4):
+        m = sht_large.synfast_large(k, cl_in, nside, lmax)
+        cl_0 = np.asarray(sht_large.anafast_large(m, lmax, niter=0))
+        cl_3 = np.asarray(sht_large.anafast_large(m, lmax, niter=3))
+        ratios.append(cl_0[band].mean() / cl_3[band].mean())
+    assert abs(np.mean(ratios) - 1.0) < 1e-3, np.mean(ratios)
