@@ -198,6 +198,12 @@ class LinearAngularPowerSpectrum:
         self._outdated = False
         return self._C_tt
 
+    def compute_C_kappa(self, z_source: float = 1.0):
+        """Linear convergence Cl via Limber (theory anchor for measured
+        kappa spectra; beyond the reference, which had only the ISW Cl)."""
+        return np.asarray(ap_ops.cl_kappa_limber(
+            jnp.asarray(self._ell_range), self.cosmo, z_source=z_source))
+
 
 class Bispectrum2D:
     """Equilateral B(ell) of flat-sky maps (bispectrum_2d.py:33-50)."""

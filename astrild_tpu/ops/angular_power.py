@@ -19,7 +19,7 @@ from ..utils.cosmology import Cosmology
 from .linear_power import normalization, p_dpdp
 
 __all__ = ["cl_flat_sky", "cl_to_flat_map", "cl_isw_limber",
-           "cl_flat_sky_masked"]
+           "cl_kappa_limber", "cl_flat_sky_masked"]
 
 
 @partial(jax.jit, static_argnames=("nbins",))
@@ -127,3 +127,36 @@ def cl_isw_limber(ells, cosmo: Cosmology, z_min=0.08, z_max=0.9,
 
     cl = jax.vmap(one)(jnp.asarray(ells, jnp.float32))
     return cl * 4.0 / C_LIGHT_KMS ** 5
+
+
+def cl_kappa_limber(ells, cosmo: Cosmology, z_source: float = 1.0,
+                    nchi: int = 256, amplitude=None):
+    """Linear convergence power C_ell^kappakappa via Limber.
+
+    C_ell = int dchi W(chi)^2 / chi^2 P(k = (ell + 1/2)/chi, z(chi)),
+    W(chi) = 1.5 Om0 (H0/c)^2 (1+z) chi (chi_s - chi)/chi_s.
+
+    The theory anchor for the Born-integrated kappa maps
+    (ops/lensing.born_convergence) — the reference measured kappa Cl
+    from Ray-Ramses maps (angular_power_spectrum.py) but had no linear
+    prediction to validate against. Linear P(k) (EH98), no nonlinear
+    boost, so expect agreement with Born maps of GAUSSIAN density shells
+    and underprediction vs N-body maps at ell >~ 1000.
+    """
+    from .linear_power import linear_power
+
+    if amplitude is None:
+        amplitude = normalization(cosmo)
+    chi_s = cosmo.comoving_distance(z_source)
+    chi = jnp.linspace(1e-3 * chi_s, chi_s, nchi)
+    z = cosmo.redshift_at_comoving_distance(chi)
+    h0c = 1.0 / 2997.92458  # H0/c in h/Mpc
+    W = (1.5 * cosmo.Om0 * h0c ** 2 * (1.0 + z) * chi
+         * jnp.clip(chi_s - chi, 0.0, None) / chi_s)
+
+    def one(ell):
+        k = (ell + 0.5) / chi
+        pk = linear_power(k, cosmo, z=z, amplitude=amplitude)
+        return jnp.trapezoid(W ** 2 / chi ** 2 * pk, chi)
+
+    return jax.vmap(one)(jnp.asarray(ells, jnp.float32))

@@ -144,3 +144,57 @@ def test_code_to_phy_units():
     npt.assert_allclose(L.code_to_phy_units_factor("kappa_2"), 1 / c ** 2)
     npt.assert_allclose(L.code_to_phy_units_factor("isw_rs"), 1 / c ** 3)
     npt.assert_allclose(L.code_to_phy_units_factor("other"), 1.0)
+
+
+def test_born_kappa_matches_limber_theory():
+    """4-way consistency of the lensing stack: Gaussian density slabs
+    with the linear P(k, z) (cl_to_flat_map), Born-integrated to kappa
+    (born_convergence), measured with cl_flat_sky, must reproduce the
+    Limber prediction cl_kappa_limber — the theory anchor the reference
+    never had for its measured Ray-Ramses kappa spectra."""
+    import jax
+
+    from astrild_tpu.ops import lensing
+    from astrild_tpu.ops.angular_power import (cl_flat_sky,
+                                               cl_kappa_limber,
+                                               cl_to_flat_map)
+    from astrild_tpu.ops.linear_power import linear_power, normalization
+    from astrild_tpu.utils.cosmology import Cosmology
+
+    cosmo = Cosmology()
+    z_s = 1.0
+    chi_s = float(cosmo.comoving_distance(z_s))
+    npix, theta_deg, nplane = 128, 10.0, 16
+    amp = normalization(cosmo)
+
+    chis = (np.arange(nplane) + 0.5) * chi_s / nplane
+    dchi = chi_s / nplane
+    zs = np.asarray(cosmo.redshift_at_comoving_distance(jnp.asarray(chis)))
+    ells_tab = jnp.asarray(np.geomspace(1.0, 3e4, 256), jnp.float32)
+
+    def kappa_once(key):
+        keys = jax.random.split(key, nplane)
+        planes = []
+        for i in range(nplane):
+            # slab angular power: C_l = P3D(l/chi, z) / (dchi * chi^2)
+            k = ells_tab / chis[i]
+            cl_i = linear_power(k, cosmo, z=float(zs[i]), amplitude=amp) \
+                / (dchi * chis[i] ** 2)
+            planes.append(cl_to_flat_map(keys[i], ells_tab, cl_i, npix,
+                                         theta_deg))
+        planes = jnp.stack(planes)
+        return lensing.born_convergence(
+            planes, jnp.asarray(chis), jnp.full((nplane,), dchi), chi_s,
+            cosmo.Om0, scale_factors=jnp.asarray(1.0 / (1.0 + zs),
+                                                 jnp.float32))
+
+    ratios = []
+    for seed in range(4):
+        kappa = kappa_once(jax.random.PRNGKey(seed))
+        ell_m, cl_m = cl_flat_sky(kappa, theta_deg, nbins=24)
+        cl_t = cl_kappa_limber(np.asarray(ell_m), cosmo, z_source=z_s)
+        band = (np.asarray(ell_m) > 200) & (np.asarray(ell_m) < 1500)
+        ratios.append(np.asarray(cl_m)[band].sum()
+                      / np.asarray(cl_t)[band].sum())
+    r = np.mean(ratios)
+    assert 0.75 < r < 1.3, ratios
