@@ -16,7 +16,7 @@ import jax.numpy as jnp
 __all__ = [
     "halo_mass_function", "binned_mean", "histogram_density",
     "concentration_mass_rockstar", "concentration_prada",
-    "concentration_mass_prada",
+    "concentration_mass_prada", "theory_hmf",
 ]
 
 
@@ -136,3 +136,55 @@ def concentration_mass_prada(m200c, vmax, v200, limits, nbins: int = 20,
     valid = valid & conv & (m200c > 10.0 ** lo) & (m200c < 10.0 ** hi)
     c_mean = binned_mean(m200c, c, edges, nbins, valid=valid)
     return 0.5 * (edges[1:] + edges[:-1]), c_mean
+
+
+# ------------------------------------------------------- theory mass functions
+# dn/dlnM = f(sigma) (rho_mean/M) |dln sigma / dlnM|, with sigma(M, z)
+# from the linear P(k) (ops/linear_power.sigma_r) and the log-derivative
+# taken by AUTODIFF through the sigma integral — no finite differencing.
+# Theory anchor for the measured halo_mass_function (the reference had
+# only the measured side, stats_rockstar.py:13-34).
+
+_DELTA_C = 1.686
+
+
+def _multiplicity(sigma, model: str):
+    nu = _DELTA_C / sigma
+    if model == "ps":
+        # Press-Schechter 1974
+        return jnp.sqrt(2.0 / jnp.pi) * nu * jnp.exp(-0.5 * nu ** 2)
+    if model == "st":
+        # Sheth-Tormen 1999 (A normalizes int f dln(1/sigma) = 1)
+        a, p, A = 0.707, 0.3, 0.3222
+        anu2 = a * nu ** 2
+        return (A * jnp.sqrt(2.0 * anu2 / jnp.pi)
+                * (1.0 + anu2 ** -p) * jnp.exp(-0.5 * anu2))
+    if model == "tinker08":
+        # Tinker+2008 eq. 3, Delta = 200 rho_mean, z = 0 parameters
+        A, a, b, c = 0.186, 1.47, 2.57, 1.19
+        return A * ((sigma / b) ** -a + 1.0) * jnp.exp(-c / sigma ** 2)
+    raise ValueError(f"unknown hmf model {model!r}")
+
+
+def theory_hmf(m_msun_h, cosmo, z: float = 0.0, model: str = "st"):
+    """dn/dlnM [h^3/Mpc^3] at masses m [Msun/h] for PS/ST/Tinker08.
+
+    sigma(M, z) = D(z) sigma(R(M)) with R = (3M/4pi rho_mean)^(1/3);
+    dln sigma/dlnM via jax.grad through the sigma_r quadrature.
+    """
+    from ..utils.constants import RHO_CRIT0
+    from .linear_power import normalization, sigma_r
+
+    amp = normalization(cosmo)
+    rho_mean = cosmo.Om0 * RHO_CRIT0  # (Msun/h) / (Mpc/h)^3
+    growth = cosmo.growth_factor(z)
+
+    def ln_sigma(lnm):
+        r = (3.0 * jnp.exp(lnm) / (4.0 * jnp.pi * rho_mean)) ** (1.0 / 3.0)
+        return jnp.log(sigma_r(r, cosmo, amplitude=amp) * growth)
+
+    lnm = jnp.log(jnp.asarray(m_msun_h, jnp.float32))
+    sig = jnp.exp(jax.vmap(ln_sigma)(lnm))
+    dlns_dlnm = jax.vmap(jax.grad(ln_sigma))(lnm)
+    f = _multiplicity(sig, model)
+    return f * rho_mean / jnp.exp(lnm) * jnp.abs(dlns_dlnm)

@@ -184,3 +184,38 @@ def test_kaiser_quadrupole_sign(rng):
     s, mu, xi = TP.tpcf_s_mu(pos, box, s_edges, nmu=10)
     xi2 = np.asarray(TP.tpcf_multipoles(xi, 2))
     assert np.mean(xi2) < 0.0
+
+
+def test_theory_hmf_models():
+    """PS/ST/Tinker08 dn/dlnM from sigma(M) with autodiff dlnsigma/dlnM:
+    PS mass fraction integrates to ~1 (all mass in halos), amplitudes in
+    the published z=0 windows, and high-z suppression at cluster mass."""
+    from astrild_tpu.ops.halo_stats import theory_hmf
+    from astrild_tpu.utils.constants import RHO_CRIT0
+    from astrild_tpu.utils.cosmology import Cosmology
+
+    c = Cosmology()
+    rho_mean = c.Om0 * RHO_CRIT0
+    m = np.geomspace(1e6, 1e16, 160)
+    dlnm = np.log(m[1] / m[0])
+    # PS mass closure (int f dln 1/sigma = 1); 0.8 here because sigma_r's
+    # k <= 50 h/Mpc quadrature cutoff underestimates sigma below ~1e8
+    # Msun/h. ST spreads far more mass below the tested range (f ~
+    # nu^0.4 at small nu), so closure is only asserted for PS.
+    dn = np.asarray(theory_hmf(m, c, model="ps"))
+    frac = float((m * dn / rho_mean).sum() * dlnm)
+    assert 0.75 < frac < 1.1, frac
+
+    # z=0 amplitude windows at 1e13 Msun/h (Planck-like cosmology):
+    # dn/dlnM ~ 4-6e-4 (ST), Tinker08 within ~25% of ST
+    st = float(np.asarray(theory_hmf(np.array([1e13]), c, model="st"))[0])
+    tk = float(np.asarray(theory_hmf(np.array([1e13]), c,
+                                     model="tinker08"))[0])
+    assert 3e-4 < st < 7e-4, st
+    assert 0.7 < tk / st < 1.4
+
+    # fewer clusters at z=1
+    m15 = np.array([1e15])
+    hi_z = float(np.asarray(theory_hmf(m15, c, z=1.0, model="st"))[0])
+    lo_z = float(np.asarray(theory_hmf(m15, c, z=0.0, model="st"))[0])
+    assert hi_z < 0.2 * lo_z
