@@ -130,7 +130,8 @@ def cl_isw_limber(ells, cosmo: Cosmology, z_min=0.08, z_max=0.9,
 
 
 def cl_kappa_limber(ells, cosmo: Cosmology, z_source: float = 1.0,
-                    nchi: int = 256, amplitude=None):
+                    nchi: int = 256, amplitude=None,
+                    nonlinear: bool = False):
     """Linear convergence power C_ell^kappakappa via Limber.
 
     C_ell = int dchi W(chi)^2 / chi^2 P(k = (ell + 1/2)/chi, z(chi)),
@@ -140,10 +141,11 @@ def cl_kappa_limber(ells, cosmo: Cosmology, z_source: float = 1.0,
     (ops/lensing.born_convergence) — the reference measured kappa Cl
     from Ray-Ramses maps (angular_power_spectrum.py) but had no linear
     prediction to validate against. Linear P(k) (EH98), no nonlinear
-    boost, so expect agreement with Born maps of GAUSSIAN density shells
-    and underprediction vs N-body maps at ell >~ 1000.
+    boost by default, so expect agreement with Born maps of GAUSSIAN
+    density shells and underprediction vs N-body maps at ell >~ 1000;
+    nonlinear=True switches to the halofit (Takahashi+12) P(k, z).
     """
-    from .linear_power import linear_power
+    from .linear_power import linear_power, nonlinear_power
 
     if amplitude is None:
         amplitude = normalization(cosmo)
@@ -154,9 +156,18 @@ def cl_kappa_limber(ells, cosmo: Cosmology, z_source: float = 1.0,
     W = (1.5 * cosmo.Om0 * h0c ** 2 * (1.0 + z) * chi
          * jnp.clip(chi_s - chi, 0.0, None) / chi_s)
 
+    if nonlinear:
+        # halofit's k_sigma/n_eff/C depend on z: vmap over the chi grid
+        def pk_of(kv, zv):
+            return nonlinear_power(kv[None], cosmo, z=zv,
+                                   amplitude=amplitude)[0]
+    else:
+        def pk_of(kv, zv):
+            return linear_power(kv, cosmo, z=zv, amplitude=amplitude)
+
     def one(ell):
         k = (ell + 0.5) / chi
-        pk = linear_power(k, cosmo, z=z, amplitude=amplitude)
+        pk = jax.vmap(pk_of)(k, z)
         return jnp.trapezoid(W ** 2 / chi ** 2 * pk, chi)
 
     return jax.vmap(one)(jnp.asarray(ells, jnp.float32))

@@ -145,3 +145,82 @@ def p_dpdp(k_hmpc, z, cosmo: Cosmology, amplitude=None):
     pref_static = 9.0 / 4.0 * (100.0 / k) ** 4 * cosmo.Om0 ** 2
     pref_dyn = hz * (d * (1.0 - f)) ** 2
     return pref_static * pref_dyn * p_dd
+
+
+# ----------------------------------------------------- halofit (nonlinear)
+def _sigma2_gauss(lnR, cosmo: Cosmology, amplitude, growth2, nk=512):
+    """sigma^2(R) with a GAUSSIAN window (halofit convention)."""
+    lnk = jnp.linspace(jnp.log(1e-4), jnp.log(1e3), nk)
+    k = jnp.exp(lnk)
+    d2l = (k ** 3 * amplitude * growth2 * _unnormalized_power(k, cosmo)
+           / (2.0 * jnp.pi ** 2))
+    r2 = jnp.exp(2.0 * lnR)
+    integrand = d2l * jnp.exp(-(k ** 2) * r2)
+    dlnk = lnk[1] - lnk[0]
+    return jnp.sum(0.5 * (integrand[1:] + integrand[:-1])) * dlnk
+
+
+def nonlinear_power(k_hmpc, cosmo: Cosmology, z=0.0, amplitude=None):
+    """Nonlinear matter P(k, z) via halofit (Takahashi+2012, arXiv
+    1208.2701 eqs. A1-A14) on the EH98 linear spectrum.
+
+    Beyond the reference (its LinearPowerSpectrum was linear-only,
+    linear_power_spectrum.py:87-100); anchors weak-lensing spectra at
+    ell >~ 500 and P(k) comparisons beyond k ~ 0.1 h/Mpc. The nonlinear
+    scale k_sigma solves sigma_G(1/k_sigma, z) = 1 by bisection; n_eff
+    and the curvature C come from autodiff of ln sigma^2(ln R).
+    """
+    if amplitude is None:
+        amplitude = normalization(cosmo)
+    g2 = cosmo.growth_factor(z) ** 2
+
+    def ln_s2(lnR):
+        return jnp.log(_sigma2_gauss(lnR, cosmo, amplitude, g2))
+
+    # bisection for sigma^2(R) = 1 on lnR in [ln 1e-3, ln 1e2]
+    lo, hi = jnp.log(1e-3), jnp.log(1e2)
+
+    def body(_, state):
+        lo, hi = state
+        mid = 0.5 * (lo + hi)
+        high = ln_s2(mid) > 0.0  # sigma^2 decreasing in R
+        return jnp.where(high, mid, lo), jnp.where(high, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, 48, body, (lo, hi))
+    lnR_s = 0.5 * (lo + hi)
+    ksig = jnp.exp(-lnR_s)
+
+    dln = jax.grad(ln_s2)
+    n_eff = -3.0 - dln(lnR_s)
+    C = -jax.grad(lambda q: dln(q))(lnR_s)
+
+    # Takahashi+12 coefficients (flat wCDM; w = w0 in the DE correction)
+    om_z = cosmo.Om0 * (1.0 + z) ** 3 / cosmo.efunc_a(1.0 / (1.0 + z)) ** 2
+    ode_z = 1.0 - om_z
+    w = cosmo.w0
+    n, n2, n3, n4 = n_eff, n_eff ** 2, n_eff ** 3, n_eff ** 4
+    a_n = 10.0 ** (1.5222 + 2.8553 * n + 2.3706 * n2 + 0.9903 * n3
+                   + 0.2250 * n4 - 0.6038 * C
+                   + 0.1749 * ode_z * (1.0 + w))
+    b_n = 10.0 ** (-0.5642 + 0.5864 * n + 0.5716 * n2 - 1.5474 * C
+                   + 0.2279 * ode_z * (1.0 + w))
+    c_n = 10.0 ** (0.3698 + 2.0404 * n + 0.8161 * n2 + 0.5869 * C)
+    gam = 0.1971 - 0.0843 * n + 0.8460 * C
+    alp = jnp.abs(6.0835 + 1.3373 * n - 0.1959 * n2 - 5.5274 * C)
+    bet = (2.0379 - 0.7354 * n + 0.3157 * n2 + 1.2490 * n3
+           + 0.3980 * n4 - 0.1682 * C)
+    nu_n = 10.0 ** (5.2105 + 3.6902 * n)
+    f1 = om_z ** -0.0307
+    f2 = om_z ** -0.0585
+    f3 = om_z ** 0.0743
+
+    k = jnp.asarray(k_hmpc, jnp.float32)
+    d2l = k ** 3 * amplitude * g2 * _unnormalized_power(k, cosmo) \
+        / (2.0 * jnp.pi ** 2)
+    y = k / ksig
+    d2q = d2l * ((1.0 + d2l) ** bet / (1.0 + alp * d2l)) \
+        * jnp.exp(-y / 4.0 - y ** 2 / 8.0)
+    d2hp = a_n * y ** (3.0 * f1) / (1.0 + b_n * y ** f2
+                                    + (c_n * f3 * y) ** (3.0 - gam))
+    d2h = d2hp / (1.0 + nu_n / y ** 2)
+    return (d2q + d2h) * 2.0 * jnp.pi ** 2 / k ** 3

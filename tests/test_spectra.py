@@ -172,3 +172,42 @@ def test_bispectrum_2d_chi2_positive():
     assert b[0] > 0 and b[1] > 0
     # ... and dominate the noise-only high-ell shells by orders of magnitude
     assert abs(b[0]) > 100 * abs(b[-1])
+
+
+def test_halofit_nonlinear_power():
+    """Takahashi+12 halofit on the EH98 spectrum: linear at large
+    scales, canonical nonlinear boost at k=1 (Delta^2_NL ~ 20, i.e.
+    ratio ~5-7 — Smith03 fig. 14 regime), weaker boost at z=1, and
+    stronger boost for higher sigma8."""
+    from astrild_tpu.ops.linear_power import linear_power, nonlinear_power
+    from astrild_tpu.utils.cosmology import Cosmology
+
+    c = Cosmology()
+    k_lin = np.array([0.01, 0.03, 0.05], np.float32)
+    r_lin = np.asarray(nonlinear_power(k_lin, c)) \
+        / np.asarray(linear_power(k_lin, c))
+    npt.assert_allclose(r_lin, 1.0, atol=0.05)
+
+    k1 = np.array([1.0], np.float32)
+    r0 = float(nonlinear_power(k1, c)[0] / linear_power(k1, c)[0])
+    assert 4.0 < r0 < 8.0, r0
+    r1 = float(nonlinear_power(k1, c, z=1.0)[0]
+               / linear_power(k1, c, z=1.0)[0])
+    assert 1.5 < r1 < r0
+    c_hi = Cosmology(sigma8=0.95)
+    r_hi = float(nonlinear_power(k1, c_hi)[0] / linear_power(k1, c_hi)[0])
+    assert r_hi > r0
+
+
+def test_cl_kappa_nonlinear_boost():
+    """Nonlinear kappa Cl exceeds linear at high ell, matches at low ell."""
+    from astrild_tpu.ops.angular_power import cl_kappa_limber
+    from astrild_tpu.utils.cosmology import Cosmology
+
+    c = Cosmology()
+    ells = np.array([50.0, 2000.0], np.float32)
+    cl_l = np.asarray(cl_kappa_limber(ells, c, z_source=1.0, nchi=64))
+    cl_n = np.asarray(cl_kappa_limber(ells, c, z_source=1.0, nchi=64,
+                                      nonlinear=True))
+    assert abs(cl_n[0] / cl_l[0] - 1.0) < 0.1     # linear regime
+    assert cl_n[1] / cl_l[1] > 2.0                # deeply nonlinear
