@@ -14,7 +14,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..utils.constants import C_LIGHT_KMS, DEG2RAD
+from ..utils.constants import C_LIGHT_KMS, DEG2RAD, H0_OVER_C_HMPC
 from ..utils.cosmology import Cosmology
 from .linear_power import normalization, p_dpdp
 
@@ -129,6 +129,7 @@ def cl_isw_limber(ells, cosmo: Cosmology, z_min=0.08, z_max=0.9,
     return cl * 4.0 / C_LIGHT_KMS ** 5
 
 
+@partial(jax.jit, static_argnames=("nchi", "nonlinear"))
 def cl_kappa_limber(ells, cosmo: Cosmology, z_source: float = 1.0,
                     nchi: int = 256, amplitude=None,
                     nonlinear: bool = False):
@@ -152,8 +153,7 @@ def cl_kappa_limber(ells, cosmo: Cosmology, z_source: float = 1.0,
     chi_s = cosmo.comoving_distance(z_source)
     chi = jnp.linspace(1e-3 * chi_s, chi_s, nchi)
     z = cosmo.redshift_at_comoving_distance(chi)
-    h0c = 1.0 / 2997.92458  # H0/c in h/Mpc
-    W = (1.5 * cosmo.Om0 * h0c ** 2 * (1.0 + z) * chi
+    W = (1.5 * cosmo.Om0 * H0_OVER_C_HMPC ** 2 * (1.0 + z) * chi
          * jnp.clip(chi_s - chi, 0.0, None) / chi_s)
 
     if nonlinear:

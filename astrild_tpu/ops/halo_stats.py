@@ -148,24 +148,32 @@ def concentration_mass_prada(m200c, vmax, v200, limits, nbins: int = 20,
 _DELTA_C = 1.686
 
 
-def _multiplicity(sigma, model: str):
+def _multiplicity(sigma, model: str, z: float = 0.0):
     nu = _DELTA_C / sigma
     if model == "ps":
         # Press-Schechter 1974
         return jnp.sqrt(2.0 / jnp.pi) * nu * jnp.exp(-0.5 * nu ** 2)
     if model == "st":
-        # Sheth-Tormen 1999 (A normalizes int f dln(1/sigma) = 1)
+        # Sheth-Tormen 1999 (A normalizes int f dln(1/sigma) = 1);
+        # z enters only through sigma(M, z)
         a, p, A = 0.707, 0.3, 0.3222
         anu2 = a * nu ** 2
         return (A * jnp.sqrt(2.0 * anu2 / jnp.pi)
                 * (1.0 + anu2 ** -p) * jnp.exp(-0.5 * anu2))
     if model == "tinker08":
-        # Tinker+2008 eq. 3, Delta = 200 rho_mean, z = 0 parameters
-        A, a, b, c = 0.186, 1.47, 2.57, 1.19
+        # Tinker+2008 eqs. 3 & 5-8, Delta = 200 rho_mean, with the
+        # calibrated (1+z) evolution of A, a, b (eq. 8: alpha(200) ~ 0.011)
+        zp1 = 1.0 + z
+        A = 0.186 * zp1 ** -0.14
+        a = 1.47 * zp1 ** -0.06
+        alpha = 10.0 ** (-((0.75 / jnp.log10(200.0 / 75.0)) ** 1.2))
+        b = 2.57 * zp1 ** -alpha
+        c = 1.19
         return A * ((sigma / b) ** -a + 1.0) * jnp.exp(-c / sigma ** 2)
     raise ValueError(f"unknown hmf model {model!r}")
 
 
+@partial(jax.jit, static_argnames=("model",))
 def theory_hmf(m_msun_h, cosmo, z: float = 0.0, model: str = "st"):
     """dn/dlnM [h^3/Mpc^3] at masses m [Msun/h] for PS/ST/Tinker08.
 
@@ -186,5 +194,5 @@ def theory_hmf(m_msun_h, cosmo, z: float = 0.0, model: str = "st"):
     lnm = jnp.log(jnp.asarray(m_msun_h, jnp.float32))
     sig = jnp.exp(jax.vmap(ln_sigma)(lnm))
     dlns_dlnm = jax.vmap(jax.grad(ln_sigma))(lnm)
-    f = _multiplicity(sig, model)
+    f = _multiplicity(sig, model, z=z)
     return f * rho_mean / jnp.exp(lnm) * jnp.abs(dlns_dlnm)

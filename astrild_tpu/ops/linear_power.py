@@ -160,6 +160,7 @@ def _sigma2_gauss(lnR, cosmo: Cosmology, amplitude, growth2, nk=512):
     return jnp.sum(0.5 * (integrand[1:] + integrand[:-1])) * dlnk
 
 
+@jax.jit
 def nonlinear_power(k_hmpc, cosmo: Cosmology, z=0.0, amplitude=None):
     """Nonlinear matter P(k, z) via halofit (Takahashi+2012, arXiv
     1208.2701 eqs. A1-A14) on the EH98 linear spectrum.

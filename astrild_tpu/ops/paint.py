@@ -121,13 +121,30 @@ def _paint_one(pos, ngrid, boxsize, weights, window, deposit):
                                 and pos.shape[0] >= _PALLAS_PAINT_MIN_N
                                 and pallas_paint_available())
                    else "scatter")
-    if deposit in ("pallas", "pallas_interpret") and window != "ngp":
+    if deposit in ("pallas", "pallas_interpret"):
+        interp = None if deposit == "pallas" else True
+        if window == "ngp":
+            # the sorted flat deposit IS the Pallas NGP path (previously
+            # an explicit deposit='pallas' with window='ngp' silently
+            # fell back to the scatter)
+            from .paint_pallas import DEFAULT_WINDOW, deposit_flat
+            u = pos / (boxsize / ngrid)
+            i = jnp.floor(u).astype(jnp.int32) % ngrid
+            flat = (i[:, 0] * ngrid + i[:, 1]) * ngrid + i[:, 2]
+            w = None if weights is None else weights.astype(jnp.float32)
+            # pad the cell count up to a whole number of 128-multiple
+            # windows (keys < ngrid^3 never land in the pad)
+            n_cells = ngrid ** 3
+            win = min(DEFAULT_WINDOW, -(-n_cells // 128) * 128)
+            n_pad = -(-n_cells // win) * win
+            dep = deposit_flat(flat, w, n_pad, window=win,
+                               interpret=interp)
+            return dep[:n_cells].reshape(ngrid, ngrid, ngrid)
         from .paint_pallas import paint_windowed
         pf = jnp.concatenate([pos[:, 0], pos[:, 1], pos[:, 2]])
         return paint_windowed(pf, weights, ngrid, boxsize,
                               order=WINDOW_ORDER[window],
-                              interpret=(None if deposit == "pallas"
-                                         else True))
+                              interpret=interp)
     return _PAINTERS[window](pos, ngrid, boxsize, weights)
 
 

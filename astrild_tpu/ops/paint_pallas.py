@@ -39,7 +39,15 @@ DEFAULT_WINDOW = 8192   # cells per output window (must be multiple of 128)
 _CHUNK_ROWS = 16        # particle rows (of 128) DMA'd per inner step
 
 
-def _dot_f32_split(hf, lmat_bf16, p1, rows):
+def _pvary(x, axes):
+    """pcast-to-varying with a pvary fallback (pvary is deprecated)."""
+    try:
+        return jax.lax.pcast(x, tuple(axes), to="varying")
+    except (AttributeError, TypeError):
+        return jax.lax.pvary(x, tuple(axes))
+
+
+def _dot_f32_split(hf, lmat_bf16):
     """hf @ lmat with full f32-input accuracy via a bf16 hi/lo split.
 
     TPU MXU truncates f32 matmul inputs to bf16 at DEFAULT precision;
@@ -127,7 +135,7 @@ def _kernel(srow_ref, nch_ref, keys_hbm, vals_hbm, out_ref, kbuf, vbuf,
         hf = ((rowm[:, :, None] == jax.lax.broadcasted_iota(
             jnp.int32, (p1, 128, rows), 2)).astype(jnp.float32)
             * vbuf[slot][:, :, None]).reshape(p1 * 128, rows)
-        return acc + _dot_f32_split(hf, lmat, p1, rows)
+        return acc + _dot_f32_split(hf, lmat)
 
     acc = jax.lax.fori_loop(0, nch, body,
                             jnp.zeros((rows, 128), jnp.float32))
@@ -173,7 +181,7 @@ def deposit_sorted(keys_sorted, vals_sorted, n_cells: int,
         try:
             kvma = tuple(jax.typeof(keys2d).vma)
             if kvma:
-                vals2d = jax.lax.pvary(vals2d, kvma)
+                vals2d = _pvary(vals2d, kvma)
         except Exception:
             pass
     else:
@@ -194,8 +202,8 @@ def deposit_sorted(keys_sorted, vals_sorted, n_cells: int,
         num_scalar_prefetch=2,
         grid=(nw,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((rows, 128), lambda j, *prefetch: (j, 0)),
         scratch_shapes=[
@@ -248,14 +256,13 @@ def deposit_sorted(keys_sorted, vals_sorted, n_cells: int,
 
 def _paint_kernel(off_ref, ax_ref, ay_ref, az_ref, srow_ref, nch_ref,
                   keys_hbm, fw_hbm, out_ref, kbuf, fbuf, sem_k, sem_f, *,
-                  rows: int, window: int, p1: int, n_off: int, order: int,
+                  rows: int, window: int, p1: int, order: int,
                   has_w: bool):
     j = pl.program_id(0)
     o = pl.program_id(1)
     base = j * window - off_ref[o]
     oj = o * pl.num_programs(0) + j
     nch = nch_ref[oj]
-    nf_comp = 4 if has_w else 3
 
     @pl.when(o == 0)
     def _():
@@ -313,7 +320,7 @@ def _paint_kernel(off_ref, ax_ref, ay_ref, az_ref, srow_ref, nch_ref,
         lmat = (lane[:, :, None] == jax.lax.broadcasted_iota(
             jnp.int32, (p1, 128, 128), 2)).astype(jnp.bfloat16
                                                   ).reshape(p1 * 128, 128)
-        out_ref[:, :] += _dot_f32_split(hf, lmat, p1, rows)
+        out_ref[:, :] += _dot_f32_split(hf, lmat)
         return 0
 
     jax.lax.fori_loop(0, nch, body, 0)
@@ -341,21 +348,29 @@ def paint_windowed(pos_flat, weights, ngrid: int, boxsize, order: int = 3,
     import numpy as np
 
     n = pos_flat.shape[0] // 3
-    x, y, z = pos_flat[:n], pos_flat[n:2 * n], pos_flat[2 * n:]
+    # periodic wrap FIRST (paint.py promises all painters are periodic;
+    # the scatter painters wrap via % ngrid) — afterwards every base cell
+    # is in range and the padded-grid fold below supplies the wrap of the
+    # +-1 window offsets
+    xyz = [c % boxsize for c in (pos_flat[:n], pos_flat[n:2 * n],
+                                 pos_flat[2 * n:])]
     npd = ngrid + 2
     h = boxsize / ngrid
     if order == 2:
         offs1 = (0, 1)
-        u = [c / h - 0.5 for c in (x, y, z)]
+        u = [c / h - 0.5 for c in xyz]
         i0 = [jnp.floor(c) for c in u]
         frac = [(c - i).astype(jnp.float32) for c, i in zip(u, i0)]
         # u in [-0.5, n-0.5) -> i0 in [-1, n-1]; +1 pads into [0, n]
         ip = [i.astype(jnp.int32) + 1 for i in i0]
     else:
         offs1 = (-1, 0, 1)
-        u = [c / h for c in (x, y, z)]
+        u = [c / h for c in xyz]
         i0 = [jnp.floor(c) for c in u]
         frac = [(c - i - 0.5).astype(jnp.float32) for c, i in zip(u, i0)]
+        # i0 in [0, n-1] after the wrap; clip only guards the c == boxsize
+        # float edge (frac is consistent there: u == n -> clip keeps the
+        # n-1 cell with d = +0.5, the same deposit the scatter path makes)
         ip = [jnp.clip(i.astype(jnp.int32), 0, ngrid - 1) + 1 for i in i0]
     key = (ip[0] * npd + ip[1]) * npd + ip[2]
 
@@ -400,13 +415,13 @@ def paint_windowed(pos_flat, weights, ngrid: int, boxsize, order: int = 3,
            ).reshape(-1)
 
     kern = functools.partial(_paint_kernel, rows=rows, window=window,
-                             p1=p1, n_off=n_off, order=order, has_w=has_w)
+                             p1=p1, order=order, has_w=has_w)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(nw, n_off),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((rows, 128), lambda j, o, *pref: (j, 0)),
         scratch_shapes=[
@@ -425,7 +440,7 @@ def paint_windowed(pos_flat, weights, ngrid: int, boxsize, order: int = 3,
         # under shard_map the CONSTANT prefetch operands must carry the
         # same varying-mesh-axes as the data, or the kernel's internal
         # dynamic_slice rejects the mixed-vma operands
-        off_flat, axs, ays, azs = (jax.lax.pvary(a, tuple(vma))
+        off_flat, axs, ays, azs = (_pvary(a, vma)
                                    for a in (off_flat, axs, ays, azs))
     out = pl.pallas_call(
         kern,

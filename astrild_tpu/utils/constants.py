@@ -25,6 +25,7 @@ H0_HUNITS = 100.0  # km/s / (Mpc/h)
 # Critical density today in h^2 Msun / Mpc^3:
 #   rho_crit = 3 H0^2 / (8 pi G) = 2.77536627e11 h^2 Msun/Mpc^3
 RHO_CRIT0 = 2.775366272e11  # (Msun/h) / (Mpc/h)^3
+H0_OVER_C_HMPC = 1.0 / 2997.92458  # H0/c in h/Mpc (c = 1 units)
 
 # Radians <-> arcmin / degrees
 DEG2RAD = 0.017453292519943295

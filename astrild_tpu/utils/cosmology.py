@@ -21,13 +21,13 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .constants import C_LIGHT_KMS, H0_HUNITS, RHO_CRIT0
+from .constants import (C_LIGHT_KMS, H0_HUNITS, H0_OVER_C_HMPC,
+                        RHO_CRIT0)
 
 __all__ = ["Cosmology", "PLANCK18"]
 
 _A_MIN = 1.0e-3
 _N_TABLE = 1024
-_H0_HMPC = 1.0 / 2997.92458  # H0 in h/Mpc with c = 1
 _Z_MAX_TABLE = 40.0
 
 
@@ -279,7 +279,7 @@ class Cosmology:
         om, ol = self.Om0, self.Ode0
         base = om * jnp.asarray(a) ** -3.0 + 4.0 * ol
         return (base ** (n + 2.0) / ((om + 4.0 * ol) ** (n + 1.0))
-                / ((n + 1.0) * abs(self.fR0)) * _H0_HMPC ** 2)
+                / ((n + 1.0) * abs(self.fR0)) * H0_OVER_C_HMPC ** 2)
 
     def mu_k(self, a, k):
         """G_eff/G - 1 at comoving k [h/Mpc]: k^2 / (3 (k^2 + a^2 M^2)).
@@ -329,16 +329,13 @@ class Cosmology:
         k: array of comoving wavenumbers [h/Mpc]; integrates the
         mu(k, a)-modified growth ODE per k (vmapped RK4), normalized to
         D ~ a in matter domination (same convention as the GR table, so
-        ratios against growth_factor are meaningful).
+        ratios against growth_factor are meaningful). Jitted (one device
+        program — on a remote backend the eager path would pay a round
+        trip per RK4 step).
         """
         k = jnp.atleast_1d(jnp.asarray(k, jnp.float32))
-        a_t = 1.0 / (1.0 + z)
-
-        def one(kv):
-            lna, D = self._growth_D_of_lna(lambda a: self.mu_k(a, kv))
-            return jnp.interp(jnp.log(a_t), lna, D)
-
-        return jax.vmap(one)(k)
+        return _growth_factor_k_impl(self, k,
+                                     jnp.asarray(1.0 / (1.0 + z)))
 
     def fofr_pk_enhancement(self, k, z=0.0):
         """Linear fifth-force power enhancement P_f(R)(k)/P_GR(k).
@@ -348,13 +345,11 @@ class Cosmology:
         k -> inf approaches the scale-independent mu=1/3 enhancement.
         This is the theory anchor the reference's fifth-force spectra
         pipelines lacked (powmes.py module script computed only the
-        simulation side).
+        simulation side). Jitted.
         """
-        lna, D_gr = self._growth_D_of_lna(lambda a: 0.0)
-        a_t = 1.0 / (1.0 + z)
-        D0 = jnp.interp(jnp.log(a_t), lna, D_gr)
-        Dk = self.growth_factor_k(k, z)
-        return (Dk / D0) ** 2
+        k = jnp.atleast_1d(jnp.asarray(k, jnp.float32))
+        return _fofr_enhancement_impl(self, k,
+                                      jnp.asarray(1.0 / (1.0 + z)))
 
     # -------------------------------------------------------------- lensing
     def lensing_kernel(self, chi, chi_s):
@@ -392,3 +387,20 @@ def __getattr__(name):
             _PLANCK18_CACHE = Cosmology()
         return _PLANCK18_CACHE
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+@jax.jit
+def _growth_factor_k_impl(cosmo: Cosmology, k, a_t):
+    def one(kv):
+        lna, D = cosmo._growth_D_of_lna(lambda a: cosmo.mu_k(a, kv))
+        return jnp.interp(jnp.log(a_t), lna, D)
+
+    return jax.vmap(one)(k)
+
+
+@jax.jit
+def _fofr_enhancement_impl(cosmo: Cosmology, k, a_t):
+    lna, D_gr = cosmo._growth_D_of_lna(lambda a: 0.0)
+    D0 = jnp.interp(jnp.log(a_t), lna, D_gr)
+    Dk = _growth_factor_k_impl(cosmo, k, a_t)
+    return (Dk / D0) ** 2

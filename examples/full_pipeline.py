@@ -106,6 +106,28 @@ def main():
              float(cl_meas[10]),
              float(jnp.std(smooth) / jnp.std(cmb)))
 
+    # --- theory anchors: halofit, kappa Cl, f(R) growth, mass functions --
+    with stage("theory anchors"):
+        from astrild_tpu.ops.angular_power import cl_kappa_limber
+        from astrild_tpu.ops.halo_stats import theory_hmf
+        from astrild_tpu.ops.linear_power import (linear_power,
+                                                  nonlinear_power)
+
+        k = jnp.asarray([0.1, 1.0])
+        # all four anchors are jitted in the library (one device program
+        # each — on a remote backend the eager path would pay one round
+        # trip per op)
+        boost = nonlinear_power(k, cosmo) / jnp.asarray(
+            linear_power(k, cosmo))
+        clk = cl_kappa_limber(jnp.asarray([500.0]), cosmo, z_source=1.0)
+        fr = Cosmology(fR0=1e-5).fofr_pk_enhancement(np.asarray(k))
+        hmf = theory_hmf(np.asarray([1e13]), cosmo, model="tinker08")
+    log.info("halofit boost at k=1: %.2f; C_500^kk = %.2e; "
+             "F5 P(k) enhancement at k=1: %.3f; "
+             "Tinker08 dn/dlnM(1e13) = %.2e",
+             float(boost[1]), float(clk[0]), float(fr[1]),
+             float(hmf[0]))
+
     print("pipeline complete")
 
 

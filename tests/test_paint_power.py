@@ -256,3 +256,47 @@ def test_probes_true_inside_jit_trace():
     # and the cached values remain True outside the trace
     assert pp.pallas_deposit_available() is True
     assert pp.pallas_paint_available() is True
+
+
+def test_pallas_painter_periodic_wrap(rng):
+    """paint.py promises ALL painters are periodic: out-of-box positions
+    must deposit identically through the Pallas painter and the scatter
+    painters (the painter previously clipped/miskeyed them)."""
+    from astrild_tpu.ops import paint as P
+    from astrild_tpu.ops.paint_pallas import paint_windowed
+
+    n, ng, box = 4096, 16, 50.0
+    base = rng.uniform(0, box, (n, 3)).astype(np.float32)
+    # shift a third below 0, a third above box, keep edge values too
+    pos = base.copy()
+    pos[:n // 3] -= box
+    pos[n // 3: 2 * n // 3] += box
+    pos[0] = [0.0, box, -0.0]
+    pf = np.concatenate([pos[:, 0], pos[:, 1], pos[:, 2]])
+    for order, ref_fn in ((2, P.paint_cic), (3, P.paint_tsc)):
+        ref = np.asarray(ref_fn(jnp.asarray(pos), ng, box))
+        got = np.asarray(paint_windowed(jnp.asarray(pf), None, ng, box,
+                                        order=order, window=1024))
+        npt.assert_allclose(got, ref, atol=3e-5 * max(1.0, ref.max()))
+        npt.assert_allclose(got.sum(), n, rtol=1e-5)  # no mass loss
+
+
+def test_paint_ngp_pallas_dispatch(rng):
+    """An explicit deposit='pallas' with window='ngp' must run the sorted
+    flat deposit (previously it silently fell back to the scatter)."""
+    from astrild_tpu.ops import paint as P
+
+    n, box = 3000, 25.0
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float32)
+    w = jnp.asarray(rng.uniform(0.5, 2.0, n), jnp.float32)
+    for ng in (8, 10):  # 10^3 = 1000 cells exercises the non-128 padding
+        a = np.asarray(P.paint(pos, ng, box, window="ngp",
+                               deposit="scatter"))
+        b = np.asarray(P.paint(pos, ng, box, window="ngp",
+                               deposit="pallas_interpret"))
+        npt.assert_allclose(b, a, atol=1e-5)
+        aw = np.asarray(P.paint(pos, ng, box, weights=w, window="ngp",
+                                deposit="scatter"))
+        bw = np.asarray(P.paint(pos, ng, box, weights=w, window="ngp",
+                                deposit="pallas_interpret"))
+        npt.assert_allclose(bw, aw, atol=1e-4)
