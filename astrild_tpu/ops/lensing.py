@@ -31,6 +31,7 @@ from ..utils.constants import C_LIGHT_KMS
 __all__ = [
     "kappa_to_alpha", "kappa_to_phi", "alpha_to_gamma",
     "nfw_deflection_angle_map", "nfw_temperature_perturbation_map",
+    "nfw_dipole_patch",
     "add_patch_to_map", "paint_halo_patches", "born_convergence",
     "code_to_phy_units_factor",
 ]
@@ -228,6 +229,43 @@ def nfw_temperature_perturbation_map(
         )
         dt = dt - amap * vel[direc] / C_LIGHT_KMS
     return dt
+
+
+def nfw_dipole_patch(m200c, vel_t, z_lens, extent_deg: float = 0.5,
+                     npix: int = 128, cosmo=None):
+    """Analytic NFW moving-lens temperature patch of fixed angular size.
+
+    Convenience wrapper over nfw_temperature_perturbation_map that derives
+    the halo geometry from mass + lens redshift (the role of the
+    analytical-map helpers in astrildvisual/rays/visuals.py:317-417):
+    R200c from 200 rho_crit(z_lens), concentration from the Duffy et al.
+    2008 full-sample c200c relation, and the patch fixed at +-extent_deg/2
+    on the sky rather than in units of R200c.
+
+    Args:
+      m200c: halo mass [Msun/h].
+      vel_t: transverse velocity components (2,) [km/s].
+      z_lens: lens redshift.
+    Returns:
+      (npix, npix) Delta-T map in Kelvin.
+    """
+    import math
+
+    from ..utils.constants import T_CMB
+    from ..utils.cosmology import Cosmology
+
+    cosmo = cosmo if cosmo is not None else Cosmology()
+    m200c = float(m200c)
+    rho_c = float(cosmo.rho_crit(z_lens))  # (Msun/h)/(Mpc/h)^3
+    r200 = (3.0 * m200c / (4.0 * math.pi * 200.0 * rho_c)) ** (1.0 / 3.0)
+    d_a = float(cosmo.angular_diameter_distance(z_lens))  # Mpc/h
+    theta200_deg = math.degrees(math.atan(r200 / d_a))
+    c200 = 5.71 * (m200c / 2.0e12) ** -0.084 * (1.0 + z_lens) ** -0.47
+    extent = (extent_deg / 2.0) / theta200_deg
+    dt_over_t = nfw_temperature_perturbation_map(
+        theta200_deg, m200c, c200, jnp.asarray(vel_t), d_a,
+        npix=npix, extent=float(extent), directions=(0, 1))
+    return dt_over_t * T_CMB
 
 
 # ----------------------------------------------------------- patch painting

@@ -12,7 +12,9 @@ import numpy as np
 __all__ = ["figure_size", "plot_map", "plot_power_spectra",
            "plot_halo_mass_function", "plot_velocity_field",
            "plot_void_profiles", "plot_dipole_maps",
-           "plot_dipole_cross_section"]
+           "plot_dipole_cross_section", "use_publication_style",
+           "set_size", "plot_maps_with_vel_field",
+           "plot_analytic_dipole_maps", "PUBLICATION_STYLE"]
 
 
 def _plt():
@@ -203,5 +205,148 @@ def plot_dipole_cross_section(dipoles, skymap, index: int,
     ax.set_ylabel(r"$\Delta T$")
     if fname:
         fig.savefig(fname, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+# ------------------------------------------------- publication styling
+# Our own publication defaults (role of astrildvisual/publication.mplstyle):
+# compact serif-ish layout sized for a journal column.
+PUBLICATION_STYLE = {
+    "figure.facecolor": "white",
+    "axes.grid": False,
+    "axes.linewidth": 1.2,
+    "axes.labelsize": 11,
+    "axes.titlesize": 11,
+    "font.size": 10,
+    "font.family": "STIXGeneral",
+    "mathtext.fontset": "stix",
+    "xtick.direction": "in",
+    "ytick.direction": "in",
+    "xtick.top": True,
+    "ytick.right": True,
+    "xtick.labelsize": 9,
+    "ytick.labelsize": 9,
+    "legend.frameon": False,
+    "legend.fontsize": 9,
+    "savefig.dpi": 200,
+    "savefig.bbox": "tight",
+}
+
+
+def use_publication_style():
+    """Apply journal-figure rcParams (astrildvisual/publication.mplstyle
+    equivalent). Returns the previous values for restoring."""
+    _plt()  # ensures matplotlib is importable + Agg
+    import matplotlib as mpl
+
+    old = {k: mpl.rcParams[k] for k in PUBLICATION_STYLE}
+    mpl.rcParams.update(PUBLICATION_STYLE)
+    return old
+
+
+def set_size(width="mnras", subplot=(1, 1), fraction: float = 1.0):
+    """Figure dimensions for named journal column widths
+    (astrildvisual/figure_size.py:1-35 behavior): 'mnras' (252 pt),
+    'mnras_double' (504 pt), or a width in points; the height follows the
+    golden ratio scaled by the subplot grid rows/cols."""
+    widths = {"mnras": 252.0, "mnras_double": 504.0, "aa": 256.0,
+              "aa_double": 523.0}
+    width_pt = widths.get(width, None) if isinstance(width, str) else width
+    if width_pt is None:
+        raise ValueError(f"unknown journal width {width!r}")
+    w_in = width_pt * fraction / 72.27
+    golden = (5.0 ** 0.5 - 1.0) / 2.0
+    return (w_in, w_in * golden * (subplot[0] / subplot[1]))
+
+
+def plot_maps_with_vel_field(maps, halo_pos, halo_vel,
+                             opening_angle_deg: float, npix_vel: int = 40,
+                             titles=None, cmap: str = "RdBu_r",
+                             fname=None):
+    """Panel row of sky maps overlaid with binned halo-velocity quivers.
+
+    Array-first equivalent of astrildvisual/rays/visuals.py:62-160
+    (maps_with_vel_field): instead of file paths + DataFrames it takes
+    maps: list of (npix, npix) arrays; halo_pos/halo_vel: per-map (N, 2)
+    angular positions [deg] and transverse velocities.
+    """
+    plt = _plt()
+    from matplotlib import colors
+
+    n = len(maps)
+    fig, axes = plt.subplots(1, n, figsize=(5 * n, 5), sharex=True,
+                             sharey=True, squeeze=False)
+    fig.subplots_adjust(wspace=0.05)
+    ims = []
+    for idx, ax in enumerate(axes[0]):
+        img = np.asarray(maps[idx])
+        vmax = float(np.abs(img).max()) * 0.9 or 1.0
+        norm = colors.TwoSlopeNorm(vmin=-vmax, vcenter=0.0, vmax=vmax)
+        im = ax.imshow(img, origin="lower", cmap=cmap, norm=norm,
+                       extent=[0, opening_angle_deg, 0, opening_angle_deg])
+        ims.append(im)
+        p = np.asarray(halo_pos[idx])
+        v = np.asarray(halo_vel[idx])
+        edges = np.linspace(0, opening_angle_deg, npix_vel + 1)
+        cx = 0.5 * (edges[1:] + edges[:-1])
+        ix = np.clip(np.digitize(p[:, 0], edges) - 1, 0, npix_vel - 1)
+        iy = np.clip(np.digitize(p[:, 1], edges) - 1, 0, npix_vel - 1)
+        vx = np.zeros((npix_vel, npix_vel))
+        vy = np.zeros_like(vx)
+        cnt = np.zeros_like(vx)
+        np.add.at(vx, (iy, ix), v[:, 0])
+        np.add.at(vy, (iy, ix), v[:, 1])
+        np.add.at(cnt, (iy, ix), 1)
+        cnt = np.maximum(cnt, 1)
+        ax.quiver(cx[None, :] * np.ones((npix_vel, 1)),
+                  cx[:, None] * np.ones((1, npix_vel)),
+                  vx / cnt, vy / cnt, color="k", width=0.003)
+        if titles:
+            ax.set_title(titles[idx])
+        ax.set_xlabel(r"$\theta_x$ [deg]")
+    axes[0][0].set_ylabel(r"$\theta_y$ [deg]")
+    fig.colorbar(ims[-1], ax=list(axes[0]), shrink=0.8)
+    if fname:
+        fig.savefig(fname, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def plot_analytic_dipole_maps(m200c, vel_t, extent_deg: float = 0.5,
+                              npix: int = 128, z_lens: float = 0.3,
+                              cosmo=None, fname=None):
+    """Grid of ANALYTIC NFW moving-lens dipole patches.
+
+    Equivalent of astrildvisual/rays/visuals.py:317-417
+    (analytical_dipole_maps): per halo, paint the closed-form NFW
+    temperature dipole dT = -alpha . v_t / c on a small patch.
+    m200c: (n,) halo masses [Msun/h]; vel_t: (n, 2) transverse velocity
+    [km/s].
+    """
+    plt = _plt()
+    from matplotlib import colors
+
+    from ..ops import lensing
+    from ..utils.cosmology import Cosmology
+
+    cosmo = cosmo or Cosmology()
+    n = len(m200c)
+    fig, axes = plt.subplots(1, n, figsize=(4 * n, 4), squeeze=False)
+    for idx, ax in enumerate(axes[0]):
+        dt = np.asarray(lensing.nfw_dipole_patch(
+            float(m200c[idx]), np.asarray(vel_t[idx], float), z_lens,
+            extent_deg, npix, cosmo))
+        vmax = float(np.abs(dt).max()) or 1.0
+        im = ax.imshow(dt * 1e6, origin="lower", cmap="RdBu_r",
+                       norm=colors.TwoSlopeNorm(vmin=-vmax * 1e6,
+                                                vcenter=0.0,
+                                                vmax=vmax * 1e6),
+                       extent=[-extent_deg / 2, extent_deg / 2,
+                               -extent_deg / 2, extent_deg / 2])
+        ax.set_title(rf"$M={m200c[idx]:.1e}\,M_\odot/h$")
+        fig.colorbar(im, ax=ax, shrink=0.8, label=r"$\Delta T$ [$\mu$K]")
+    if fname:
+        fig.savefig(fname, dpi=150, bbox_inches="tight")
         plt.close(fig)
     return fig

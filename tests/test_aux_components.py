@@ -227,3 +227,34 @@ def test_dipole_figures(tmp_path, rng):
     import os
 
     assert os.path.getsize(f1) > 0 and os.path.getsize(f2) > 0
+
+
+def test_publication_figures(tmp_path, rng):
+    """New astrildvisual parity surface: publication style, journal figure
+    sizes, velocity-quiver map panels, analytic dipole-map grid."""
+    pytest.importorskip("matplotlib")
+    import matplotlib as mpl
+
+    from astrild_tpu.visual import figures
+
+    w, h = figures.set_size("mnras")
+    assert 3.0 < w < 4.0 and h < w
+    old = figures.use_publication_style()
+    assert mpl.rcParams["xtick.direction"] == "in"
+    mpl.rcParams.update(old)
+    with pytest.raises(ValueError):
+        figures.set_size("unknown-journal")
+
+    npix = 64
+    maps = [rng.normal(size=(npix, npix)) for _ in range(2)]
+    pos = [rng.uniform(0, 10, (50, 2)) for _ in range(2)]
+    vel = [rng.normal(0, 300, (50, 2)) for _ in range(2)]
+    f1 = str(tmp_path / "vel.png")
+    figures.plot_maps_with_vel_field(maps, pos, vel, opening_angle_deg=10.0,
+                                     npix_vel=8, titles=["GR", "F5"],
+                                     fname=f1)
+    f2 = str(tmp_path / "dip.png")
+    figures.plot_analytic_dipole_maps([1e14, 5e14],
+                                      [[300.0, 0.0], [0.0, -300.0]],
+                                      npix=32, fname=f2)
+    assert os.path.getsize(f1) > 0 and os.path.getsize(f2) > 0

@@ -198,3 +198,21 @@ def test_born_kappa_matches_limber_theory():
                       / np.asarray(cl_t)[band].sum())
     r = np.mean(ratios)
     assert 0.75 < r < 1.3, ratios
+
+
+def test_nfw_dipole_patch_antisymmetry():
+    """Fixed-angular-size moving-lens patch: dT = -alpha.v/c is odd along
+    the velocity direction and has a sensible micro-Kelvin amplitude
+    (astrildvisual/rays/visuals.py:317-417 analytic-map helper role)."""
+    dt = np.asarray(L.nfw_dipole_patch(1e15, [1000.0, 0.0], 0.3,
+                                       extent_deg=0.5, npix=64))
+    assert dt.shape == (64, 64)
+    # odd under x -> -x (the grid of nfw_deflection_angle_map is symmetric
+    # about 0 because linspace includes both endpoints)
+    npt.assert_allclose(dt, -dt[:, ::-1], rtol=2e-5, atol=1e-12)
+    # y-velocity instead: odd along rows
+    dty = np.asarray(L.nfw_dipole_patch(1e15, [0.0, 1000.0], 0.3,
+                                        extent_deg=0.5, npix=64))
+    npt.assert_allclose(dty, -dty[::-1, :], rtol=2e-5, atol=1e-12)
+    amp = float(np.abs(dt).max())
+    assert 1e-9 < amp < 1e-5, amp
