@@ -1,10 +1,10 @@
 from . import (angular_power, bispectrum, filters, halo_stats, lensing,
                linear_power, map_transform, mocks, object_selection, paint,
                pairwise, pallas_pairwise, peaks, power, profiles, profiles3d,
-               strong_lensing, tpcf, troughs, voids)
+               raytrace, strong_lensing, tpcf, troughs, voids)
 
 __all__ = ["angular_power", "bispectrum", "filters", "halo_stats", "lensing",
            "linear_power", "map_transform", "mocks", "object_selection",
            "paint", "pairwise", "pallas_pairwise", "peaks", "power",
-           "profiles", "profiles3d", "strong_lensing", "tpcf", "troughs",
+           "profiles", "profiles3d", "raytrace", "strong_lensing", "tpcf", "troughs",
            "voids"]

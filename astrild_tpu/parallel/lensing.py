@@ -18,9 +18,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import lensing as lens_ops
 from ..ops import peaks as peak_ops
+from ..ops import raytrace as ray_ops
 from ..ops import voids as void_ops
 
-__all__ = ["LensingSuiteResult", "make_distributed_lensing_suite"]
+__all__ = ["LensingSuiteResult", "make_distributed_lensing_suite",
+           "make_distributed_raytrace"]
 
 
 class LensingSuiteResult(NamedTuple):
@@ -66,5 +68,29 @@ def make_distributed_lensing_suite(mesh: Mesh, npix: int,
         in_specs=(P("sim", None, None, None), P(None), P(None)),
         out_specs=LensingSuiteResult(P("sim"), P("sim"), P("sim"),
                                      P("sim"), P("sim")),
+    )
+    return jax.jit(fn)
+
+
+def make_distributed_raytrace(mesh: Mesh, chi_s: float, omega_m: float,
+                              opening_angle_rad: float,
+                              n_rays=None, padding_factor: int = 1):
+    """Post-Born multi-plane ray tracing, realizations sharded over 'sim'.
+
+    Returns fn(planes, chis, dchis) with planes (nsim, nplane, npix, npix)
+    sharded P('sim', ...); output maps (kappa/gamma1/gamma2/omega/beta*)
+    come back as a dict of (nsim, nr, nr) arrays sharded the same way.
+    Each shard runs ops.raytrace.multiplane_raytrace locally — there is no
+    cross-sim communication, so the sim axis scales linearly over ICI/DCN.
+    """
+    def body(planes, chis, dchis):
+        return jax.vmap(lambda p: ray_ops.multiplane_raytrace(
+            p, chis, dchis, chi_s, omega_m, opening_angle_rad,
+            n_rays=n_rays, padding_factor=padding_factor))(planes)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("sim", None, None, None), P(None), P(None)),
+        out_specs=P("sim"),
     )
     return jax.jit(fn)

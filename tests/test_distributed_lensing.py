@@ -56,3 +56,34 @@ def test_distributed_lensing_matches_local(rng, mesh_shape, nsim, nplane,
         npt.assert_allclose(np.asarray(out.void_radius[s]),
                             np.asarray(vcat.radius), rtol=1e-5)
         assert int(out.n_voids[s]) == int(vcat.n)
+
+
+@pytest.mark.parametrize("mesh_shape,nsim,npix", [
+    ((4, 1, 2), 4, 64),
+    ((2, 2, 2), 2, 48),
+])
+def test_distributed_raytrace_matches_local(rng, mesh_shape, nsim, npix):
+    """Post-Born multiplane ray tracing sharded over 'sim' == local."""
+    from astrild_tpu.ops import raytrace as R
+    from astrild_tpu.parallel.lensing import make_distributed_raytrace
+
+    mesh = make_mesh(n_sim=mesh_shape[0], n_x=mesh_shape[1],
+                     n_y=mesh_shape[2])
+    nplane = 4
+    oa = np.radians(5.0)
+    chi_s, om = 2500.0, 0.3
+    planes = rng.normal(0, 0.3, (nsim, nplane, npix, npix)).astype(np.float32)
+    chis = jnp.linspace(500.0, 2000.0, nplane)
+    dchis = jnp.full((nplane,), 375.0)
+
+    fn = make_distributed_raytrace(mesh, chi_s, om, oa)
+    planes_sh = jax.device_put(jnp.asarray(planes),
+                               NamedSharding(mesh, P("sim")))
+    out = fn(planes_sh, chis, dchis)
+    assert out["kappa"].shape == (nsim, npix, npix)
+    for s in range(nsim):
+        loc = R.multiplane_raytrace(jnp.asarray(planes[s]), chis, dchis,
+                                    chi_s, om, oa)
+        for key in ("kappa", "gamma1", "gamma2", "omega"):
+            npt.assert_allclose(np.asarray(out[key][s]),
+                                np.asarray(loc[key]), rtol=2e-4, atol=5e-7)

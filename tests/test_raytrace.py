@@ -1,0 +1,108 @@
+"""Multi-plane ray tracing (ops/raytrace.py): single-plane exactness,
+Born-limit consistency, post-Born rotation."""
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+
+from astrild_tpu.ops import lensing as L
+from astrild_tpu.ops import raytrace as R
+
+OM = 0.3
+
+
+def _smooth_periodic_planes(rng, nplane, npix, amp, cut=6):
+    """Band-limited periodic Gaussian delta planes (smooth enough that
+    bilinear interpolation error is negligible)."""
+    planes = []
+    for _ in range(nplane):
+        spec = (rng.normal(size=(npix, npix))
+                + 1j * rng.normal(size=(npix, npix)))
+        kx = np.fft.fftfreq(npix) * npix
+        k2 = kx[:, None] ** 2 + kx[None, :] ** 2
+        spec *= np.exp(-k2 / cut ** 2)
+        d = np.real(np.fft.ifft2(spec))
+        d *= amp / max(d.std(), 1e-30)
+        planes.append(d - d.mean())
+    return jnp.asarray(np.stack(planes))
+
+
+def test_single_plane_exact():
+    rng = np.random.default_rng(7)
+    npix = 64
+    planes = _smooth_periodic_planes(rng, 1, npix, amp=0.2)
+    chis = jnp.array([1000.0])
+    dchis = jnp.array([400.0])
+    chi_s = 2500.0
+    theta = np.radians(5.0)
+    out = R.multiplane_raytrace(planes, chis, dchis, chi_s, OM, theta)
+    kap_plane = R.effective_plane_kappa(planes[0], chis[0], dchis[0],
+                                        1.0, OM)
+    expected = (1.0 - chis[0] / chi_s) * kap_plane
+    # rays are aligned with plane pixels -> no interpolation error
+    npt.assert_allclose(np.asarray(out["kappa"]), np.asarray(expected),
+                        rtol=1e-4, atol=5e-7)
+    assert np.abs(np.asarray(out["omega"])).max() < 1e-8
+    # shear consistency: <gamma^2> == <kappa^2> for a single plane (both
+    # are |second derivative| projections of the same potential)
+    g2 = np.asarray(out["gamma1"]) ** 2 + np.asarray(out["gamma2"]) ** 2
+    k2 = np.asarray(out["kappa"]) ** 2
+    npt.assert_allclose(g2.mean(), k2.mean(), rtol=0.2)
+
+
+def test_born_limit_matches_born_convergence():
+    rng = np.random.default_rng(3)
+    npix = 64
+    nplane = 4
+    planes = _smooth_periodic_planes(rng, nplane, npix, amp=0.05)
+    chis = jnp.array([500.0, 1000.0, 1500.0, 2000.0])
+    dchis = jnp.full((nplane,), 500.0)
+    chi_s = 2500.0
+    theta = np.radians(5.0)
+    out = R.multiplane_raytrace(planes, chis, dchis, chi_s, OM, theta)
+    kb = np.asarray(L.born_convergence(planes, chis, dchis, chi_s, OM))
+    km = np.asarray(out["kappa"])
+    scale = np.abs(kb).max()
+    assert scale > 1e-5  # non-trivial field
+    # post-Born corrections are O(kappa^2/kappa) relative ~ 1e-3 here
+    assert np.abs(km - kb).max() / scale < 5e-3
+    # and omega is tiny but NOT exactly zero (lens-lens coupling exists)
+    om = np.abs(np.asarray(out["omega"])).max()
+    assert om < 1e-5
+
+
+def test_postborn_rotation_appears_with_two_strong_planes():
+    rng = np.random.default_rng(11)
+    npix = 64
+    planes = _smooth_periodic_planes(rng, 2, npix, amp=3.0)
+    chis = jnp.array([800.0, 1600.0])
+    dchis = jnp.full((2,), 600.0)
+    chi_s = 2400.0
+    theta = np.radians(5.0)
+    out = R.multiplane_raytrace(planes, chis, dchis, chi_s, OM, theta)
+    kap = np.abs(np.asarray(out["kappa"])).max()
+    om = np.abs(np.asarray(out["omega"])).max()
+    assert kap > 0.01
+    # rotation is second order: present, well below kappa
+    assert 1e-8 < om < kap
+    # beta differs from theta (rays actually deflected)
+    t1 = np.arange(npix) * theta / npix
+    disp = np.abs(np.asarray(out["beta1"]) - t1[:, None]).max()
+    assert disp > 1e-6
+
+
+def test_raygrid_subsampling_and_scale_factors():
+    rng = np.random.default_rng(5)
+    npix = 64
+    planes = _smooth_periodic_planes(rng, 3, npix, amp=0.1)
+    chis = jnp.array([600.0, 1200.0, 1800.0])
+    dchis = jnp.full((3,), 600.0)
+    a = jnp.array([0.9, 0.8, 0.7])
+    out = R.multiplane_raytrace(planes, chis, dchis, 2400.0, OM,
+                                np.radians(5.0), scale_factors=a,
+                                n_rays=32)
+    assert out["kappa"].shape == (32, 32)
+    # scale factors boost each plane by 1/a vs a=1
+    out1 = R.multiplane_raytrace(planes, chis, dchis, 2400.0, OM,
+                                 np.radians(5.0), n_rays=32)
+    assert (np.abs(np.asarray(out["kappa"])).mean()
+            > np.abs(np.asarray(out1["kappa"])).mean())
