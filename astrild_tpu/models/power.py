@@ -49,6 +49,18 @@ class PowerSpectrum3D:
                                    shotnoise=shotnoise)
         return np.asarray(res.k), np.asarray(res.power)
 
+    def multipoles_from_grid(self, grid, boxsize: float, nbins: int = 0,
+                             ells=(0, 2, 4), los: int = 2,
+                             shotnoise: float = 0.0, window=None):
+        """Redshift-space multipoles P_ell(k) (the nbodykit FFTPower
+        poles mode the reference never wired up). Returns (k, {ell: P})."""
+        res = power_ops.auto_power_multipoles(
+            jnp.asarray(grid), boxsize, nbins=nbins, ells=tuple(ells),
+            los=los, shotnoise=shotnoise, window=window)
+        return (np.asarray(res.k),
+                {ell: np.asarray(res.p_ell[i])
+                 for i, ell in enumerate(ells)})
+
     def power_from_points(self, pos, boxsize: float, ngrid: int,
                           weights=None, nbins: int = 0,
                           interlaced: bool = False, method: str = "window"):
@@ -168,6 +180,12 @@ class LinearPowerSpectrum:
     def growth_functions(self, z):
         return (float(self.cosmo.growth_factor(z)),
                 float(self.cosmo.growth_rate(z)))
+
+    def kaiser_multipoles(self, k, z=0.0, bias: float = 1.0):
+        """Linear Kaiser (P0, P2, P4) theory anchor for RSD clustering."""
+        return tuple(np.asarray(p) for p in lp_ops.kaiser_multipoles(
+            jnp.asarray(k), self.cosmo, z=z, bias=bias,
+            amplitude=self._amp))
 
 
 class LinearAngularPowerSpectrum:

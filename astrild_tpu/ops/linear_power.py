@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..utils.cosmology import Cosmology
 
 __all__ = ["eh98_transfer", "linear_power", "sigma_r", "normalization",
-           "p_dpdp"]
+           "p_dpdp", "kaiser_multipoles"]
 
 
 def eh98_transfer(k_hmpc, cosmo: Cosmology):
@@ -127,6 +127,28 @@ def linear_power(k_hmpc, cosmo: Cosmology, z=0.0, amplitude=None):
         amplitude = normalization(cosmo)
     d = cosmo.growth_factor(z)
     return amplitude * _unnormalized_power(k_hmpc, cosmo) * d ** 2
+
+
+def kaiser_multipoles(k_hmpc, cosmo: Cosmology, z=0.0, bias: float = 1.0,
+                      amplitude=None):
+    """Linear Kaiser redshift-space multipoles (P0, P2, P4) [(Mpc/h)^3].
+
+    P(k, mu) = b^2 (1 + beta mu^2)^2 P_lin(k), beta = f(z)/b:
+      P0 = (1 + 2 beta/3 + beta^2/5) b^2 P_lin
+      P2 = (4 beta/3 + 4 beta^2/7)   b^2 P_lin
+      P4 = (8 beta^2 / 35)           b^2 P_lin
+    Theory anchor for ops.power.auto_power_multipoles and the s-mu TPCF
+    (the reference measured redshift-space clustering, halo.py:274-340,
+    with no linear prediction to compare against).
+    """
+    p = linear_power(k_hmpc, cosmo, z=z, amplitude=amplitude)
+    f = cosmo.growth_rate(z)
+    beta = f / bias
+    b2p = bias ** 2 * p
+    p0 = (1.0 + 2.0 * beta / 3.0 + beta ** 2 / 5.0) * b2p
+    p2 = (4.0 * beta / 3.0 + 4.0 * beta ** 2 / 7.0) * b2p
+    p4 = (8.0 * beta ** 2 / 35.0) * b2p
+    return p0, p2, p4
 
 
 def p_dpdp(k_hmpc, z, cosmo: Cosmology, amplitude=None):

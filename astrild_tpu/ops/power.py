@@ -23,8 +23,9 @@ from .paint import compensation_kernel
 last_auto_deposit: Optional[str] = None
 
 __all__ = [
-    "PowerResult", "kmag_rfft", "hermitian_weights", "delta_k",
-    "shell_average", "auto_power", "auto_power_fast", "cross_power",
+    "PowerResult", "MultipoleResult", "kmag_rfft", "hermitian_weights",
+    "delta_k", "shell_average", "auto_power", "auto_power_fast",
+    "auto_power_multipoles", "cross_power",
 ]
 
 
@@ -307,6 +308,64 @@ def auto_power(grid, boxsize: float, nbins: int = 0, window: Optional[str] = Non
     k, p, nm = shell_average(pk3d, n, boxsize, nbins, kmin, kmax,
                              binning=binning)
     return PowerResult(k, p - shotnoise, nm)
+
+
+class MultipoleResult(NamedTuple):
+    k: jnp.ndarray        # (nbins,) mean |k| per shell
+    p_ell: jnp.ndarray    # (nell, nbins) multipoles in requested order
+    nmodes: jnp.ndarray   # (nbins,) hermitian-weighted mode counts
+
+
+def _legendre_even(ell: int, mu2):
+    if ell == 0:
+        return jnp.ones_like(mu2)
+    if ell == 2:
+        return 0.5 * (3.0 * mu2 - 1.0)
+    if ell == 4:
+        return 0.125 * ((35.0 * mu2 - 30.0) * mu2 + 3.0)
+    raise ValueError("auto-spectrum multipoles exist for even ell<=4 "
+                     f"(got {ell})")
+
+
+def auto_power_multipoles(grid, boxsize: float, nbins: int = 0,
+                          ells=(0, 2, 4), los: int = 2,
+                          window: Optional[str] = None, grid_shifted=None,
+                          interlaced: bool = False, shotnoise: float = 0.0,
+                          kmin=None, kmax=None,
+                          binning=None) -> MultipoleResult:
+    """Plane-parallel redshift-space power multipoles P_ell(k).
+
+    P_ell(k) = (2 ell + 1) < |delta_k|^2 V  L_ell(mu) >_shell with
+    mu = k_los/|k| — the FFT estimator the reference's nbodykit FFTPower
+    exposes as mode='2d'/poles but astrild itself only ever used in 1D
+    (power_spectrum_3d.py:189-195). Together with
+    ops.tpcf.tpcf_multipoles (configuration space) and
+    ops.linear_power.kaiser_multipoles (theory) this closes the RSD loop.
+
+    shotnoise (V/N) is subtracted from the monopole only (the isotropic
+    noise has no higher multipoles in the continuum limit).
+    """
+    n = grid.shape[-1]
+    nbins = nbins or (n // 2)
+    dk = delta_k(grid, grid_shifted, window=window, interlaced=interlaced)
+    pk3d = (jnp.abs(dk) ** 2) * (boxsize ** 3)
+    f = (jnp.fft.fftfreq(n) * n).astype(jnp.float32)
+    fz = (jnp.fft.rfftfreq(n) * n).astype(jnp.float32)
+    ax = (f[:, None, None], f[None, :, None], fz[None, None, :])
+    m2 = ax[0] ** 2 + ax[1] ** 2 + ax[2] ** 2
+    mu2 = jnp.where(m2 == 0.0, 0.0, ax[los] ** 2 / jnp.maximum(m2, 1e-12))
+    if binning is None:
+        binning = get_shell_binning(n, nbins, kmin, kmax)
+    binidx, wf, nm, kmean = binning
+    kf = 2.0 * jnp.pi / boxsize
+    rows = []
+    for ell in ells:
+        vals = pk3d * ((2 * ell + 1) * _legendre_even(ell, mu2))
+        p = _shell_reduce(vals.reshape(-1), binidx, wf, nm)
+        if ell == 0:
+            p = p - shotnoise
+        rows.append(p)
+    return MultipoleResult(kmean * kf, jnp.stack(rows), nm)
 
 
 def auto_power_fast(pos, ngrid: int, boxsize: float, nbins: int = 0,

@@ -1,0 +1,116 @@
+"""Redshift-space power multipoles: FFT estimator vs exact anisotropic
+input and vs the linear Kaiser theory anchor."""
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+
+from astrild_tpu.ops import linear_power as LP
+from astrild_tpu.ops import power as P
+from astrild_tpu.utils.cosmology import Cosmology
+
+NGRID = 64
+BOX = 500.0
+
+
+def _exact_modulus_rsd_grid(rng, ngrid, boxsize, p_iso_fn, beta, los=2):
+    """Real field whose per-mode |delta_k|^2 V is EXACTLY
+    (1 + beta mu^2)^2 P_iso(|k|): random phases, deterministic moduli —
+    no sample variance in the measured spectra."""
+    white = rng.normal(size=(ngrid, ngrid, ngrid))
+    modes = np.fft.rfftn(white)
+    phases = modes / np.maximum(np.abs(modes), 1e-300)
+    kf = 2 * np.pi / boxsize
+    f = np.fft.fftfreq(ngrid) * ngrid
+    fz = np.fft.rfftfreq(ngrid) * ngrid
+    ax = (f[:, None, None], f[None, :, None], fz[None, None, :])
+    m2 = ax[0] ** 2 + ax[1] ** 2 + ax[2] ** 2
+    mu2 = np.where(m2 == 0, 0.0, ax[los] ** 2 / np.maximum(m2, 1e-12))
+    p3d = (1 + beta * mu2) ** 2 * p_iso_fn(np.sqrt(m2) * kf)
+    p3d[0, 0, 0] = 0.0
+    modulus = np.sqrt(p3d / boxsize ** 3) * ngrid ** 3
+    field = np.fft.irfftn(phases * modulus, s=(ngrid,) * 3)
+    return 1.0 + field, p3d, mu2
+
+
+def test_multipoles_match_exact_anisotropic_input():
+    rng = np.random.default_rng(2)
+    beta = 0.6
+    p_iso = lambda k: 1e4 * np.exp(-(k / 0.3) ** 2)
+    grid, p3d, mu2 = _exact_modulus_rsd_grid(rng, NGRID, BOX, p_iso, beta)
+    res = P.auto_power_multipoles(jnp.asarray(grid), BOX, nbins=24)
+    # expected: the SAME shell reduction applied to the analytic 3D values
+    for i, ell in enumerate((0, 2, 4)):
+        if ell == 0:
+            leg = np.ones_like(mu2)
+        elif ell == 2:
+            leg = 0.5 * (3 * mu2 - 1)
+        else:
+            leg = 0.125 * ((35 * mu2 - 30) * mu2 + 3)
+        vals = (2 * ell + 1) * leg * p3d
+        _, exp_p, _ = P.shell_average(jnp.asarray(vals), NGRID, BOX,
+                                      nbins=24)
+        npt.assert_allclose(np.asarray(res.p_ell[i]), np.asarray(exp_p),
+                            rtol=2e-3, atol=1e-2)
+
+
+def test_kaiser_theory_matches_measured_multipoles():
+    cosmo = Cosmology()
+    beta = float(cosmo.growth_rate(0.0))  # bias = 1
+    kf = 2 * np.pi / BOX
+
+    def p_iso(k):
+        return np.asarray(LP.linear_power(jnp.asarray(k), cosmo, z=0.0))
+
+    rng = np.random.default_rng(4)
+    grid, _, _ = _exact_modulus_rsd_grid(rng, NGRID, BOX, p_iso, beta)
+    res = P.auto_power_multipoles(jnp.asarray(grid), BOX, nbins=24)
+    k = np.asarray(res.k)
+    p0t, p2t, p4t = (np.asarray(x) for x in
+                     LP.kaiser_multipoles(jnp.asarray(k), cosmo, z=0.0))
+    sel = slice(6, 22)  # shells with well-sampled mu distributions
+    p0m, p2m, p4m = (np.asarray(res.p_ell[i]) for i in range(3))
+    npt.assert_allclose(p0m[sel], p0t[sel], rtol=0.04)
+    npt.assert_allclose(p2m[sel], p2t[sel], rtol=0.12)
+    # P4 is small; discreteness of the shell mu-distribution dominates
+    assert np.all(np.abs(p4m[sel] - p4t[sel]) < 0.1 * p0t[sel])
+    # quadrupole positive and ~ the Kaiser fraction of the monopole
+    ratio = p2m[sel] / p0m[sel]
+    expect = (4 * beta / 3 + 4 * beta ** 2 / 7) / (1 + 2 * beta / 3
+                                                   + beta ** 2 / 5)
+    npt.assert_allclose(ratio, expect, rtol=0.1)
+    assert k[0] > 0.9 * kf
+
+
+def test_kaiser_gr_limit_and_bias_scaling():
+    cosmo = Cosmology()
+    k = jnp.asarray([0.05, 0.1, 0.2])
+    p0_b1, p2_b1, _ = LP.kaiser_multipoles(k, cosmo, z=0.0, bias=1.0)
+    p0_b2, p2_b2, _ = LP.kaiser_multipoles(k, cosmo, z=0.0, bias=2.0)
+    # beta halves with bias 2: quadrupole grows slower than b^2
+    assert np.all(np.asarray(p2_b2) < 4.0 * np.asarray(p2_b1))
+    assert np.all(np.asarray(p0_b2) > np.asarray(p0_b1))
+    # f -> 0 limit: pure real-space bias
+    class NoGrowth(Cosmology):
+        def growth_rate(self, z):
+            return jnp.asarray(0.0)
+    ng = NoGrowth()
+    p0, p2, p4 = LP.kaiser_multipoles(k, ng, z=0.0, bias=1.5)
+    npt.assert_allclose(np.asarray(p0),
+                        2.25 * np.asarray(LP.linear_power(k, ng, z=0.0)),
+                        rtol=1e-5)
+    assert float(jnp.abs(p2).max()) == 0.0 and float(jnp.abs(p4).max()) == 0.0
+
+
+def test_model_layer_multipole_surface():
+    from astrild_tpu.models.power import LinearPowerSpectrum, PowerSpectrum3D
+
+    rng = np.random.default_rng(9)
+    grid, _, _ = _exact_modulus_rsd_grid(
+        rng, 32, BOX, lambda k: 5e3 * np.exp(-(k / 0.3) ** 2), 0.5)
+    ps = PowerSpectrum3D()
+    k, poles = ps.multipoles_from_grid(grid, BOX, nbins=12)
+    assert set(poles) == {0, 2, 4} and poles[0].shape == (12,)
+    assert np.all(poles[0][2:8] > 0)
+    lin = LinearPowerSpectrum()
+    p0, p2, p4 = lin.kaiser_multipoles(np.asarray([0.05, 0.1]), z=0.0)
+    assert p0.shape == (2,) and np.all(p2 > 0) and np.all(p4 > 0)
