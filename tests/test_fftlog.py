@@ -1,0 +1,78 @@
+"""FFTLog spherical-Bessel transforms vs analytic forms and brute-force
+quadrature."""
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+from astrild_tpu.ops import fftlog as F
+
+
+def _brute(k, fk, ell, s):
+    from scipy.special import spherical_jn
+
+    out = np.empty_like(s)
+    for i, sv in enumerate(s):
+        out[i] = np.trapezoid(k ** 2 * fk * spherical_jn(ell, k * sv), k)
+    return out
+
+
+def test_gaussian_monopole_analytic():
+    # P(k) = exp(-k^2/2) -> xi0(r) = exp(-r^2/2) / (2 pi)^{3/2}
+    n = 512
+    k = np.logspace(-4, 3, n)
+    pk = np.exp(-0.5 * k ** 2)
+    s, xi = F.correlation_from_power(k, pk)
+    s = np.asarray(s)
+    xi = np.asarray(xi)
+    expected = np.exp(-0.5 * s ** 2) / (2.0 * np.pi) ** 1.5
+    sel = (s > 0.05) & (s < 5.0)
+    npt.assert_allclose(xi[sel], expected[sel], rtol=2e-3,
+                        atol=1e-6 * expected.max())
+
+
+@pytest.mark.parametrize("ell", [0, 2, 4])
+def test_matches_brute_quadrature(ell):
+    n = 512
+    k = np.logspace(-3, 2.5, n)
+    fk = k ** 2 * np.exp(-0.5 * k ** 2)  # smooth, decaying both ways
+    s, out = F.sph_bessel_transform(k, fk, ell)
+    s = np.asarray(s)
+    out = np.asarray(out)
+    sel = (s > 0.2) & (s < 8.0)
+    kq = np.linspace(1e-4, 40.0, 200_000)
+    ref = _brute(kq, kq ** 2 * np.exp(-0.5 * kq ** 2), ell, s[sel])
+    scale = np.abs(ref).max()
+    npt.assert_allclose(out[sel], ref, atol=3e-3 * scale)
+
+
+def test_linear_xi_multipoles_kaiser():
+    """Kaiser xi2/xi0 consistency: both transforms from the same linear
+    P(k); check the transform is linear and signs follow i^ell."""
+    import jax.numpy as jnp
+
+    from astrild_tpu.ops import linear_power as LP
+    from astrild_tpu.utils.cosmology import Cosmology
+
+    cosmo = Cosmology()
+    n = 512
+    k = np.logspace(-4, 2, n)
+    p0, p2, p4 = LP.kaiser_multipoles(jnp.asarray(k), cosmo, z=0.0)
+    s, xi = F.xi_multipoles_from_pk(k, jnp.stack([p0, p2, p4]))
+    s = np.asarray(s)
+    xi = np.asarray(xi)
+    sel = (s > 20.0) & (s < 60.0)
+    # P2 = const * P0 (Kaiser, scale-independent beta) -> the ell=2
+    # transform of P2 relates to the ell=2 transform of P0; just check
+    # xi0 > 0 and the quadrupole of the correlation is NEGATIVE at these
+    # scales (standard linear-theory result: xi2(s) < 0 where xi falls)
+    assert np.all(xi[0][sel] > 0)
+    assert np.all(xi[1][sel] < 0)
+    # linearity of the transform
+    s2, xi2x = F.xi_multipoles_from_pk(k, jnp.stack([2.0 * p0]), ells=(0,))
+    npt.assert_allclose(np.asarray(xi2x)[0], 2.0 * xi[0], rtol=1e-6)
+
+
+def test_rejects_non_loguniform_grid():
+    k = np.linspace(0.01, 1.0, 64)
+    with pytest.raises(ValueError):
+        F.sph_bessel_transform(k, k, 0)
