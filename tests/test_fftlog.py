@@ -76,3 +76,28 @@ def test_rejects_non_loguniform_grid():
     k = np.linspace(0.01, 1.0, 64)
     with pytest.raises(ValueError):
         F.sph_bessel_transform(k, k, 0)
+
+
+def test_bao_peak_in_configuration_space():
+    """End-to-end theory chain: EH98 (with baryon wiggles) -> FFTLog ->
+    the BAO peak appears in xi0(s) near 100 Mpc/h."""
+    import jax.numpy as jnp
+
+    from astrild_tpu.ops import linear_power as LP
+    from astrild_tpu.utils.cosmology import Cosmology
+
+    cosmo = Cosmology()
+    k = np.logspace(-4, 2, 1024)
+    pk = LP.linear_power(jnp.asarray(k), cosmo, z=0.0)
+    s, xi = F.correlation_from_power(k, pk)
+    s = np.asarray(s)
+    v = np.asarray(xi) * s ** 2
+
+    def at(sv):
+        return v[np.argmin(np.abs(s - sv))]
+
+    sel = (s > 90) & (s < 115)
+    peak_s = s[sel][np.argmax(v[sel])]
+    assert 95 < peak_s < 110
+    assert v[sel].max() > at(75.0) > 0
+    assert v[sel].max() > at(130.0)
