@@ -1,0 +1,123 @@
+"""Halo-model nonlinear matter power: P(k) = P_1h + P_2h.
+
+Beyond the reference (which had no nonlinear theory at all; we already
+add halofit in ops/linear_power.py): the analytic halo model composes the
+pieces the framework measures from simulations — mass function
+(ops/halo_stats.theory_hmf), NFW profiles (ops/profiles3d), c(M)
+(Duffy et al. 2008) — into a second, physically transparent nonlinear
+P(k) prediction:
+
+  P_1h(k) = Int dlnM  n(lnM) (M/rho_m)^2 |u(k|M)|^2
+  P_2h(k) = [Int dlnM n(lnM) (M/rho_m) b(M) u(k|M) + A]^2 P_lin(k)
+
+with n = dn/dlnM, Sheth-Tormen halo bias b(nu), u(k|M) the normalized
+NFW Fourier profile, and A the standard large-scale consistency
+correction (A = 1 - Int n b M/rho_m dlnM: unresolved low-mass halos are
+point sources, so Int n b (M/rho_m) u -> 1 as k -> 0 and P_2h -> P_lin).
+
+All integrals are fixed log-grid quadratures (static shapes, MXU-sized
+batches); u(k|M) is evaluated by a vectorized log-radius quadrature
+rather than Si/Ci special functions, which keeps it jit-able and exact
+to ~1e-4 with 256 nodes.
+
+Halo definition: Delta = 200 x mean matter density (comoving), matching
+theory_hmf's R(M) convention and the Duffy08 M200m concentration fit.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.constants import RHO_CRIT0
+from ..utils.cosmology import Cosmology
+
+__all__ = ["nfw_u", "sheth_tormen_bias", "duffy_concentration",
+           "halo_model_power"]
+
+DELTA_C = 1.686
+
+
+def duffy_concentration(m200m, z: float = 0.0):
+    """Duffy et al. 2008 (arxiv:0804.2486, Table 1, full sample, 200-mean):
+    c = 10.14 (M / 2e12 Msun/h)^-0.081 (1+z)^-1.01."""
+    return 10.14 * (m200m / 2.0e12) ** -0.081 * (1.0 + z) ** -1.01
+
+
+def sheth_tormen_bias(nu, a: float = 0.707, p: float = 0.3):
+    """Sheth-Tormen 1999 peak-background-split bias b(nu), nu = delta_c/sigma."""
+    anu2 = a * nu ** 2
+    return (1.0 + (anu2 - 1.0) / DELTA_C
+            + 2.0 * p / (DELTA_C * (1.0 + anu2 ** p)))
+
+
+@partial(jax.jit, static_argnames=("nr",))
+def nfw_u(k, c, r_vir, nr: int = 256):
+    """Normalized NFW Fourier profile u(k|M) (-> 1 as k -> 0).
+
+    u(k) = Int_0^c dx x/(1+x)^2 sinc(k r_s x) / [ln(1+c) - c/(1+c)],
+    by log-x quadrature (x = r/r_s).
+
+    Args:
+      k: (nk,) wavenumbers [h/Mpc].
+      c, r_vir: (nm,) concentrations and halo radii [Mpc/h].
+    Returns (nm, nk).
+    """
+    c = jnp.asarray(c)[:, None, None]          # (nm, 1, 1)
+    rs = (jnp.asarray(r_vir) / jnp.asarray(c).ravel())[:, None, None]
+    edges = jnp.linspace(jnp.log(1e-4), 0.0, nr + 1)  # x/c in e^lx
+    dlx = edges[1] - edges[0]
+    lx = 0.5 * (edges[:-1] + edges[1:])  # midpoint rule: 2nd-order
+    x = jnp.exp(lx)[None, None, :] * c         # (nm, 1, nr)
+    kk = jnp.asarray(k)[None, :, None]         # (1, nk, 1)
+    arg = kk * rs * x
+    sinc = jnp.where(arg < 1e-4, 1.0 - arg ** 2 / 6.0,
+                     jnp.sin(arg) / jnp.maximum(arg, 1e-12))
+    profile = x ** 2 / (1.0 + x) ** 2  # (dx x/(1+x)^2) in dlnx
+    integral = jnp.sum(profile * sinc, axis=-1) * dlx
+    # normalize by the SAME quadrature of the profile (not the analytic
+    # ln(1+c) - c/(1+c)): quadrature bias cancels and u(k->0) == 1 exactly
+    mass_norm = jnp.sum(profile, axis=-1) * dlx
+    return integral / mass_norm
+
+
+def halo_model_power(k_hmpc, cosmo: Cosmology, z: float = 0.0,
+                     mmin: float = 1e8, mmax: float = 1e16, nm: int = 64,
+                     model: str = "st", amplitude=None):
+    """Halo-model P(k) [(Mpc/h)^3]; returns (p_1h, p_2h, p_total).
+
+    model: multiplicity function for the mass integrals ('st'|'tinker08'|
+    'ps', see halo_stats.theory_hmf). Bias is Sheth-Tormen (consistency
+    correction A absorbs the mismatch at large scales).
+    """
+    from .halo_stats import theory_hmf
+    from .linear_power import linear_power, normalization, sigma_r
+
+    k = jnp.asarray(k_hmpc)
+    if amplitude is None:
+        amplitude = normalization(cosmo)
+    rho_m = cosmo.Om0 * RHO_CRIT0  # comoving (Msun/h)/(Mpc/h)^3
+    lnm = jnp.linspace(jnp.log(mmin), jnp.log(mmax), nm)
+    m = jnp.exp(lnm)
+    dlnm = lnm[1] - lnm[0]
+
+    # mass function, sigma(M, z), bias, profiles
+    n_lnm = theory_hmf(m, cosmo, z=z, model=model)  # dn/dlnM
+    r_lag = (3.0 * m / (4.0 * jnp.pi * rho_m)) ** (1.0 / 3.0)
+    growth = cosmo.growth_factor(z)
+    sig = jax.vmap(lambda r: sigma_r(r, cosmo, amplitude=amplitude))(
+        r_lag) * growth
+    nu = DELTA_C / sig
+    bias = sheth_tormen_bias(nu)
+    r_vir = (3.0 * m / (4.0 * jnp.pi * 200.0 * rho_m)) ** (1.0 / 3.0)
+    conc = duffy_concentration(m, z=z)
+    u = nfw_u(k, conc, r_vir)  # (nm, nk)
+
+    w = n_lnm * m / rho_m * dlnm  # mass-fraction weights per lnM node
+    p_1h = jnp.sum((w * m / rho_m)[:, None] * u ** 2, axis=0)
+    i_2h = jnp.sum((w * bias)[:, None] * u, axis=0)
+    a_corr = 1.0 - jnp.sum(w * bias)  # unresolved halos, u -> 1
+    p_lin = linear_power(k, cosmo, z=z, amplitude=amplitude)
+    p_2h = (i_2h + a_corr) ** 2 * p_lin
+    return p_1h, p_2h, p_1h + p_2h

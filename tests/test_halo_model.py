@@ -1,0 +1,65 @@
+"""Halo-model nonlinear P(k): limits, consistency with halofit, profile
+Fourier transform."""
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+
+from astrild_tpu.ops import halo_model as HM
+from astrild_tpu.ops import linear_power as LP
+from astrild_tpu.utils.cosmology import Cosmology
+
+COSMO = Cosmology()
+
+
+def test_nfw_u_limits():
+    k = jnp.asarray([1e-4, 0.01, 0.1, 1.0, 10.0, 100.0])
+    u = np.asarray(HM.nfw_u(k, jnp.asarray([5.0, 10.0]),
+                            jnp.asarray([1.0, 2.0])))
+    # k -> 0: exactly 1 (self-normalized quadrature)
+    npt.assert_allclose(u[:, 0], 1.0, rtol=1e-5)
+    # monotone decay toward 0 at high k
+    assert np.all(np.diff(u, axis=1) < 1e-6)
+    assert np.all(u[:, -1] < 0.05)
+    # analytic cross-check of the mass normalization: compare against a
+    # brute-force numpy quadrature at one (c, k)
+    c, rv, kk = 7.0, 1.5, 3.0
+    x = np.linspace(1e-6, c, 400_000)
+    rs = rv / c
+    num = np.trapezoid(x / (1 + x) ** 2 * np.sinc(kk * rs * x / np.pi), x)
+    den = np.log(1 + c) - c / (1 + c)
+    u1 = float(HM.nfw_u(jnp.asarray([kk]), jnp.asarray([c]),
+                        jnp.asarray([rv]))[0, 0])
+    npt.assert_allclose(u1, num / den, rtol=2e-3)
+
+
+def test_sheth_tormen_bias_monotone_and_crosses_unity():
+    nu = jnp.linspace(0.3, 5.0, 50)
+    b = np.asarray(HM.sheth_tormen_bias(nu))
+    assert np.all(np.diff(b) > 0)
+    assert b[0] < 1.0 < b[-1]
+
+
+def test_two_halo_reduces_to_linear_at_large_scales():
+    k = jnp.asarray([1e-3, 3e-3, 1e-2])
+    p1, p2, pt = HM.halo_model_power(k, COSMO)
+    pl = np.asarray(LP.linear_power(k, COSMO))
+    npt.assert_allclose(np.asarray(p2), pl, rtol=0.05)
+
+
+def test_total_tracks_halofit_within_halo_model_accuracy():
+    k = jnp.asarray(np.logspace(-2, 1, 16))
+    _, _, pt = HM.halo_model_power(k, COSMO)
+    pnl = np.asarray(LP.nonlinear_power(k, COSMO))
+    ratio = np.asarray(pt) / pnl
+    # vanilla halo model is known-good to ~30% against halofit
+    assert np.all(ratio > 0.65) and np.all(ratio < 1.35), ratio
+    # and the nonlinear boost over linear is large at small scales
+    pl = np.asarray(LP.linear_power(k, COSMO))
+    assert np.asarray(pt)[-1] > 10.0 * pl[-1]
+
+
+def test_redshift_evolution():
+    k = jnp.asarray([0.5, 2.0])
+    _, _, p0 = HM.halo_model_power(k, COSMO, z=0.0)
+    _, _, p1 = HM.halo_model_power(k, COSMO, z=1.0)
+    assert np.all(np.asarray(p1) < np.asarray(p0))
