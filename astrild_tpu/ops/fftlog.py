@@ -121,6 +121,10 @@ def xi_multipoles_from_pk(k, p_ells, ells=(0, 2, 4), q: float = 1.5):
     rows = []
     s = None
     for i, ell in enumerate(ells):
+        if ell % 2:
+            raise ValueError(
+                f"xi_multipoles_from_pk handles even ell only (got {ell}):"
+                " odd multipoles carry an imaginary i^ell prefactor")
         sign = (-1.0) ** (ell // 2)
         s, ir = sph_bessel_transform(k, jnp.asarray(p_ells[i]), ell, q=q)
         rows.append(sign / (2.0 * jnp.pi ** 2) * ir)

@@ -32,11 +32,10 @@ import jax.numpy as jnp
 
 from ..utils.constants import RHO_CRIT0
 from ..utils.cosmology import Cosmology
+from .halo_stats import DELTA_C  # same threshold as the mass function
 
 __all__ = ["nfw_u", "sheth_tormen_bias", "duffy_concentration",
            "halo_model_power"]
-
-DELTA_C = 1.686
 
 
 def duffy_concentration(m200m, z: float = 0.0):
@@ -102,8 +101,10 @@ def halo_model_power(k_hmpc, cosmo: Cosmology, z: float = 0.0,
     m = jnp.exp(lnm)
     dlnm = lnm[1] - lnm[0]
 
-    # mass function, sigma(M, z), bias, profiles
-    n_lnm = theory_hmf(m, cosmo, z=z, model=model)  # dn/dlnM
+    # mass function, sigma(M, z), bias, profiles — all on the SAME
+    # amplitude, or the a_corr consistency relation silently breaks
+    n_lnm = theory_hmf(m, cosmo, z=z, model=model,
+                       amplitude=amplitude)  # dn/dlnM
     r_lag = (3.0 * m / (4.0 * jnp.pi * rho_m)) ** (1.0 / 3.0)
     growth = cosmo.growth_factor(z)
     sig = jax.vmap(lambda r: sigma_r(r, cosmo, amplitude=amplitude))(

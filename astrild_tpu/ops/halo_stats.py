@@ -145,7 +145,8 @@ def concentration_mass_prada(m200c, vmax, v200, limits, nbins: int = 20,
 # Theory anchor for the measured halo_mass_function (the reference had
 # only the measured side, stats_rockstar.py:13-34).
 
-_DELTA_C = 1.686
+DELTA_C = 1.686  # spherical-collapse threshold (shared with ops/halo_model)
+_DELTA_C = DELTA_C
 
 
 def _multiplicity(sigma, model: str, z: float = 0.0):
@@ -174,16 +175,19 @@ def _multiplicity(sigma, model: str, z: float = 0.0):
 
 
 @partial(jax.jit, static_argnames=("model",))
-def theory_hmf(m_msun_h, cosmo, z: float = 0.0, model: str = "st"):
+def theory_hmf(m_msun_h, cosmo, z: float = 0.0, model: str = "st",
+               amplitude=None):
     """dn/dlnM [h^3/Mpc^3] at masses m [Msun/h] for PS/ST/Tinker08.
 
     sigma(M, z) = D(z) sigma(R(M)) with R = (3M/4pi rho_mean)^(1/3);
     dln sigma/dlnM via jax.grad through the sigma_r quadrature.
+    amplitude overrides the sigma8 normalization (pass the SAME value to
+    every piece of a composed model — see ops/halo_model.py).
     """
     from ..utils.constants import RHO_CRIT0
     from .linear_power import normalization, sigma_r
 
-    amp = normalization(cosmo)
+    amp = normalization(cosmo) if amplitude is None else amplitude
     rho_mean = cosmo.Om0 * RHO_CRIT0  # (Msun/h) / (Mpc/h)^3
     growth = cosmo.growth_factor(z)
 

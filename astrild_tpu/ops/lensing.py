@@ -165,7 +165,7 @@ def _nfw_f(x):
     return jnp.where(x < 1e-8, 0.0, f)
 
 
-@partial(jax.jit, static_argnames=("npix", "extent", "directions", "suppress"))
+@partial(jax.jit, static_argnames=("npix", "directions", "suppress"))
 def nfw_deflection_angle_map(
     theta_200c_deg, m_200c, c_200c, angu_diam_dist, npix: int = 100,
     extent: float = 1.0, directions: Tuple[int, ...] = (0,),
@@ -208,7 +208,7 @@ def nfw_deflection_angle_map(
     return amap
 
 
-@partial(jax.jit, static_argnames=("npix", "extent", "directions", "suppress"))
+@partial(jax.jit, static_argnames=("npix", "directions", "suppress"))
 def nfw_temperature_perturbation_map(
     theta_200c_deg, m_200c, c_200c, vel, angu_diam_dist, npix: int = 100,
     extent: float = 1.0, directions: Tuple[int, ...] = (0, 1),

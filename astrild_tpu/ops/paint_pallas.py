@@ -39,12 +39,7 @@ DEFAULT_WINDOW = 8192   # cells per output window (must be multiple of 128)
 _CHUNK_ROWS = 16        # particle rows (of 128) DMA'd per inner step
 
 
-def _pvary(x, axes):
-    """pcast-to-varying with a pvary fallback (pvary is deprecated)."""
-    try:
-        return jax.lax.pcast(x, tuple(axes), to="varying")
-    except (AttributeError, TypeError):
-        return jax.lax.pvary(x, tuple(axes))
+from ..utils.jax_compat import pcast_varying as _pvary  # shared shim
 
 
 def _dot_f32_split(hf, lmat_bf16):

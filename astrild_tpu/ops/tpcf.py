@@ -117,13 +117,9 @@ def tpcf_real(pos, boxsize, r_edges, n_valid=None, block: int = 512):
 
 
 def _legendre(ell: int, mu):
-    if ell == 0:
-        return jnp.ones_like(mu)
-    if ell == 2:
-        return 0.5 * (3.0 * mu ** 2 - 1.0)
-    if ell == 4:
-        return 0.125 * (35.0 * mu ** 4 - 30.0 * mu ** 2 + 3.0)
-    raise ValueError(f"multipole ell={ell} not supported")
+    from .power import _legendre_even  # single home for the coefficients
+
+    return _legendre_even(ell, jnp.asarray(mu) ** 2)
 
 
 def tpcf_multipoles(xi_s_mu, ell: int):

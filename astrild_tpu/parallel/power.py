@@ -107,10 +107,9 @@ def local_shell_average(values, m, ngrid, boxsize, nbins,
         # varying-mesh-axes, or the scan rejects the carry types
         vma = tuple(jax.typeof(streams).vma)
         if vma:
-            try:
-                acc0 = jax.lax.pcast(acc0, vma, to="varying")
-            except (AttributeError, TypeError):
-                acc0 = jax.lax.pvary(acc0, vma)
+            from ..utils.jax_compat import pcast_varying
+
+            acc0 = pcast_varying(acc0, vma)
     except Exception:
         pass
     acc, _ = jax.lax.scan(body, acc0,

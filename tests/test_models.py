@@ -448,8 +448,17 @@ def test_dipoles_reference_mode_estimator(rng):
                             rtol=0.05)
         npt.assert_allclose(dips.data["theta2_mtvel"][i], true_vy,
                             rtol=0.05)
-        # reference mode: correct sign, <35% bias on resolved halos
-        npt.assert_allclose(dips.data["theta1_mtvel_ref"][i], true_vx,
-                            rtol=0.35)
-        npt.assert_allclose(dips.data["theta2_mtvel_ref"][i], true_vy,
-                            rtol=0.35)
+        # reference mode: <20% VECTOR error on resolved halos. (Per-
+        # component bounds are fragile: which of the two dipole lobes the
+        # detector lists first depends on float-level ties, and the lobe
+        # choice shifts the crop center, moving the MINOR component by
+        # tens of percent while the vector error stays small.)
+        err = np.hypot(dips.data["theta1_mtvel_ref"][i] - true_vx,
+                       dips.data["theta2_mtvel_ref"][i] - true_vy)
+        vmag = np.hypot(true_vx, true_vy)
+        assert err < 0.2 * vmag, (err, vmag, i)
+        # and signs of the major component agree
+        major = np.argmax([abs(true_vx), abs(true_vy)])
+        est = [dips.data["theta1_mtvel_ref"][i],
+               dips.data["theta2_mtvel_ref"][i]][major]
+        assert np.sign(est) == np.sign([true_vx, true_vy][major])

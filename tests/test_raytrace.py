@@ -106,3 +106,24 @@ def test_raygrid_subsampling_and_scale_factors():
                                  np.radians(5.0), n_rays=32)
     assert (np.abs(np.asarray(out["kappa"])).mean()
             > np.abs(np.asarray(out1["kappa"])).mean())
+
+
+def test_u12_is_exact_spectral_derivative_of_alpha1():
+    """u12 must equal d(alpha1)/d(theta2) spectrally — including on
+    white noise, where an unzeroed Nyquist plane of the odd-odd mixed
+    derivative shows up as a ~8% checkerboard error."""
+    rng = np.random.default_rng(0)
+    npix = 32
+    oa = 1.0
+    kap = jnp.asarray(rng.normal(size=(npix, npix)).astype(np.float32))
+    a1, a2, u11, u12, u22 = R.plane_deflection_fields(kap, oa)
+    kf = 2 * np.pi / oa
+    k2 = np.fft.rfftfreq(npix) * npix * kf
+    spec = np.fft.rfft2(np.asarray(a1)) * (1j * k2[None, :])
+    spec[:, -1] = 0.0  # odd derivative: own-negative Nyquist column
+    ref = np.fft.irfft2(spec, s=(npix, npix))
+    npt.assert_allclose(np.asarray(u12), ref, atol=2e-4 * np.abs(ref).max())
+    # u11/u22 trace reproduces 2*kap (Poisson closure, mean-free part)
+    tr = np.asarray(u11) + np.asarray(u22)
+    kap0 = np.asarray(kap) - np.asarray(kap).mean()
+    npt.assert_allclose(0.5 * tr, kap0, atol=5e-5 * np.abs(kap0).max())

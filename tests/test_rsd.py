@@ -28,7 +28,7 @@ def _exact_modulus_rsd_grid(rng, ngrid, boxsize, p_iso_fn, beta, los=2):
     p3d = (1 + beta * mu2) ** 2 * p_iso_fn(np.sqrt(m2) * kf)
     p3d[0, 0, 0] = 0.0
     modulus = np.sqrt(p3d / boxsize ** 3) * ngrid ** 3
-    field = np.fft.irfftn(phases * modulus, s=(ngrid,) * 3)
+    field = np.fft.irfftn(phases * modulus, s=(ngrid,) * 3, axes=(0, 1, 2))
     return 1.0 + field, p3d, mu2
 
 
