@@ -59,6 +59,39 @@ class SkyArray:
         return cls(map_array, opening_angle, quantity, dirs, map_file)
 
     @classmethod
+    def from_density_planes(cls, planes, chis, dchis, chi_s, omega_m,
+                            opening_angle: float, scale_factors=None,
+                            method: str = "born") -> "SkyArray":
+        """Map-maker from stacked lens planes — the in-memory form of the
+        reference's Ray-Ramses output summation (simcoll.py:238-341).
+
+        method='born' integrates the planes at Born level ('orig' =
+        kappa); method='raytrace' runs the post-Born multi-plane ray
+        tracer (ops/raytrace.py) and adds gamma1/gamma2/omega layers.
+        opening_angle in degrees.
+        """
+        import numpy as _np
+
+        from ..ops import lensing as _lens
+        from ..ops import raytrace as _rt
+
+        if method == "born":
+            kappa = _lens.born_convergence(
+                jnp.asarray(planes), jnp.asarray(chis), jnp.asarray(dchis),
+                chi_s, omega_m, scale_factors=scale_factors)
+            return cls(kappa, opening_angle, "kappa_2")
+        if method == "raytrace":
+            out = _rt.multiplane_raytrace(
+                jnp.asarray(planes), jnp.asarray(chis), jnp.asarray(dchis),
+                chi_s, omega_m, _np.radians(opening_angle),
+                scale_factors=scale_factors)
+            sky = cls(out["kappa"], opening_angle, "kappa_2")
+            for name in ("gamma1", "gamma2", "omega"):
+                sky.data[name] = out[name]
+            return sky
+        raise ValueError(f"unknown map-maker method {method!r}")
+
+    @classmethod
     def from_file(cls, map_file: str, opening_angle: float,
                   quantity: str = "kappa_2", convert_unit: bool = True
                   ) -> "SkyArray":

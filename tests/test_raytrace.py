@@ -127,3 +127,24 @@ def test_u12_is_exact_spectral_derivative_of_alpha1():
     tr = np.asarray(u11) + np.asarray(u22)
     kap0 = np.asarray(kap) - np.asarray(kap).mean()
     npt.assert_allclose(0.5 * tr, kap0, atol=5e-5 * np.abs(kap0).max())
+
+
+def test_skyarray_from_density_planes_both_methods():
+    """Model-layer map-maker: Born and post-Born from the same planes."""
+    from astrild_tpu.models import SkyArray
+
+    rng = np.random.default_rng(1)
+    planes = _smooth_periodic_planes(rng, 3, 48, amp=0.1)
+    chis = jnp.array([600.0, 1200.0, 1800.0])
+    dchis = jnp.full((3,), 600.0)
+    born = SkyArray.from_density_planes(planes, chis, dchis, 2400.0, OM,
+                                        5.0, method="born")
+    rt = SkyArray.from_density_planes(planes, chis, dchis, 2400.0, OM,
+                                      5.0, method="raytrace")
+    assert born.npix == rt.npix == 48
+    assert set(rt.data) >= {"orig", "gamma1", "gamma2", "omega"}
+    # weak field: the two kappa maps agree closely
+    npt.assert_allclose(np.asarray(rt.data["orig"]),
+                        np.asarray(born.data["orig"]), atol=2e-4)
+    # downstream SkyArray machinery works on the raytraced map
+    rt.smoothing(4.0, on="orig")
