@@ -1,0 +1,65 @@
+"""Gaussian covariance predictions vs the empirical scatter of Gaussian
+realizations measured with this package's own estimators."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+
+from astrild_tpu.ops import covariance as C
+from astrild_tpu.ops import mocks, power as P
+
+NGRID = 32
+BOX = 500.0
+NBINS = 8
+NREAL = 60
+
+
+def _p_iso(k):
+    return 2e4 * jnp.exp(-((jnp.asarray(k) / 0.25) ** 2))
+
+
+def test_pk_variance_matches_realizations():
+    keys = jax.random.split(jax.random.PRNGKey(0), NREAL)
+
+    def one(key):
+        d = mocks.gaussian_field(key, NGRID, BOX, _p_iso)
+        return P.auto_power(1.0 + d, BOX, nbins=NBINS).power
+
+    pks = np.asarray(jax.vmap(one)(keys))
+    res = P.auto_power(
+        1.0 + mocks.gaussian_field(keys[0], NGRID, BOX, _p_iso),
+        BOX, nbins=NBINS)
+    var_pred = np.asarray(C.gaussian_pk_covariance(
+        _p_iso(res.k), res.nmodes))
+    var_emp = pks.var(axis=0, ddof=1)
+    # 60 realizations: the sample variance of a variance is ~sqrt(2/59)
+    sel = np.asarray(res.nmodes) > 3
+    ratio = var_emp[sel] / var_pred[sel]
+    assert np.all(ratio > 0.4) and np.all(ratio < 2.5), ratio
+
+
+def test_multipole_covariance_structure_and_scale():
+    k, cov, nm = C.gaussian_multipole_covariance(
+        NGRID, BOX, NBINS, _p_iso, beta=0.5)
+    cov = np.asarray(cov)
+    assert cov.shape == (3, 3, NBINS)
+    # symmetric, positive-definite diagonal
+    npt.assert_allclose(cov[0, 1], cov[1, 0])
+    assert np.all(cov[0, 0] > 0) and np.all(cov[1, 1] > 0)
+    # beta=0 limit: the P0 variance reduces to the isotropic formula
+    k0, cov0, nm0 = C.gaussian_multipole_covariance(
+        NGRID, BOX, NBINS, _p_iso, beta=0.0)
+    iso = np.asarray(C.gaussian_pk_covariance(_p_iso(jnp.asarray(k0)),
+                                              nm0))
+    # discrete-shell P(k) varies within a bin; compare at moderate rtol
+    npt.assert_allclose(np.asarray(cov0)[0, 0], iso, rtol=0.35)
+    # quadrupole variance exceeds (2l+1)-free expectation: positive
+    assert np.all(np.asarray(cov0)[1, 1] > 0)
+
+
+def test_cl_covariance_formula():
+    ells = jnp.asarray([10.0, 100.0])
+    cl = jnp.asarray([1.0, 0.1])
+    v = np.asarray(C.gaussian_cl_covariance(cl, ells, fsky=0.5,
+                                            noise_cl=0.0, delta_ell=10.0))
+    npt.assert_allclose(v[0], 2.0 * 1.0 / (21 * 0.5 * 10.0), rtol=1e-6)
