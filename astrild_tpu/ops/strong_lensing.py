@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["sph_surface_density", "remap_image", "shear_from_potential",
-           "mapping_triangles"]
+           "mapping_triangles", "fermat_potential", "time_delay_days"]
 
 
 @partial(jax.jit, static_argnames=("npix", "n_buckets"))
@@ -204,3 +204,41 @@ def mapping_triangles(src_pos, x1, x2, y1, y2, max_images: int = 40):
     img2 = jnp.where(keep[order2], img2[order2], fail)
     mags = jnp.where(keep[order2], mags[order2], fail)
     return img1, img2, mags, jnp.sum(keep.astype(jnp.int32))
+
+
+@jax.jit
+def fermat_potential(kappa, opening_angle, beta):
+    """Fermat potential surface tau_hat(theta) = |theta - beta|^2/2 - psi.
+
+    psi solves lap psi = 2 kappa on the patch (ops.lensing.kappa_to_phi);
+    lensed images are the stationary points of this surface (Schneider's
+    time-delay formulation), so it completes the strong-lensing toolkit:
+    image positions from mapping_triangles, delays between them from here.
+
+    Args:
+      kappa: (n, n) convergence.
+      opening_angle: patch side [rad].
+      beta: (2,) source position [rad], axis-0/axis-1 order.
+    Returns (n, n) tau_hat in rad^2.
+    """
+    from .lensing import kappa_to_phi
+
+    n = kappa.shape[-1]
+    psi = kappa_to_phi(kappa, opening_angle)
+    t = (jnp.arange(n) + 0.5) * (opening_angle / n)
+    th1, th2 = jnp.meshgrid(t, t, indexing="ij")
+    return 0.5 * ((th1 - beta[0]) ** 2 + (th2 - beta[1]) ** 2) - psi
+
+
+def time_delay_days(tau_hat, z_lens, d_l, d_s, d_ls):
+    """Convert Fermat-potential values [rad^2] to light travel-time delays
+    in days: tau = (1+z_l) (D_l D_s / D_ls) tau_hat / c.
+
+    d_l, d_s, d_ls: ANGULAR-DIAMETER distances [Mpc/h] (for delays in
+    h^-1 days, the usual H0-degenerate quantity of time-delay cosmology).
+    """
+    from ..utils.constants import C_LIGHT_KMS, MPC_KM
+
+    dist = (1.0 + z_lens) * d_l * d_s / d_ls  # [Mpc/h]
+    seconds = dist * MPC_KM / C_LIGHT_KMS
+    return jnp.asarray(tau_hat) * seconds / 86400.0

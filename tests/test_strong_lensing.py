@@ -134,3 +134,46 @@ def test_sph_surface_density_bucket_convergence(rng):
     assert errs[1] < errs[0]
     assert errs[3] < errs[1]
     assert errs[3] < 0.05, errs
+
+
+def test_fermat_potential_stationary_at_images():
+    """Images found by mapping_triangles sit at stationary points of the
+    Fermat surface (the defining property of the time-delay formalism)."""
+    from astrild_tpu.ops import lensing as L
+    from astrild_tpu.ops import strong_lensing as SL
+
+    n = 256
+    oa = 4e-5  # rad; strong-lensing scale patch
+    d = oa / n
+    t = (np.arange(n) + 0.5) * d
+    x1, x2 = np.meshgrid(t, t, indexing="ij")
+    cen = oa / 2
+    r2 = (x1 - cen) ** 2 + (x2 - cen) ** 2
+    sig = 4.0e-6
+    kappa = jnp.asarray(6.0 * np.exp(-0.5 * r2 / sig ** 2))
+    a1, a2 = L.kappa_to_alpha(kappa, oa)
+    y1 = jnp.asarray(x1) - a1
+    y2 = jnp.asarray(x2) - a2
+    beta = jnp.asarray([cen + 1.0e-6, cen])
+    i1, i2, mag, nf = SL.mapping_triangles(beta, jnp.asarray(x1),
+                                           jnp.asarray(x2), y1, y2)
+    nf = int(nf)
+    assert nf >= 2, nf
+    tau = np.asarray(SL.fermat_potential(kappa, oa, beta))
+    g1, g2 = np.gradient(tau, d)
+    gmag = np.hypot(g1, g2)
+    med = np.median(gmag)
+    for m in range(nf):
+        p1 = int(np.clip(round(float(i1[m]) / d - 0.5), 1, n - 2))
+        p2 = int(np.clip(round(float(i2[m]) / d - 0.5), 1, n - 2))
+        assert gmag[p1, p2] < 0.25 * med, (m, gmag[p1, p2], med)
+    # delays between the images differ (generic asymmetric config)
+    taus = [tau[int(np.clip(round(float(i1[m]) / d - 0.5), 0, n - 1)),
+                int(np.clip(round(float(i2[m]) / d - 0.5), 0, n - 1))]
+            for m in range(nf)]
+    days = np.asarray(SL.time_delay_days(jnp.asarray(taus), 0.5,
+                                         1000.0, 1600.0, 900.0))
+    assert np.ptp(days) > 0
+    # unit formula check
+    expect = taus[0] * (1.5 * 1000.0 * 1600.0 / 900.0) * 3.085677581491367e19 / 299792.458 / 86400.0
+    npt.assert_allclose(days[0], expect, rtol=1e-6)
