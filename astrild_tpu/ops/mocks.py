@@ -15,7 +15,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["gaussian_field", "zeldovich_catalog", "lognormal_map"]
+__all__ = ["gaussian_field", "zeldovich_catalog",
+           "zeldovich_catalog_with_velocities", "lognormal_map"]
 
 
 @partial(jax.jit, static_argnames=("ngrid", "pk_fn"))
@@ -75,6 +76,32 @@ def zeldovich_catalog(key, ngrid: int, boxsize, pk_fn: Callable):
     lattice = jnp.stack(jnp.meshgrid(x, x, x, indexing="ij"), axis=-1)
     pos = (lattice + psi).reshape(-1, 3) % boxsize
     return pos
+
+
+@partial(jax.jit, static_argnames=("ngrid", "pk_fn"))
+def zeldovich_catalog_with_velocities(key, ngrid: int, boxsize, pk_fn,
+                                      growth_rate, a_hubble: float = 100.0):
+    """Zel'dovich catalog with dynamically consistent peculiar velocities.
+
+    In the Zel'dovich approximation v = a H(a) f psi; with psi in
+    comoving Mpc/h and a_hubble = a H(a) in km/s/(Mpc/h) (100 E(0) = 100
+    at z=0, matching ops.tpcf.to_redshift_space's s = x + v/100), the
+    redshift-space field obeys Kaiser with beta = growth_rate to linear
+    order — the measurement-side closure of the RSD loop
+    (tests/test_rsd.py::test_zeldovich_end_to_end_kaiser).
+
+    Returns (pos (n,3) [Mpc/h], vel (n,3) [km/s]).
+    """
+    pos = zeldovich_catalog(key, ngrid, boxsize, pk_fn)
+    cell = boxsize / ngrid
+    x = (jnp.arange(ngrid, dtype=jnp.float32) + 0.5) * cell
+    lattice = jnp.stack(jnp.meshgrid(x, x, x, indexing="ij"),
+                        axis=-1).reshape(-1, 3)
+    # psi = (pos - lattice) with periodic wrap undone
+    psi = pos - lattice
+    psi = psi - boxsize * jnp.round(psi / boxsize)
+    vel = a_hubble * growth_rate * psi
+    return pos, vel
 
 
 @partial(jax.jit, static_argnames=("npix",))

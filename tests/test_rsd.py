@@ -114,3 +114,38 @@ def test_model_layer_multipole_surface():
     lin = LinearPowerSpectrum()
     p0, p2, p4 = lin.kaiser_multipoles(np.asarray([0.05, 0.1]), z=0.0)
     assert p0.shape == (2,) and np.all(p2 > 0) and np.all(p4 > 0)
+
+
+def test_zeldovich_end_to_end_kaiser():
+    """Measurement-side RSD closure: Zel'dovich catalog + consistent
+    velocities -> redshift-space paint -> FFT multipoles reproduce the
+    Kaiser quadrupole-to-monopole ratio at large scales."""
+    import jax
+
+    from astrild_tpu.ops import mocks, paint, tpcf
+
+    ngrid, box, f = 64, 1000.0, 0.53
+    pk = lambda k: 2e4 * jnp.exp(-((k / 0.08) ** 2))
+    ratios = []
+    for seed in range(3):
+        pos, vel = mocks.zeldovich_catalog_with_velocities(
+            jax.random.PRNGKey(seed), ngrid, box, pk, f)
+        pos_s = tpcf.to_redshift_space(pos, vel, box)
+        grid = paint.paint(pos_s, ngrid, box, window="cic")
+        res = P.auto_power_multipoles(grid, box, nbins=16, window="cic")
+        p0 = np.asarray(res.p_ell[0])
+        p2 = np.asarray(res.p_ell[1])
+        sel = slice(2, 6)  # large scales, well below Nyquist
+        ratios.append((p2[sel] / p0[sel]).mean())
+    beta = f
+    expect = (4 * beta / 3 + 4 * beta ** 2 / 7) / (1 + 2 * beta / 3
+                                                   + beta ** 2 / 5)
+    meas = np.mean(ratios)
+    assert abs(meas - expect) < 0.2 * expect, (meas, expect, ratios)
+    # real-space control: quadrupole consistent with zero
+    pos, _ = mocks.zeldovich_catalog_with_velocities(
+        jax.random.PRNGKey(0), ngrid, box, pk, f)
+    grid = paint.paint(pos, ngrid, box, window="cic")
+    res = P.auto_power_multipoles(grid, box, nbins=16, window="cic")
+    r_real = np.asarray(res.p_ell[1])[2:6] / np.asarray(res.p_ell[0])[2:6]
+    assert abs(r_real.mean()) < 0.25 * expect
