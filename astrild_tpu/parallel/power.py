@@ -21,7 +21,8 @@ from ..ops.power import PowerResult
 from .pfft import local_kvecs, pfft3d_local
 
 __all__ = ["make_distributed_auto_power", "make_distributed_auto_power_fast",
-           "local_shell_average"]
+           "local_shell_average", "local_multipole_average",
+           "make_distributed_multipoles"]
 
 
 def _local_compensation(ki, kj, kk, ngrid, boxsize, window):
@@ -121,6 +122,128 @@ def local_shell_average(values, m, ngrid, boxsize, nbins,
         vsum = jax.lax.psum(vsum, axname)
     denom = jnp.where(nm > 0, nm, 1.0)
     return msum / denom * kf, vsum / denom, nm
+
+
+def local_multipole_average(values, m, mu2, ngrid, boxsize, nbins,
+                            ells=(0, 2, 4), axes=("x", "y"),
+                            kmin=None, kmax=None):
+    """Shell-average Legendre-weighted `values` over |k| bins, reducing
+    across mesh `axes`: the distributed counterpart of
+    ops.power.auto_power_multipoles' per-ell reduction. One one-hot build
+    serves nm/ksum and every multipole stream."""
+    from ..ops.power import _legendre_even
+
+    mmin = 0.5 if kmin is None else kmin
+    mmax = ngrid / 2.0 if kmax is None else kmax
+    kf = 2.0 * jnp.pi / boxsize
+    edges = jnp.linspace(mmin, mmax, nbins + 1)
+    mf = m.reshape(-1)
+    binidx = jnp.clip(jnp.searchsorted(edges, mf, side="right") - 1, 0,
+                      nbins - 1)
+    inside = (mf >= mmin) & (mf <= mmax)
+    binidx = jnp.where(inside, binidx, nbins)
+    insf = inside.astype(values.dtype)
+    vf = values.reshape(-1)
+    mu2f = mu2.reshape(-1)
+    streams = jnp.stack(
+        [insf, insf * mf]
+        + [insf * vf * ((2 * ell + 1) * _legendre_even(ell, mu2f))
+           for ell in ells])
+    nch = streams.shape[0]
+    n = mf.shape[0]
+    chunk = min(1 << 19, max(1024, n))
+    pad = (-n) % chunk
+    streams = jnp.pad(streams, ((0, 0), (0, pad))).reshape(nch, -1, chunk)
+    bi = jnp.pad(binidx, (0, pad),
+                 constant_values=nbins).reshape(-1, chunk)
+    bins = jnp.arange(nbins + 1, dtype=binidx.dtype)
+
+    def body(acc, xs):
+        v, b = xs
+        oh = b[:, None] == bins[None, :]
+        contrib = jnp.sum(jnp.where(oh[None], v[:, :, None], 0.0), axis=1)
+        return acc + contrib, None
+
+    acc0 = jnp.zeros((nch, nbins + 1), values.dtype)
+    try:
+        vma = tuple(jax.typeof(streams).vma)
+        if vma:
+            from ..utils.jax_compat import pcast_varying
+
+            acc0 = pcast_varying(acc0, vma)
+    except Exception:
+        pass
+    acc, _ = jax.lax.scan(body, acc0,
+                          (jnp.moveaxis(streams, 1, 0), bi))
+    acc = acc[:, :nbins]
+    for axname in axes:
+        acc = jax.lax.psum(acc, axname)
+    nm, msum = acc[0], acc[1]
+    denom = jnp.where(nm > 0, nm, 1.0)
+    return msum / denom * kf, acc[2:] / denom[None, :], nm
+
+
+def make_distributed_multipoles(mesh: Mesh, ngrid: int, boxsize: float,
+                                nbins: int, window: str = "cic",
+                                ells=(0, 2, 4), los: int = 2):
+    """Distributed redshift-space multipole estimator over `mesh`.
+
+    Returns fn(pos, weights=None) -> MultipoleResult with pos a global
+    (np, 3) redshift-space point set sharded over ALL mesh axes on its
+    leading dimension; the line of sight is the global `los` axis (the
+    same axis ops.tpcf.to_redshift_space shifts). Pipeline: local paint
+    -> psum_scatter re-pencil -> pencil FFT over ICI -> Legendre-weighted
+    collective shell reduction (shot noise subtracted from P0).
+    """
+    from ..ops.power import MultipoleResult
+
+    px = mesh.shape["x"]
+    py = mesh.shape["y"]
+    part_axes = ("sim", "x", "y")
+
+    def body(pos, weights):
+        n_local = pos.shape[0]
+        n_tot = jax.lax.psum(jnp.asarray(n_local, jnp.float32), part_axes)
+        grid = paint_single(pos, ngrid, boxsize, weights=weights,
+                            window=window)
+        extra = tuple(a for a in part_axes if a not in ("x", "y"))
+        if extra:
+            grid = jax.lax.psum(grid, extra)
+        if px > 1:
+            grid = jax.lax.psum_scatter(grid, "x", scatter_dimension=0,
+                                        tiled=True)
+        if py > 1:
+            grid = jax.lax.psum_scatter(grid, "y", scatter_dimension=1,
+                                        tiled=True)
+        gsum = jax.lax.psum(jnp.sum(grid), ("x", "y"))
+        mean = gsum / ngrid ** 3
+        delta = grid / jnp.where(mean == 0, 1.0, mean) - 1.0
+        dk = pfft3d_local(delta) / ngrid ** 3
+        ki, kj, kk = local_kvecs(ngrid, boxsize)
+        if window is not None:
+            dk = dk * _local_compensation(ki, kj, kk, ngrid, boxsize,
+                                          window)
+        fi, fj, fk = local_mode_numbers(ngrid)
+        m2 = fi ** 2 + fj ** 2 + fk ** 2
+        flos = (fi, fj, fk)[los]
+        mu2 = jnp.where(m2 == 0.0, 0.0,
+                        flos ** 2 / jnp.maximum(m2, 1e-12))
+        mu2 = mu2 * jnp.ones_like(m2)
+        m = jnp.sqrt(m2)
+        pk3d = (jnp.abs(dk) ** 2) * boxsize ** 3
+        pk3d = jnp.where(m == 0.0, 0.0, pk3d)
+        kmean, p_ell, nm = local_multipole_average(
+            pk3d, m, mu2, ngrid, boxsize, nbins, ells=ells)
+        shot = boxsize ** 3 / n_tot
+        noise = jnp.asarray([shot if ell == 0 else 0.0 for ell in ells])
+        return MultipoleResult(kmean, p_ell - noise[:, None], nm)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(("sim", "x", "y"), None), P(("sim", "x", "y"))),
+        out_specs=MultipoleResult(P(), P(), P()),
+    )
+    return jax.jit(fn)
 
 
 def make_distributed_auto_power(mesh: Mesh, ngrid: int, boxsize: float,

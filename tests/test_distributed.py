@@ -245,3 +245,37 @@ def test_painter_in_shard_map_matches_local(mesh22, rng):
         flat_sh = jax.device_put(flat_sh, spec)
         got = np.asarray(fn(flat_sh))
         npt.assert_allclose(got, want, atol=2e-5 * max(1.0, want.max()))
+
+
+def test_distributed_multipoles_match_local(mesh22, rng):
+    """Distributed RSD multipoles == local auto_power_multipoles on the
+    same anisotropic (redshift-space) point set."""
+    from astrild_tpu.ops import mocks, tpcf
+    from astrild_tpu.parallel.power import make_distributed_multipoles
+
+    pk = lambda k: 5e3 * jnp.exp(-((k / 0.1) ** 2))
+    pos, vel = mocks.zeldovich_catalog_with_velocities(
+        jax.random.PRNGKey(2), 16, BOX, pk, 0.5)
+    pos_s = tpcf.to_redshift_space(pos, vel, BOX)
+    n_part = pos_s.shape[0]
+    nbins = 6
+    g = paint_ops.paint(pos_s, NG, BOX, window="cic")
+    ref = power_ops.auto_power_multipoles(
+        g, BOX, nbins=nbins, window="cic",
+        shotnoise=BOX ** 3 / n_part)
+    dfn = make_distributed_multipoles(mesh22, NG, BOX, nbins,
+                                      window="cic")
+    spec = NamedSharding(mesh22, P(("sim", "x", "y"), None))
+    pos_sh = jax.device_put(pos_s, spec)
+    w_sh = jax.device_put(jnp.ones((n_part,), jnp.float32),
+                          NamedSharding(mesh22, P(("sim", "x", "y"))))
+    got = dfn(pos_sh, w_sh)
+    npt.assert_allclose(np.asarray(got.nmodes), np.asarray(ref.nmodes))
+    npt.assert_allclose(np.asarray(got.k), np.asarray(ref.k), rtol=1e-5)
+    for i in range(3):
+        npt.assert_allclose(np.asarray(got.p_ell[i]),
+                            np.asarray(ref.p_ell[i]), rtol=5e-3,
+                            atol=2e-3 * BOX ** 3 / n_part)
+    # quadrupole actually nonzero (anisotropic input)
+    assert np.abs(np.asarray(got.p_ell[1][:3])).max() > 0.05 * np.abs(
+        np.asarray(got.p_ell[0][:3])).max()
