@@ -1,0 +1,105 @@
+"""Lens planes from particle snapshots: the snapshot -> lightcone bridge.
+
+The reference could only consume maps that the Ray-Ramses Fortran code
+produced on the fly during the simulation (rays/rayramses.py:69-150); a
+plain particle snapshot could never be ray-traced. This module builds
+flat-sky density-contrast planes directly from periodic-box particle
+positions — replicating the box along the line of sight as the standard
+box-stacking lightcone construction does — so ANY snapshot feeds
+ops.raytrace.multiplane_raytrace / ops.lensing.born_convergence /
+models.SkyArray.from_density_planes.
+
+Geometry: observer at (cx, cy, 0) of the (replicated) box looking along
+the `los` axis; a plane at comoving distance chi_i spans fov x fov
+radians; particle angular positions use the minimum transverse image
+(theta = min_image(x - cx)/chi). Thin-slab approximation: every particle
+in [chi_i - dchi/2, chi_i + dchi/2) is projected with the mid-plane
+distance.
+
+Static shapes throughout: each plane paints the FULL particle set with an
+in-slab weight (a mask, not a gather), so the builder jit-compiles once
+and scans over planes.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["density_planes_from_particles"]
+
+
+def _min_image(d, boxsize):
+    return d - boxsize * jnp.round(d / boxsize)
+
+
+@partial(jax.jit, static_argnames=("nplanes", "npix", "los"))
+def density_planes_from_particles(pos, boxsize, chi0, dchi, nplanes: int,
+                                  fov, npix: int, los: int = 2,
+                                  observer_xy=None):
+    """CIC-paint particles into lightcone density-contrast planes.
+
+    Args:
+      pos: (n, 3) comoving positions in a periodic box [Mpc/h].
+      boxsize: box side [Mpc/h].
+      chi0: comoving distance of the FIRST plane center [Mpc/h].
+      dchi: slab thickness [Mpc/h] (<= boxsize).
+      nplanes: number of planes (centers chi_i = chi0 + i*dchi).
+      fov: field of view [rad] (square).
+      npix: plane resolution.
+      los: box axis replicated along the line of sight.
+      observer_xy: transverse observer position (2,) [Mpc/h]; defaults to
+        the box center.
+
+    Returns:
+      (delta (nplanes, npix, npix), chis (nplanes,)): density contrast
+      relative to the mean matter density (delta = Sigma/Sigma_bar - 1,
+      with Sigma_bar from the box's mean density — empty cone pixels are
+      -1, matching the convention born_convergence expects).
+    """
+    pos = jnp.asarray(pos)
+    n = pos.shape[0]
+    t_axes = [a for a in range(3) if a != los]
+    cx = (boxsize / 2.0 if observer_xy is None else observer_xy[0])
+    cy = (boxsize / 2.0 if observer_xy is None else observer_xy[1])
+    x_t1 = pos[:, t_axes[0]]
+    x_t2 = pos[:, t_axes[1]]
+    z = pos[:, los] % boxsize
+    chis = chi0 + dchi * jnp.arange(nplanes)
+    nbar = n / boxsize ** 3  # mean comoving number density
+
+    def one_plane(chi_mid):
+        lo = chi_mid - dchi / 2.0
+        # periodic replication: particle is in the slab iff its los
+        # coordinate modulo the box falls in [lo mod box, lo mod box+dchi)
+        dz = (z - lo) % boxsize
+        in_slab = dz < dchi
+        t1 = _min_image(x_t1 - cx, boxsize) / chi_mid
+        t2 = _min_image(x_t2 - cy, boxsize) / chi_mid
+        pix = fov / npix
+        c1 = t1 / pix + npix / 2.0 - 0.5
+        c2 = t2 / pix + npix / 2.0 - 0.5
+        i0 = jnp.floor(c1).astype(jnp.int32)
+        j0 = jnp.floor(c2).astype(jnp.int32)
+        f1 = c1 - i0
+        f2 = c2 - j0
+        grid = jnp.zeros((npix, npix))
+        for di, wi in ((0, 1.0 - f1), (1, f1)):
+            for dj, wj in ((0, 1.0 - f2), (1, f2)):
+                ii = i0 + di
+                jj = j0 + dj
+                ok = (in_slab & (ii >= 0) & (ii < npix)
+                      & (jj >= 0) & (jj < npix))
+                grid = grid.at[jnp.clip(ii, 0, npix - 1),
+                               jnp.clip(jj, 0, npix - 1)].add(
+                    jnp.where(ok, wi * wj, 0.0))
+        # expected counts per pixel from the box mean density
+        expect = nbar * dchi * (chi_mid * pix) ** 2
+        return grid / expect - 1.0
+
+    def body(_, chi_mid):
+        return None, one_plane(chi_mid)
+
+    _, planes = jax.lax.scan(body, None, chis)
+    return planes, chis
