@@ -187,6 +187,20 @@ class LinearPowerSpectrum:
             jnp.asarray(k), self.cosmo, z=z, bias=bias,
             amplitude=self._amp))
 
+    def P_nl(self, k, z=0.0, method: str = "halofit"):
+        """Nonlinear P(k): 'halofit' (Takahashi+12) or 'halomodel'
+        (1h+2h, ops/halo_model.py)."""
+        if method == "halofit":
+            return np.asarray(lp_ops.nonlinear_power(
+                jnp.asarray(k), self.cosmo, z=z, amplitude=self._amp))
+        if method == "halomodel":
+            from ..ops.halo_model import halo_model_power
+
+            _, _, pt = halo_model_power(jnp.asarray(k), self.cosmo, z=z,
+                                        amplitude=self._amp)
+            return np.asarray(pt)
+        raise ValueError(f"unknown nonlinear method {method!r}")
+
 
 class LinearAngularPowerSpectrum:
     """Linear ISW Cl_TT via Limber (linear_angular_power_spectrum.py)."""

@@ -63,3 +63,18 @@ def test_redshift_evolution():
     _, _, p0 = HM.halo_model_power(k, COSMO, z=0.0)
     _, _, p1 = HM.halo_model_power(k, COSMO, z=1.0)
     assert np.all(np.asarray(p1) < np.asarray(p0))
+
+
+def test_model_layer_nonlinear_dispatch():
+    from astrild_tpu.models.power import LinearPowerSpectrum
+
+    lin = LinearPowerSpectrum()
+    k = np.asarray([0.1, 1.0])
+    ph = lin.P_nl(k, method="halofit")
+    pm = lin.P_nl(k, method="halomodel")
+    pl = lin.P_dd(k)
+    assert ph[1] > pl[1] and pm[1] > pl[1]
+    import pytest
+
+    with pytest.raises(ValueError):
+        lin.P_nl(k, method="nope")
