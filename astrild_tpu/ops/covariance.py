@@ -14,7 +14,6 @@ is the correct one.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 __all__ = ["gaussian_pk_covariance", "gaussian_cl_covariance",
@@ -76,21 +75,15 @@ def gaussian_multipole_covariance(ngrid: int, boxsize: float, nbins: int,
     var2 = 2.0 * pkmu ** 2
 
     nell = len(ells)
-    cov = []
+    legs = [_legendre_even(ell, mu2) for ell in ells]
+    out = jnp.zeros((nell, nell, nbins))
     for i in range(nell):
-        for j in range(nell):
-            if j < i:
-                continue
-            li = _legendre_even(ells[i], mu2)
-            lj = _legendre_even(ells[j], mu2)
+        for j in range(i, nell):
             pref = (2 * ells[i] + 1) * (2 * ells[j] + 1)
-            vals = (pref * li * lj * var2).reshape(-1)
+            vals = (pref * legs[i] * legs[j] * var2).reshape(-1)
             # _shell_reduce divides by nm once; divide once more for the
             # 1/N_b^2 of the estimator-covariance
             c = _shell_reduce(vals, binidx, wf, nm) / jnp.maximum(nm, 1.0)
-            cov.append((i, j, c))
-    out = jnp.zeros((nell, nell, nbins))
-    for i, j, c in cov:
-        out = out.at[i, j].set(c)
-        out = out.at[j, i].set(c)
+            out = out.at[i, j].set(c)
+            out = out.at[j, i].set(c)
     return kmean * kf, out, nm

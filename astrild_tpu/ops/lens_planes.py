@@ -41,7 +41,12 @@ def density_planes_from_particles(pos, boxsize, chi0, dchi, nplanes: int,
     """CIC-paint particles into lightcone density-contrast planes.
 
     Args:
-      pos: (n, 3) comoving positions in a periodic box [Mpc/h].
+      pos: comoving positions in a periodic box [Mpc/h] — EITHER an
+        (n, 3) array (convenient at small n) or a (x, y, z) tuple of flat
+        (n,) component buffers. At large n prefer the tuple: an (n, 3)
+        device array pads its 3-wide minor dim to 128 lanes on this
+        backend (42x memory — see CLAUDE.md / bench.py's flat-buffer
+        pattern).
       boxsize: box side [Mpc/h].
       chi0: comoving distance of the FIRST plane center [Mpc/h].
       dchi: slab thickness [Mpc/h] (<= boxsize).
@@ -58,14 +63,18 @@ def density_planes_from_particles(pos, boxsize, chi0, dchi, nplanes: int,
       with Sigma_bar from the box's mean density — empty cone pixels are
       -1, matching the convention born_convergence expects).
     """
-    pos = jnp.asarray(pos)
-    n = pos.shape[0]
+    if isinstance(pos, (tuple, list)):
+        comps = [jnp.asarray(c).reshape(-1) for c in pos]
+    else:
+        arr = jnp.asarray(pos)
+        comps = [arr[:, 0], arr[:, 1], arr[:, 2]]
+    n = comps[0].shape[0]
     t_axes = [a for a in range(3) if a != los]
     cx = (boxsize / 2.0 if observer_xy is None else observer_xy[0])
     cy = (boxsize / 2.0 if observer_xy is None else observer_xy[1])
-    x_t1 = pos[:, t_axes[0]]
-    x_t2 = pos[:, t_axes[1]]
-    z = pos[:, los] % boxsize
+    x_t1 = comps[t_axes[0]]
+    x_t2 = comps[t_axes[1]]
+    z = comps[los] % boxsize
     chis = chi0 + dchi * jnp.arange(nplanes)
     nbar = n / boxsize ** 3  # mean comoving number density
 

@@ -66,43 +66,44 @@ def local_mode_radius(ngrid: int, ax: str = "x", ay: str = "y",
     return jnp.sqrt(fi ** 2 + fj ** 2 + fk ** 2)
 
 
-def local_shell_average(values, m, ngrid, boxsize, nbins,
-                        axes=("x", "y"), kmin=None, kmax=None):
-    """Shell-average `values` over |k| bins, reducing across mesh `axes`.
+def _local_binned_reduce(value_streams, mf, ngrid, nbins,
+                         axes=("x", "y"), kmin=None, kmax=None):
+    """Shared core of the collective shell reductions: mask modes to the
+    [mmin, mmax] shell range, chunk-scan a fused one-hot masked sum over
+    [count, |k|, *value_streams], and psum across mesh `axes`.
 
-    values/m: local blocks (full complex-FFT layout, weight 1 per mode);
-    m = |k|/kf mode radius. kmin/kmax are in mode units (match ops.power).
+    ONE home for the shell-edge construction (CLAUDE.md: estimators must
+    share the exact linspace/boundary modes or borderline shells flip)
+    and for the shard_map carry-vma workaround.
+
+    Returns (nm, msum, sums) with sums (nch, nbins).
     """
     mmin = 0.5 if kmin is None else kmin
     mmax = ngrid / 2.0 if kmax is None else kmax
-    kf = 2.0 * jnp.pi / boxsize
     edges = jnp.linspace(mmin, mmax, nbins + 1)
-    mf = m.reshape(-1)
     binidx = jnp.clip(jnp.searchsorted(edges, mf, side="right") - 1, 0,
                       nbins - 1)
     inside = (mf >= mmin) & (mf <= mmax)
     binidx = jnp.where(inside, binidx, nbins)  # nbins = discard slot
-    insf = inside.astype(values.dtype)
-    # fused one-hot masked sum, chunk-scanned so the (chunk, nbins+1)
-    # intermediate stays bounded (see ops.power._shell_reduce: 26 ms vs
-    # 123 ms gather / 100 ms segment_sum at 8.4M modes on-chip); the
-    # three statistics share one one-hot build per chunk
-    streams = jnp.stack([insf, insf * mf, insf * values.reshape(-1)])
+    insf = inside.astype(value_streams[0].dtype)
+    streams = jnp.stack([insf, insf * mf]
+                        + [insf * v for v in value_streams])
+    nch = streams.shape[0]
     n = mf.shape[0]
     chunk = min(1 << 19, max(1024, n))
     pad = (-n) % chunk
-    streams = jnp.pad(streams, ((0, 0), (0, pad))).reshape(3, -1, chunk)
+    streams = jnp.pad(streams, ((0, 0), (0, pad))).reshape(nch, -1, chunk)
     bi = jnp.pad(binidx, (0, pad),
                  constant_values=nbins).reshape(-1, chunk)
     bins = jnp.arange(nbins + 1, dtype=binidx.dtype)
 
     def body(acc, xs):
-        v, b = xs  # (3, chunk), (chunk,)
+        v, b = xs  # (nch, chunk), (chunk,)
         oh = b[:, None] == bins[None, :]
         contrib = jnp.sum(jnp.where(oh[None], v[:, :, None], 0.0), axis=1)
         return acc + contrib, None
 
-    acc0 = jnp.zeros((3, nbins + 1), values.dtype)
+    acc0 = jnp.zeros((nch, nbins + 1), streams.dtype)
     try:
         # under shard_map the carry must share the scanned values'
         # varying-mesh-axes, or the scan rejects the carry types
@@ -115,13 +116,28 @@ def local_shell_average(values, m, ngrid, boxsize, nbins,
         pass
     acc, _ = jax.lax.scan(body, acc0,
                           (jnp.moveaxis(streams, 1, 0), bi))
-    nm, msum, vsum = acc[0, :nbins], acc[1, :nbins], acc[2, :nbins]
+    acc = acc[:, :nbins]
     for axname in axes:
-        nm = jax.lax.psum(nm, axname)
-        msum = jax.lax.psum(msum, axname)
-        vsum = jax.lax.psum(vsum, axname)
+        acc = jax.lax.psum(acc, axname)
+    return acc[0], acc[1], acc[2:]
+
+
+def local_shell_average(values, m, ngrid, boxsize, nbins,
+                        axes=("x", "y"), kmin=None, kmax=None):
+    """Shell-average `values` over |k| bins, reducing across mesh `axes`.
+
+    values/m: local blocks (full complex-FFT layout, weight 1 per mode);
+    m = |k|/kf mode radius. kmin/kmax are in mode units (match ops.power).
+    The fused one-hot masked sum (see ops.power._shell_reduce: 26 ms vs
+    123 ms gather / 100 ms segment_sum at 8.4M modes on-chip) lives in
+    _local_binned_reduce, shared with the multipole estimator.
+    """
+    kf = 2.0 * jnp.pi / boxsize
+    nm, msum, sums = _local_binned_reduce(
+        [values.reshape(-1)], m.reshape(-1), ngrid, nbins, axes=axes,
+        kmin=kmin, kmax=kmax)
     denom = jnp.where(nm > 0, nm, 1.0)
-    return msum / denom * kf, vsum / denom, nm
+    return msum / denom * kf, sums[0] / denom, nm
 
 
 def local_multipole_average(values, m, mu2, ngrid, boxsize, nbins,
@@ -130,57 +146,33 @@ def local_multipole_average(values, m, mu2, ngrid, boxsize, nbins,
     """Shell-average Legendre-weighted `values` over |k| bins, reducing
     across mesh `axes`: the distributed counterpart of
     ops.power.auto_power_multipoles' per-ell reduction. One one-hot build
-    serves nm/ksum and every multipole stream."""
+    serves nm/ksum and every multipole stream (_local_binned_reduce)."""
     from ..ops.power import _legendre_even
 
-    mmin = 0.5 if kmin is None else kmin
-    mmax = ngrid / 2.0 if kmax is None else kmax
     kf = 2.0 * jnp.pi / boxsize
-    edges = jnp.linspace(mmin, mmax, nbins + 1)
-    mf = m.reshape(-1)
-    binidx = jnp.clip(jnp.searchsorted(edges, mf, side="right") - 1, 0,
-                      nbins - 1)
-    inside = (mf >= mmin) & (mf <= mmax)
-    binidx = jnp.where(inside, binidx, nbins)
-    insf = inside.astype(values.dtype)
     vf = values.reshape(-1)
     mu2f = mu2.reshape(-1)
-    streams = jnp.stack(
-        [insf, insf * mf]
-        + [insf * vf * ((2 * ell + 1) * _legendre_even(ell, mu2f))
-           for ell in ells])
-    nch = streams.shape[0]
-    n = mf.shape[0]
-    chunk = min(1 << 19, max(1024, n))
-    pad = (-n) % chunk
-    streams = jnp.pad(streams, ((0, 0), (0, pad))).reshape(nch, -1, chunk)
-    bi = jnp.pad(binidx, (0, pad),
-                 constant_values=nbins).reshape(-1, chunk)
-    bins = jnp.arange(nbins + 1, dtype=binidx.dtype)
-
-    def body(acc, xs):
-        v, b = xs
-        oh = b[:, None] == bins[None, :]
-        contrib = jnp.sum(jnp.where(oh[None], v[:, :, None], 0.0), axis=1)
-        return acc + contrib, None
-
-    acc0 = jnp.zeros((nch, nbins + 1), values.dtype)
-    try:
-        vma = tuple(jax.typeof(streams).vma)
-        if vma:
-            from ..utils.jax_compat import pcast_varying
-
-            acc0 = pcast_varying(acc0, vma)
-    except Exception:
-        pass
-    acc, _ = jax.lax.scan(body, acc0,
-                          (jnp.moveaxis(streams, 1, 0), bi))
-    acc = acc[:, :nbins]
-    for axname in axes:
-        acc = jax.lax.psum(acc, axname)
-    nm, msum = acc[0], acc[1]
+    streams = [vf * ((2 * ell + 1) * _legendre_even(ell, mu2f))
+               for ell in ells]
+    nm, msum, sums = _local_binned_reduce(
+        streams, m.reshape(-1), ngrid, nbins, axes=axes, kmin=kmin,
+        kmax=kmax)
     denom = jnp.where(nm > 0, nm, 1.0)
-    return msum / denom * kf, acc[2:] / denom[None, :], nm
+    return msum / denom * kf, sums / denom[None, :], nm
+
+
+def _optional_weights(jitted):
+    """Honor the documented fn(pos, weights=None) contract: default the
+    co-sharded weights to ones with pos's leading shape (jit reshards the
+    replicated constant onto the in_spec)."""
+    def call(pos, weights=None):
+        if weights is None:
+            lead = (pos[0].shape if isinstance(pos, (tuple, list))
+                    else pos.shape[:-1])
+            weights = jnp.ones(lead, jnp.float32)
+        return jitted(pos, weights)
+
+    return call
 
 
 def make_distributed_multipoles(mesh: Mesh, ngrid: int, boxsize: float,
@@ -243,7 +235,7 @@ def make_distributed_multipoles(mesh: Mesh, ngrid: int, boxsize: float,
         in_specs=(P(("sim", "x", "y"), None), P(("sim", "x", "y"))),
         out_specs=MultipoleResult(P(), P(), P()),
     )
-    return jax.jit(fn)
+    return _optional_weights(jax.jit(fn))
 
 
 def make_distributed_auto_power(mesh: Mesh, ngrid: int, boxsize: float,
@@ -312,7 +304,7 @@ def make_distributed_auto_power(mesh: Mesh, ngrid: int, boxsize: float,
             in_specs=(P(("sim", "x", "y"), None), P(("sim", "x", "y"))),
             out_specs=PowerResult(P(), P(), P()),
         )
-    return jax.jit(fn)
+    return _optional_weights(jax.jit(fn))
 
 
 def make_distributed_auto_power_fast(mesh: Mesh, ngrid: int, boxsize: float,
@@ -337,7 +329,7 @@ def make_distributed_auto_power_fast(mesh: Mesh, ngrid: int, boxsize: float,
          shell reduction (binning on |k|/kf — bit-identical shell
          assignment with the local estimator) finish with a psum.
 
-    Returns fn(pos, weights) -> PowerResult; pos (np, 3) sharded over
+    Returns fn(pos, weights=None) -> PowerResult; pos (np, 3) sharded over
     all mesh axes on its leading dim, weights (np,) co-sharded (pass
     ones for counts). P(k) matches ops.power.auto_power_fast to float
     tolerance (tests/test_distributed.py::test_distributed_fast_power);
@@ -426,4 +418,4 @@ def make_distributed_auto_power_fast(mesh: Mesh, ngrid: int, boxsize: float,
         out_specs=PowerResult(P(), P(), P()),
         check_vma=(deposit != "pallas_interpret"),
     )
-    return jax.jit(fn)
+    return _optional_weights(jax.jit(fn))

@@ -279,3 +279,25 @@ def test_distributed_multipoles_match_local(mesh22, rng):
     # quadrupole actually nonzero (anisotropic input)
     assert np.abs(np.asarray(got.p_ell[1][:3])).max() > 0.05 * np.abs(
         np.asarray(got.p_ell[0][:3])).max()
+
+
+def test_distributed_factories_default_weights(mesh22, rng):
+    """The documented fn(pos, weights=None) contract holds for every
+    factory (single-argument calls build unit weights internally)."""
+    from astrild_tpu.parallel.power import (make_distributed_auto_power,
+                                            make_distributed_multipoles)
+
+    n_part = 4096
+    pos = jnp.asarray(rng.uniform(0, BOX, (n_part, 3)).astype(np.float32))
+    spec = NamedSharding(mesh22, P(("sim", "x", "y"), None))
+    pos_sh = jax.device_put(pos, spec)
+    fn = make_distributed_auto_power(mesh22, NG, BOX, 6, window="cic")
+    res1 = fn(pos_sh)
+    w = jax.device_put(jnp.ones((n_part,), jnp.float32),
+                       NamedSharding(mesh22, P(("sim", "x", "y"))))
+    res2 = fn(pos_sh, w)
+    npt.assert_allclose(np.asarray(res1.power), np.asarray(res2.power),
+                        rtol=1e-6)
+    mfn = make_distributed_multipoles(mesh22, NG, BOX, 6, window="cic")
+    mres = mfn(pos_sh)
+    assert np.all(np.isfinite(np.asarray(mres.p_ell)))

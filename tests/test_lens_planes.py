@@ -65,3 +65,15 @@ def test_chain_to_raytraced_maps(rng):
     # Poisson planes: kappa is small shot noise, mean ~ 0
     assert abs(kap.mean()) < 0.01
     assert kap.std() < 0.1
+
+
+def test_flat_component_input_matches_array(rng):
+    n = 1 << 16
+    pos = rng.uniform(0, BOX, (n, 3)).astype(np.float32)
+    a, _ = LPL.density_planes_from_particles(
+        jnp.asarray(pos), BOX, 600.0, 200.0, 2, np.radians(2.0), 16)
+    b, _ = LPL.density_planes_from_particles(
+        (jnp.asarray(pos[:, 0]), jnp.asarray(pos[:, 1]),
+         jnp.asarray(pos[:, 2])), BOX, 600.0, 200.0, 2,
+        np.radians(2.0), 16)
+    npt.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
