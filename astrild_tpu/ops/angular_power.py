@@ -19,6 +19,7 @@ from ..utils.cosmology import Cosmology
 from .linear_power import normalization, p_dpdp
 
 __all__ = ["cl_flat_sky", "cl_to_flat_map", "cl_isw_limber",
+           "shear_eb_maps", "cl_shear_eb",
            "cl_kappa_limber", "cl_flat_sky_masked"]
 
 
@@ -80,6 +81,50 @@ def cl_to_flat_map(key, cl_tab_ell, cl_tab_val, npix: int,
                                            (0, 1))))
     # restore unit variance per independent mode after averaging
     return jnp.real(jnp.fft.ifft2(sym * jnp.sqrt(2.0)))
+
+
+@jax.jit
+def shear_eb_maps(gamma1, gamma2, opening_angle_deg=None):
+    """E/B decomposition of flat-sky shear maps.
+
+    kappa_E(l) =  cos(2 phi_l) g1(l) + sin(2 phi_l) g2(l)
+    kappa_B(l) = -sin(2 phi_l) g1(l) + cos(2 phi_l) g2(l)
+
+    (Kaiser-Squires rotation; phi_l the angle of the Fourier mode.) Born
+    shear from a scalar potential is PURE E — kappa_E reproduces the
+    convergence and kappa_B vanishes — while lens-lens coupling in
+    multi-plane ray tracing generates a small B-mode, so B is the
+    standard systematics/post-Born null channel. The reference's lenstools
+    stack never exposed it.
+
+    opening_angle_deg is accepted for API symmetry; the rotation is
+    scale-free. Returns (kappa_E, kappa_B) real maps.
+    """
+    n = gamma1.shape[-1]
+    f = jnp.fft.fftfreq(n) * n
+    l1 = f[:, None]
+    l2 = f[None, :]
+    l2mag = l1 ** 2 + l2 ** 2
+    safe = jnp.where(l2mag == 0.0, 1.0, l2mag)
+    cos2 = jnp.where(l2mag == 0.0, 1.0, (l1 ** 2 - l2 ** 2) / safe)
+    sin2 = jnp.where(l2mag == 0.0, 0.0, 2.0 * l1 * l2 / safe)
+    g1 = jnp.fft.fft2(gamma1)
+    g2 = jnp.fft.fft2(gamma2)
+    ke = jnp.real(jnp.fft.ifft2(cos2 * g1 + sin2 * g2))
+    kb = jnp.real(jnp.fft.ifft2(-sin2 * g1 + cos2 * g2))
+    return ke, kb
+
+
+def cl_shear_eb(gamma1, gamma2, opening_angle_deg, nbins: int = 50,
+                ell_min=None, ell_max=None):
+    """(ell, Cl_EE, Cl_BB) of a flat-sky shear field via E/B rotation +
+    azimuthal averaging (cl_flat_sky on each decomposed map)."""
+    ke, kb = shear_eb_maps(gamma1, gamma2)
+    ell, cl_ee = cl_flat_sky(ke, opening_angle_deg, nbins=nbins,
+                             ell_min=ell_min, ell_max=ell_max)
+    _, cl_bb = cl_flat_sky(kb, opening_angle_deg, nbins=nbins,
+                           ell_min=ell_min, ell_max=ell_max)
+    return ell, cl_ee, cl_bb
 
 
 @partial(jax.jit, static_argnames=("nbins", "apodize_arcmin"))

@@ -148,3 +148,34 @@ def test_skyarray_from_density_planes_both_methods():
                         np.asarray(born.data["orig"]), atol=2e-4)
     # downstream SkyArray machinery works on the raytraced map
     rt.smoothing(4.0, on="orig")
+
+
+def test_shear_eb_decomposition():
+    """Pure-E check: shear derived from a scalar potential gives
+    kappa_E == kappa and kappa_B == 0; post-Born multiplane shear carries
+    a small but nonzero B-mode."""
+    from astrild_tpu.ops import angular_power as AP
+
+    rng = np.random.default_rng(3)
+    npix = 64
+    kap = np.asarray(_smooth_periodic_planes(rng, 1, npix, amp=0.05))[0]
+    _, _, u11, u12, u22 = R.plane_deflection_fields(jnp.asarray(kap), 0.1)
+    g1 = 0.5 * (np.asarray(u11) - np.asarray(u22))
+    g2 = np.asarray(u12)
+    ke, kb = AP.shear_eb_maps(jnp.asarray(g1), jnp.asarray(g2))
+    kap0 = kap - kap.mean()
+    npt.assert_allclose(np.asarray(ke), kap0,
+                        atol=5e-5 * np.abs(kap0).max())
+    assert np.abs(np.asarray(kb)).max() < 1e-4 * np.abs(kap0).max()
+
+    # post-Born: B-modes appear, well below E
+    planes = _smooth_periodic_planes(rng, 2, npix, amp=3.0)
+    out = R.multiplane_raytrace(planes, jnp.array([800.0, 1600.0]),
+                                jnp.full((2,), 600.0), 2400.0, OM,
+                                np.radians(5.0))
+    ell, cl_ee, cl_bb = AP.cl_shear_eb(out["gamma1"], out["gamma2"], 5.0,
+                                       nbins=16)
+    ee = np.asarray(cl_ee).sum()
+    bb = np.asarray(cl_bb).sum()
+    assert bb > 0
+    assert bb < 0.05 * ee, (bb, ee)
