@@ -153,6 +153,16 @@ class AngularPowerSpectrum:
             skymap.data[on], skymap.opening_angle, nbins=nbins)
 
     @staticmethod
+    def from_shear(gamma1, gamma2, opening_angle_deg: float,
+                   nbins: int = 50):
+        """(ell, Cl_EE, Cl_BB) from flat-sky shear maps (Kaiser-Squires
+        E/B rotation; B is the post-Born/systematics null channel)."""
+        ell, ee, bb = ap_ops.cl_shear_eb(jnp.asarray(gamma1),
+                                         jnp.asarray(gamma2),
+                                         opening_angle_deg, nbins=nbins)
+        return np.asarray(ell), np.asarray(ee), np.asarray(bb)
+
+    @staticmethod
     def to_flat_map(ells, cls_vals, npix: int, opening_angle_deg: float,
                     rnd_seed: int = 0):
         import jax

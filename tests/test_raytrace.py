@@ -179,3 +179,18 @@ def test_shear_eb_decomposition():
     bb = np.asarray(cl_bb).sum()
     assert bb > 0
     assert bb < 0.05 * ee, (bb, ee)
+
+
+def test_model_layer_shear_spectra():
+    from astrild_tpu.models.power import AngularPowerSpectrum
+
+    rng = np.random.default_rng(5)
+    planes = _smooth_periodic_planes(rng, 2, 48, amp=1.0)
+    out = R.multiplane_raytrace(planes, jnp.array([800.0, 1600.0]),
+                                jnp.full((2,), 600.0), 2400.0, OM,
+                                np.radians(5.0))
+    ell, ee, bb = AngularPowerSpectrum.from_shear(out["gamma1"],
+                                                  out["gamma2"], 5.0,
+                                                  nbins=12)
+    assert ee.shape == (12,) and np.all(ee >= 0) and np.all(bb >= 0)
+    assert ee.sum() > bb.sum()
