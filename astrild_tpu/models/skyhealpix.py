@@ -131,6 +131,27 @@ class SkyHealpix:
     create_cmb = from_Cl_array
 
     # -------------------------------------------------------------- analysis
+    @classmethod
+    def from_density_shells(cls, shells, chis, dchis, chi_s, omega_m,
+                            scale_factors=None,
+                            quantity: str = "kappa_2") -> "SkyHealpix":
+        """Full-sky Born convergence from HEALPix density-contrast shells.
+
+        The full-sky counterpart of SkyArray.from_density_planes (Born
+        level): ops.lensing.born_convergence's plane scan is
+        shape-agnostic, so (nshell, npix_healpix) RING maps integrate
+        exactly like flat patches — the reference summed only the
+        flat-sky maps Ray-Ramses emitted (simcoll.py:238-341).
+        """
+        import jax.numpy as jnp
+
+        from ..ops import lensing as _lens
+
+        kappa = _lens.born_convergence(
+            jnp.asarray(shells), jnp.asarray(chis), jnp.asarray(dchis),
+            chi_s, omega_m, scale_factors=scale_factors)
+        return cls(np.asarray(kappa), quantity)
+
     def to_skyarray(self, opening_angle_deg: float, npix: int,
                     center_theta_phi=(np.pi / 2, 0.0), of: str = "orig"):
         """Gnomonic-like projection onto a flat grid around a center

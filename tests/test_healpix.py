@@ -246,3 +246,27 @@ def test_skyhealpix_sht_backend_dispatch():
     import pytest
     with pytest.raises(ValueError):
         _sht_backend(256, 1024)
+
+
+def test_skyhealpix_from_density_shells(rng):
+    """Full-sky Born integration over HEALPix shells == the weighted sum
+    computed by hand with the lensing-efficiency kernel."""
+    from astrild_tpu.models.skyhealpix import SkyHealpix
+
+    nside = 8
+    npix = 12 * nside ** 2
+    nsh = 3
+    shells = rng.normal(0, 0.3, (nsh, npix)).astype(np.float32)
+    chis = np.array([500.0, 1000.0, 1500.0])
+    dchis = np.full(nsh, 500.0)
+    chi_s, om = 2000.0, 0.3
+    sky = SkyHealpix.from_density_shells(shells, chis, dchis, chi_s, om)
+    assert sky.data["orig"].shape == (npix,)
+    pref = 1.5 * om * (100.0 / 299792.458) ** 2
+    g = (chi_s - chis) * chis / chi_s
+    expect = (pref * g[:, None] * dchis[:, None] * shells).sum(axis=0)
+    npt.assert_allclose(np.asarray(sky.data["orig"]), expect, rtol=1e-5,
+                        atol=1e-9)
+    # downstream machinery works on the integrated map
+    cl = sky.anafast(2 * nside, niter=1)
+    assert np.all(np.isfinite(np.asarray(cl)))
