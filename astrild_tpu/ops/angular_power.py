@@ -19,7 +19,8 @@ from ..utils.cosmology import Cosmology
 from .linear_power import normalization, p_dpdp
 
 __all__ = ["cl_flat_sky", "cl_to_flat_map", "cl_isw_limber",
-           "shear_eb_maps", "cl_shear_eb",
+           "shear_eb_maps", "cl_shear_eb", "cl_kappa_cross_limber",
+           "cl_flat_sky_cross",
            "cl_kappa_limber", "cl_flat_sky_masked"]
 
 
@@ -81,6 +82,27 @@ def cl_to_flat_map(key, cl_tab_ell, cl_tab_val, npix: int,
                                            (0, 1))))
     # restore unit variance per independent mode after averaging
     return jnp.real(jnp.fft.ifft2(sym * jnp.sqrt(2.0)))
+
+
+def cl_flat_sky_cross(img1, img2, opening_angle_deg, nbins: int = 50,
+                      ell_min=None, ell_max=None):
+    """Cross-Cl of two flat-sky maps (tomographic kappa_i x kappa_j,
+    map x tracer, ...).
+
+    Computed by the polarization identity Re[F1 conj(F2)] =
+    (|F1+F2|^2 - |F1-F2|^2)/4 THROUGH cl_flat_sky, so the mode->bin
+    assignment is bit-identical with the auto estimator (a duplicated
+    binning path measurably flips edge modes between jitted and unjitted
+    lowering — the shell-edge gotcha of CLAUDE.md) and
+    cl_flat_sky_cross(x, x) == cl_flat_sky(x) exactly.
+    """
+    img1 = jnp.asarray(img1)
+    img2 = jnp.asarray(img2)
+    ell, cp = cl_flat_sky(img1 + img2, opening_angle_deg, nbins=nbins,
+                          ell_min=ell_min, ell_max=ell_max)
+    _, cm = cl_flat_sky(img1 - img2, opening_angle_deg, nbins=nbins,
+                        ell_min=ell_min, ell_max=ell_max)
+    return ell, 0.25 * (cp - cm)
 
 
 @jax.jit
@@ -214,5 +236,46 @@ def cl_kappa_limber(ells, cosmo: Cosmology, z_source: float = 1.0,
         k = (ell + 0.5) / chi
         pk = jax.vmap(pk_of)(k, z)
         return jnp.trapezoid(W ** 2 / chi ** 2 * pk, chi)
+
+    return jax.vmap(one)(jnp.asarray(ells, jnp.float32))
+
+
+def cl_kappa_cross_limber(ells, cosmo: Cosmology, z_source_i: float,
+                          z_source_j: float, nchi: int = 256,
+                          amplitude=None, nonlinear: bool = False):
+    """Tomographic convergence cross-power C_ell^{kappa_i kappa_j}.
+
+    Same Limber integral as cl_kappa_limber with the kernel product
+    W_i(chi) W_j(chi), integrated to min(chi_i, chi_j). Theory anchor for
+    cross-correlating Born/raytraced maps of different source planes —
+    tomography the reference had no prediction for.
+    """
+    from .linear_power import linear_power, nonlinear_power
+
+    if amplitude is None:
+        amplitude = normalization(cosmo)
+    chi_i = cosmo.comoving_distance(z_source_i)
+    chi_j = cosmo.comoving_distance(z_source_j)
+    chi_lo = jnp.minimum(chi_i, chi_j)
+    chi = jnp.linspace(1e-3 * chi_lo, chi_lo, nchi)
+    z = cosmo.redshift_at_comoving_distance(chi)
+
+    def kern(chi_s):
+        return (1.5 * cosmo.Om0 * H0_OVER_C_HMPC ** 2 * (1.0 + z) * chi
+                * jnp.clip(chi_s - chi, 0.0, None) / chi_s)
+
+    WW = kern(chi_i) * kern(chi_j)
+    if nonlinear:
+        def pk_of(kv, zv):
+            return nonlinear_power(kv[None], cosmo, z=zv,
+                                   amplitude=amplitude)[0]
+    else:
+        def pk_of(kv, zv):
+            return linear_power(kv, cosmo, z=zv, amplitude=amplitude)
+
+    def one(ell):
+        k = (ell + 0.5) / chi
+        pk = jax.vmap(pk_of)(k, z)
+        return jnp.trapezoid(WW / chi ** 2 * pk, chi)
 
     return jax.vmap(one)(jnp.asarray(ells, jnp.float32))

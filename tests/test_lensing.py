@@ -216,3 +216,68 @@ def test_nfw_dipole_patch_antisymmetry():
     npt.assert_allclose(dty, -dty[::-1, :], rtol=2e-5, atol=1e-12)
     amp = float(np.abs(dt).max())
     assert 1e-9 < amp < 1e-5, amp
+
+
+def test_tomographic_cross_kappa_matches_limber():
+    """Tomography: the SAME Gaussian density slabs Born-integrated to two
+    source planes; the measured cross-Cl must match the cross-kernel
+    Limber prediction (and the cross estimator must agree with the auto
+    estimator in the equal-bin limit)."""
+    import jax
+
+    from astrild_tpu.ops import lensing
+    from astrild_tpu.ops.angular_power import (cl_flat_sky,
+                                               cl_flat_sky_cross,
+                                               cl_kappa_cross_limber,
+                                               cl_to_flat_map)
+    from astrild_tpu.ops.linear_power import linear_power, normalization
+    from astrild_tpu.utils.cosmology import Cosmology
+
+    cosmo = Cosmology()
+    z_hi, z_lo = 1.0, 0.5
+    chi_hi = float(cosmo.comoving_distance(z_hi))
+    chi_lo = float(cosmo.comoving_distance(z_lo))
+    npix, theta_deg, nplane = 128, 10.0, 16
+    amp = normalization(cosmo)
+    chis = (np.arange(nplane) + 0.5) * chi_hi / nplane
+    dchi = chi_hi / nplane
+    zs = np.asarray(cosmo.redshift_at_comoving_distance(jnp.asarray(chis)))
+
+    ells_tab = jnp.asarray(np.geomspace(1.0, 3e4, 256), jnp.float32)
+
+    def planes_once(key):
+        keys = jax.random.split(key, nplane)
+        out = []
+        for i in range(nplane):
+            k = ells_tab / chis[i]
+            cl_i = linear_power(k, cosmo, z=float(zs[i]), amplitude=amp) \
+                / (dchi * chis[i] ** 2)
+            out.append(cl_to_flat_map(keys[i], ells_tab, cl_i, npix,
+                                      theta_deg))
+        return jnp.stack(out)
+
+    a = jnp.asarray(1.0 / (1.0 + zs), jnp.float32)
+    ratios = []
+    for seed in range(4):
+        planes = planes_once(jax.random.PRNGKey(seed))
+        kap_hi = lensing.born_convergence(
+            planes, jnp.asarray(chis), jnp.full((nplane,), dchi), chi_hi,
+            cosmo.Om0, scale_factors=a)
+        kap_lo = lensing.born_convergence(
+            planes, jnp.asarray(chis), jnp.full((nplane,), dchi), chi_lo,
+            cosmo.Om0, scale_factors=a)
+        ell_m, cl_x = cl_flat_sky_cross(kap_hi, kap_lo, theta_deg,
+                                        nbins=24)
+        cl_t = cl_kappa_cross_limber(np.asarray(ell_m), cosmo, z_hi, z_lo)
+        band = (np.asarray(ell_m) > 200) & (np.asarray(ell_m) < 1500)
+        ratios.append(np.asarray(cl_x)[band].sum()
+                      / np.asarray(cl_t)[band].sum())
+        if seed == 0:
+            # equal-bin limit: cross estimator == auto estimator
+            _, cl_auto = cl_flat_sky(kap_hi, theta_deg, nbins=24)
+            _, cl_self = cl_flat_sky_cross(kap_hi, kap_hi, theta_deg,
+                                           nbins=24)
+            npt.assert_allclose(np.asarray(cl_self), np.asarray(cl_auto),
+                                rtol=1e-5)
+    r = np.mean(ratios)
+    assert 0.7 < r < 1.35, ratios
