@@ -134,7 +134,12 @@ def multiplane_raytrace(density_planes, chis, dchis, chi_s, omega_m,
       density_planes: (nplane, npix, npix) density contrast delta per plane,
         ordered by increasing comoving distance.
       chis, dchis: (nplane,) plane comoving distances / thicknesses [Mpc/h].
-      chi_s: source comoving distance [Mpc/h] (> chis[-1]).
+      chi_s: source comoving distance(s) [Mpc/h] — a scalar, or a (nsrc,)
+        array for TOMOGRAPHY: the (expensive) plane fields are computed
+        once and the trace is vmapped over sources, with planes beyond
+        each source masked out of the deflection (any chi_s <= chis[-1]
+        is therefore handled correctly, matching born_convergence's
+        kernel clipping).
       omega_m: matter density parameter.
       opening_angle: angular side of the (periodic) planes and of the ray
         grid [rad].
@@ -142,7 +147,8 @@ def multiplane_raytrace(density_planes, chis, dchis, chi_s, omega_m,
       n_rays: rays per side (default npix; rays start at theta = i*dtheta,
         aligned with plane pixels so the single-plane limit is exact).
 
-    Returns dict with (n_rays, n_rays) maps:
+    Returns dict with (n_rays, n_rays) maps — leading (nsrc,) axis when
+    chi_s is an array:
       kappa, gamma1, gamma2 — post-Born convergence and shear;
       omega — image rotation (identically 0 at Born level);
       beta1, beta2 — source-plane angular positions [rad].
@@ -170,36 +176,49 @@ def multiplane_raytrace(density_planes, chis, dchis, chi_s, omega_m,
     eye = jnp.eye(2)[:, :, None, None] * jnp.ones((1, 1, nr, nr))
     a0 = jnp.zeros((2, 2, nr, nr))
 
-    def step(carry, plane):
-        x, d, amat, dmat = carry
-        f, chi, dchi_seg = plane
-        x = x + d * dchi_seg
-        amat = amat + dmat * dchi_seg
-        # sample plane fields at ray angular positions (periodic wrap)
-        c1 = x[0] / chi * pix_per_rad
-        c2 = x[1] / chi * pix_per_rad
-        samp = jax.vmap(_interp_periodic, in_axes=(0, None, None))(f, c1, c2)
-        alpha = samp[:2]
-        u = jnp.stack([jnp.stack([samp[2], samp[3]]),
-                       jnp.stack([samp[3], samp[4]])])  # (2,2,R,R)
-        d = d - alpha
-        # D -= (U/chi) A   (U is d alpha/d theta on the plane's grid;
-        # d alpha/d x = U/chi)
-        dmat = dmat - jnp.einsum("ij...,jk...->ik...", u, amat) / chi
-        return (x, d, amat, dmat), None
-
     dchi_segs = jnp.diff(chis, prepend=jnp.zeros((1,), chis.dtype))
-    # under shard_map the scan carry must match the varying mesh axes of
-    # the plane stream
-    carry0 = match_vma((x0, d0, a0, eye), fields)
-    (x, d, amat, dmat), _ = jax.lax.scan(
-        step, carry0, (fields, chis, dchi_segs))
-    x = x + d * (chi_s - chis[-1])
-    amat = amat + dmat * (chi_s - chis[-1])
-    ahat = amat / chi_s
-    kappa = 1.0 - 0.5 * (ahat[0, 0] + ahat[1, 1])
-    gamma1 = -0.5 * (ahat[0, 0] - ahat[1, 1])
-    gamma2 = -0.5 * (ahat[0, 1] + ahat[1, 0])
-    omega = 0.5 * (ahat[0, 1] - ahat[1, 0])
-    return {"kappa": kappa, "gamma1": gamma1, "gamma2": gamma2,
-            "omega": omega, "beta1": x[0] / chi_s, "beta2": x[1] / chi_s}
+
+    def trace(chi_src):
+        def step(carry, plane):
+            x, d, amat, dmat = carry
+            f, chi, dchi_seg = plane
+            x = x + d * dchi_seg
+            amat = amat + dmat * dchi_seg
+            # sample plane fields at ray angular positions (periodic
+            # wrap); planes beyond the source must not deflect (their
+            # weight w = 0), which also makes the post-scan linear drift
+            # back to chi_src exact when chi_src < chis[-1]
+            w = (chi <= chi_src).astype(x.dtype)
+            c1 = x[0] / chi * pix_per_rad
+            c2 = x[1] / chi * pix_per_rad
+            samp = jax.vmap(_interp_periodic, in_axes=(0, None, None))(
+                f, c1, c2)
+            alpha = samp[:2] * w
+            u = jnp.stack([jnp.stack([samp[2], samp[3]]),
+                           jnp.stack([samp[3], samp[4]])]) * w  # (2,2,R,R)
+            d = d - alpha
+            # D -= (U/chi) A   (U is d alpha/d theta on the plane's grid;
+            # d alpha/d x = U/chi)
+            dmat = dmat - jnp.einsum("ij...,jk...->ik...", u, amat) / chi
+            return (x, d, amat, dmat), None
+
+        # under shard_map the scan carry must match the varying mesh axes
+        # of the plane stream
+        carry0 = match_vma((x0, d0, a0, eye), fields)
+        (x, d, amat, dmat), _ = jax.lax.scan(
+            step, carry0, (fields, chis, dchi_segs))
+        x = x + d * (chi_src - chis[-1])
+        amat = amat + dmat * (chi_src - chis[-1])
+        ahat = amat / chi_src
+        kappa = 1.0 - 0.5 * (ahat[0, 0] + ahat[1, 1])
+        gamma1 = -0.5 * (ahat[0, 0] - ahat[1, 1])
+        gamma2 = -0.5 * (ahat[0, 1] + ahat[1, 0])
+        omega = 0.5 * (ahat[0, 1] - ahat[1, 0])
+        return {"kappa": kappa, "gamma1": gamma1, "gamma2": gamma2,
+                "omega": omega, "beta1": x[0] / chi_src,
+                "beta2": x[1] / chi_src}
+
+    chi_s = jnp.asarray(chi_s)
+    if chi_s.ndim == 0:
+        return trace(chi_s)
+    return jax.vmap(trace)(chi_s)

@@ -194,3 +194,31 @@ def test_model_layer_shear_spectra():
                                                   nbins=12)
     assert ee.shape == (12,) and np.all(ee >= 0) and np.all(bb >= 0)
     assert ee.sum() > bb.sum()
+
+
+def test_tomographic_sources_and_interior_source():
+    """chi_s array: shared fields, per-source masking. An interior source
+    (chi_s below the last plane) must IGNORE the planes beyond it — it
+    equals a run on the truncated plane stack."""
+    rng = np.random.default_rng(8)
+    npix = 48
+    planes = _smooth_periodic_planes(rng, 4, npix, amp=0.3)
+    chis = jnp.array([500.0, 1000.0, 1500.0, 2000.0])
+    dchis = jnp.full((4,), 500.0)
+    theta = np.radians(5.0)
+    out = R.multiplane_raytrace(planes, chis, dchis,
+                                jnp.array([1200.0, 2500.0]), OM, theta)
+    assert out["kappa"].shape == (2, npix, npix)
+    # interior source == truncated stack traced to the same chi_s
+    trunc = R.multiplane_raytrace(planes[:2], chis[:2], dchis[:2],
+                                  1200.0, OM, theta)
+    for key in ("kappa", "gamma1", "gamma2", "omega"):
+        npt.assert_allclose(np.asarray(out[key][0]),
+                            np.asarray(trunc[key]), rtol=1e-4, atol=1e-6)
+    # scalar call unchanged by the refactor
+    full = R.multiplane_raytrace(planes, chis, dchis, 2500.0, OM, theta)
+    npt.assert_allclose(np.asarray(out["kappa"][1]),
+                        np.asarray(full["kappa"]), rtol=1e-6, atol=1e-9)
+    # nearer source lenses less
+    assert (np.abs(np.asarray(out["kappa"][0])).mean()
+            < np.abs(np.asarray(out["kappa"][1])).mean())
