@@ -85,6 +85,15 @@ class SkyArray:
                 jnp.asarray(planes), jnp.asarray(chis), jnp.asarray(dchis),
                 chi_s, omega_m, _np.radians(opening_angle),
                 scale_factors=scale_factors)
+            if jnp.ndim(jnp.asarray(chi_s)) > 0:
+                # tomography: one SkyArray per source plane
+                skies = []
+                for i in range(out["kappa"].shape[0]):
+                    sky = cls(out["kappa"][i], opening_angle, "kappa_2")
+                    for name in ("gamma1", "gamma2", "omega"):
+                        sky.data[name] = out[name][i]
+                    skies.append(sky)
+                return skies
             sky = cls(out["kappa"], opening_angle, "kappa_2")
             for name in ("gamma1", "gamma2", "omega"):
                 sky.data[name] = out[name]

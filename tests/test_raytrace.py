@@ -222,3 +222,19 @@ def test_tomographic_sources_and_interior_source():
     # nearer source lenses less
     assert (np.abs(np.asarray(out["kappa"][0])).mean()
             < np.abs(np.asarray(out["kappa"][1])).mean())
+
+
+def test_skyarray_tomographic_map_maker():
+    from astrild_tpu.models import SkyArray
+
+    rng = np.random.default_rng(2)
+    planes = _smooth_periodic_planes(rng, 3, 32, amp=0.2)
+    chis = jnp.array([600.0, 1200.0, 1800.0])
+    dchis = jnp.full((3,), 600.0)
+    skies = SkyArray.from_density_planes(
+        planes, chis, dchis, jnp.array([1500.0, 2400.0]), OM, 5.0,
+        method="raytrace")
+    assert isinstance(skies, list) and len(skies) == 2
+    assert all("omega" in s.data for s in skies)
+    assert (np.abs(np.asarray(skies[0].data["orig"])).mean()
+            < np.abs(np.asarray(skies[1].data["orig"])).mean())
