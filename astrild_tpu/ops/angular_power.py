@@ -20,7 +20,7 @@ from .linear_power import normalization, p_dpdp
 
 __all__ = ["cl_flat_sky", "cl_to_flat_map", "cl_isw_limber",
            "shear_eb_maps", "cl_shear_eb", "cl_kappa_cross_limber",
-           "cl_flat_sky_cross",
+           "cl_flat_sky_cross", "flat_sky_mode_counts",
            "cl_kappa_limber", "cl_flat_sky_masked"]
 
 
@@ -82,6 +82,31 @@ def cl_to_flat_map(key, cl_tab_ell, cl_tab_val, npix: int,
                                            (0, 1))))
     # restore unit variance per independent mode after averaging
     return jnp.real(jnp.fft.ifft2(sym * jnp.sqrt(2.0)))
+
+
+def flat_sky_mode_counts(npix: int, opening_angle_deg, nbins: int = 50,
+                         ell_min=None, ell_max=None):
+    """(ell, nmodes) for cl_flat_sky's binning: the DISCRETE number of
+    2D Fourier modes per ell bin, for Gaussian error bars
+    Var[C_b] = 2 (C_b + N_b)^2 / nmodes_b (ops/covariance.
+    gaussian_pk_covariance applies unchanged). Uses the same edges and
+    mode->bin assignment as cl_flat_sky."""
+    n = npix
+    theta = opening_angle_deg * DEG2RAD
+    lf = 2.0 * jnp.pi / theta
+    f = jnp.fft.fftfreq(n) * n
+    lmag = lf * jnp.sqrt(f[:, None] ** 2 + f[None, :] ** 2)
+    lmin = lf if ell_min is None else ell_min
+    lmax = lf * (n / 2.0) if ell_max is None else ell_max
+    edges = jnp.linspace(lmin, lmax, nbins + 1)
+    lm = lmag.reshape(-1)
+    binidx = jnp.clip(jnp.searchsorted(edges, lm, side="right") - 1,
+                      0, nbins - 1)
+    inside = ((lm >= lmin) & (lm <= lmax)).astype(jnp.float32)
+    nm = jax.ops.segment_sum(inside, binidx, num_segments=nbins)
+    lsum = jax.ops.segment_sum(inside * lm, binidx, num_segments=nbins)
+    # a real map's modes are conjugate pairs: independent dof = nm/2
+    return lsum / jnp.maximum(nm, 1.0), nm / 2.0
 
 
 def cl_flat_sky_cross(img1, img2, opening_angle_deg, nbins: int = 50,

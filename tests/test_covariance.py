@@ -63,3 +63,29 @@ def test_cl_covariance_formula():
     v = np.asarray(C.gaussian_cl_covariance(cl, ells, fsky=0.5,
                                             noise_cl=0.0, delta_ell=10.0))
     npt.assert_allclose(v[0], 2.0 * 1.0 / (21 * 0.5 * 10.0), rtol=1e-6)
+
+
+def test_flat_sky_cl_variance_matches_realizations():
+    """Gaussian Cl error bars with the flat-sky estimator's own discrete
+    mode counts reproduce the empirical scatter of GRF maps."""
+    from astrild_tpu.ops.angular_power import (cl_flat_sky,
+                                               cl_to_flat_map,
+                                               flat_sky_mode_counts)
+
+    npix, oa, nb = 64, 10.0, 10
+    ells_tab = jnp.asarray(np.geomspace(1.0, 5000.0, 128), jnp.float32)
+    cl_tab = 1e-3 / (ells_tab + 30.0) ** 2
+    keys = jax.random.split(jax.random.PRNGKey(1), 80)
+
+    def one(key):
+        m = cl_to_flat_map(key, ells_tab, cl_tab, npix, oa)
+        return cl_flat_sky(m, oa, nbins=nb)[1]
+
+    cls = np.asarray(jax.vmap(one)(keys))
+    ell, nm = flat_sky_mode_counts(npix, oa, nbins=nb)
+    mean_cl = cls.mean(axis=0)
+    var_pred = np.asarray(C.gaussian_pk_covariance(mean_cl, nm))
+    var_emp = cls.var(axis=0, ddof=1)
+    sel = np.asarray(nm) > 10
+    ratio = var_emp[sel] / var_pred[sel]
+    assert np.all(ratio > 0.45) and np.all(ratio < 2.2), ratio
