@@ -61,7 +61,7 @@ class SkyArray:
     @classmethod
     def from_density_planes(cls, planes, chis, dchis, chi_s, omega_m,
                             opening_angle: float, scale_factors=None,
-                            method: str = "born") -> "SkyArray":
+                            method: str = "born"):
         """Map-maker from stacked lens planes — the in-memory form of the
         reference's Ray-Ramses output summation (simcoll.py:238-341).
 
@@ -69,6 +69,10 @@ class SkyArray:
         kappa); method='raytrace' runs the post-Born multi-plane ray
         tracer (ops/raytrace.py) and adds gamma1/gamma2/omega layers.
         opening_angle in degrees.
+
+        Returns ONE SkyArray for scalar chi_s; a LIST of SkyArrays (one
+        per source plane) when chi_s is a (nsrc,) array (tomography,
+        either method).
         """
         import numpy as _np
 
@@ -76,6 +80,13 @@ class SkyArray:
         from ..ops import raytrace as _rt
 
         if method == "born":
+            chi_s_arr = jnp.asarray(chi_s)
+            if chi_s_arr.ndim > 0:
+                return [cls(_lens.born_convergence(
+                    jnp.asarray(planes), jnp.asarray(chis),
+                    jnp.asarray(dchis), cs, omega_m,
+                    scale_factors=scale_factors), opening_angle, "kappa_2")
+                    for cs in chi_s_arr]
             kappa = _lens.born_convergence(
                 jnp.asarray(planes), jnp.asarray(chis), jnp.asarray(dchis),
                 chi_s, omega_m, scale_factors=scale_factors)

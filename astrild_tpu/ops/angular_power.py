@@ -24,6 +24,27 @@ __all__ = ["cl_flat_sky", "cl_to_flat_map", "cl_isw_limber",
            "cl_kappa_limber", "cl_flat_sky_masked"]
 
 
+def _flat_sky_binning(n: int, opening_angle_deg, nbins: int,
+                     ell_min, ell_max):
+    """THE flat-sky ell binning (single home — a duplicated binning path
+    flips edge modes between lowerings, see CLAUDE.md's shell-edge
+    gotcha). Returns (binidx, inside, nm, lsum)."""
+    theta = opening_angle_deg * DEG2RAD
+    lf = 2.0 * jnp.pi / theta  # fundamental multipole
+    f = jnp.fft.fftfreq(n) * n
+    lmag = lf * jnp.sqrt(f[:, None] ** 2 + f[None, :] ** 2)
+    lmin = lf if ell_min is None else ell_min
+    lmax = lf * (n / 2.0) if ell_max is None else ell_max
+    edges = jnp.linspace(lmin, lmax, nbins + 1)
+    lm = lmag.reshape(-1)
+    binidx = jnp.clip(jnp.searchsorted(edges, lm, side="right") - 1,
+                      0, nbins - 1)
+    inside = ((lm >= lmin) & (lm <= lmax)).astype(jnp.float32)
+    nm = jax.ops.segment_sum(inside, binidx, num_segments=nbins)
+    lsum = jax.ops.segment_sum(inside * lm, binidx, num_segments=nbins)
+    return binidx, inside, nm, lsum
+
+
 @partial(jax.jit, static_argnames=("nbins",))
 def cl_flat_sky(img, opening_angle_deg, nbins: int = 50,
                 ell_min=None, ell_max=None):
@@ -36,20 +57,10 @@ def cl_flat_sky(img, opening_angle_deg, nbins: int = 50,
     """
     n = img.shape[-1]
     theta = opening_angle_deg * DEG2RAD
-    lf = 2.0 * jnp.pi / theta  # fundamental multipole
-    f = jnp.fft.fftfreq(n) * n
-    lmag = lf * jnp.sqrt(f[:, None] ** 2 + f[None, :] ** 2)
     # Cl = theta^2 / npix^4 * |FFT|^2
     p2d = (jnp.abs(jnp.fft.fft2(img)) ** 2) * theta ** 2 / float(n) ** 4
-    lmin = lf if ell_min is None else ell_min
-    lmax = lf * (n / 2.0) if ell_max is None else ell_max
-    edges = jnp.linspace(lmin, lmax, nbins + 1)
-    lm = lmag.reshape(-1)
-    binidx = jnp.clip(jnp.searchsorted(edges, lm, side="right") - 1,
-                      0, nbins - 1)
-    inside = ((lm >= lmin) & (lm <= lmax)).astype(jnp.float32)
-    nm = jax.ops.segment_sum(inside, binidx, num_segments=nbins)
-    lsum = jax.ops.segment_sum(inside * lm, binidx, num_segments=nbins)
+    binidx, inside, nm, lsum = _flat_sky_binning(n, opening_angle_deg,
+                                                 nbins, ell_min, ell_max)
     psum = jax.ops.segment_sum(inside * p2d.reshape(-1), binidx,
                                num_segments=nbins)
     denom = jnp.maximum(nm, 1.0)
@@ -84,29 +95,21 @@ def cl_to_flat_map(key, cl_tab_ell, cl_tab_val, npix: int,
     return jnp.real(jnp.fft.ifft2(sym * jnp.sqrt(2.0)))
 
 
+@partial(jax.jit, static_argnames=("npix", "nbins"))
 def flat_sky_mode_counts(npix: int, opening_angle_deg, nbins: int = 50,
                          ell_min=None, ell_max=None):
-    """(ell, nmodes) for cl_flat_sky's binning: the DISCRETE number of
-    2D Fourier modes per ell bin, for Gaussian error bars
+    """(ell, nmodes) for cl_flat_sky's binning: the DISCRETE
+    hermitian-weighted mode count per ell bin, for Gaussian error bars
     Var[C_b] = 2 (C_b + N_b)^2 / nmodes_b (ops/covariance.
-    gaussian_pk_covariance applies unchanged). Uses the same edges and
-    mode->bin assignment as cl_flat_sky."""
-    n = npix
-    theta = opening_angle_deg * DEG2RAD
-    lf = 2.0 * jnp.pi / theta
-    f = jnp.fft.fftfreq(n) * n
-    lmag = lf * jnp.sqrt(f[:, None] ** 2 + f[None, :] ** 2)
-    lmin = lf if ell_min is None else ell_min
-    lmax = lf * (n / 2.0) if ell_max is None else ell_max
-    edges = jnp.linspace(lmin, lmax, nbins + 1)
-    lm = lmag.reshape(-1)
-    binidx = jnp.clip(jnp.searchsorted(edges, lm, side="right") - 1,
-                      0, nbins - 1)
-    inside = ((lm >= lmin) & (lm <= lmax)).astype(jnp.float32)
-    nm = jax.ops.segment_sum(inside, binidx, num_segments=nbins)
-    lsum = jax.ops.segment_sum(inside * lm, binidx, num_segments=nbins)
-    # a real map's modes are conjugate pairs: independent dof = nm/2
-    return lsum / jnp.maximum(nm, 1.0), nm / 2.0
+    gaussian_pk_covariance applies unchanged: a real map's nm grid
+    points are nm/2 independent complex modes = nm real dof, so
+    Var = 2 C^2 / nm with the FULL grid-point count). Shares
+    _flat_sky_binning with cl_flat_sky so mode->bin assignment is
+    identical.
+    """
+    _, _, nm, lsum = _flat_sky_binning(npix, opening_angle_deg, nbins,
+                                       ell_min, ell_max)
+    return lsum / jnp.maximum(nm, 1.0), nm
 
 
 def cl_flat_sky_cross(img1, img2, opening_angle_deg, nbins: int = 50,
@@ -221,7 +224,6 @@ def cl_isw_limber(ells, cosmo: Cosmology, z_min=0.08, z_max=0.9,
     return cl * 4.0 / C_LIGHT_KMS ** 5
 
 
-@partial(jax.jit, static_argnames=("nchi", "nonlinear"))
 def cl_kappa_limber(ells, cosmo: Cosmology, z_source: float = 1.0,
                     nchi: int = 256, amplitude=None,
                     nonlinear: bool = False):
@@ -237,34 +239,16 @@ def cl_kappa_limber(ells, cosmo: Cosmology, z_source: float = 1.0,
     boost by default, so expect agreement with Born maps of GAUSSIAN
     density shells and underprediction vs N-body maps at ell >~ 1000;
     nonlinear=True switches to the halofit (Takahashi+12) P(k, z).
+
+    The auto spectrum is the equal-bin case of the tomographic
+    cl_kappa_cross_limber — single home for the integrand.
     """
-    from .linear_power import linear_power, nonlinear_power
-
-    if amplitude is None:
-        amplitude = normalization(cosmo)
-    chi_s = cosmo.comoving_distance(z_source)
-    chi = jnp.linspace(1e-3 * chi_s, chi_s, nchi)
-    z = cosmo.redshift_at_comoving_distance(chi)
-    W = (1.5 * cosmo.Om0 * H0_OVER_C_HMPC ** 2 * (1.0 + z) * chi
-         * jnp.clip(chi_s - chi, 0.0, None) / chi_s)
-
-    if nonlinear:
-        # halofit's k_sigma/n_eff/C depend on z: vmap over the chi grid
-        def pk_of(kv, zv):
-            return nonlinear_power(kv[None], cosmo, z=zv,
-                                   amplitude=amplitude)[0]
-    else:
-        def pk_of(kv, zv):
-            return linear_power(kv, cosmo, z=zv, amplitude=amplitude)
-
-    def one(ell):
-        k = (ell + 0.5) / chi
-        pk = jax.vmap(pk_of)(k, z)
-        return jnp.trapezoid(W ** 2 / chi ** 2 * pk, chi)
-
-    return jax.vmap(one)(jnp.asarray(ells, jnp.float32))
+    return cl_kappa_cross_limber(ells, cosmo, z_source, z_source,
+                                 nchi=nchi, amplitude=amplitude,
+                                 nonlinear=nonlinear)
 
 
+@partial(jax.jit, static_argnames=("nchi", "nonlinear"))
 def cl_kappa_cross_limber(ells, cosmo: Cosmology, z_source_i: float,
                           z_source_j: float, nchi: int = 256,
                           amplitude=None, nonlinear: bool = False):

@@ -86,6 +86,8 @@ def test_flat_sky_cl_variance_matches_realizations():
     mean_cl = cls.mean(axis=0)
     var_pred = np.asarray(C.gaussian_pk_covariance(mean_cl, nm))
     var_emp = cls.var(axis=0, ddof=1)
-    sel = np.asarray(nm) > 10
+    sel = np.asarray(nm) > 40  # enough modes for a stable variance ratio
     ratio = var_emp[sel] / var_pred[sel]
-    assert np.all(ratio > 0.45) and np.all(ratio < 2.2), ratio
+    # factor-2 regression guard: with the full hermitian-weighted count
+    # the ratio sits near 1; returning nm/2 would push it to ~0.5
+    assert np.all(ratio > 0.55) and np.all(ratio < 1.7), ratio

@@ -238,3 +238,21 @@ def test_skyarray_tomographic_map_maker():
     assert all("omega" in s.data for s in skies)
     assert (np.abs(np.asarray(skies[0].data["orig"])).mean()
             < np.abs(np.asarray(skies[1].data["orig"])).mean())
+
+
+def test_born_tomographic_map_maker_matches_per_source():
+    from astrild_tpu.models import SkyArray
+    from astrild_tpu.ops import lensing as LN
+
+    rng = np.random.default_rng(4)
+    planes = _smooth_periodic_planes(rng, 3, 24, amp=0.2)
+    chis = jnp.array([600.0, 1200.0, 1800.0])
+    dchis = jnp.full((3,), 600.0)
+    skies = SkyArray.from_density_planes(
+        planes, chis, dchis, jnp.array([900.0, 2400.0]), OM, 5.0,
+        method="born")
+    assert isinstance(skies, list) and len(skies) == 2
+    for sky, cs in zip(skies, (900.0, 2400.0)):
+        ref = LN.born_convergence(planes, chis, dchis, cs, OM)
+        npt.assert_allclose(np.asarray(sky.data["orig"]),
+                            np.asarray(ref), rtol=1e-6, atol=1e-10)
