@@ -55,6 +55,14 @@ def save_state(path, state, step: Optional[int] = None) -> None:
     With orbax the on-disk format records each leaf's sharding; without it
     the leaves are host-gathered into a single npz (still correct, but a
     multi-host restore re-shards from host copies).
+
+    The `step` travels INSIDE the checkpoint payload (an extra `step` leaf
+    under orbax; a `__step__` entry in the npz), so (state, step) commit
+    atomically: orbax renames its temp dir into place, and the npz path
+    writes a temp file then `os.replace`s it. A crash mid-save leaves the
+    previous complete checkpoint intact. `meta.json` is still written for
+    human inspection / legacy readers, but restore never trusts its step
+    when the payload carries one.
     """
     p = _as_path(path)
     meta = {"step": step}
@@ -63,14 +71,22 @@ def save_state(path, state, step: Optional[int] = None) -> None:
 
         ckptr = ocp.StandardCheckpointer()
         # wrap: StandardCheckpointer rejects bare array/scalar states
-        ckptr.save(p / "state", {"tree": state}, force=True)
+        payload = {"tree": state,
+                   "step": np.int64(-1 if step is None else step)}
+        ckptr.save(p / "state", payload, force=True)
         ckptr.wait_until_finished()
     else:
         flat, treedef = jax.tree_util.tree_flatten(state)
-        np.savez(p / "state.npz", *[np.asarray(x) for x in flat])
+        arrays = {f"arr_{i}": np.asarray(x) for i, x in enumerate(flat)}
+        arrays["__step__"] = np.int64(-1 if step is None else step)
+        tmp = p / "state.tmp.npz"
+        np.savez(tmp, **arrays)
+        os.replace(tmp, p / "state.npz")
         meta["treedef"] = str(treedef)
-    with open(p / "meta.json", "w") as fh:
+    mtmp = p / "meta.tmp.json"
+    with open(mtmp, "w") as fh:
         json.dump(meta, fh)
+    os.replace(mtmp, p / "meta.json")
 
 
 def restore_state(path, template, with_step: bool = False):
@@ -86,6 +102,7 @@ def restore_state(path, template, with_step: bool = False):
     if mp.exists():
         with open(mp) as fh:
             meta = json.load(fh)
+    step = meta.get("step")  # legacy fallback; payload step wins below
     if (p / "state").exists() and have_orbax():
         import orbax.checkpoint as ocp
 
@@ -95,11 +112,25 @@ def restore_state(path, template, with_step: bool = False):
             else jax.ShapeDtypeStruct(
                 jax.numpy.shape(x), x.dtype,
                 sharding=getattr(x, "sharding", None)), template)
-        state = ckptr.restore(p / "state", {"tree": abstract})["tree"]
+        try:
+            payload = ckptr.restore(
+                p / "state",
+                {"tree": abstract,
+                 "step": jax.ShapeDtypeStruct((), np.int64)})
+            s = int(payload["step"])
+            step = None if s < 0 else s
+        except Exception:  # legacy checkpoint without the step leaf
+            payload = ckptr.restore(p / "state", {"tree": abstract})
+        state = payload["tree"]
     else:
         flat_t, treedef = jax.tree_util.tree_flatten(template)
         with np.load(p / "state.npz") as z:
-            flat = [z[k] for k in z.files]
+            if "__step__" in z.files:
+                s = int(z["__step__"])
+                step = None if s < 0 else s
+                flat = [z[f"arr_{i}"] for i in range(len(z.files) - 1)]
+            else:  # legacy layout: positional arrays only
+                flat = [z[k] for k in z.files]
         leaves = []
         for arr, t in zip(flat, flat_t):
             x = jax.numpy.asarray(arr)
@@ -110,13 +141,16 @@ def restore_state(path, template, with_step: bool = False):
             leaves.append(x)
         state = jax.tree_util.tree_unflatten(treedef, leaves)
     if with_step:
-        return state, meta.get("step")
+        return state, step
     return state
 
 
 def checkpoint_exists(path) -> bool:
+    # State presence is authoritative (meta.json is best-effort and may be
+    # missing after a crash between the atomic state commit and meta write).
     p = Path(path).absolute()
-    return (p / "meta.json").exists()
+    return ((p / "state.npz").exists() or (p / "state").exists()
+            or (p / "meta.json").exists())
 
 
 class CheckpointedAccumulator:

@@ -289,13 +289,42 @@ class RayRamses(Simulation):
             results[int(snap_nr)] = data
         return results
 
-    def sum_snapshots(self, columns, snap_nrs=None):
-        """Sum ray maps over snapshots (rayramses.py:151-267 light)."""
+    def sum_snapshots(self, columns, snap_nrs=None, z_range=None,
+                      redshifts=None):
+        """Sum ray maps over selected snapshots (rayramses.py:151-267).
+
+        Selection mirrors the reference's `_get_box_and_ray_nrs`
+        (rayramses.py:239-267): `snap_nrs` restricts to specific ray
+        snapshot numbers; `z_range=(zmin, zmax)` keeps snapshots with
+        zmin < z < zmax (open interval, as the reference), where z comes
+        from `redshifts`, a {snap_nr: z} mapping (the reference read it
+        from ray_snapshot_info.h5). With neither, all snapshots sum
+        (complete lightcone). Box-spanning multi-dir sums live in
+        `SimulationCollection.sum_raytracing_snapshots`.
+        """
         from ..io import columnar_h5
 
-        total = None
         root = self.file_dsc["root"]
-        for path in self.files[root]:
+        paths = list(self.files[root])
+        nrs = [int(n) for n in self.file_nrs] if self.file_nrs is not None \
+            else list(range(len(paths)))
+        if snap_nrs is not None:
+            keep = set(int(s) for s in np.asarray(snap_nrs).reshape(-1))
+            paths = [p for p, n in zip(paths, nrs) if n in keep]
+            nrs = [n for n in nrs if n in keep]
+        if z_range is not None:
+            if redshifts is None:
+                raise ValueError(
+                    "z_range selection needs `redshifts` ({snap_nr: z})")
+            zlo, zhi = min(z_range), max(z_range)
+            sel = [zlo < float(redshifts[n]) < zhi for n in nrs]
+            paths = [p for p, s in zip(paths, sel) if s]
+        if not paths:
+            raise ValueError("sum_snapshots: selection matched no "
+                             f"snapshots (snap_nrs={snap_nrs}, "
+                             f"z_range={z_range})")
+        total = None
+        for path in paths:
             data = columnar_h5.read_table(path)
             if total is None:
                 total = {c: np.array(data[c]) for c in columns}

@@ -93,8 +93,11 @@ class TunnelsFinder:
             valid = jnp.asarray(snr > sigma)
             if int(valid.sum()) == 0:
                 continue
-            cat = void_ops.find_tunnels(peaks_pos, valid, npix,
-                                        max_voids=max_voids, overlap=overlap)
+            # host-level call site: use the auto-escalating variant so a
+            # peak-dense map can't silently truncate its candidate list
+            cat = void_ops.find_tunnels_auto(peaks_pos, valid, npix,
+                                             max_voids=max_voids,
+                                             overlap=overlap)
             n = int(cat.n)
             void_xy_deg = np.stack(
                 [np.asarray(cat.pos[:n, 1]), np.asarray(cat.pos[:n, 0])],

@@ -34,7 +34,6 @@ def _min_image(d, boxsize):
     return d - boxsize * jnp.round(d / boxsize)
 
 
-@partial(jax.jit, static_argnames=("nplanes", "npix", "los"))
 def density_planes_from_particles(pos, boxsize, chi0, dchi, nplanes: int,
                                   fov, npix: int, los: int = 2,
                                   observer_xy=None):
@@ -62,7 +61,28 @@ def density_planes_from_particles(pos, boxsize, chi0, dchi, nplanes: int,
       relative to the mean matter density (delta = Sigma/Sigma_bar - 1,
       with Sigma_bar from the box's mean density — empty cone pixels are
       -1, matching the convention born_convergence expects).
+
+    Wide cones: once fov*chi exceeds the boxsize a single minimum image
+    can no longer cover the field of view — outer pixels would silently
+    stay empty (delta=-1). The transverse replica count is derived from
+    the far-plane geometry on the host (static for jit) and the paint
+    tiles (2*n_rep+1)^2 periodic images; with concrete geometry n_rep=0
+    reduces to the plain minimum-image paint at no extra cost.
     """
+    try:
+        chi_far = float(chi0) + float(dchi) * (nplanes - 1)
+        half_need = float(fov) * chi_far / 2.0
+        n_rep = max(0, int(-(-(half_need - float(boxsize) / 2.0)
+                             // float(boxsize))))
+    except TypeError:  # traced geometry (called inside another jit)
+        n_rep = 0
+    return _density_planes_impl(pos, boxsize, chi0, dchi, nplanes, fov,
+                                npix, los, observer_xy, n_rep)
+
+
+@partial(jax.jit, static_argnames=("nplanes", "npix", "los", "n_rep"))
+def _density_planes_impl(pos, boxsize, chi0, dchi, nplanes: int, fov,
+                         npix: int, los: int, observer_xy, n_rep: int):
     if isinstance(pos, (tuple, list)):
         comps = [jnp.asarray(c).reshape(-1) for c in pos]
     else:
@@ -84,25 +104,29 @@ def density_planes_from_particles(pos, boxsize, chi0, dchi, nplanes: int,
         # coordinate modulo the box falls in [lo mod box, lo mod box+dchi)
         dz = (z - lo) % boxsize
         in_slab = dz < dchi
-        t1 = _min_image(x_t1 - cx, boxsize) / chi_mid
-        t2 = _min_image(x_t2 - cy, boxsize) / chi_mid
+        d1 = _min_image(x_t1 - cx, boxsize)
+        d2 = _min_image(x_t2 - cy, boxsize)
         pix = fov / npix
-        c1 = t1 / pix + npix / 2.0 - 0.5
-        c2 = t2 / pix + npix / 2.0 - 0.5
-        i0 = jnp.floor(c1).astype(jnp.int32)
-        j0 = jnp.floor(c2).astype(jnp.int32)
-        f1 = c1 - i0
-        f2 = c2 - j0
         grid = jnp.zeros((npix, npix))
-        for di, wi in ((0, 1.0 - f1), (1, f1)):
-            for dj, wj in ((0, 1.0 - f2), (1, f2)):
-                ii = i0 + di
-                jj = j0 + dj
-                ok = (in_slab & (ii >= 0) & (ii < npix)
-                      & (jj >= 0) & (jj < npix))
-                grid = grid.at[jnp.clip(ii, 0, npix - 1),
-                               jnp.clip(jj, 0, npix - 1)].add(
-                    jnp.where(ok, wi * wj, 0.0))
+        for r1 in range(-n_rep, n_rep + 1):
+            for r2 in range(-n_rep, n_rep + 1):
+                t1 = (d1 + r1 * boxsize) / chi_mid
+                t2 = (d2 + r2 * boxsize) / chi_mid
+                c1 = t1 / pix + npix / 2.0 - 0.5
+                c2 = t2 / pix + npix / 2.0 - 0.5
+                i0 = jnp.floor(c1).astype(jnp.int32)
+                j0 = jnp.floor(c2).astype(jnp.int32)
+                f1 = c1 - i0
+                f2 = c2 - j0
+                for di, wi in ((0, 1.0 - f1), (1, f1)):
+                    for dj, wj in ((0, 1.0 - f2), (1, f2)):
+                        ii = i0 + di
+                        jj = j0 + dj
+                        ok = (in_slab & (ii >= 0) & (ii < npix)
+                              & (jj >= 0) & (jj < npix))
+                        grid = grid.at[jnp.clip(ii, 0, npix - 1),
+                                       jnp.clip(jj, 0, npix - 1)].add(
+                            jnp.where(ok, wi * wj, 0.0))
         # expected counts per pixel from the box mean density
         expect = nbar * dchi * (chi_mid * pix) ** 2
         return grid / expect - 1.0

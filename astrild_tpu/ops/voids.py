@@ -25,16 +25,25 @@ import jax.numpy as jnp
 
 __all__ = [
     "VoidCatalog", "distance_transform", "find_tunnels",
-    "circle_overlap_fraction", "watershed_labels", "watershed_voids",
+    "find_tunnels_auto", "circle_overlap_fraction", "watershed_labels",
+    "watershed_voids",
 ]
 
 
 class VoidCatalog(NamedTuple):
-    """Fixed-capacity void list; entries [n:] have radius 0."""
+    """Fixed-capacity void list; entries [n:] have radius 0.
+
+    `n_candidates` (when set) is the number of candidates that existed
+    BEFORE the static `max_voids` truncation: n_candidates > capacity
+    means the candidate list was silently cut ahead of overlap pruning
+    and the catalog may be incomplete — use `find_tunnels_auto` to
+    escalate capacity automatically.
+    """
 
     pos: jnp.ndarray     # (K, 2) pixel coords (row, col) of void centers
     radius: jnp.ndarray  # (K,) radii in pixels
     n: jnp.ndarray       # scalar int: number of valid voids
+    n_candidates: jnp.ndarray = None  # scalar int: pre-truncation count
 
 
 # ------------------------------------------------------------------ tunnels
@@ -135,7 +144,36 @@ def find_tunnels(peak_pos, peak_valid, npix: int, max_voids: int = 256,
     # compact: accepted first, by decreasing radius (rejected -> key -1)
     order = jnp.argsort(-jnp.where(acc, radius, -1.0))
     return VoidCatalog(pos=cpos[order], radius=radius[order],
-                       n=jnp.sum(acc))
+                       n=jnp.sum(acc),
+                       n_candidates=jnp.sum(cand_mask))
+
+
+def find_tunnels_auto(peak_pos, peak_valid, npix: int,
+                      max_voids: int = 256, overlap: float = 0.2,
+                      min_radius: float = 1.0,
+                      capacity_limit: int = 1 << 14) -> VoidCatalog:
+    """`find_tunnels` with automatic capacity escalation (host loop).
+
+    Re-runs with doubled `max_voids` (each size compiles once and caches)
+    until the pre-truncation candidate count fits, so a peak-dense map
+    cannot silently lose candidates to the static top-k. Raises if the
+    map needs more than `capacity_limit` candidates.
+    """
+    cap = int(max_voids)
+    while True:
+        cat = find_tunnels(peak_pos, peak_valid, npix, max_voids=cap,
+                           overlap=overlap, min_radius=min_radius)
+        ncand = int(cat.n_candidates)
+        if ncand <= cap:
+            return cat
+        if cap >= capacity_limit:
+            raise ValueError(
+                f"find_tunnels_auto: {ncand} candidates exceed the "
+                f"capacity limit {capacity_limit}; raise capacity_limit "
+                "or increase min_radius")
+        while cap < ncand:
+            cap *= 2
+        cap = min(cap, capacity_limit)
 
 
 # ---------------------------------------------------------------- watershed

@@ -80,7 +80,18 @@ def _local_binned_reduce(value_streams, mf, ngrid, nbins,
     """
     mmin = 0.5 if kmin is None else kmin
     mmax = ngrid / 2.0 if kmax is None else kmax
-    edges = jnp.linspace(mmin, mmax, nbins + 1)
+    try:
+        # Host float64 linspace cast to float32 — the SAME arithmetic as
+        # ops.power._per_mode_binning. Device jnp.linspace runs float32
+        # accumulation and can land edges 1 ulp away, flipping the shell
+        # of any |k|/kf that sits exactly on an edge (e.g. 5.0000005 vs 5).
+        import numpy as _np
+
+        edges = jnp.asarray(
+            _np.linspace(float(mmin), float(mmax), nbins + 1,
+                         dtype=_np.float32))
+    except TypeError:  # traced kmin/kmax: degrade to device linspace
+        edges = jnp.linspace(mmin, mmax, nbins + 1)
     binidx = jnp.clip(jnp.searchsorted(edges, mf, side="right") - 1, 0,
                       nbins - 1)
     inside = (mf >= mmin) & (mf <= mmax)
