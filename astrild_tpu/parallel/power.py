@@ -172,6 +172,20 @@ def local_multipole_average(values, m, mu2, ngrid, boxsize, nbins,
     return msum / denom * kf, sums / denom[None, :], nm
 
 
+def _weighted_shotnoise(weights, boxsize, part_axes):
+    """Weighted discrete-tracer shot noise V * Σw² / (Σw)².
+
+    Reduces to V/N for unit weights (the count-based convention the local
+    estimator subtracts), is the correct Poisson level for non-uniform
+    weights, and lets zero-weight padding rows — the multihost loader pads
+    ragged per-host reads to equal shard sizes — contribute nothing.
+    """
+    w = weights.astype(jnp.float32)
+    sw = jax.lax.psum(jnp.sum(w), part_axes)
+    sw2 = jax.lax.psum(jnp.sum(w * w), part_axes)
+    return boxsize ** 3 * sw2 / jnp.maximum(sw, 1e-30) ** 2
+
+
 def _optional_weights(jitted):
     """Honor the documented fn(pos, weights=None) contract: default the
     co-sharded weights to ones with pos's leading shape (jit reshards the
@@ -205,8 +219,6 @@ def make_distributed_multipoles(mesh: Mesh, ngrid: int, boxsize: float,
     part_axes = ("sim", "x", "y")
 
     def body(pos, weights):
-        n_local = pos.shape[0]
-        n_tot = jax.lax.psum(jnp.asarray(n_local, jnp.float32), part_axes)
         grid = paint_single(pos, ngrid, boxsize, weights=weights,
                             window=window)
         extra = tuple(a for a in part_axes if a not in ("x", "y"))
@@ -237,7 +249,7 @@ def make_distributed_multipoles(mesh: Mesh, ngrid: int, boxsize: float,
         pk3d = jnp.where(m == 0.0, 0.0, pk3d)
         kmean, p_ell, nm = local_multipole_average(
             pk3d, m, mu2, ngrid, boxsize, nbins, ells=ells)
-        shot = boxsize ** 3 / n_tot
+        shot = _weighted_shotnoise(weights, boxsize, part_axes)
         noise = jnp.asarray([shot if ell == 0 else 0.0 for ell in ells])
         return MultipoleResult(kmean, p_ell - noise[:, None], nm)
 
@@ -264,8 +276,6 @@ def make_distributed_auto_power(mesh: Mesh, ngrid: int, boxsize: float,
 
     def body(pos, weights, part_axes):
         # part_axes: mesh axes the particle dimension is split over.
-        n_local = pos.shape[0]
-        n_tot = jax.lax.psum(jnp.asarray(n_local, jnp.float32), part_axes)
         # 1. paint local particle chunk on a full local grid
         grid = paint_single(pos, ngrid, boxsize, weights=weights, window=window)
         # 2. reduce + re-pencil: full grid -> (n/PX, n/PY, n) block
@@ -294,7 +304,7 @@ def make_distributed_auto_power(mesh: Mesh, ngrid: int, boxsize: float,
         pk3d = jnp.where(m == 0.0, 0.0, pk3d)
         kmean, pmean, nm = local_shell_average(pk3d, m, ngrid, boxsize,
                                                nbins)
-        shot = boxsize ** 3 / n_tot
+        shot = _weighted_shotnoise(weights, boxsize, part_axes)
         return PowerResult(kmean, pmean - shot, nm)
 
     if batched:
@@ -365,8 +375,6 @@ def make_distributed_auto_power_fast(mesh: Mesh, ngrid: int, boxsize: float,
 
     def body(pos, weights):
         part_axes = ("sim", "x", "y")
-        n_local = pos.shape[0]
-        n_tot = jax.lax.psum(jnp.asarray(n_local, jnp.float32), part_axes)
         x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
         inv_cell = nf / boxsize
 
@@ -416,7 +424,7 @@ def make_distributed_auto_power_fast(mesh: Mesh, ngrid: int, boxsize: float,
         pk3d = jnp.where(m == 0.0, 0.0, pk3d)
         kmean, pmean, nm = local_shell_average(pk3d, m, ngrid, boxsize,
                                                nbins)
-        shot = boxsize ** 3 / n_tot
+        shot = _weighted_shotnoise(weights, boxsize, part_axes)
         return PowerResult(kmean, pmean - shot, nm)
 
     # interpret-mode pallas discharges the kernel into a jaxpr whose

@@ -26,6 +26,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers",
+                            "slow: long-running test (subprocesses etc.)")
+
+
 @pytest.fixture(scope="session")
 def devices():
     return jax.devices()
