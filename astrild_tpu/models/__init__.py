@@ -10,6 +10,7 @@ from .siminfo import snapshot_info_table, write_snapshot_info
 from .simulation import Ecosmog, RayRamses, Simulation
 from .skyhealpix import SkyHealpix
 from .skymap import SkyArray, SkyMap
+from .skynamaster import SkyNamaster
 from .voids import TunnelsFinder, Voids, WatershedFinder
 
 __all__ = [
@@ -17,7 +18,8 @@ __all__ = [
     "AngularPowerSpectrum", "Bispectrum2D", "Bispectrum3D",
     "LinearAngularPowerSpectrum", "LinearPowerSpectrum", "PowMes",
     "PowerSpectrum3D", "SimulationCollection", "Ecosmog", "RayRamses",
-    "Simulation", "SkyArray", "SkyMap", "SkyHealpix", "TunnelsFinder",
+    "Simulation", "SkyArray", "SkyMap", "SkyHealpix", "SkyNamaster",
+    "TunnelsFinder",
     "Voids", "WatershedFinder", "halo_lightcone_catalog",
     "merge_lightcone_catalogs", "snapshot_info_table",
     "write_snapshot_info",

@@ -21,7 +21,8 @@ from .linear_power import normalization, p_dpdp
 __all__ = ["cl_flat_sky", "cl_to_flat_map", "cl_isw_limber",
            "shear_eb_maps", "cl_shear_eb", "cl_kappa_cross_limber",
            "cl_flat_sky_cross", "flat_sky_mode_counts",
-           "cl_kappa_limber", "cl_flat_sky_masked"]
+           "cl_kappa_limber", "cl_flat_sky_masked",
+           "flat_sky_coupling_matrix", "cl_flat_sky_master"]
 
 
 def _flat_sky_binning(n: int, opening_angle_deg, nbins: int,
@@ -198,6 +199,99 @@ def cl_flat_sky_masked(img, mask, opening_angle_deg, nbins: int = 50,
     ell, cl = cl_flat_sky(img * w, opening_angle_deg, nbins=nbins)
     w2 = jnp.mean(w ** 2)
     return ell, cl / jnp.maximum(w2, 1e-12)
+
+
+def flat_sky_coupling_matrix(mask, opening_angle_deg, nbins: int,
+                             ell_min=None, ell_max=None) -> "np.ndarray":
+    """EXACT discrete mode-coupling matrix M_bb' of the flat-sky pseudo-Cl.
+
+    The binned pseudo spectrum of a w-masked periodic map obeys
+    <C~_b> = sum_b' M_bb' C_b' exactly for Gaussian fields on the DFT
+    grid (no continuum/NaMaster approximation):
+
+        M_bb' = (1/(N_b N^2)) sum_{k in b} sum_{k' in b'} |w~(k - k')|^2
+
+    evaluated with FFTs: the inner sum is a circular convolution of the
+    mask power |w~|^2/N^2 with the bin-b' indicator on the mode grid (one
+    fft per bin), the outer sum one (nbins, N) @ (N, nbins) product.
+
+    The inverse of M is the mask deconvolution the reference intended
+    with NaMaster (sky_namaster.py:75-95, never functional): MASTER
+    (Hivon et al. 2002) restricted to the binned band powers.
+
+    Computed HOST-SIDE in float64 and returned as a numpy array: steep
+    spectra span many decades, and float32 FFT noise in M couples the
+    large low-ell power into high bins at catastrophic relative levels
+    (measured: factor-1e4 errors). M is a per-mask precompute — pay the
+    host FFTs once, keep the per-map pseudo-Cl on device. The mode->bin
+    assignment still comes from the jitted _flat_sky_binning, so it is
+    bit-identical with cl_flat_sky.
+    """
+    import numpy as np
+
+    w = np.asarray(mask, np.float64)
+    n = w.shape[-1]
+    npts = float(n * n)
+    binidx, inside, nm, _ = _flat_sky_binning(n, opening_angle_deg, nbins,
+                                              ell_min, ell_max)
+    binidx = np.asarray(binidx)
+    inside = np.asarray(inside)
+    nm = np.asarray(nm, np.float64)
+    ind = ((binidx[None, :] == np.arange(nbins)[:, None])
+           & (inside[None, :] > 0)).astype(np.float64)     # (nbins, N)
+    # in-band shape weighting (the standard l(l+1) band-power model):
+    # within a band the spectrum is modeled as C(k) = c_b * s_k * N_b /
+    # sum_b(s), s_k = 1/(l(l+1)), so c_b stays the PLAIN band average of
+    # C while steep in-band variation no longer biases the solve.
+    lf = 2.0 * np.pi / (opening_angle_deg * DEG2RAD)
+    f = np.fft.fftfreq(n) * n
+    lmag = lf * np.sqrt(f[:, None] ** 2 + f[None, :] ** 2).reshape(-1)
+    s = 1.0 / np.maximum(lmag * (lmag + 1.0), 1.0)
+    ssum = ind @ s
+    q = ind * s[None, :] * (nm / np.maximum(ssum, 1e-300))[:, None]
+    Wn = (np.abs(np.fft.fft2(w)) ** 2) / npts ** 2   # mode-grid mask power
+    q_maps = q.reshape(nbins, n, n)
+    conv = np.real(np.fft.ifft2(
+        np.fft.fft2(Wn)[None] * np.fft.fft2(q_maps)))      # (nbins, n, n)
+    # M[b, b'] = sum_k ind_b(k) conv_{b'}(k) / N_b
+    M = ind @ conv.reshape(nbins, -1).T
+    return M / np.maximum(nm, 1.0)[:, None]
+
+
+def cl_flat_sky_master(img, mask, opening_angle_deg, nbins: int = 16,
+                       apodize_arcmin: float = 0.0,
+                       ell_min=None, ell_max=None, coupling=None):
+    """Mask-decoupled flat-sky spectrum: the MASTER estimator.
+
+    Unlike cl_flat_sky_masked's <w^2> normalization (exact only for
+    spectra flat on the mask coupling scale), this inverts the full
+    binned mode-coupling matrix, so steep spectra under aggressive masks
+    come back unbiased (tests/test_master.py pins the case where <w^2>
+    shows >8% bias and MASTER recovers <2%). Returns (ell_centers,
+    cl_hat).
+
+    The pseudo-Cl runs jitted on device; the coupling build + solve run
+    host-side in float64 (see flat_sky_coupling_matrix). For many maps
+    under one mask, precompute `coupling = flat_sky_coupling_matrix(...)`
+    once and pass it in.
+    """
+    import numpy as np
+
+    from .filters import gaussian as gaussian_filter
+
+    w = jnp.asarray(mask, jnp.float32)
+    if apodize_arcmin > 0:
+        w = gaussian_filter(w, opening_angle_deg,
+                            sigma_arcmin=apodize_arcmin)
+    ell, pcl = cl_flat_sky(jnp.asarray(img) * w, opening_angle_deg,
+                           nbins=nbins, ell_min=ell_min, ell_max=ell_max)
+    if coupling is None:
+        coupling = flat_sky_coupling_matrix(w, opening_angle_deg, nbins,
+                                            ell_min=ell_min,
+                                            ell_max=ell_max)
+    cl_hat = np.linalg.solve(np.asarray(coupling, np.float64),
+                             np.asarray(pcl, np.float64))
+    return ell, jnp.asarray(cl_hat, jnp.float32)
 
 
 def cl_isw_limber(ells, cosmo: Cosmology, z_min=0.08, z_max=0.9,

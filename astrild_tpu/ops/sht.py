@@ -33,7 +33,8 @@ from ..utils import healpix as hpx
 
 __all__ = ["RingGeometry", "ring_geometry", "legendre_table", "SHTTables",
            "sht_tables", "synthesize", "analyze", "alm2cl", "synfast",
-           "anafast", "smoothing", "anafast_masked"]
+           "anafast", "smoothing", "anafast_masked",
+           "coupling_matrix_from_mask_cl", "anafast_master"]
 
 
 class RingGeometry(NamedTuple):
@@ -255,3 +256,105 @@ def anafast_masked(hpmap, mask, lmax: int, niter: int = 3,
     cl = anafast(jnp.asarray(hpmap, jnp.float32) * mask, lmax, niter=niter,
                  tables=tables)
     return cl / jnp.maximum(w2, 1e-12)
+
+
+def coupling_matrix_from_mask_cl(mask_cl, lmax: int):
+    """Full-sky MASTER mode-coupling matrix M_ll' from the mask spectrum.
+
+    Hivon et al. (2002) eq. A31:
+
+        M_l1l2 = (2 l2 + 1)/(4 pi) sum_l3 (2 l3 + 1) W_l3 wigner3j(l1,
+                 l2, l3; 0,0,0)^2
+
+    evaluated WITHOUT Wigner symbols through the Legendre-product
+    identity int P_l1 P_l2 P_l3 dmu = 2 * 3j(000)^2:
+
+        M_l1l2 = (2 l2 + 1)/2 * int dmu P_l1(mu) P_l2(mu) xi_W(mu),
+        xi_W(mu) = sum_l3 (2 l3 + 1)/(4 pi) W_l3 P_l3(mu)
+
+    with Gauss-Legendre quadrature of enough nodes to be EXACT for the
+    polynomial integrand (degree 2*lmax + len(mask_cl)). mask_cl should
+    extend to 2*lmax when possible (coupling between l1, l2 <= lmax
+    involves mask power to l1+l2); shorter tables truncate the sum like
+    every MASTER code.
+
+    Computed host-side in float64 and returned as numpy: steep spectra
+    make the decoupling numerically unforgiving — float32 noise in M
+    couples the dominant low-ell power into high ells at large relative
+    levels. A per-mask precompute, so the host cost is paid once.
+    """
+    wl = np.asarray(mask_cl, np.float64)
+    lmax_w = wl.shape[0] - 1
+    deg = 2 * lmax + lmax_w
+    ngl = deg // 2 + 2
+    mu, gw = np.polynomial.legendre.leggauss(ngl)
+    # P_l(mu) rows by recurrence, float64 on host (values in [-1, 1])
+    lmax_tab = max(lmax, lmax_w)
+    P = np.zeros((lmax_tab + 1, ngl))
+    P[0] = 1.0
+    if lmax_tab >= 1:
+        P[1] = mu
+    for ell in range(2, lmax_tab + 1):
+        P[ell] = ((2 * ell - 1) * mu * P[ell - 1]
+                  - (ell - 1) * P[ell - 2]) / ell
+    l3 = np.arange(lmax_w + 1)
+    xi = ((2 * l3 + 1) / (4 * np.pi) * wl) @ P[: lmax_w + 1]   # (ngl,)
+    Pl = P[: lmax + 1]
+    core = (Pl * (gw * xi)[None, :]) @ Pl.T
+    l2 = np.arange(lmax + 1, dtype=np.float64)
+    return core * (2.0 * l2 + 1.0)[None, :] / 2.0
+
+
+def _bin_operator(lmax: int, nbins: int, lmin: int = 2) -> np.ndarray:
+    """(nbins, lmax+1) flat band-power binning matrix over [lmin, lmax]."""
+    edges = np.linspace(lmin, lmax + 1, nbins + 1)
+    B = np.zeros((nbins, lmax + 1))
+    ells = np.arange(lmax + 1)
+    for b in range(nbins):
+        sel = (ells >= edges[b]) & (ells < edges[b + 1])
+        if sel.sum():
+            B[b, sel] = 1.0 / sel.sum()
+    return B
+
+
+def anafast_master(hpmap, mask, lmax: int, nbins: int = 16,
+                   niter: int = 3, lmin: int = 2,
+                   lmax_mask: Optional[int] = None,
+                   tables: Optional[SHTTables] = None,
+                   mask_tables: Optional[SHTTables] = None):
+    """Mask-decoupled full-sky spectrum: binned MASTER estimator.
+
+    The actual mode-decoupling the reference's SkyNamaster intended
+    (sky_namaster.py:75-95): measure the pseudo-Cl of map*mask, build
+    M_ll' from the mask's own spectrum, bin both into band powers, and
+    solve the binned system. Unlike anafast_masked's <w^2> division this
+    is unbiased for steep spectra under aggressive masks.
+
+    Returns (ell_eff, cl_hat) with ell_eff the band centers.
+    """
+    hpmap = jnp.asarray(hpmap, jnp.float32)
+    mask = jnp.asarray(mask, jnp.float32)
+    nside = hpx.npix2nside(hpmap.shape[0])
+    if lmax_mask is None:
+        lmax_mask = min(2 * lmax, 2 * nside)
+    wl = anafast(mask, lmax_mask, niter=niter, tables=mask_tables)
+    pcl = anafast(hpmap * mask, lmax, niter=niter, tables=tables)
+    M = coupling_matrix_from_mask_cl(np.asarray(wl), lmax)
+    B = _bin_operator(lmax, nbins, lmin=lmin)
+    # binned coupling: rows binned with B, columns carrying the standard
+    # l(l+1) in-band shape model — C_l = c_b * s_l * N_b / sum_b(s),
+    # s_l = 1/(l(l+1)) — so c_b is the plain band average of C and steep
+    # in-band variation doesn't bias the solve. Host float64 (precision
+    # note in coupling_matrix_from_mask_cl).
+    ells_f = np.arange(lmax + 1, dtype=np.float64)
+    s = 1.0 / np.maximum(ells_f * (ells_f + 1.0), 1.0)
+    sel = (B > 0).astype(np.float64)                      # (nbins, lmax+1)
+    nb = sel.sum(1)
+    ssum = sel @ s
+    Q = (sel * s[None, :] * (nb / np.maximum(ssum, 1e-300))[:, None]).T
+    Mb = B @ M @ Q
+    pb = B @ np.asarray(pcl, np.float64)
+    cl_hat = np.linalg.solve(Mb, pb)
+    ells = np.arange(lmax + 1)
+    ell_eff = jnp.asarray(B @ ells, jnp.float32)
+    return ell_eff, jnp.asarray(cl_hat, jnp.float32)

@@ -1,0 +1,180 @@
+"""MASTER mode-decoupling for masked spectra (flat-sky + full-sky).
+
+The failing-case-first tests VERDICT asked for: a steep spectrum under an
+aggressive mask where the <w^2> pseudo-Cl normalization is measurably
+biased, recovered unbiased by the coupling-matrix inversion.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+
+from astrild_tpu.ops import angular_power as AP
+
+NPIX = 128
+FOV = 10.0  # deg
+
+
+def _steep_cl_tab():
+    # scale-invariant D_l (CMB-SW-like): C = 1/(l(l+1)) — steep enough
+    # that mask coupling moves large low-l power into high l, and exactly
+    # the band-power shape model, so MASTER residuals are pure estimator
+    # error + MC noise
+    ell = np.linspace(1.0, 40000.0, 2048)
+    cl = 1.0 / (ell * (ell + 1.0))
+    return jnp.asarray(ell, jnp.float32), jnp.asarray(cl, jnp.float32)
+
+
+def _blob_mask(rng):
+    """Aggressive mask: ~35% of the field cut by holes, apodized."""
+    from astrild_tpu.ops.filters import gaussian
+
+    m = np.ones((NPIX, NPIX), np.float32)
+    yy, xx = np.meshgrid(np.arange(NPIX), np.arange(NPIX), indexing="ij")
+    for _ in range(12):
+        cy, cx = rng.uniform(0, NPIX, 2)
+        r = rng.uniform(8, 18)
+        m[(yy - cy) ** 2 + (xx - cx) ** 2 < r ** 2] = 0.0
+    m[:, :12] = 0.0  # survey edge
+    w = gaussian(jnp.asarray(m), FOV, sigma_arcmin=6.0)
+    return jnp.clip(w, 0.0, 1.0)
+
+
+def test_coupling_matrix_trivial_masks():
+    ones = jnp.ones((64, 64))
+    M = AP.flat_sky_coupling_matrix(ones, FOV, 8)
+    npt.assert_allclose(np.asarray(M), np.eye(8), atol=1e-4)
+    M5 = AP.flat_sky_coupling_matrix(0.5 * ones, FOV, 8)
+    npt.assert_allclose(np.asarray(M5), 0.25 * np.eye(8), atol=1e-4)
+
+
+def test_master_equals_w2_for_constant_mask(rng):
+    ell_tab, cl_tab = _steep_cl_tab()
+    img = AP.cl_to_flat_map(jax.random.PRNGKey(0), ell_tab, cl_tab, NPIX,
+                            FOV)
+    mask = 0.7 * jnp.ones((NPIX, NPIX))
+    _, c_m = AP.cl_flat_sky_masked(img, mask, FOV, nbins=10)
+    _, c_x = AP.cl_flat_sky_master(img, mask, FOV, nbins=10)
+    npt.assert_allclose(np.asarray(c_x), np.asarray(c_m), rtol=1e-3)
+
+
+def test_master_unbiased_where_w2_biased(rng):
+    """The VERDICT acceptance case: <2% recovery under a ~35% mask where
+    the <w^2> estimator shows measurable (>8%) bias."""
+    ell_tab, cl_tab = _steep_cl_tab()
+    w = _blob_mask(rng)
+    nbins = 10
+    lf = 360.0 / FOV
+    lmax_all = lf * NPIX / np.sqrt(2.0) * 1.001  # bin EVERY grid mode
+
+    keys = jax.random.split(jax.random.PRNGKey(3), 256)
+    make = jax.vmap(lambda k: AP.cl_to_flat_map(k, ell_tab, cl_tab, NPIX,
+                                                FOV))
+    imgs = make(keys)
+
+    cl_true = jax.vmap(lambda m: AP.cl_flat_sky(
+        m, FOV, nbins=nbins, ell_max=lmax_all)[1])(imgs).mean(0)
+    cl_w2 = jax.vmap(lambda m: AP.cl_flat_sky_masked(
+        m, w, FOV, nbins=nbins)[1])(imgs).mean(0)
+    # MC mean of the MASTER solve == solve of the MC-mean pseudo-Cl
+    # (linear); one public-API call covers the one-shot path
+    pcl = jax.vmap(lambda m: AP.cl_flat_sky(
+        m * w, FOV, nbins=nbins, ell_max=lmax_all)[1])(imgs).mean(0)
+    M = AP.flat_sky_coupling_matrix(w, FOV, nbins, ell_max=lmax_all)
+    cl_ms = np.linalg.solve(M, np.asarray(pcl, np.float64))
+    _, one = AP.cl_flat_sky_master(imgs[0], w, FOV, nbins=nbins,
+                                   ell_max=lmax_all, coupling=M)
+    assert np.all(np.isfinite(np.asarray(one)))
+
+    true = np.asarray(cl_true)
+    # Note cl_w2 uses the default binning (ell_max = lf n/2); compare it
+    # on its own binning's truth for fairness
+    cl_true_def = jax.vmap(lambda m: AP.cl_flat_sky(
+        m, FOV, nbins=nbins)[1])(imgs).mean(0)
+    bias_w2 = np.abs(np.asarray(cl_w2) / np.asarray(cl_true_def) - 1.0)
+    assert bias_w2.max() > 0.08, bias_w2  # the failing case really fails
+    err_ms = np.abs(cl_ms / true - 1.0)
+    assert err_ms.max() < 0.02, (err_ms, bias_w2)
+
+
+def test_skynamaster_facade_flat_and_full(rng):
+    """Model-level parity surface for the reference's (nonfunctional)
+    SkyNamaster: construction + compute_cl with/without decoupling."""
+    from astrild_tpu.models import SkyNamaster
+    from astrild_tpu.ops import sht
+    from astrild_tpu.utils import healpix as hpx
+
+    # flat patch
+    ell_tab, cl_tab = _steep_cl_tab()
+    img = AP.cl_to_flat_map(jax.random.PRNGKey(5), ell_tab, cl_tab, NPIX,
+                            FOV)
+    sn = SkyNamaster.from_array(np.asarray(img), opening_angle=FOV)
+    sn.set_mask(np.asarray(_blob_mask(rng)))
+    ell, cl = sn.compute_cl(nbins=8)
+    ell2, cl2 = sn.compute_cl(nbins=8)  # cached workspace path
+    assert np.all(np.isfinite(np.asarray(cl)))
+    npt.assert_allclose(np.asarray(cl2), np.asarray(cl))
+    _, cl_nd = sn.compute_cl(nbins=8, decouple=False)
+    assert not np.allclose(np.asarray(cl_nd), np.asarray(cl))
+
+    # full sky; NaN pixels become the mask (reference's hp.ma path)
+    nside = 16
+    m = np.array(sht.synfast(jax.random.PRNGKey(6),
+                             jnp.ones(21) * 1e-3, nside, 20))
+    m[: m.shape[0] // 4] = np.nan
+    sf = SkyNamaster.from_array(m)
+    assert "mask" in sf.data and sf.data["mask"].sum() < m.shape[0]
+    ellf, clf = sf.compute_cl(lmax=20, nbins=5)
+    assert np.all(np.isfinite(np.asarray(clf)))
+    assert ellf.shape == (5,)
+
+
+def test_fullsky_coupling_identity():
+    from astrild_tpu.ops import sht
+    from astrild_tpu.utils import healpix as hpx
+
+    nside, lmax = 16, 20
+    ones = jnp.ones(hpx.nside2npix(nside))
+    wl = sht.anafast(ones, 2 * lmax, niter=3)
+    M = np.asarray(sht.coupling_matrix_from_mask_cl(np.asarray(wl), lmax))
+    npt.assert_allclose(M, np.eye(lmax + 1), atol=2e-3)
+
+
+def test_fullsky_master_unbiased_belt_mask():
+    from astrild_tpu.ops import sht
+    from astrild_tpu.utils import healpix as hpx
+
+    nside, lmax, nbins = 32, 40, 8
+    npix = hpx.nside2npix(nside)
+    theta, _ = hpx.pix2ang_ring(nside, jnp.arange(npix))
+    c = jnp.abs(jnp.cos(theta))
+    # apodized galactic-belt cut: w ramps 0 -> 1 over |cos(theta)| 0.15-0.4
+    w = jnp.clip((c - 0.15) / 0.25, 0.0, 1.0)
+    w = w * w * (3.0 - 2.0 * w)  # smoothstep
+
+    ell = np.arange(lmax + 1, dtype=np.float64)
+    cl_in = 1.0 / np.maximum(ell * (ell + 1.0), 1.0)  # scale-invariant Dl
+    cl_in[:2] = 0.0
+    cl_in = jnp.asarray(cl_in, jnp.float32)
+
+    tab = sht.sht_tables(nside, lmax)
+    tab_mask = sht.sht_tables(nside, 2 * lmax)
+    R = 24
+    cl_true, cl_w2, cl_ms = [], [], []
+    B = sht._bin_operator(lmax, nbins, lmin=2)
+    for r in range(R):
+        m = sht.synfast(jax.random.PRNGKey(100 + r), cl_in, nside,
+                        lmax, tables=tab)
+        cl_true.append(np.asarray(sht.anafast(m, lmax, tables=tab)))
+        cl_w2.append(np.asarray(sht.anafast_masked(m, w, lmax,
+                                                   tables=tab)))
+        _, ch = sht.anafast_master(m, w, lmax, nbins=nbins, tables=tab,
+                                   mask_tables=tab_mask)
+        cl_ms.append(np.asarray(ch))
+    tb = B @ np.mean(cl_true, 0)
+    wb = B @ np.mean(cl_w2, 0)
+    mb = np.mean(cl_ms, 0)
+    bias_w2 = np.abs(wb / tb - 1.0)
+    err_ms = np.abs(mb / tb - 1.0)
+    assert bias_w2.max() > 0.08, bias_w2
+    assert err_ms.max() < 0.05, (err_ms, bias_w2)
