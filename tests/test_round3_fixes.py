@@ -140,6 +140,37 @@ def test_sum_snapshots_z_range(ray_dir):
         sim.sum_snapshots(["kappa_2"], z_range=(0.4, 1.5))
 
 
+# ------------------------------------------------- Dataset interchange
+def test_dataset_full_roundtrip(tmp_path):
+    """The .nc-artifact interchange (simcoll.py:227-235): every Dataset
+    feature — multi-dim coords, string coords, attrs — must survive a
+    disk round trip so cross-sim reductions persist across sessions."""
+    from astrild_tpu.core.dataset import Dataset
+
+    ds = Dataset(
+        data_vars={
+            "value": (("box", "redshift", "bin"),
+                      np.arange(24.0).reshape(2, 3, 4)),
+            "count": (("box",), np.array([5, 9]))},
+        coords={
+            "box": np.array(["box1", "box2"]),
+            "redshift": np.array([1.0, 0.5, 0.0]),
+            "bin": np.logspace(0, 3, 4),
+            "area": (("box", "redshift"), np.arange(6.0).reshape(2, 3))},
+        attrs={"units": "Mpc/h", "n_sims": 2})
+    p = str(tmp_path / "stats.h5")
+    ds.to_hdf5(p)
+    back = Dataset.from_hdf5(p)
+    assert back.dims_of("value") == ("box", "redshift", "bin")
+    npt.assert_allclose(back["value"], ds["value"])
+    npt.assert_allclose(back["bin"], ds["bin"])
+    assert list(back["box"]) == ["box1", "box2"]
+    assert back.coords["area"][0] == ("box", "redshift")
+    npt.assert_allclose(back.coords["area"][1], np.arange(6.0).reshape(2, 3))
+    assert back.attrs["units"] == "Mpc/h"
+    assert int(back.attrs["n_sims"]) == 2
+
+
 # ------------------------------------------------- void capacity safety
 def test_find_tunnels_reports_candidate_overflow(rng):
     from astrild_tpu.ops import voids as V
