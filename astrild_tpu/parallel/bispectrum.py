@@ -26,7 +26,22 @@ from ..ops.bispectrum import BispectrumResult
 from .pfft import pfft3d_local, pifft3d_local
 from .power import local_mode_radius
 
-__all__ = ["make_distributed_bispectrum"]
+__all__ = ["make_distributed_bispectrum", "bispectrum_shard_body"]
+
+
+def bispectrum_shard_body(block, *, ngrid: int, boxsize: float,
+                          nbins: int, m_min: float, m_max: float):
+    """Per-shard bispectrum body (runs under shard_map on a pencil block).
+
+    Module-level so composed pipelines (parallel/suite.py) reuse the exact
+    estimator; see make_distributed_bispectrum for the algorithm.
+    """
+    mmax = m_max
+    triples = [(a, b, c) for a in range(nbins) for b in range(a, nbins)
+               for c in range(b, nbins)]
+    # body below unchanged from the factory's closure
+    return _bispectrum_body(block, ngrid, boxsize, nbins, m_min, mmax,
+                            triples)
 
 
 def make_distributed_bispectrum(mesh: Mesh, ngrid: int, boxsize: float,
@@ -39,52 +54,55 @@ def make_distributed_bispectrum(mesh: Mesh, ngrid: int, boxsize: float,
     Shells are |k|/kf in [m_min, m_max] (default m_max = n/2 - 1).
     """
     mmax = (ngrid / 2.0 - 1.0) if m_max is None else m_max
-    triples = [(a, b, c) for a in range(nbins) for b in range(a, nbins)
-               for c in range(b, nbins)]
 
     def body(block):
-        # same float32 linspace as ops._bispectrum_core so shell boundaries
-        # are bit-identical (e.g. linspace(1,7,4)[2] = 5.0000005, which
-        # decides which shell owns the |k|/kf == 5 modes)
-        edges = jnp.linspace(m_min, mmax, nbins + 1)
-        # density contrast with the global mean
-        mean = jax.lax.psum(jnp.sum(block), ("x", "y")) / float(ngrid) ** 3
-        delta = block / jnp.where(mean == 0, 1.0, mean) - 1.0
-        dk = pfft3d_local(delta)                    # (n, n/PX, n/PY)
-        m = local_mode_radius(ngrid)                # same layout
-
-        i_fs, n_fs, mmean = [], [], []
-        for b in range(nbins):                      # static, small
-            mask = ((m >= edges[b]) & (m < edges[b + 1])
-                    ).astype(jnp.complex64)
-            i_fs.append(jnp.real(pifft3d_local(mask * dk)))
-            n_fs.append(jnp.real(pifft3d_local(mask)))
-            msum = jax.lax.psum(jnp.sum(jnp.real(mask) * m), ("x", "y"))
-            mcnt = jax.lax.psum(jnp.sum(jnp.real(mask)), ("x", "y"))
-            mmean.append(msum / jnp.maximum(mcnt, 1.0))
-
-        kf = 2.0 * jnp.pi / boxsize
-        k1, k2, k3, bvals, ntris = [], [], [], [], []
-        for (a, b, c) in triples:
-            num = jax.lax.psum(jnp.sum(i_fs[a] * i_fs[b] * i_fs[c]),
-                               ("x", "y"))
-            den = jax.lax.psum(jnp.sum(n_fs[a] * n_fs[b] * n_fs[c]),
-                               ("x", "y"))
-            ntris.append(den * float(ngrid) ** 6)
-            bvals.append(jnp.where(
-                den > 1e-10,
-                boxsize ** 6 * num / jnp.maximum(den, 1e-30)
-                / float(ngrid) ** 9,
-                jnp.nan))
-            k1.append(mmean[a] * kf)
-            k2.append(mmean[b] * kf)
-            k3.append(mmean[c] * kf)
-        return BispectrumResult(
-            k1=jnp.stack(k1), k2=jnp.stack(k2), k3=jnp.stack(k3),
-            b=jnp.stack(bvals), ntri=jnp.stack(ntris))
+        return bispectrum_shard_body(block, ngrid=ngrid, boxsize=boxsize,
+                                     nbins=nbins, m_min=m_min, m_max=mmax)
 
     fn = jax.shard_map(
         body, mesh=mesh, in_specs=P("x", "y", None),
         out_specs=BispectrumResult(P(), P(), P(), P(), P()),
     )
     return jax.jit(fn)
+
+
+def _bispectrum_body(block, ngrid, boxsize, nbins, m_min, mmax, triples):
+    # same float32 linspace as ops._bispectrum_core so shell boundaries
+    # are bit-identical (e.g. linspace(1,7,4)[2] = 5.0000005, which
+    # decides which shell owns the |k|/kf == 5 modes)
+    edges = jnp.linspace(m_min, mmax, nbins + 1)
+    # density contrast with the global mean
+    mean = jax.lax.psum(jnp.sum(block), ("x", "y")) / float(ngrid) ** 3
+    delta = block / jnp.where(mean == 0, 1.0, mean) - 1.0
+    dk = pfft3d_local(delta)                    # (n, n/PX, n/PY)
+    m = local_mode_radius(ngrid)                # same layout
+
+    i_fs, n_fs, mmean = [], [], []
+    for b in range(nbins):                      # static, small
+        mask = ((m >= edges[b]) & (m < edges[b + 1])
+                ).astype(jnp.complex64)
+        i_fs.append(jnp.real(pifft3d_local(mask * dk)))
+        n_fs.append(jnp.real(pifft3d_local(mask)))
+        msum = jax.lax.psum(jnp.sum(jnp.real(mask) * m), ("x", "y"))
+        mcnt = jax.lax.psum(jnp.sum(jnp.real(mask)), ("x", "y"))
+        mmean.append(msum / jnp.maximum(mcnt, 1.0))
+
+    kf = 2.0 * jnp.pi / boxsize
+    k1, k2, k3, bvals, ntris = [], [], [], [], []
+    for (a, b, c) in triples:
+        num = jax.lax.psum(jnp.sum(i_fs[a] * i_fs[b] * i_fs[c]),
+                           ("x", "y"))
+        den = jax.lax.psum(jnp.sum(n_fs[a] * n_fs[b] * n_fs[c]),
+                           ("x", "y"))
+        ntris.append(den * float(ngrid) ** 6)
+        bvals.append(jnp.where(
+            den > 1e-10,
+            boxsize ** 6 * num / jnp.maximum(den, 1e-30)
+            / float(ngrid) ** 9,
+            jnp.nan))
+        k1.append(mmean[a] * kf)
+        k2.append(mmean[b] * kf)
+        k3.append(mmean[c] * kf)
+    return BispectrumResult(
+        k1=jnp.stack(k1), k2=jnp.stack(k2), k3=jnp.stack(k3),
+        b=jnp.stack(bvals), ntri=jnp.stack(ntris))

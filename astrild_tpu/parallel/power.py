@@ -328,6 +328,81 @@ def make_distributed_auto_power(mesh: Mesh, ngrid: int, boxsize: float,
     return _optional_weights(jax.jit(fn))
 
 
+def fast_power_shard_body(pos, weights, *, px: int, py: int, ngrid: int,
+                          boxsize: float, nbins: int, fine_factor: int,
+                          deposit: str, return_coarse: bool = False):
+    """Per-shard body of the distributed folded fine-NGP P(k) (runs under
+    shard_map; see make_distributed_auto_power_fast for the algorithm).
+
+    Module-level so composed pipelines (parallel/suite.py) can reuse the
+    exact estimator inside a larger shard_map body. With return_coarse the
+    coarse (ngrid^3) NGP-count grid comes back as the local pencil block
+    (n/PX, n/PY, n) — the same P('x','y',None) layout the distributed
+    bispectrum and pencil FFT consume — mirroring ops.power.
+    auto_power_fast(return_coarse_grid=True).
+    """
+    import itertools
+
+    ff = fine_factor
+    nf = ngrid * ff
+    n_cells = ff ** 3 * ngrid ** 3
+    part_axes = ("sim", "x", "y")
+    x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
+    inv_cell = nf / boxsize
+
+    def cell(c):
+        return jnp.floor(c * inv_cell).astype(jnp.int32) % nf
+
+    ux, uy, uz = cell(x), cell(y), cell(z)
+    s_id = ((ux % ff) * ff + (uy % ff)) * ff + (uz % ff)
+    flat = ((s_id * ngrid + ux // ff) * ngrid + uy // ff) * ngrid \
+        + uz // ff
+    w32 = weights.astype(jnp.float32)
+    if deposit in ("pallas", "pallas_interpret"):
+        from ..ops.paint_pallas import deposit_flat
+        dep = deposit_flat(flat, w32, n_cells,
+                           interpret=(None if deposit == "pallas"
+                                      else True))
+    else:
+        dep = jnp.zeros((n_cells,), jnp.float32).at[flat].add(w32)
+    total = jax.lax.psum(jnp.sum(w32), part_axes)
+    dep = dep.reshape(ff ** 3, ngrid, ngrid, ngrid)
+    # reduce the full local copies + re-pencil each subgrid
+    dep = jax.lax.psum(dep, "sim")
+    if px > 1:
+        dep = jax.lax.psum_scatter(dep, "x", scatter_dimension=1,
+                                   tiled=True)
+    if py > 1:
+        dep = jax.lax.psum_scatter(dep, "y", scatter_dimension=2,
+                                   tiled=True)
+    # fold: pencil FFT per subgrid, combined with decimation phases
+    fi, fj, fk = local_mode_numbers(ngrid)
+    F = jnp.zeros((ngrid, ngrid // px, ngrid // py), jnp.complex64)
+    for s in itertools.product(range(ff), repeat=3):
+        sid = (s[0] * ff + s[1]) * ff + s[2]
+        spec = pfft3d_local(dep[sid])
+        ph = (-2.0 * jnp.pi / nf) * (fi * s[0] + fj * s[1] + fk * s[2])
+        F = F + spec * jnp.exp(1j * ph)
+    dk = F / jnp.where(total == 0, 1.0, total)
+
+    # NGP window deconvolution at the fine resolution
+    def axis_win(m):
+        u = m / nf
+        return jnp.where(u == 0.0, 1.0, jnp.sinc(u))
+
+    dk = dk / (axis_win(fi) * axis_win(fj) * axis_win(fk))
+    m = local_mode_radius(ngrid)
+    pk3d = (jnp.abs(dk) ** 2) * boxsize ** 3
+    pk3d = jnp.where(m == 0.0, 0.0, pk3d)
+    kmean, pmean, nm = local_shell_average(pk3d, m, ngrid, boxsize,
+                                           nbins)
+    shot = _weighted_shotnoise(weights, boxsize, part_axes)
+    res = PowerResult(kmean, pmean - shot, nm)
+    if return_coarse:
+        return res, jnp.sum(dep, axis=0)
+    return res
+
+
 def make_distributed_auto_power_fast(mesh: Mesh, ngrid: int, boxsize: float,
                                      nbins: int, fine_factor: int = 2,
                                      deposit: Optional[str] = None):
@@ -374,58 +449,10 @@ def make_distributed_auto_power_fast(mesh: Mesh, ngrid: int, boxsize: float,
                    else "scatter")
 
     def body(pos, weights):
-        part_axes = ("sim", "x", "y")
-        x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
-        inv_cell = nf / boxsize
-
-        def cell(c):
-            return jnp.floor(c * inv_cell).astype(jnp.int32) % nf
-
-        ux, uy, uz = cell(x), cell(y), cell(z)
-        s_id = ((ux % ff) * ff + (uy % ff)) * ff + (uz % ff)
-        flat = ((s_id * ngrid + ux // ff) * ngrid + uy // ff) * ngrid \
-            + uz // ff
-        w32 = weights.astype(jnp.float32)
-        if deposit in ("pallas", "pallas_interpret"):
-            from ..ops.paint_pallas import deposit_flat
-            dep = deposit_flat(flat, w32, n_cells,
-                               interpret=(None if deposit == "pallas"
-                                          else True))
-        else:
-            dep = jnp.zeros((n_cells,), jnp.float32).at[flat].add(w32)
-        total = jax.lax.psum(jnp.sum(w32), part_axes)
-        dep = dep.reshape(ff ** 3, ngrid, ngrid, ngrid)
-        # reduce the full local copies + re-pencil each subgrid
-        dep = jax.lax.psum(dep, "sim")
-        if px > 1:
-            dep = jax.lax.psum_scatter(dep, "x", scatter_dimension=1,
-                                       tiled=True)
-        if py > 1:
-            dep = jax.lax.psum_scatter(dep, "y", scatter_dimension=2,
-                                       tiled=True)
-        # fold: pencil FFT per subgrid, combined with decimation phases
-        fi, fj, fk = local_mode_numbers(ngrid)
-        F = jnp.zeros((ngrid, ngrid // px, ngrid // py), jnp.complex64)
-        for s in itertools.product(range(ff), repeat=3):
-            sid = (s[0] * ff + s[1]) * ff + s[2]
-            spec = pfft3d_local(dep[sid])
-            ph = (-2.0 * jnp.pi / nf) * (fi * s[0] + fj * s[1] + fk * s[2])
-            F = F + spec * jnp.exp(1j * ph)
-        dk = F / jnp.where(total == 0, 1.0, total)
-
-        # NGP window deconvolution at the fine resolution
-        def axis_win(m):
-            u = m / nf
-            return jnp.where(u == 0.0, 1.0, jnp.sinc(u))
-
-        dk = dk / (axis_win(fi) * axis_win(fj) * axis_win(fk))
-        m = local_mode_radius(ngrid)
-        pk3d = (jnp.abs(dk) ** 2) * boxsize ** 3
-        pk3d = jnp.where(m == 0.0, 0.0, pk3d)
-        kmean, pmean, nm = local_shell_average(pk3d, m, ngrid, boxsize,
-                                               nbins)
-        shot = _weighted_shotnoise(weights, boxsize, part_axes)
-        return PowerResult(kmean, pmean - shot, nm)
+        return fast_power_shard_body(pos, weights, px=px, py=py,
+                                     ngrid=ngrid, boxsize=boxsize,
+                                     nbins=nbins, fine_factor=ff,
+                                     deposit=deposit)
 
     # interpret-mode pallas discharges the kernel into a jaxpr whose
     # program_id-derived slice indices are non-varying; vma checking
