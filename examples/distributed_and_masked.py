@@ -1,0 +1,110 @@
+"""Example: multi-chip execution, masked spectra, and full-sky shear.
+
+The round-3 surfaces in one walkthrough:
+
+  1. a virtual 8-device mesh + the COMPOSED distributed z=0 suite
+     (P(k) + B(k) + Born kappa/gamma + voids as ONE sharded program);
+  2. the multi-host loader path (striped per-"host" snapshot reads
+     assembled with make_array_from_process_local_data semantics);
+  3. MASTER mode-decoupling of a masked flat-sky spectrum (the working
+     version of the reference's never-functional SkyNamaster);
+  4. full-sky shear from kappa via spin-2 transforms + E/B spectra.
+
+  python examples/distributed_and_masked.py       (CPU, ~1 min)
+
+On a real pod each host would call `multihost.initialize()` first; the
+rest of the code is unchanged (shard_map is controller-agnostic).
+"""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from astrild_tpu.models import SkyHealpix, SkyNamaster
+from astrild_tpu.ops import angular_power as AP
+from astrild_tpu.parallel import make_mesh, multihost
+from astrild_tpu.parallel.suite import make_distributed_z0_suite
+
+rng = np.random.default_rng(0)
+BOX, NGRID = 500.0, 32
+
+# ---------------------------------------------------------------- 1. suite
+multihost.initialize()   # single-process no-op; pod launchers configure it
+mesh = make_mesh(n_sim=2, n_x=2, n_y=2)
+print(f"mesh: {dict(mesh.shape)} over {jax.device_count()} devices")
+
+pos = rng.uniform(0, BOX, (1 << 17, 3)).astype(np.float32)
+suite = make_distributed_z0_suite(mesh, NGRID, BOX, nbins_pk=10,
+                                  nbins_bk=3, bk_m_min=2.0, bk_m_max=10.0,
+                                  nplanes=8)
+sharded = jax.device_put(jnp.asarray(pos),
+                         NamedSharding(mesh, P(("sim", "x", "y"), None)))
+res = suite(sharded)
+print(f"P(k) bins: {np.asarray(res.pk.k).round(3)[:4]} ...")
+print(f"B(k) triples: {res.bk.b.shape[0]};  kappa map {res.kappa.shape}; "
+      f"voids found: {int(res.n_voids)}")
+
+# ------------------------------------------------ 2. multihost loader path
+import h5py
+import os
+import tempfile
+
+with tempfile.TemporaryDirectory() as td:
+    sdir = os.path.join(td, "snapdir_001")
+    os.makedirs(sdir)
+    for fnr, n_in_file in enumerate((900, 400, 700, 600)):
+        with h5py.File(os.path.join(sdir, f"snap_001.{fnr}.hdf5"),
+                       "w") as f:
+            h = f.create_group("Header")
+            h.attrs["NumPart_ThisFile"] = np.array([0, n_in_file, 0, 0,
+                                                    0, 0])
+            h.attrs["BoxSize"] = BOX
+            h.attrs["HubbleParam"] = 1.0
+            h.attrs["MassTable"] = np.zeros(6)
+            f.create_group("PartType1")["Coordinates"] = rng.uniform(
+                0, BOX, (n_in_file, 3))
+    data, w = multihost.load_snapshot_sharded(
+        1, td, mesh, blocks=("Coordinates",), emulate_hosts=4)
+    pos_mh = jnp.stack([data[f"Coordinates:{i}"].astype(jnp.float32)
+                        for i in range(3)], axis=-1)
+    res2 = suite(pos_mh, w)   # zero-weight padding rows are inert
+    print(f"loader-fed suite: {int(np.asarray(w).sum())} real particles, "
+          f"P(k)[0] = {float(res2.pk.power[0]):.1f}")
+
+# --------------------------------------------------- 3. MASTER decoupling
+NPIX, FOV = 128, 10.0
+ell_tab = np.linspace(1.0, 40000.0, 1024)
+cl_tab = 1.0 / (ell_tab * (ell_tab + 1.0))
+img = AP.cl_to_flat_map(jax.random.PRNGKey(1),
+                        jnp.asarray(ell_tab, jnp.float32),
+                        jnp.asarray(cl_tab, jnp.float32), NPIX, FOV)
+mask = np.ones((NPIX, NPIX), np.float32)
+mask[:, :30] = 0.0                      # a masked survey edge
+sn = SkyNamaster.from_array(np.asarray(img), opening_angle=FOV)
+sn.set_mask(mask)
+ell_b, cl_w2 = sn.compute_cl(nbins=8, decouple=False)
+_, cl_master = sn.compute_cl(nbins=8)   # coupling matrix cached
+print("masked Cl, <w^2> vs MASTER (first 4 bins):")
+print("  ", np.asarray(cl_w2)[:4])
+print("  ", np.asarray(cl_master)[:4])
+
+# ------------------------------------------------- 4. full-sky shear E/B
+nside, lmax = 32, 48
+ell = np.arange(lmax + 1, dtype=np.float64)
+cl_kk = np.zeros(lmax + 1)
+cl_kk[2:] = 1.0 / ell[2:] ** 2
+sky = SkyHealpix.from_Cl_array(cl_kk, "kappa_2", nside, lmax=lmax,
+                               rnd_seed=2)
+g1, g2 = sky.shear_from_kappa(lmax=lmax)
+ee, bb, eb = sky.shear_eb_spectra(lmax=lmax)
+print(f"full-sky shear: gamma maps {g1.shape}, "
+      f"B/E power = {bb[2:].sum() / ee[2:].sum():.2e} (Born null)")
