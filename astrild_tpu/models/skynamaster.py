@@ -82,6 +82,7 @@ class SkyNamaster:
 
     def set_mask(self, mask) -> None:
         self.data["mask"] = np.asarray(mask, np.float64)
+        self._workspace.clear()  # cached couplings belong to the old mask
 
     # -------------------------------------------------------------- spectra
     def compute_cl(self, mask=None, lmax: Optional[int] = None,
@@ -99,10 +100,12 @@ class SkyNamaster:
         from ..ops import angular_power as AP
         from ..ops import sht
 
+        mask_is_stored = mask is None and "mask" in self.data
         if mask is None:
             mask = self.data.get("mask")
         if mask is None:
             mask = np.ones_like(self.data[of])
+            mask_is_stored = True  # trivial mask: stable identity too
         m = self.data[of]
         if self.flat:
             if not decouple:
@@ -110,20 +113,51 @@ class SkyNamaster:
                                              jnp.asarray(mask),
                                              self.opening_angle,
                                              nbins=nbins)
-            key = ("flat", id(self.data.get("mask")), nbins)
-            if key not in self._workspace:
-                self._workspace[key] = AP.flat_sky_coupling_matrix(
+            # the workspace caches per STORED mask only — a per-call
+            # mask argument has no stable identity, so it always gets a
+            # fresh coupling build (a stale matrix silently biases the
+            # decoupled spectrum)
+            coupling = None
+            key = ("flat", nbins)
+            if mask_is_stored:
+                coupling = self._workspace.get(key)
+            if coupling is None:
+                coupling = AP.flat_sky_coupling_matrix(
                     mask, self.opening_angle, nbins)
+                if mask_is_stored:
+                    self._workspace[key] = coupling
             return AP.cl_flat_sky_master(jnp.asarray(m),
                                          jnp.asarray(mask),
                                          self.opening_angle, nbins=nbins,
-                                         coupling=self._workspace[key])
+                                         coupling=coupling)
         if lmax is None:
-            lmax = 2 * self.nside
+            # the O(lmax^2 * nring) table path is practical to ~512;
+            # anafast_master routes larger lmax through sht_large
+            lmax = min(2 * self.nside, 512)
         if not decouple:
             ell = jnp.arange(lmax + 1, dtype=jnp.float32)
             return ell, sht.anafast_masked(jnp.asarray(m),
                                            jnp.asarray(mask), lmax,
                                            niter=niter)
+        coupling = None
+        key = ("full", lmax)
+        if mask_is_stored:
+            coupling = self._workspace.get(key)
+        if coupling is None:
+            lmax_mask = min(2 * lmax, 2 * self.nside)
+            if lmax_mask <= 512:
+                wl = sht.anafast(jnp.asarray(mask, jnp.float32),
+                                 lmax_mask, niter=niter)
+            else:
+                from ..ops import sht_large
+
+                wl = sht_large.anafast_large(
+                    jnp.asarray(mask, jnp.float32), lmax_mask,
+                    niter=niter)
+            coupling = sht.coupling_matrix_from_mask_cl(np.asarray(wl),
+                                                        lmax)
+            if mask_is_stored:
+                self._workspace[key] = coupling
         return sht.anafast_master(jnp.asarray(m), jnp.asarray(mask),
-                                  lmax, nbins=nbins, niter=niter)
+                                  lmax, nbins=nbins, niter=niter,
+                                  coupling=coupling)

@@ -29,18 +29,45 @@ def _flat_sky_binning(n: int, opening_angle_deg, nbins: int,
                      ell_min, ell_max):
     """THE flat-sky ell binning (single home — a duplicated binning path
     flips edge modes between lowerings, see CLAUDE.md's shell-edge
-    gotcha). Returns (binidx, inside, nm, lsum)."""
+    gotcha). Returns (binidx, inside, nm, lsum).
+
+    Mode-to-bin assignment compares EXACT integers: the squared mode
+    number m2 = fi^2 + fj^2 (exact in float32 up to n=2048) against
+    host-precomputed squared edges in units of the fundamental. No sqrt
+    or device linspace participates in the selection, so the assignment
+    is identical across eager/jit lowerings AND host/device — the 1%
+    jitted/unjitted edge-mode flip this binning home was created to
+    prevent cannot reappear (sqrt is only used for the reported lsum
+    VALUES, never for selection).
+    """
+    import numpy as np
+
     theta = opening_angle_deg * DEG2RAD
     lf = 2.0 * jnp.pi / theta  # fundamental multipole
     f = jnp.fft.fftfreq(n) * n
-    lmag = lf * jnp.sqrt(f[:, None] ** 2 + f[None, :] ** 2)
+    m2 = (f[:, None] ** 2 + f[None, :] ** 2).reshape(-1)  # exact ints
     lmin = lf if ell_min is None else ell_min
     lmax = lf * (n / 2.0) if ell_max is None else ell_max
-    edges = jnp.linspace(lmin, lmax, nbins + 1)
-    lm = lmag.reshape(-1)
-    binidx = jnp.clip(jnp.searchsorted(edges, lm, side="right") - 1,
+    # host float64 edges in fundamental units, squared, cast f32
+    try:
+        lo = float(lmin) / (2.0 * np.pi / (float(opening_angle_deg)
+                                           * float(DEG2RAD)))
+        hi = float(lmax) / (2.0 * np.pi / (float(opening_angle_deg)
+                                           * float(DEG2RAD)))
+        edges_sq = jnp.asarray(
+            (np.linspace(lo, hi, nbins + 1) ** 2).astype(np.float32))
+        lo2 = jnp.float32(lo * lo)
+        hi2 = jnp.float32(hi * hi)
+    except TypeError:  # traced geometry: device fallback (same formula)
+        lo_t = lmin / lf
+        hi_t = lmax / lf
+        edges_sq = jnp.linspace(lo_t, hi_t, nbins + 1) ** 2
+        lo2 = lo_t * lo_t
+        hi2 = hi_t * hi_t
+    binidx = jnp.clip(jnp.searchsorted(edges_sq, m2, side="right") - 1,
                       0, nbins - 1)
-    inside = ((lm >= lmin) & (lm <= lmax)).astype(jnp.float32)
+    inside = ((m2 >= lo2) & (m2 <= hi2)).astype(jnp.float32)
+    lm = lf * jnp.sqrt(m2)
     nm = jax.ops.segment_sum(inside, binidx, num_segments=nbins)
     lsum = jax.ops.segment_sum(inside * lm, binidx, num_segments=nbins)
     return binidx, inside, nm, lsum

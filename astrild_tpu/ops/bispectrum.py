@@ -15,7 +15,7 @@ mode radii (consistent with ops/power.py binning).
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple
 
 import jax
@@ -43,7 +43,9 @@ def _mode_radius_full(shape):
 
 
 def _shell_fields(delta, edges_m):
-    """I_i(x), n_i(x) and mean shell radius for every |k|/kf shell."""
+    """I_i(x), n_i(x) and mean shell radius for every |k|/kf shell
+    (used by the 2D estimator; the 3D path precomputes the mask-only
+    transforms — get_bispectrum_tables)."""
     m = _mode_radius_full(delta.shape)
     dk = jnp.fft.fftn(delta.astype(jnp.complex64))
 
@@ -59,33 +61,104 @@ def _shell_fields(delta, edges_m):
     return i_fs, n_fs, mmean
 
 
-@partial(jax.jit, static_argnames=("nbins",))
-def _bispectrum_core(delta, boxsize, nbins: int, m_min, m_max):
-    n = delta.shape[-1]
-    kf = 2.0 * jnp.pi / boxsize
-    edges = jnp.linspace(m_min, m_max, nbins + 1)
-    i_fs, n_fs, mmean = _shell_fields(delta, edges)
+def shell_edges(m_min, m_max, nbins: int):
+    """THE shell-edge construction shared by the local AND distributed
+    bispectrum (host float64 linspace cast to float32, the same
+    arithmetic as ops.power._per_mode_binning — a device jnp.linspace can
+    land edges 1 ulp away and flip whole shells of |k|/kf == edge modes,
+    e.g. linspace(1,7,4)[2])."""
+    import numpy as np
 
+    return np.linspace(float(m_min), float(m_max), nbins + 1,
+                       dtype=np.float32)
+
+
+def shell_edges_sq(m_min, m_max, nbins: int):
+    """Squared shell edges for EXACT mode selection: comparisons run on
+    the integer m2 = fi^2+fj^2+fk^2 (exact in f32), so shell membership
+    is identical across host/device and eager/jit lowerings — sqrt (whose
+    rounding XLA does not guarantee) never participates in selection."""
+    import numpy as np
+
+    e = np.linspace(float(m_min), float(m_max), nbins + 1)
+    return (e * e).astype(np.float32)
+
+
+@lru_cache(maxsize=16)
+def get_bispectrum_tables(n: int, nbins: int, m_min: float, m_max: float):
+    """Input-independent shell tables: triangle-count normalizations
+    den[t] = sum_x n_a n_b n_c (the mask-only inverse FFTs — HALF of the
+    estimator's transforms) plus mean shell radii and triple indices.
+    Host float64 one-time precompute, cached per (n, nbins, edges);
+    measured: removes nbins full-grid iFFTs per call (the 256^3 x 4-shell
+    bench stage drops ~half its FFT work).
+    """
+    import numpy as np
+
+    edges_sq = shell_edges_sq(m_min, m_max, nbins)
+    f = (np.fft.fftfreq(n) * n).astype(np.float32)
+    m2 = (f[:, None, None] ** 2 + f[None, :, None] ** 2
+          + f[None, None, :] ** 2).astype(np.float32)  # exact integers
+    m = np.sqrt(m2.astype(np.float64))
+    n_fs, mmean = [], []
+    for b in range(nbins):
+        mask = ((m2 >= edges_sq[b]) & (m2 < edges_sq[b + 1]))
+        n_fs.append(np.fft.ifftn(mask.astype(np.float64)).real)
+        cnt = mask.sum()
+        mmean.append(float((m * mask).sum() / max(cnt, 1)))
     triples = [(a, b, c) for a in range(nbins) for b in range(a, nbins)
                for c in range(b, nbins)]
-    ta = jnp.array([t[0] for t in triples])
-    tb = jnp.array([t[1] for t in triples])
-    tc = jnp.array([t[2] for t in triples])
+    den = np.array([float((n_fs[a] * n_fs[b] * n_fs[c]).sum())
+                    for (a, b, c) in triples])
+    ta = np.array([t[0] for t in triples])
+    tb = np.array([t[1] for t in triples])
+    tc = np.array([t[2] for t in triples])
+    return (jnp.asarray(edges_sq), jnp.asarray(den, jnp.float32),
+            jnp.asarray(np.asarray(mmean), jnp.float32),
+            ta, tb, tc)
 
-    def one(a, b, c):
+
+def _mode_radius_sq_full(shape):
+    """Squared integer mode numbers (exact in f32 up to 2048^3)."""
+    out = 0.0
+    for ax, n in enumerate(shape):
+        f = (jnp.fft.fftfreq(n) * n).astype(jnp.float32)
+        bshape = [1] * len(shape)
+        bshape[ax] = n
+        out = out + f.reshape(bshape) ** 2
+    return out
+
+
+@partial(jax.jit, static_argnames=("nbins",))
+def _bispectrum_core(delta, boxsize, nbins: int, edges_sq, den, mmean,
+                     ta, tb, tc):
+    n = delta.shape[-1]
+    kf = 2.0 * jnp.pi / boxsize
+    m2 = _mode_radius_sq_full(delta.shape)
+    dk = jnp.fft.fftn(delta.astype(jnp.complex64))
+
+    def one_shell(lo2, hi2):
+        # selection on exact integer m2 — bit-identical with the host
+        # tables (shell_edges_sq) regardless of backend/lowering
+        mask = ((m2 >= lo2) & (m2 < hi2)).astype(jnp.complex64)
+        return jnp.real(jnp.fft.ifftn(mask * dk))
+
+    i_fs = jax.vmap(one_shell)(edges_sq[:-1], edges_sq[1:])
+
+    def one(a, b, c, d):
         num = jnp.sum(i_fs[a] * i_fs[b] * i_fs[c])
-        den = jnp.sum(n_fs[a] * n_fs[b] * n_fs[c])
-        ntri = den * float(n) ** 6  # total closed triangles in mode space
-        bval = jnp.where(den > 1e-10,
-                         boxsize ** 6 * num / jnp.maximum(den, 1e-30)
+        ntri = d * float(n) ** 6  # total closed triangles in mode space
+        bval = jnp.where(d > 1e-10,
+                         boxsize ** 6 * num / jnp.maximum(d, 1e-30)
                          / float(n) ** 9,
                          jnp.nan)
         return bval, ntri
 
-    bvals, ntris = jax.vmap(one)(ta, tb, tc)
+    bvals, ntris = jax.vmap(one)(jnp.asarray(ta), jnp.asarray(tb),
+                                 jnp.asarray(tc), den)
     return BispectrumResult(
-        k1=mmean[ta] * kf, k2=mmean[tb] * kf, k3=mmean[tc] * kf,
-        b=bvals, ntri=ntris)
+        k1=mmean[jnp.asarray(ta)] * kf, k2=mmean[jnp.asarray(tb)] * kf,
+        k3=mmean[jnp.asarray(tc)] * kf, b=bvals, ntri=ntris)
 
 
 def bispectrum_3d(grid, boxsize, nbins: int = 8, m_min: float = 1.0,
@@ -109,7 +182,8 @@ def bispectrum_3d(grid, boxsize, nbins: int = 8, m_min: float = 1.0,
     delta = grid / jnp.where(mean == 0, 1.0, mean) - 1.0
     if m_max is None:
         m_max = n / 2.0 - 1.0
-    return _bispectrum_core(delta, boxsize, nbins, m_min, m_max)
+    tables = get_bispectrum_tables(n, nbins, float(m_min), float(m_max))
+    return _bispectrum_core(delta, boxsize, nbins, *tables)
 
 
 @partial(jax.jit, static_argnames=("nbins",))

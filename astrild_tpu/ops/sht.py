@@ -321,7 +321,8 @@ def anafast_master(hpmap, mask, lmax: int, nbins: int = 16,
                    niter: int = 3, lmin: int = 2,
                    lmax_mask: Optional[int] = None,
                    tables: Optional[SHTTables] = None,
-                   mask_tables: Optional[SHTTables] = None):
+                   mask_tables: Optional[SHTTables] = None,
+                   coupling=None):
     """Mask-decoupled full-sky spectrum: binned MASTER estimator.
 
     The actual mode-decoupling the reference's SkyNamaster intended
@@ -330,6 +331,14 @@ def anafast_master(hpmap, mask, lmax: int, nbins: int = 16,
     solve the binned system. Unlike anafast_masked's <w^2> division this
     is unbiased for steep spectra under aggressive masks.
 
+    For many maps under one mask, precompute `coupling =
+    coupling_matrix_from_mask_cl(mask_cl, lmax)` once and pass it in
+    (mask anafast + quadrature build are the dominant cost).
+
+    Beyond lmax ~ 512 the analyses route through the table-free
+    ops/sht_large path automatically (the Legendre table is O(lmax^2 *
+    nring) — multi-GB at nside >= 512).
+
     Returns (ell_eff, cl_hat) with ell_eff the band centers.
     """
     hpmap = jnp.asarray(hpmap, jnp.float32)
@@ -337,9 +346,20 @@ def anafast_master(hpmap, mask, lmax: int, nbins: int = 16,
     nside = hpx.npix2nside(hpmap.shape[0])
     if lmax_mask is None:
         lmax_mask = min(2 * lmax, 2 * nside)
-    wl = anafast(mask, lmax_mask, niter=niter, tables=mask_tables)
-    pcl = anafast(hpmap * mask, lmax, niter=niter, tables=tables)
-    M = coupling_matrix_from_mask_cl(np.asarray(wl), lmax)
+
+    def _ana(m, L, tab):
+        if L <= 512:
+            return anafast(m, L, niter=niter, tables=tab)
+        from . import sht_large
+
+        return sht_large.anafast_large(m, L, niter=niter)
+
+    pcl = _ana(hpmap * mask, lmax, tables)
+    if coupling is None:
+        wl = _ana(mask, lmax_mask, mask_tables)
+        M = coupling_matrix_from_mask_cl(np.asarray(wl), lmax)
+    else:
+        M = np.asarray(coupling, np.float64)
     B = _bin_operator(lmax, nbins, lmin=lmin)
     # binned coupling: rows binned with B, columns carrying the standard
     # l(l+1) in-band shape model — C_l = c_b * s_l * N_b / sum_b(s),

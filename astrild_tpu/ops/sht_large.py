@@ -413,12 +413,24 @@ def analyze_large(hpmap, nside: int, lmax: int, niter: int = 3,
     if method == "cg" and niter > 0:
         from jax.scipy.sparse.linalg import cg
 
-        def matvec(a):
-            return _adjoint_large_impl(
-                _synth_large_impl(a[0], a[1], tab, nside, lmax), tab,
-                nside, lmax)
+        # the quadrature adjoint A omits the m>0 factor-2 that synthesis
+        # carries (it approximates S^-1, not S^T), so A∘S is D^-1 S^T S —
+        # NON-symmetric, which jax's cg assumes away. Restore the true
+        # transpose with the m-weighting: matvec = D(A(S(a))) = S^T S a,
+        # SPD in the plain Euclidean inner product; x0 keeps A(m) as the
+        # good initial guess.
+        mg = jnp.arange(lmax + 1)[None, :]
+        wm = jnp.where(mg == 0, 1.0, 2.0).astype(jnp.float32)
 
-        (a_re, a_im), _ = cg(matvec, b, x0=b, maxiter=niter)
+        def mul_w(t):
+            return t[0] * wm, t[1] * wm
+
+        def matvec(a):
+            return mul_w(_adjoint_large_impl(
+                _synth_large_impl(a[0], a[1], tab, nside, lmax), tab,
+                nside, lmax))
+
+        (a_re, a_im), _ = cg(matvec, mul_w(b), x0=b, maxiter=niter)
         return a_re, a_im
     a_re, a_im = b
     for _ in range(niter):

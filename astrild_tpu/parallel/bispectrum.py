@@ -24,7 +24,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.bispectrum import BispectrumResult
 from .pfft import pfft3d_local, pifft3d_local
-from .power import local_mode_radius
+from .power import local_mode_numbers
 
 __all__ = ["make_distributed_bispectrum", "bispectrum_shard_body"]
 
@@ -67,19 +67,24 @@ def make_distributed_bispectrum(mesh: Mesh, ngrid: int, boxsize: float,
 
 
 def _bispectrum_body(block, ngrid, boxsize, nbins, m_min, mmax, triples):
-    # same float32 linspace as ops._bispectrum_core so shell boundaries
-    # are bit-identical (e.g. linspace(1,7,4)[2] = 5.0000005, which
-    # decides which shell owns the |k|/kf == 5 modes)
-    edges = jnp.linspace(m_min, mmax, nbins + 1)
+    # SAME squared shell edges as ops.bispectrum: selection runs on the
+    # exact integer m2, so shell membership is bit-identical between the
+    # local and distributed estimators on ANY backend (sqrt and device
+    # linspace never participate in selection)
+    from ..ops.bispectrum import shell_edges_sq
+
+    edges_sq = jnp.asarray(shell_edges_sq(m_min, mmax, nbins))
     # density contrast with the global mean
     mean = jax.lax.psum(jnp.sum(block), ("x", "y")) / float(ngrid) ** 3
     delta = block / jnp.where(mean == 0, 1.0, mean) - 1.0
     dk = pfft3d_local(delta)                    # (n, n/PX, n/PY)
-    m = local_mode_radius(ngrid)                # same layout
+    fi, fj, fk = local_mode_numbers(ngrid)
+    m2 = fi ** 2 + fj ** 2 + fk ** 2            # exact integers, f32
+    m = jnp.sqrt(m2)
 
     i_fs, n_fs, mmean = [], [], []
     for b in range(nbins):                      # static, small
-        mask = ((m >= edges[b]) & (m < edges[b + 1])
+        mask = ((m2 >= edges_sq[b]) & (m2 < edges_sq[b + 1])
                 ).astype(jnp.complex64)
         i_fs.append(jnp.real(pifft3d_local(mask * dk)))
         n_fs.append(jnp.real(pifft3d_local(mask)))

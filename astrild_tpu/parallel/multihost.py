@@ -232,13 +232,20 @@ def load_snapshot_sharded(snapnum: int, directory: str, mesh: Mesh,
     from ..io.gadget_hdf5 import GadgetSnapshot
 
     snap = GadgetSnapshot(snapnum, directory)
+    # per-block trailing shapes/dtypes from hdf5 METADATA only (no data
+    # read): needed both to expand (n, k) blocks into k flat components
+    # and to synthesize EMPTY stripes when a process owns no files
+    # (more hosts than snapshot files)
+    shapes = _block_shapes(snap, blocks, parttype)
 
     def read_stripe(nstripe, rank):
         data = GadgetSnapshot(snapnum, directory).read(
             list(blocks), parttype=parttype, partition=(nstripe, rank))
         out = []
         for b in blocks:
-            a = np.asarray(data[b])
+            tail, dt = shapes[b]
+            a = np.asarray(data[b]) if b in data else \
+                np.zeros((0,) + tail, dt)
             if flat_components and a.ndim == 2:
                 out.extend(np.ascontiguousarray(a[:, i])
                            for i in range(a.shape[1]))
@@ -248,17 +255,12 @@ def load_snapshot_sharded(snapnum: int, directory: str, mesh: Mesh,
 
     placed, w = global_array_from_striped_reads(
         read_stripe, mesh, spec, emulate_hosts=emulate_hosts)
-    # map placed arrays back to block names (column multiplicity from a
-    # first-file probe read — cheap, header-sized)
-    sample = GadgetSnapshot(snapnum, directory).read(
-        list(blocks), parttype=parttype,
-        partition=(10 ** 9, 0))  # stripe [0::1e9] = first file only
     data = {}
     i = 0
     for b in blocks:
-        a = np.asarray(sample[b])
-        if flat_components and a.ndim == 2:
-            for c in range(a.shape[1]):
+        tail, _ = shapes[b]
+        if flat_components and len(tail) == 1:
+            for c in range(tail[0]):
                 data[f"{b}:{c}"] = placed[i]
                 i += 1
         else:
@@ -266,3 +268,33 @@ def load_snapshot_sharded(snapnum: int, directory: str, mesh: Mesh,
             i += 1
     data["header"] = snap.header
     return data, w
+
+
+def _block_shapes(snap, blocks, parttype):
+    """{block: (trailing_shape, dtype)} from the first file's hdf5
+    metadata (dataset .shape/.dtype — no array data is read)."""
+    import glob as _glob
+
+    import h5py
+
+    base = snap.snapname
+    first = base + ".hdf5"
+    if not os.path.isfile(first):
+        files = sorted(_glob.glob(base + ".*.hdf5"),
+                       key=lambda p: int(p.split(".")[-2]))
+        first = files[0]
+    pts = (list(parttype) if parttype is not None else None)
+    out = {}
+    with h5py.File(first, "r") as f:
+        if pts is None:
+            pts = [int(k[8:]) for k in f.keys() if k.startswith("PartType")]
+        for b in blocks:
+            tail, dt = (), np.float64
+            for pt in pts:
+                g = f.get(f"PartType{pt}")
+                if g is not None and b in g:
+                    tail = tuple(g[b].shape[1:])
+                    dt = g[b].dtype
+                    break
+            out[b] = (tail, np.dtype(dt))
+    return out

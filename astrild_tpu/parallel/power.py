@@ -347,7 +347,10 @@ def fast_power_shard_body(pos, weights, *, px: int, py: int, ngrid: int,
     nf = ngrid * ff
     n_cells = ff ** 3 * ngrid ** 3
     part_axes = ("sim", "x", "y")
-    x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
+    if isinstance(pos, (tuple, list)):
+        x, y, z = pos  # flat component buffers (no (N, 3) padding trap)
+    else:
+        x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
     inv_cell = nf / boxsize
 
     def cell(c):
@@ -458,10 +461,25 @@ def make_distributed_auto_power_fast(mesh: Mesh, ngrid: int, boxsize: float,
     # program_id-derived slice indices are non-varying; vma checking
     # rejects that mix (jax suggests check_vma=False as the workaround).
     # The compiled TPU kernel is opaque to the check, so it stays on.
+    row = P(("sim", "x", "y"))
     fn = jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(("sim", "x", "y"), None), P(("sim", "x", "y"))),
+        body, mesh=mesh, in_specs=(P(("sim", "x", "y"), None), row),
         out_specs=PowerResult(P(), P(), P()),
         check_vma=(deposit != "pallas_interpret"),
     )
-    return _optional_weights(jax.jit(fn))
+    # component-tuple variant: flat (x, y, z) buffers skip the (N, 3)
+    # minor-dim padding trap (CLAUDE.md) — the multihost loader's layout
+    fn_t = jax.shard_map(
+        body, mesh=mesh, in_specs=((row, row, row), row),
+        out_specs=PowerResult(P(), P(), P()),
+        check_vma=(deposit != "pallas_interpret"),
+    )
+    jfn = jax.jit(fn)
+    jfn_t = jax.jit(fn_t)
+
+    def dispatch(pos, weights):
+        if isinstance(pos, (tuple, list)):
+            return jfn_t(tuple(pos), weights)
+        return jfn(pos, weights)
+
+    return _optional_weights(dispatch)

@@ -48,6 +48,10 @@ class Z0SuiteResult(NamedTuple):
     gamma2: jnp.ndarray
     void_radius: jnp.ndarray  # (max_voids,)
     n_voids: jnp.ndarray
+    # pre-truncation candidate count: n_void_candidates > max_voids means
+    # the static top-k cut the list BEFORE overlap pruning (re-run with a
+    # larger max_voids; see ops.voids.find_tunnels_auto)
+    n_void_candidates: jnp.ndarray
 
 
 def make_distributed_z0_suite(mesh: Mesh, ngrid: int, boxsize: float,
@@ -124,15 +128,32 @@ def make_distributed_z0_suite(mesh: Mesh, ngrid: int, boxsize: float,
                                      cat.values > -jnp.inf, ngrid,
                                      max_voids=max_voids)
         return Z0SuiteResult(pk, bk, kappa, g1, g2, vcat.radius,
-                             vcat.n.astype(jnp.int32))
+                             vcat.n.astype(jnp.int32),
+                             vcat.n_candidates.astype(jnp.int32))
 
+    out_specs = Z0SuiteResult(
+        PowerResult(P(), P(), P()),
+        BispectrumResult(P(), P(), P(), P(), P()),
+        P(), P(), P(), P(), P(), P())
+    row = P(("sim", "x", "y"))
     fn = jax.shard_map(
+        body, mesh=mesh, in_specs=(P(("sim", "x", "y"), None), row),
+        out_specs=out_specs, check_vma=(deposit != "pallas_interpret"),
+    )
+    # component-tuple variant: (x, y, z) flat buffers avoid the (N, 3)
+    # minor-dim 42x padding trap at large N (CLAUDE.md) — the layout the
+    # multihost loader emits; the shard body consumes components directly
+    fn_t = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(("sim", "x", "y"), None), P(("sim", "x", "y"))),
-        out_specs=Z0SuiteResult(
-            PowerResult(P(), P(), P()),
-            BispectrumResult(P(), P(), P(), P(), P()),
-            P(), P(), P(), P(), P()),
+        in_specs=((row, row, row), row), out_specs=out_specs,
         check_vma=(deposit != "pallas_interpret"),
     )
-    return _optional_weights(jax.jit(fn))
+    jfn = jax.jit(fn)
+    jfn_t = jax.jit(fn_t)
+
+    def dispatch(pos, weights):
+        if isinstance(pos, (tuple, list)):
+            return jfn_t(tuple(pos), weights)
+        return jfn(pos, weights)
+
+    return _optional_weights(dispatch)

@@ -74,8 +74,10 @@ with tempfile.TemporaryDirectory() as td:
                 0, BOX, (n_in_file, 3))
     data, w = multihost.load_snapshot_sharded(
         1, td, mesh, blocks=("Coordinates",), emulate_hosts=4)
-    pos_mh = jnp.stack([data[f"Coordinates:{i}"].astype(jnp.float32)
-                        for i in range(3)], axis=-1)
+    # flat (x, y, z) buffers straight from the loader — the (N, 3)
+    # layout pads its minor dim 42x at production N (CLAUDE.md)
+    pos_mh = tuple(data[f"Coordinates:{i}"].astype(jnp.float32)
+                   for i in range(3))
     res2 = suite(pos_mh, w)   # zero-weight padding rows are inert
     print(f"loader-fed suite: {int(np.asarray(w).sum())} real particles, "
           f"P(k)[0] = {float(res2.pk.power[0]):.1f}")

@@ -66,9 +66,18 @@ def test_composed_suite_matches_single_device(rng):
                         rtol=1e-4, atol=1e-6)
     npt.assert_allclose(np.asarray(got.gamma2), np.asarray(g2),
                         rtol=1e-4, atol=1e-6)
-    # voids: same catalog
+    # voids: same catalog, truncation observable via n_void_candidates
     assert int(got.n_voids) == int(vcat.n)
+    assert int(got.n_void_candidates) == int(vcat.n_candidates)
     nv = int(vcat.n)
     npt.assert_allclose(np.asarray(got.void_radius[:nv]),
                         np.asarray(vcat.radius[:nv]), rtol=1e-4,
                         atol=1e-4)
+
+    # component-tuple input (the multihost loader layout) == array input
+    comps = tuple(jnp.asarray(pos[:, i]) for i in range(3))
+    got_t = fn(comps)
+    npt.assert_allclose(np.asarray(got_t.pk.power),
+                        np.asarray(got.pk.power), rtol=1e-5)
+    npt.assert_allclose(np.asarray(got_t.kappa), np.asarray(got.kappa),
+                        rtol=1e-5, atol=1e-7)

@@ -129,6 +129,37 @@ def test_skynamaster_facade_flat_and_full(rng):
     assert ellf.shape == (5,)
 
 
+def test_skynamaster_per_call_mask_not_stale(rng):
+    """A per-call mask must NOT reuse the stored mask's cached coupling
+    (the id()-keyed workspace bug): two different masks give different
+    decoupled spectra, and set_mask invalidates the cache."""
+    from astrild_tpu.models import SkyNamaster
+
+    ell_tab, cl_tab = _steep_cl_tab()
+    img = AP.cl_to_flat_map(jax.random.PRNGKey(8), ell_tab, cl_tab, 64,
+                            FOV)
+    m1 = np.ones((64, 64), np.float32)
+    m1[:, :20] = 0.0
+    m2 = np.ones((64, 64), np.float32)
+    m2[:32, :] = 0.0
+    sn = SkyNamaster.from_array(np.asarray(img), opening_angle=FOV)
+    _, c1 = sn.compute_cl(mask=m1, nbins=6)
+    _, c2 = sn.compute_cl(mask=m2, nbins=6)
+    assert not np.allclose(np.asarray(c1), np.asarray(c2))
+    # reference: fresh objects, no cache in play
+    _, c2_ref = SkyNamaster.from_array(np.asarray(img),
+                                       opening_angle=FOV).compute_cl(
+        mask=m2, nbins=6)
+    npt.assert_allclose(np.asarray(c2), np.asarray(c2_ref), rtol=1e-5)
+    # stored-mask path: set_mask must invalidate the workspace
+    sn.set_mask(m1)
+    _, s1 = sn.compute_cl(nbins=6)
+    sn.set_mask(m2)
+    _, s2 = sn.compute_cl(nbins=6)
+    npt.assert_allclose(np.asarray(s2), np.asarray(c2_ref), rtol=1e-5)
+    assert not np.allclose(np.asarray(s1), np.asarray(s2))
+
+
 def test_fullsky_coupling_identity():
     from astrild_tpu.ops import sht
     from astrild_tpu.utils import healpix as hpx

@@ -94,6 +94,43 @@ def test_loader_output_feeds_distributed_power(snapshot4):
                         rtol=5e-3, atol=1e-3 * BOX ** 3 / n_tot)
 
 
+def test_more_hosts_than_files(snapshot4):
+    """Ranks owning no files must contribute EMPTY zero-weighted stripes,
+    not crash (8 emulated hosts, 4 files)."""
+    directory, n_tot = snapshot4
+    mesh = make_mesh(n_sim=2, n_x=2, n_y=2)
+    data, w = multihost.load_snapshot_sharded(
+        12, directory, mesh, blocks=("Coordinates",), emulate_hosts=8)
+    w = np.asarray(w)
+    assert w.sum() == n_tot
+    valid = w > 0
+    got = np.stack([np.asarray(data[f"Coordinates:{i}"])[valid]
+                    for i in range(3)], axis=-1)
+    want = GadgetSnapshot(12, directory).read(["Coordinates"],
+                                              parttype=[1])["Coordinates"]
+    npt.assert_allclose(got[np.lexsort(got.T)], want[np.lexsort(want.T)],
+                        rtol=1e-6)
+
+
+def test_component_tuple_feeds_fast_power(snapshot4):
+    """The loader's flat component buffers feed the distributed fast
+    P(k) directly — no (N, 3) stack (the minor-dim padding trap)."""
+    from astrild_tpu.parallel.power import make_distributed_auto_power_fast
+
+    directory, n_tot = snapshot4
+    mesh = make_mesh(n_sim=2, n_x=2, n_y=2)
+    data, w = multihost.load_snapshot_sharded(
+        12, directory, mesh, blocks=("Coordinates",), emulate_hosts=4)
+    comps = tuple(data[f"Coordinates:{i}"].astype(jnp.float32)
+                  for i in range(3))
+    fn = make_distributed_auto_power_fast(mesh, 16, BOX, 6)
+    got = fn(comps, w)
+    pos = jnp.stack(comps, axis=-1)
+    want = fn(pos, w)
+    npt.assert_allclose(np.asarray(got.power), np.asarray(want.power),
+                        rtol=1e-5)
+
+
 def test_pad_to_shard_contract():
     a = np.arange(10, dtype=np.float32)
     (pa,), w = multihost.pad_to_shard([a], nshards=4)
