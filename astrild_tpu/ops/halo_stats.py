@@ -55,7 +55,9 @@ def binned_mean(x, values, edges, nbins: int, valid=None):
     if valid is None:
         valid = jnp.ones_like(x, dtype=bool)
     binidx = jnp.clip(jnp.searchsorted(edges, x, side="right") - 1, 0, nbins - 1)
-    inside = valid & (x >= edges[0]) & (x < edges[-1])
+    # scipy includes the RIGHT edge in the last bin (x == edges[-1]
+    # searchsorts past the end and clips back to nbins-1 above)
+    inside = valid & (x >= edges[0]) & (x <= edges[-1])
     w = inside.astype(jnp.float32)
     num = jax.ops.segment_sum(w * values, binidx, num_segments=nbins)
     den = jax.ops.segment_sum(w, binidx, num_segments=nbins)

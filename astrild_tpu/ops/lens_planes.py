@@ -19,6 +19,13 @@ distance.
 Static shapes throughout: each plane paints the FULL particle set with an
 in-slab weight (a mask, not a gather), so the builder jit-compiles once
 and scans over planes.
+
+Performance: the per-plane CIC uses the XLA at[].add scatter (which TPU
+lowers to sort + serialized reduce — the measured wall the 3D painters
+replaced with the sorted Pallas deposit). Fine for the snapshot->
+lightcone convenience path at <~10M particles; at the 134M north-star
+scale route through ops/paint's deposit machinery (a (plane, row, col)
+key fits the same sorted-deposit kernel) before making this a hot loop.
 """
 from __future__ import annotations
 
@@ -27,7 +34,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["density_planes_from_particles"]
+__all__ = ["density_planes_from_particles",
+           "density_planes_from_particles_nrep"]
 
 
 def _min_image(d, boxsize):
@@ -74,8 +82,29 @@ def density_planes_from_particles(pos, boxsize, chi0, dchi, nplanes: int,
         half_need = float(fov) * chi_far / 2.0
         n_rep = max(0, int(-(-(half_need - float(boxsize) / 2.0)
                              // float(boxsize))))
-    except TypeError:  # traced geometry (called inside another jit)
-        n_rep = 0
+    except TypeError:
+        # traced geometry (called inside another jit): the replica count
+        # cannot be derived from tracers. Refusing beats SILENTLY
+        # reinstating the wide-cone empty-outer-pixel bug — callers with
+        # traced fov/chi pass n_rep explicitly via
+        # density_planes_from_particles_nrep.
+        raise ValueError(
+            "density_planes_from_particles: fov/chi/boxsize are traced, "
+            "so the transverse replica count cannot be derived. Call "
+            "density_planes_from_particles_nrep(..., n_rep=k) with k = "
+            "ceil((fov*chi_far/2 - boxsize/2)/boxsize) computed from "
+            "your concrete geometry (0 when fov*chi_far <= boxsize).")
+    return _density_planes_impl(pos, boxsize, chi0, dchi, nplanes, fov,
+                                npix, los, observer_xy, n_rep)
+
+
+def density_planes_from_particles_nrep(pos, boxsize, chi0, dchi,
+                                       nplanes: int, fov, npix: int,
+                                       los: int = 2, observer_xy=None,
+                                       n_rep: int = 0):
+    """Jit-friendly variant with an explicit transverse replica count
+    (for callers whose geometry is traced; see
+    density_planes_from_particles for the derivation of n_rep)."""
     return _density_planes_impl(pos, boxsize, chi0, dchi, nplanes, fov,
                                 npix, los, observer_xy, n_rep)
 

@@ -40,12 +40,17 @@ def _pad_blocks(arr, block):
 
 def _pairwise_accumulate_tiles(pos_i, vel_i, hat_i, pos_j, vel_j, hat_j,
                                ia0, jb0, nbins: int, binwidth,
-                               block: int = 256):
+                               block: int = 256, n_valid_global=None):
     """Yasini accumulation over all pairs between two chunks.
 
     ia0/jb0 are the GLOBAL index offsets of the chunks; a pair counts only
     when its global i < global j (so ring-rotation schedules count each
     unordered pair exactly once). Used by parallel/pairwise.py.
+
+    n_valid_global: number of REAL rows in the global concatenated
+    catalog; rows with global index >= n_valid_global are padding and
+    must not form pairs (padded zero rows otherwise land real nom/den
+    in the |p_i| bin).
     """
     ni = pos_i.shape[0]
     nj = pos_j.shape[0]
@@ -76,6 +81,9 @@ def _pairwise_accumulate_tiles(pos_i, vel_i, hat_i, pos_j, vel_j, hat_j,
         nom_ij = jnp.einsum("abk,abk->ab", vij, q)
         den_ij = jnp.einsum("abk,abk->ab", q, q)
         mask = (ia[:, None] < jb[None, :])
+        if n_valid_global is not None:
+            mask = (mask & (ia[:, None] < n_valid_global)
+                    & (jb[None, :] < n_valid_global))
         binidx = jnp.clip((rnorm / binwidth).astype(jnp.int32), 0, nbins)
         w = mask.astype(jnp.float32).reshape(-1)
         bflat = jnp.where(mask, binidx, nbins).reshape(-1)
@@ -163,9 +171,14 @@ def mean_pairwise_velocity(pos_cart, vel_cart, bins, n_valid=None,
     binnr = int(bins.shape[0])
     binwidth = float(bins[1] - bins[0])
     n = pos_cart.shape[0] if n_valid is None else n_valid
-    use_pallas = (backend == "pallas"
-                  or (backend == "auto"
-                      and jax.default_backend() == "tpu"))
+    if backend == "auto" and jax.default_backend() == "tpu":
+        # probe-gated (repo rule): a Mosaic lowering regression must
+        # degrade to the XLA tile scan, not crash the pipeline
+        from .pallas_pairwise import pallas_pairwise_available
+
+        use_pallas = pallas_pairwise_available()
+    else:
+        use_pallas = backend == "pallas"
     if use_pallas:
         from .pallas_pairwise import pairwise_accumulate_pallas
 
@@ -219,7 +232,10 @@ def pairwise_velocity_pdf(pos, vel, dist_bin: int, vel_bin: int,
             v12 = jnp.einsum("abk,abk->ab", dv, rij) / jnp.maximum(dist,
                                                                    1e-12)
         db = dist.astype(jnp.int32)
-        vb = (v12 + offset).astype(jnp.int32)
+        # floor, not trunc-toward-zero: v12+offset in (-1, 0) must REJECT
+        # (the Cython reference tests the float before casting); a plain
+        # int cast folds that range into velocity bin 0
+        vb = jnp.floor(v12 + offset).astype(jnp.int32)
         ok = ((ia[:, None] < jb[None, :])
               & (ia[:, None] < n_valid) & (jb[None, :] < n_valid)
               & (db < dist_bin) & (vb >= 0) & (vb < vel_bin))

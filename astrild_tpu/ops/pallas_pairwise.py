@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pairwise_accumulate_pallas"]
+__all__ = ["pairwise_accumulate_pallas", "pallas_pairwise_available"]
 
 _NBINS_PAD = 128  # one lane row of output per quantity
 
@@ -143,3 +143,25 @@ def pairwise_accumulate_pallas(pos, vel, n_valid, binwidth, nbins: int,
       jnp.full((1,), binwidth, jnp.float32),
       posp, velp, hatp, posp, velp, hatp)
     return out[0, :nbins], out[1, :nbins]
+
+
+@functools.cache
+def pallas_pairwise_available() -> bool:
+    """Probe-compile the pairwise kernel (repo rule: every auto-selected
+    Pallas path must consult a gate so a Mosaic lowering regression —
+    libtpu updates move the supported-op set — degrades to the XLA tile
+    scan instead of crashing pipelines; see paint_pallas for the
+    trace-state caveats the probe runner handles)."""
+    from .paint_pallas import _probe_outside_trace
+
+    def body():
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        pos = jnp.asarray(rng.uniform(100.0, 200.0, (128, 3)), jnp.float32)
+        vel = jnp.asarray(rng.normal(0, 100.0, (128, 3)), jnp.float32)
+        nom, den = pairwise_accumulate_pallas(pos, vel, 128, 20.0, 8)
+        jax.block_until_ready(den)
+        return bool(jnp.sum(den) > 0)
+
+    return _probe_outside_trace(body)

@@ -28,6 +28,8 @@ def to_redshift_space(pos, vel, boxsize, los: int = 2):
     Mirrors the reference (tpcf.py:73-94): velocity in km/s divided by
     100 km/s/(Mpc/h) (aH at z=0 in h-units), periodic wrap.
     """
+    pos = jnp.asarray(pos)  # host catalogs arrive as numpy
+    vel = jnp.asarray(vel)
     shift = vel[:, los] / 100.0
     pos_s = pos.at[:, los].add(shift)
     return pos_s % boxsize
@@ -91,7 +93,20 @@ def tpcf_s_mu(pos, boxsize, s_edges, nmu: int = 20, los: int = 2,
     xi = DD/RR - 1, RR(s-bin, mu-bin) = Npairs * V_shell * dmu / V_box
     (exact for a periodic box; replaces halotools s_mu_tpcf Landy-Szalay,
     reference tpcf.py:96-105).
+
+    Valid for s_edges[-1] <= boxsize/2: beyond the half-box the
+    minimum-image shell is clipped by the cube and the spherical-shell
+    RR over-counts (anisotropically), silently biasing xi negative.
     """
+    import numpy as np
+
+    smax_edge = float(np.asarray(s_edges)[-1])
+    if smax_edge > float(boxsize) / 2.0 + 1e-9:
+        raise ValueError(
+            f"tpcf: s_edges[-1]={smax_edge} exceeds boxsize/2="
+            f"{float(boxsize) / 2.0}; the analytic periodic RR is only "
+            "exact up to the half-box (min-image shells are cube-clipped "
+            "beyond it)")
     ns = int(s_edges.shape[0]) - 1
     n = pos.shape[0] if n_valid is None else n_valid
     dd = pair_counts_s_mu(pos, boxsize, s_edges, ns, nmu=nmu, los=los,

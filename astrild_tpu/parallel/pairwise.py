@@ -21,12 +21,15 @@ __all__ = ["make_distributed_pairwise"]
 
 
 def make_distributed_pairwise(mesh: Mesh, nbins: int, binwidth: float,
-                              axis: str = "sim", block: int = 256):
+                              axis: str = "sim", block: int = 256,
+                              n_valid: int | None = None):
     """Build fn(pos, vel, hat) -> (nom, den) over all global pairs.
 
     pos/vel sharded P((axis,), None) on the leading dimension (equal chunk
     sizes). The Yasini q_ij needs position unit vectors; they derive from
-    pos inside.
+    pos inside. If the global catalog was zero-padded to equal shards,
+    pass n_valid (real row count): padded rows are excluded from pairing
+    (a zero row otherwise pairs at separation |p_i| and biases v12).
     """
     nshards = mesh.shape[axis]
 
@@ -45,7 +48,7 @@ def make_distributed_pairwise(mesh: Mesh, nbins: int, binwidth: float,
             jb0 = vowner * nloc
             dn, dd = _pairwise_accumulate_tiles(
                 pos, vel, hat, vpos, vvel, vhat, ia0, jb0, nbins, binwidth,
-                block)
+                block, n_valid_global=n_valid)
             nom = nom + dn
             den = den + dd
             perm = [(i, (i + 1) % nshards) for i in range(nshards)]
