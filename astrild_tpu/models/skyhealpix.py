@@ -218,16 +218,28 @@ class SkyHealpix:
                          of: str = "orig", niter: int = 3):
         """Full-sky spherical Kaiser-Squires forward: store 'gamma1'/
         'gamma2' layers from a convergence layer via spin-2 synthesis of
-        E_lm = sqrt((l+2)(l-1)/(l(l+1))) kappa_lm (ops/sht_spin.py — the
-        channel healpy provides as alm2map_spin and the reference never
-        exposed)."""
-        from ..ops import sht, sht_spin
+        E_lm = sqrt((l+2)(l-1)/(l(l+1))) kappa_lm (the channel healpy
+        provides as alm2map_spin and the reference never exposed).
+        Tables below _TABLE_LMAX_LIMIT (ops/sht_spin.py); the scan path
+        (ops/sht_spin_large.py) above — production nside 1024+."""
+        from ..ops import sht, sht_large, sht_spin, sht_spin_large
 
         L = lmax if lmax is not None else min(2 * self.nside, 512)
-        k_re, k_im = sht.analyze(self.data[of], self.nside, L, niter=niter)
+        if L <= _TABLE_LMAX_LIMIT:
+            k_re, k_im = sht.analyze(self.data[of], self.nside, L,
+                                     niter=niter)
+        else:
+            k_re, k_im = sht_large.analyze_large(self.data[of],
+                                                 self.nside, L,
+                                                 niter=niter)
         e_re, e_im = sht_spin.kappa_alm_to_shear_alm(k_re, k_im)
         z = np.zeros_like(np.asarray(e_re))
-        g1, g2 = sht_spin.synthesize_spin2(e_re, e_im, z, z, self.nside, L)
+        if L <= _TABLE_LMAX_LIMIT:
+            g1, g2 = sht_spin.synthesize_spin2(e_re, e_im, z, z,
+                                               self.nside, L)
+        else:
+            g1, g2 = sht_spin_large.synthesize_spin2_large(
+                e_re, e_im, z, z, self.nside, L)
         self.data["gamma1"] = np.asarray(g1)
         self.data["gamma2"] = np.asarray(g2)
         return self.data["gamma1"], self.data["gamma2"]
@@ -238,10 +250,12 @@ class SkyHealpix:
         """(Cl_EE, Cl_BB, Cl_EB) of stored shear layers via spin-2
         analysis — the full-sky counterpart of ops.angular_power.
         cl_shear_eb (B is the post-Born/systematics null channel)."""
-        from ..ops import sht_spin
+        from ..ops import sht_spin, sht_spin_large
 
         L = lmax if lmax is not None else min(2 * self.nside, 512)
-        return tuple(np.asarray(c) for c in sht_spin.anafast_spin2(
+        fn = (sht_spin.anafast_spin2 if L <= _TABLE_LMAX_LIMIT
+              else sht_spin_large.anafast_spin2_large)
+        return tuple(np.asarray(c) for c in fn(
             self.data[g1], self.data[g2], L, niter=niter))
 
     def sum_of_maps(self, map1: str, map2: str) -> None:
