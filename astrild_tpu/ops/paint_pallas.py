@@ -31,12 +31,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["deposit_sorted", "deposit_flat", "paint_windowed",
-           "pallas_deposit_available", "pallas_paint_available",
+__all__ = ["deposit_sorted", "deposit_flat", "deposit_flat_segmented",
+           "paint_windowed", "pallas_deposit_available",
+           "pallas_seg_deposit_available", "pallas_paint_available",
            "DEFAULT_WINDOW"]
 
-DEFAULT_WINDOW = 8192   # cells per output window (must be multiple of 128)
-_CHUNK_ROWS = 16        # particle rows (of 128) DMA'd per inner step
+DEFAULT_WINDOW = 16384  # cells per output window (must be multiple of 128)
+_CHUNK_ROWS = 64        # particle rows (of 128) DMA'd per inner step
 
 
 from ..utils.jax_compat import pcast_varying as _pvary  # shared shim
@@ -56,6 +57,52 @@ def _dot_f32_split(hf, lmat_bf16):
                                 preferred_element_type=jnp.float32)
             + jax.lax.dot_general(hl, lmat_bf16, dn,
                                   preferred_element_type=jnp.float32))
+
+
+def _chunk_contribution(kchunk, vchunk, base, *, rows: int, window: int,
+                        p1: int, counts_only: bool):
+    """One chunk's (rows, 128) deposit contribution via one-hot matmuls.
+
+    Two one-hot factors contracted over the particle axis:
+    H[p,r] = w_p * [row_p==r]; L[p,l] = [lane_p==l]  ->  (rows, 128).
+    The expensive Mosaic op here is the minor-dim insertion
+    ([:, :, None]): it spreads lane-resident values one-per-vector-
+    row (a sublane relayout, measured ~0.55 cycles/element — 77 ms
+    per insertion over 134M keys). So insert the masked relative
+    cell ONCE and derive row/lane by div/mod on the spread form;
+    the iota compares along the fresh minor axis are cheap
+    broadcasts (measured: 203 -> 144 ms at bench scale).
+    Mosaic only lowers minor-dim insertion for 32-bit types, so the
+    insertions stay on int32/float32; bf16 appears only after the
+    3D compare. The in-window mask is folded into the spread value
+    (window -> row == rows, which never matches the iota).
+    """
+    rel = kchunk - base
+    inw = (rel >= 0) & (rel < window)
+    relm = jnp.where(inw, rel, window)
+    rel3 = relm[:, :, None]
+    row3 = rel3 // 128
+    lane3 = rel3 - row3 * 128   # masked rows: lane 0, but h row is 0
+    lmat = (lane3 == jax.lax.broadcasted_iota(
+        jnp.int32, (p1, 128, 128), 2)).astype(jnp.bfloat16
+                                              ).reshape(p1 * 128, 128)
+    if counts_only:
+        # pure 0/1 factors: a single bf16 MXU pass is EXACT
+        h = (row3 == jax.lax.broadcasted_iota(
+            jnp.int32, (p1, 128, rows), 2)).astype(jnp.bfloat16
+                                                   ).reshape(
+                                                       p1 * 128, rows)
+        return jax.lax.dot_general(
+            h, lmat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    # weighted: TPU truncates f32 matmul inputs to bf16 at DEFAULT
+    # precision (1e-3 relative error on weights). Split the weighted
+    # one-hot into hi+lo bf16 parts — two MXU passes recover full
+    # f32-input accuracy at bf16 speed.
+    hf = ((row3 == jax.lax.broadcasted_iota(
+        jnp.int32, (p1, 128, rows), 2)).astype(jnp.float32)
+        * vchunk[:, :, None]).reshape(p1 * 128, rows)
+    return _dot_f32_split(hf, lmat)
 
 
 def _kernel(srow_ref, nch_ref, keys_hbm, vals_hbm, out_ref, kbuf, vbuf,
@@ -95,42 +142,9 @@ def _kernel(srow_ref, nch_ref, keys_hbm, vals_hbm, out_ref, kbuf, vbuf,
         dma_k(k, slot).wait()
         if not counts_only:
             dma_v(k, slot).wait()
-        rel = kbuf[slot] - base
-        inw = (rel >= 0) & (rel < window)
-        relc = jnp.clip(rel, 0, window - 1)
-        row = relc // 128
-        lane = relc - row * 128
-        # two one-hot factors contracted over the particle axis:
-        # H[p,r] = w_p * [row_p==r]; L[p,l] = [lane_p==l]  ->  (rows, 128).
-        # Built 3D (lane dim last) then collapsed -- the reshape merges
-        # leading dims only, so Mosaic keeps the layout. For counts the
-        # factors are pure 0/1 -> bf16 is EXACT and runs the MXU at full
-        # rate (f32 accumulation via preferred_element_type).
-        # Mosaic only lowers minor-dim insertion ([:, :, None]) for 32-bit
-        # types, so every insertion below is on int32/float32; bf16 appears
-        # only AFTER the 3D compare. The in-window mask is folded into the
-        # row id (-1 never matches the iota), not multiplied in.
-        rowm = jnp.where(inw, row, -1)
-        lmat = (lane[:, :, None] == jax.lax.broadcasted_iota(
-            jnp.int32, (p1, 128, 128), 2)).astype(jnp.bfloat16
-                                                  ).reshape(p1 * 128, 128)
-        if counts_only:
-            # pure 0/1 factors: a single bf16 MXU pass is EXACT
-            h = (rowm[:, :, None] == jax.lax.broadcasted_iota(
-                jnp.int32, (p1, 128, rows), 2)).astype(jnp.bfloat16
-                                                       ).reshape(
-                                                           p1 * 128, rows)
-            return acc + jax.lax.dot_general(
-                h, lmat, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        # weighted: TPU truncates f32 matmul inputs to bf16 at DEFAULT
-        # precision (1e-3 relative error on weights). Split the weighted
-        # one-hot into hi+lo bf16 parts — two MXU passes recover full
-        # f32-input accuracy at bf16 speed.
-        hf = ((rowm[:, :, None] == jax.lax.broadcasted_iota(
-            jnp.int32, (p1, 128, rows), 2)).astype(jnp.float32)
-            * vbuf[slot][:, :, None]).reshape(p1 * 128, rows)
-        return acc + _dot_f32_split(hf, lmat)
+        return acc + _chunk_contribution(
+            kbuf[slot], None if counts_only else vbuf[slot], base,
+            rows=rows, window=window, p1=p1, counts_only=counts_only)
 
     acc = jax.lax.fori_loop(0, nch, body,
                             jnp.zeros((rows, 128), jnp.float32))
@@ -230,6 +244,201 @@ def deposit_sorted(keys_sorted, vals_sorted, n_cells: int,
 
 
 # --------------------------------------------------------------------------
+# Segment-sorted deposit: kill the monolithic-sort wall.
+#
+# lax.sort of 134M keys costs 437 ms on the chip while sorting the SAME
+# keys as 64 independent segments costs 296 ms (batched bitonic depth
+# shrinks with log^2 of the run length). A fully sorted order is not
+# actually required by the deposit: the kernel only needs, per output
+# window, DMA ranges that COVER the window's particles, with everything
+# else discarded by the in-window value mask. With keys sorted within S
+# equal segments, window w's particles are S contiguous ranges (one per
+# segment), so the kernel grids over (window, segment) with segment
+# innermost — the output block stays resident in VMEM across all S
+# passes and is written to HBM once.
+#
+# Chunked DMA bounds never cross a segment: rows-per-segment is padded to
+# a multiple of the chunk size and the start row is aligned DOWN to a
+# chunk boundary inside the segment; the extra head/tail rows hold
+# same-segment keys that sort strictly before/after the window and are
+# value-masked. This costs ~p1 extra rows per (w, s) range — the kernel
+# is VPU-bound (the 537 MB of key traffic is ~1 ms of HBM bandwidth vs a
+# ~150 ms kernel), so the fragmented DMA pattern that killed the old
+# design (round-3 notes) is irrelevant at p1-row granularity.
+
+
+def _kernel_seg(srow_ref, nch_ref, keys_hbm, vals_hbm, out_ref, kbuf, vbuf,
+                sem_k, sem_v, *, rows: int, window: int, p1: int,
+                counts_only: bool, nw: int):
+    j = pl.program_id(0)
+    s = pl.program_id(1)
+    base = j * window
+    oj = s * nw + j
+    nch = nch_ref[oj]
+
+    @pl.when(s == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    def dma_k(k, slot):
+        return pltpu.make_async_copy(
+            keys_hbm.at[pl.ds(srow_ref[oj] + k * p1, p1), :],
+            kbuf.at[slot], sem_k.at[slot])
+
+    def dma_v(k, slot):
+        return pltpu.make_async_copy(
+            vals_hbm.at[pl.ds(srow_ref[oj] + k * p1, p1), :],
+            vbuf.at[slot], sem_v.at[slot])
+
+    @pl.when(nch > 0)
+    def _():
+        dma_k(0, 0).start()
+        if not counts_only:
+            dma_v(0, 0).start()
+
+    def body(k, acc):
+        slot = k % 2
+        nxt = (k + 1) % 2
+
+        @pl.when(k + 1 < nch)
+        def _():
+            dma_k(k + 1, nxt).start()
+            if not counts_only:
+                dma_v(k + 1, nxt).start()
+
+        dma_k(k, slot).wait()
+        if not counts_only:
+            dma_v(k, slot).wait()
+        return acc + _chunk_contribution(
+            kbuf[slot], None if counts_only else vbuf[slot], base,
+            rows=rows, window=window, p1=p1, counts_only=counts_only)
+
+    acc = jax.lax.fori_loop(0, nch, body,
+                            jnp.zeros((rows, 128), jnp.float32))
+    out_ref[:, :] += acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_cells", "n_seg", "window",
+                                    "interpret", "chunk_rows"))
+def deposit_flat_segmented(flat_idx, weights, n_cells: int,
+                           n_seg: int = 64,
+                           window: int = DEFAULT_WINDOW,
+                           interpret: bool | None = None,
+                           chunk_rows: int = 8):
+    """Segment-sort + (window, segment) Pallas deposit.
+
+    Drop-in for `zeros(n_cells).at[flat_idx].add(w)` like deposit_flat,
+    but sorts keys only within n_seg equal segments (~1.5x cheaper than
+    the monolithic sort at 134M keys) and makes S passes per output
+    window. Exact for arbitrary input order.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert n_cells % window == 0 and window % 128 == 0
+    rows = window // 128
+    p1 = chunk_rows
+    nw = n_cells // window
+    counts_only = weights is None
+
+    flat_idx = flat_idx.reshape(-1).astype(jnp.int32)
+    n = flat_idx.shape[0]
+    # rows-per-segment padded to whole chunks so chunk DMAs stay inside
+    # the segment; sentinel n_cells sorts to each segment's tail and
+    # never lands in a window
+    seg_len = -(-n // n_seg)
+    seg_len = -(-seg_len // (128 * p1)) * (128 * p1)
+    rps = seg_len // 128
+    pad = n_seg * seg_len - n
+    keys = jnp.pad(flat_idx, (0, pad), constant_values=n_cells
+                   ).reshape(n_seg, seg_len)
+    if counts_only:
+        keys_s = jax.lax.sort(keys, dimension=1)
+        vals2d = jnp.zeros((1, 128), jnp.float32)  # placeholder operand
+        try:
+            kvma = tuple(jax.typeof(keys_s).vma)
+            if kvma:
+                vals2d = _pvary(vals2d, kvma)
+        except Exception:
+            pass
+    else:
+        vals = jnp.pad(weights.reshape(-1).astype(jnp.float32), (0, pad)
+                       ).reshape(n_seg, seg_len)
+        keys_s, vals_s = jax.lax.sort((keys, vals), dimension=1,
+                                      num_keys=1)
+        vals2d = vals_s.reshape(n_seg * rps, 128)
+    keys2d = keys_s.reshape(n_seg * rps, 128)
+
+    # per-(segment, window) ranges within the segment, start row aligned
+    # DOWN to a chunk boundary (head/tail spill is value-masked)
+    edges = jnp.arange(nw + 1, dtype=jnp.int32) * window
+    bounds = jax.vmap(
+        lambda ks: jnp.searchsorted(ks, edges).astype(jnp.int32))(keys_s)
+    lo = bounds[:, :-1]
+    hi = bounds[:, 1:]
+    srow_rel = (lo // 128) // p1 * p1
+    erow_rel = -(-hi // 128)
+    nch = -(-jnp.maximum(erow_rel - srow_rel, 0) // p1)
+    seg_row0 = (jnp.arange(n_seg, dtype=jnp.int32) * rps)[:, None]
+    srow = (seg_row0 + srow_rel).reshape(-1)
+    nch = nch.reshape(-1)
+
+    kern = functools.partial(_kernel_seg, rows=rows, window=window, p1=p1,
+                             counts_only=counts_only, nw=nw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nw, n_seg),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((rows, 128),
+                               lambda j, s, *prefetch: (j, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, p1, 128), jnp.int32),
+            pltpu.VMEM((2, p1, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    try:
+        vma = frozenset(jax.typeof(keys2d).vma)
+        if not counts_only:
+            vma = vma | frozenset(jax.typeof(vals2d).vma)
+    except Exception:
+        vma = frozenset()
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_cells // 128, 128), jnp.float32,
+                                       vma=vma),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(srow, nch, keys2d, vals2d)
+    return out.reshape(-1)
+
+
+@functools.cache
+def pallas_seg_deposit_available() -> bool:
+    """Probe-compile the segmented deposit (see pallas_deposit_available
+    for why auto-selection must consult a clean-trace probe)."""
+    def body():
+        keys = (jnp.arange(512, dtype=jnp.int32) * 7) % 2048
+        out = deposit_flat_segmented(keys, None, 2048, n_seg=4,
+                                     window=1024, chunk_rows=2)
+        jax.block_until_ready(out)
+        ok = int(jnp.sum(out)) == 512
+        wts = jnp.full((512,), 0.5, jnp.float32)
+        outw = deposit_flat_segmented(keys, wts, 2048, n_seg=4,
+                                      window=1024, chunk_rows=2)
+        jax.block_until_ready(outw)
+        return ok and abs(float(jnp.sum(outw)) - 256.0) < 0.1
+
+    return _probe_outside_trace(body)
+
+
+# --------------------------------------------------------------------------
 # Multi-offset windowed painter: CIC/TSC as per-offset passes over ONE
 # sorted particle buffer (completes SURVEY.md hard part "scatter-add
 # painting performance": Pallas deposit + sort-by-cell replaces pmesh TSC,
@@ -300,19 +509,23 @@ def _paint_kernel(off_ref, ax_ref, ay_ref, az_ref, srow_ref, nch_ref,
         dma_f(k, slot).wait()
         rel = kbuf[slot] - base
         inw = (rel >= 0) & (rel < window)
-        relc = jnp.clip(rel, 0, window - 1)
-        row = relc // 128
-        lane = relc - row * 128
         w = (axis_w(fbuf[slot, 0], ax_ref[o])
              * axis_w(fbuf[slot, 1], ay_ref[o])
              * axis_w(fbuf[slot, 2], az_ref[o]))
         if has_w:
             w = w * fbuf[slot, 3]
-        rowm = jnp.where(inw, row, -1)
-        h3 = (rowm[:, :, None] == jax.lax.broadcasted_iota(
+        # ONE int32 minor-dim insertion of the masked cell (see _kernel:
+        # the insertion is the dominant Mosaic cost, so row/lane one-hots
+        # are derived from a single spread value); the weight needs its
+        # own f32 insertion (it is data, not derivable from the cell).
+        relm = jnp.where(inw, rel, window)
+        rel3 = relm[:, :, None]
+        row3 = rel3 // 128
+        lane3 = rel3 - row3 * 128
+        hf = ((row3 == jax.lax.broadcasted_iota(
             jnp.int32, (p1, 128, rows), 2)).astype(jnp.float32)
-        hf = (h3 * w[:, :, None]).reshape(p1 * 128, rows)
-        lmat = (lane[:, :, None] == jax.lax.broadcasted_iota(
+            * w[:, :, None]).reshape(p1 * 128, rows)
+        lmat = (lane3 == jax.lax.broadcasted_iota(
             jnp.int32, (p1, 128, 128), 2)).astype(jnp.bfloat16
                                                   ).reshape(p1 * 128, 128)
         out_ref[:, :] += _dot_f32_split(hf, lmat)

@@ -462,6 +462,18 @@ def _auto_power_fast_impl(pos, boxsize, weights, binning, *, ngrid: int,
         dep = deposit_flat(flat, w32, ff ** 3 * ngrid ** 3,
                            interpret=(None if deposit == "pallas"
                                       else True))
+    elif deposit in ("pallas_seg", "pallas_seg_interpret"):
+        # segment-sorted deposit: ~2x cheaper than the monolithic path
+        # when the input is spatially COHERENT (file-ordered snapshots:
+        # segment sort 77-223 ms vs 437 ms monolithic at 134M keys and
+        # the (window, segment) ranges stay long). For scrambled input
+        # it matches the monolithic path within noise (measured 551 vs
+        # 552 ms) — never auto-selected, callers opt in when they know
+        # their ordering (e.g. Simulation snapshot pipelines).
+        from .paint_pallas import deposit_flat_segmented
+        dep = deposit_flat_segmented(
+            flat, w32, ff ** 3 * ngrid ** 3,
+            interpret=(None if deposit == "pallas_seg" else True))
     else:
         dep = jnp.zeros((ff ** 3 * ngrid ** 3,), jnp.float32)
         dep = dep.at[flat].add(1.0 if w32 is None else w32)
@@ -491,7 +503,16 @@ def _auto_power_fast_impl(pos, boxsize, weights, binning, *, ngrid: int,
     binidx, wf, nm, kmean = binning
     kf = 2.0 * jnp.pi / boxsize
     p = _shell_reduce(pk3d.reshape(-1), binidx, wf, nm)
-    res = PowerResult(kmean * kf, p - boxsize ** 3 / n_part, nm)
+    # discrete-tracer shot noise: V * sum(w^2) / (sum w)^2, which reduces
+    # to V/N for unit weights. (Subtracting V/N for weighted tracers
+    # leaves a (N*sum(w^2)/(sum w)^2 - 1) * V/N residual — measured 14%
+    # of the shot level for w ~ U(0.5, 2) Poisson particles.)
+    if weights is None:
+        shot = boxsize ** 3 / n_part
+    else:
+        shot = boxsize ** 3 * jnp.sum(w32 * w32) \
+            / jnp.where(total == 0, 1.0, total) ** 2
+    res = PowerResult(kmean * kf, p - shot, nm)
     if return_coarse_grid:
         return res, coarse
     return res

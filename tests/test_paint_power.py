@@ -186,6 +186,75 @@ def test_pallas_deposit_flat_correctness(rng):
     npt.assert_array_equal(np.asarray(gotc2), refc.astype(np.float32))
 
 
+def test_fast_power_weighted_shotnoise(rng):
+    """auto_power_fast subtracts V*sum(w^2)/(sum w)^2 — for weighted
+    Poisson tracers the residual must vanish like the unweighted case
+    (subtracting V/N leaves a 12% * shot residual for w ~ U(0.5, 2))."""
+    import astrild_tpu.ops.power as PS
+
+    box = 100.0
+    n = 200000
+    pos = jnp.asarray(rng.uniform(0, box, (n, 3)), jnp.float32)
+    w = jnp.asarray(rng.uniform(0.5, 2.0, n), jnp.float32)
+    res = PS.auto_power_fast(pos, 32, box, nbins=12, weights=w)
+    shot_w = box ** 3 * float(jnp.sum(w * w)) / float(jnp.sum(w)) ** 2
+    resid = np.asarray(res.power)[2:10] / shot_w
+    assert np.abs(np.mean(resid)) < 0.05, resid
+    # matches the distributed convention (parallel/power._weighted_shotnoise)
+    resu = PS.auto_power_fast(pos, 32, box, nbins=12)
+    residu = np.asarray(resu.power)[2:10] / (box ** 3 / n)
+    assert np.abs(np.mean(residu)) < 0.05, residu
+
+
+def test_pallas_deposit_segmented_correctness(rng):
+    """Segment-sorted (window, segment) deposit == bincount exactly for
+    counts, ~f32 for weights — for random, coherent and adversarial
+    (all-one-cell) key orders."""
+    from astrild_tpu.ops.paint_pallas import deposit_flat_segmented
+
+    n_cells = 128 * 256
+    n = 100000
+    orders = {
+        "random": rng.integers(0, n_cells, n),
+        "coherent": np.sort(rng.integers(0, n_cells, n)),
+        "clustered": np.full(n, 7, dtype=np.int64),
+    }
+    for name, keys in orders.items():
+        flat = jnp.asarray(keys, jnp.int32)
+        refc = np.bincount(keys, minlength=n_cells).astype(np.float32)
+        gotc = deposit_flat_segmented(flat, None, n_cells, n_seg=8,
+                                      window=4096, chunk_rows=4)
+        npt.assert_array_equal(np.asarray(gotc), refc, err_msg=name)
+        w = jnp.asarray(rng.normal(1, 0.2, n), jnp.float32)
+        ref = np.zeros(n_cells, np.float32)
+        np.add.at(ref, keys, np.asarray(w))
+        got = deposit_flat_segmented(flat, w, n_cells, n_seg=8,
+                                     window=4096, chunk_rows=4)
+        npt.assert_allclose(np.asarray(got), ref,
+                            atol=2e-5 * np.abs(ref).max(), err_msg=name)
+
+
+def test_pallas_seg_deposit_in_auto_power(rng):
+    """deposit='pallas_seg' gives the same P(k) as the scatter path."""
+    import astrild_tpu.ops.power as PS
+
+    box = 100.0
+    pos = jnp.asarray(rng.uniform(0, box, (30000, 3)), jnp.float32)
+    a = PS.auto_power_fast(pos, 16, box, nbins=6, deposit="scatter")
+    b = PS.auto_power_fast(pos, 16, box, nbins=6,
+                           deposit="pallas_seg_interpret")
+    npt.assert_allclose(np.asarray(b.power), np.asarray(a.power),
+                        rtol=1e-5)
+
+
+def test_pallas_seg_deposit_probe():
+    from astrild_tpu.ops.paint_pallas import pallas_seg_deposit_available
+
+    assert pallas_seg_deposit_available() in (True, False)
+    assert (pallas_seg_deposit_available()
+            is pallas_seg_deposit_available())
+
+
 def test_pallas_paint_windowed_matches_scatter(rng):
     from astrild_tpu.ops import paint as P
     from astrild_tpu.ops.paint_pallas import paint_windowed
