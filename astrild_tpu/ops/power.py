@@ -484,13 +484,19 @@ def _auto_power_fast_impl(pos, boxsize, weights, binning, *, ngrid: int,
     mz = (jnp.fft.rfftfreq(ngrid) * ngrid).astype(jnp.float32)
     F = jnp.zeros((ngrid, ngrid, ngrid // 2 + 1), jnp.complex64)
     coarse = jnp.sum(dep, axis=0) if return_coarse_grid else None
+    # the fold phase exp(-2pi i (m_x s_x + m_y s_y + m_z s_z)/nf) is
+    # separable: three 1-D phase vectors replace a full-grid complex exp
+    # per subgrid (8 transcendental passes over the half-spectrum -> 24
+    # exps of length ngrid)
+    def ph1(m, sc):
+        return jnp.exp((-2.0j * jnp.pi / nf) * (m * sc))
+
     for s in itertools.product(range(ff), repeat=3):
         sid = (s[0] * ff + s[1]) * ff + s[2]
         spec = jnp.fft.rfftn(dep[sid])
-        ph = (-2.0 * jnp.pi / nf) * (mode[:, None, None] * s[0]
-                                     + mode[None, :, None] * s[1]
-                                     + mz[None, None, :] * s[2])
-        F = F + spec * jnp.exp(1j * ph)
+        F = F + spec * (ph1(mode, s[0])[:, None, None]
+                        * ph1(mode, s[1])[None, :, None]
+                        * ph1(mz, s[2])[None, None, :])
     dk = F / jnp.where(total == 0, 1.0, total)  # = FFT(delta)/Nf^3 (+DC)
     # NGP window deconvolution at the fine resolution
     def axis_win(m):

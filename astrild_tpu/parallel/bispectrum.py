@@ -29,6 +29,15 @@ from .power import local_mode_numbers
 __all__ = ["make_distributed_bispectrum", "bispectrum_shard_body"]
 
 
+def _coarse_size(ngrid: int, m_max: float) -> int:
+    """Smallest power-of-two shell-transform grid with no triple aliasing
+    (same rule as ops.bispectrum.bispectrum_3d): n_c > 3*m_max."""
+    n_c = 16
+    while n_c <= 3.0 * float(m_max):
+        n_c *= 2
+    return min(n_c, ngrid)
+
+
 def bispectrum_shard_body(block, *, ngrid: int, boxsize: float,
                           nbins: int, m_min: float, m_max: float):
     """Per-shard bispectrum body (runs under shard_map on a pencil block).
@@ -39,6 +48,10 @@ def bispectrum_shard_body(block, *, ngrid: int, boxsize: float,
     mmax = m_max
     triples = [(a, b, c) for a in range(nbins) for b in range(a, nbins)
                for c in range(b, nbins)]
+    n_c = _coarse_size(ngrid, mmax)
+    if n_c < ngrid:
+        return _bispectrum_body_truncated(block, ngrid, boxsize, nbins,
+                                          m_min, mmax, triples, n_c)
     # body below unchanged from the factory's closure
     return _bispectrum_body(block, ngrid, boxsize, nbins, m_min, mmax,
                             triples)
@@ -64,6 +77,75 @@ def make_distributed_bispectrum(mesh: Mesh, ngrid: int, boxsize: float,
         out_specs=BispectrumResult(P(), P(), P(), P(), P()),
     )
     return jax.jit(fn)
+
+
+def _bispectrum_body_truncated(block, ngrid, boxsize, nbins, m_min, mmax,
+                               triples, n_c):
+    """Band-limited distributed estimator: ONE forward pencil FFT, then
+    the coarse spectrum corner (every mode any shell can select lives at
+    |f| <= m_max < n_c/2) is assembled REPLICATED with a single psum of
+    n_c^3 complex values (16 MB at n_c=128) and the nbins shell inverse
+    transforms run locally at n_c — replacing nbins inverse pencil FFTs
+    (2 all_to_all transposes each) with tiny replicated FFTs. Exactness
+    argument and normalization: ops.bispectrum._bispectrum_core (the
+    truncation is an index relabeling of zero-padded modes; n_c > 3*m_max
+    forbids triple-sum aliasing).
+    """
+    from ..ops.bispectrum import get_bispectrum_tables
+
+    mean = jax.lax.psum(jnp.sum(block), ("x", "y")) / float(ngrid) ** 3
+    delta = block / jnp.where(mean == 0, 1.0, mean) - 1.0
+    dk = pfft3d_local(delta)                    # (n, n/PX, n/PY)
+    fi, fj, fk = local_mode_numbers(ngrid)
+    h = n_c // 2
+    shape = dk.shape
+    fi = jnp.broadcast_to(fi, shape)
+    fj = jnp.broadcast_to(fj, shape)
+    fk = jnp.broadcast_to(fk, shape)
+    sel = ((jnp.abs(fi) < h) & (jnp.abs(fj) < h) & (jnp.abs(fk) < h))
+
+    def cidx1(f):
+        return jnp.mod(f, float(n_c)).astype(jnp.int32)
+
+    cidx = ((cidx1(fi) * n_c + cidx1(fj)) * n_c + cidx1(fk)).reshape(-1)
+    # out-of-corner elements scatter out of bounds and are dropped
+    cidx = jnp.where(sel.reshape(-1), cidx, n_c ** 3)
+    dsel = jnp.where(sel, dk, 0.0).reshape(-1)
+    parts = jnp.zeros((2, n_c ** 3), jnp.float32)
+    parts = parts.at[:, cidx].add(
+        jnp.stack([jnp.real(dsel), jnp.imag(dsel)]), mode="drop")
+    parts = jax.lax.psum(parts, ("x", "y"))
+    coarse = jax.lax.complex(parts[0], parts[1]).reshape(n_c, n_c, n_c)
+
+    edges_sq, den, mmean, ta, tb, tc = get_bispectrum_tables(
+        n_c, nbins, float(m_min), float(mmax))
+    f_c = (jnp.fft.fftfreq(n_c) * n_c).astype(jnp.float32)
+    m2_c = (f_c[:, None, None] ** 2 + f_c[None, :, None] ** 2
+            + f_c[None, None, :] ** 2)
+
+    i_fs = []
+    for b in range(nbins):
+        mask = ((m2_c >= edges_sq[b]) & (m2_c < edges_sq[b + 1])
+                ).astype(jnp.complex64)
+        i_fs.append(jnp.real(jnp.fft.ifftn(mask * coarse)))
+
+    kf = 2.0 * jnp.pi / boxsize
+    k1, k2, k3, bvals, ntris = [], [], [], [], []
+    for t, (a, b, c) in enumerate(triples):
+        num = jnp.sum(i_fs[a] * i_fs[b] * i_fs[c])
+        d = den[t]
+        ntris.append(d * float(n_c) ** 6)
+        bvals.append(jnp.where(
+            d > 1e-10,
+            boxsize ** 6 * num / jnp.maximum(d, 1e-30)
+            / float(ngrid) ** 9,
+            jnp.nan))
+        k1.append(mmean[a] * kf)
+        k2.append(mmean[b] * kf)
+        k3.append(mmean[c] * kf)
+    return BispectrumResult(
+        k1=jnp.stack(k1), k2=jnp.stack(k2), k3=jnp.stack(k3),
+        b=jnp.stack(bvals), ntri=jnp.stack(ntris))
 
 
 def _bispectrum_body(block, ngrid, boxsize, nbins, m_min, mmax, triples):

@@ -176,6 +176,29 @@ def test_distributed_bispectrum_matches_local(mesh22, rng):
     npt.assert_allclose(np.asarray(got.k1), np.asarray(want.k1), rtol=1e-5)
 
 
+def test_distributed_bispectrum_truncated_matches_local(mesh22, rng):
+    """3*m_max < ngrid engages the band-limited path (coarse-corner psum
+    + local shell FFTs instead of per-shell inverse pencil FFTs); it must
+    agree with the local estimator exactly like the full path does."""
+    from astrild_tpu.ops import bispectrum as bs_ops
+    from astrild_tpu.parallel.bispectrum import _coarse_size
+
+    ng2 = 32
+    assert _coarse_size(ng2, 4.0) == 16  # truncation actually engaged
+    grid = jnp.asarray(
+        1.0 + 0.2 * rng.standard_normal((ng2, ng2, ng2)).astype(np.float32))
+    want = bs_ops.bispectrum_3d(grid, BOX, nbins=3, m_min=1.0, m_max=4.0)
+    gs = jax.device_put(grid, NamedSharding(mesh22, P("x", "y", None)))
+    got = make_distributed_bispectrum(mesh22, ng2, BOX, nbins=3, m_min=1.0,
+                                      m_max=4.0)(gs)
+    npt.assert_allclose(np.asarray(got.ntri), np.asarray(want.ntri),
+                        rtol=1e-4, atol=1.0)
+    closed = np.asarray(want.ntri) > 1.0
+    npt.assert_allclose(np.asarray(got.b)[closed],
+                        np.asarray(want.b)[closed], rtol=2e-3, atol=1e-8)
+    npt.assert_allclose(np.asarray(got.k1), np.asarray(want.k1), rtol=1e-5)
+
+
 def test_distributed_sht_matches_local(mesh22, rng):
     from astrild_tpu.ops import sht as sht_ops
     from astrild_tpu.parallel.sht import (make_distributed_sht, pad_map,

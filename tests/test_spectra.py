@@ -157,6 +157,35 @@ def test_bispectrum_fnl_quadratic_field():
     assert np.median(np.abs(bg[ok]) / np.abs(got[ok])) < 0.2
 
 
+def test_bispectrum_band_limit_truncation_exact():
+    """The coarse-grid (n_c) shell transforms are algebraically EXACT:
+    with m_max < n_c/2 and 3*m_max < n_c there is no triple aliasing, so
+    B from the truncated path equals the full-grid path to float32
+    roundoff (not a binning approximation)."""
+    n, box = 128, 300.0
+    pk = lambda k: 5.0 * np.exp(-k / 0.4)
+    g = synth_grf(3, n, pk, box)
+    d = 1.0 + g
+
+    # public path picks n_c=64 for m_max=16 on a 128 grid
+    res_c = BS.bispectrum_3d(d, box, nbins=4, m_min=2.0, m_max=16.0)
+    # full-grid path forced through the same core
+    mean = jnp.mean(d)
+    delta = d / mean - 1.0
+    tables_full = BS.get_bispectrum_tables(n, 4, 2.0, 16.0)
+    res_f = BS._bispectrum_core(delta, box, 4, *tables_full, n_c=None)
+
+    # open triangles have ntri = O(1e-11) host-ifftn roundoff, not 0 —
+    # compare with an absolute floor well below any real count (>= 1e5)
+    npt.assert_allclose(np.asarray(res_c.ntri), np.asarray(res_f.ntri),
+                        rtol=1e-6, atol=1.0)
+    ok = np.asarray(res_f.ntri) > 1.0
+    npt.assert_allclose(np.asarray(res_c.b)[ok], np.asarray(res_f.b)[ok],
+                        rtol=2e-4)
+    npt.assert_allclose(np.asarray(res_c.k1), np.asarray(res_f.k1),
+                        rtol=1e-6)
+
+
 def test_bispectrum_2d_chi2_positive():
     n = 128
     rng = np.random.default_rng(7)
