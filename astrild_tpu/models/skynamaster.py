@@ -140,7 +140,10 @@ class SkyNamaster:
                                            jnp.asarray(mask), lmax,
                                            niter=niter)
         coupling = None
-        key = ("full", lmax)
+        # niter is part of the key: the coupling is built from a mask
+        # pseudo-Cl ESTIMATED at that niter, so reusing it across niter
+        # values would silently decouple with the wrong matrix
+        key = ("full", lmax, niter)
         if mask_is_stored:
             coupling = self._workspace.get(key)
         if coupling is None:

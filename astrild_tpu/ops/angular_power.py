@@ -266,16 +266,15 @@ def flat_sky_coupling_matrix(mask, opening_angle_deg, nbins: int,
     nm = np.asarray(nm, np.float64)
     ind = ((binidx[None, :] == np.arange(nbins)[:, None])
            & (inside[None, :] > 0)).astype(np.float64)     # (nbins, N)
-    # in-band shape weighting (the standard l(l+1) band-power model):
-    # within a band the spectrum is modeled as C(k) = c_b * s_k * N_b /
-    # sum_b(s), s_k = 1/(l(l+1)), so c_b stays the PLAIN band average of
-    # C while steep in-band variation no longer biases the solve.
+    # in-band l(l+1) shape weighting: single home shared with the
+    # full-sky MASTER estimator (raises a clear error when a band holds
+    # no grid modes — the solve would otherwise die in LinAlgError)
+    from .sht import shape_binned_interp
+
     lf = 2.0 * np.pi / (opening_angle_deg * DEG2RAD)
     f = np.fft.fftfreq(n) * n
     lmag = lf * np.sqrt(f[:, None] ** 2 + f[None, :] ** 2).reshape(-1)
-    s = 1.0 / np.maximum(lmag * (lmag + 1.0), 1.0)
-    ssum = ind @ s
-    q = ind * s[None, :] * (nm / np.maximum(ssum, 1e-300))[:, None]
+    q = shape_binned_interp(lmag, ind, nm, what="flat-sky grid modes")
     Wn = (np.abs(np.fft.fft2(w)) ** 2) / npts ** 2   # mode-grid mask power
     q_maps = q.reshape(nbins, n, n)
     conv = np.real(np.fft.ifft2(

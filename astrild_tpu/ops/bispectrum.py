@@ -32,45 +32,26 @@ class BispectrumResult(NamedTuple):
     ntri: jnp.ndarray   # (ntri,) triangle counts (mode-space)
 
 
-def _mode_radius_full(shape):
-    out = 0.0
-    for ax, n in enumerate(shape):
-        f = (jnp.fft.fftfreq(n) * n).astype(jnp.float32)
-        bshape = [1] * len(shape)
-        bshape[ax] = n
-        out = out + f.reshape(bshape) ** 2
-    return jnp.sqrt(out)
-
-
-def _shell_fields(delta, edges_m):
+def _shell_fields(delta, edges_sq):
     """I_i(x), n_i(x) and mean shell radius for every |k|/kf shell
     (used by the 2D estimator; the 3D path precomputes the mask-only
-    transforms — get_bispectrum_tables)."""
-    m = _mode_radius_full(delta.shape)
+    transforms — get_bispectrum_tables). Shell selection runs on the
+    exact integer m2 against host-built squared edges (shell_edges_sq),
+    the same edge discipline as the 3D and distributed estimators."""
+    m2 = _mode_radius_sq_full(delta.shape)
+    m = jnp.sqrt(m2)
     dk = jnp.fft.fftn(delta.astype(jnp.complex64))
 
-    def one(lo, hi):
-        mask = ((m >= lo) & (m < hi)).astype(jnp.complex64)
+    def one(lo2, hi2):
+        mask = ((m2 >= lo2) & (m2 < hi2)).astype(jnp.complex64)
         i_f = jnp.real(jnp.fft.ifftn(mask * dk))
         n_f = jnp.real(jnp.fft.ifftn(mask))
         msum = jnp.sum(jnp.real(mask) * m)
         mcnt = jnp.sum(jnp.real(mask))
         return i_f, n_f, msum / jnp.maximum(mcnt, 1.0)
 
-    i_fs, n_fs, mmean = jax.vmap(one)(edges_m[:-1], edges_m[1:])
+    i_fs, n_fs, mmean = jax.vmap(one)(edges_sq[:-1], edges_sq[1:])
     return i_fs, n_fs, mmean
-
-
-def shell_edges(m_min, m_max, nbins: int):
-    """THE shell-edge construction shared by the local AND distributed
-    bispectrum (host float64 linspace cast to float32, the same
-    arithmetic as ops.power._per_mode_binning — a device jnp.linspace can
-    land edges 1 ulp away and flip whole shells of |k|/kf == edge modes,
-    e.g. linspace(1,7,4)[2])."""
-    import numpy as np
-
-    return np.linspace(float(m_min), float(m_max), nbins + 1,
-                       dtype=np.float32)
 
 
 def shell_edges_sq(m_min, m_max, nbins: int):
@@ -223,7 +204,6 @@ def bispectrum_3d(grid, boxsize, nbins: int = 8, m_min: float = 1.0,
     return _bispectrum_core(delta, boxsize, nbins, *tables, n_c=n_c)
 
 
-@partial(jax.jit, static_argnames=("nbins",))
 def bispectrum_2d_equilateral(img, opening_angle_deg, nbins: int = 16,
                               m_min: float = 1.0, m_max=None):
     """Equilateral bispectrum B(ell) of a flat-sky map.
@@ -232,12 +212,21 @@ def bispectrum_2d_equilateral(img, opening_angle_deg, nbins: int = 16,
     (reference bispectra/bispectrum_2d.py:33-50). Returns (ell, B, ntri).
     """
     n = img.shape[-1]
-    theta = opening_angle_deg * jnp.pi / 180.0
-    lf = 2.0 * jnp.pi / theta
     if m_max is None:
         m_max = n / 2.0 - 1.0
-    edges = jnp.linspace(m_min, m_max, nbins + 1)
-    i_fs, n_fs, mmean = _shell_fields(img - jnp.mean(img), edges)
+    # host-built squared edges + integer-m2 selection: same shell-edge
+    # discipline as the 3D/distributed estimators (a device linspace can
+    # land an edge 1 ulp away and flip edge modes between lowerings)
+    edges_sq = jnp.asarray(shell_edges_sq(m_min, m_max, nbins))
+    return _bispectrum_2d_core(img, opening_angle_deg, edges_sq)
+
+
+@jax.jit
+def _bispectrum_2d_core(img, opening_angle_deg, edges_sq):
+    n = img.shape[-1]
+    theta = opening_angle_deg * jnp.pi / 180.0
+    lf = 2.0 * jnp.pi / theta
+    i_fs, n_fs, mmean = _shell_fields(img - jnp.mean(img), edges_sq)
 
     def one(i_f, n_f):
         num = jnp.sum(i_f ** 3)

@@ -305,6 +305,38 @@ def coupling_matrix_from_mask_cl(mask_cl, lmax: int):
     return core * (2.0 * l2 + 1.0)[None, :] / 2.0
 
 
+def shape_binned_interp(ell_values, member, counts,
+                        what: str = "multipoles") -> np.ndarray:
+    """(nbins, N) in-band l(l+1) shape-model interpolation operator q.
+
+    THE single home of the MASTER band-power shape model, shared by the
+    full-sky (anafast_master) and flat-sky
+    (angular_power.flat_sky_coupling_matrix) estimators: within band b
+    the spectrum is modeled as C = c_b * s * N_b / sum_b(s) with
+    s = 1/(l(l+1)), so the band power c_b stays the PLAIN band average
+    of C while steep in-band variation does not bias the decoupling
+    solve (NaMaster's convention). Host float64 throughout (precision
+    note in coupling_matrix_from_mask_cl).
+
+    ell_values: (N,) per-element multipole values; member: (nbins, N)
+    0/1 band membership; counts: (nbins,) members per band. Raises on
+    an empty band — a singular banded system otherwise surfaces as an
+    opaque LinAlgError from the downstream solve.
+    """
+    member = np.asarray(member, np.float64)
+    counts = np.asarray(counts, np.float64)
+    empty = np.nonzero(counts <= 0)[0]
+    if empty.size:
+        raise ValueError(
+            f"MASTER binning: band(s) {empty.tolist()} contain no "
+            f"{what} — reduce nbins (each of the {counts.shape[0]} "
+            "bands must contain at least one) or widen the range")
+    v = np.asarray(ell_values, np.float64)
+    s = 1.0 / np.maximum(v * (v + 1.0), 1.0)
+    ssum = member @ s
+    return member * s[None, :] * (counts / np.maximum(ssum, 1e-300))[:, None]
+
+
 def _bin_operator(lmax: int, nbins: int, lmin: int = 2) -> np.ndarray:
     """(nbins, lmax+1) flat band-power binning matrix over [lmin, lmax]."""
     edges = np.linspace(lmin, lmax + 1, nbins + 1)
@@ -361,17 +393,13 @@ def anafast_master(hpmap, mask, lmax: int, nbins: int = 16,
     else:
         M = np.asarray(coupling, np.float64)
     B = _bin_operator(lmax, nbins, lmin=lmin)
-    # binned coupling: rows binned with B, columns carrying the standard
-    # l(l+1) in-band shape model — C_l = c_b * s_l * N_b / sum_b(s),
-    # s_l = 1/(l(l+1)) — so c_b is the plain band average of C and steep
-    # in-band variation doesn't bias the solve. Host float64 (precision
-    # note in coupling_matrix_from_mask_cl).
+    # binned coupling: rows binned with B, columns carrying the l(l+1)
+    # in-band shape model (single home: shape_binned_interp; raises a
+    # clear error on empty bands, e.g. nbins > lmax - lmin + 1)
     ells_f = np.arange(lmax + 1, dtype=np.float64)
-    s = 1.0 / np.maximum(ells_f * (ells_f + 1.0), 1.0)
     sel = (B > 0).astype(np.float64)                      # (nbins, lmax+1)
-    nb = sel.sum(1)
-    ssum = sel @ s
-    Q = (sel * s[None, :] * (nb / np.maximum(ssum, 1e-300))[:, None]).T
+    Q = shape_binned_interp(ells_f, sel, sel.sum(1),
+                            what=f"multipoles in [{lmin}, {lmax}]").T
     Mb = B @ M @ Q
     pb = B @ np.asarray(pcl, np.float64)
     cl_hat = np.linalg.solve(Mb, pb)

@@ -56,8 +56,9 @@ class Spin2LargeTables(NamedTuple):
     log2_sh: jnp.ndarray    # (nring,) log2 sin(theta/2)
     seed2_p: jnp.ndarray    # (2, nring) d^2_{+2, m} for m = 0, 1
     seed2_m: jnp.ndarray    # (2, nring) d^2_{-2, m} for m = 0, 1
-    lnc_p: jnp.ndarray      # (lmax+1,) log2 seed amplitude, m1 = +2
-    lnc_m: jnp.ndarray      # (lmax+1,) log2 seed amplitude, m1 = -2
+    lnc: jnp.ndarray        # (lmax+1,) log2 seed amplitude (same for
+                            # m1 = +-2: sqrt((2m)!/((m+2)!(m-2)!)) is
+                            # symmetric in the m1 sign)
 
 
 @lru_cache(maxsize=4)
@@ -81,12 +82,9 @@ def spin2_large_tables(nside: int, lmax: int) -> Spin2LargeTables:
     # seed amplitude log2 for m >= 2: sqrt((2m)!/((m+m1)!(m-m1)!))
     ms = np.arange(lmax + 1)
     ln2 = np.log(2.0)
-    lnc_p = np.array([0.5 * (lgamma(2 * m + 1) - lgamma(m + 3)
-                             - lgamma(m - 1)) / ln2 if m >= 2 else 0.0
-                      for m in ms])
-    lnc_m = np.array([0.5 * (lgamma(2 * m + 1) - lgamma(m - 1)
-                             - lgamma(m + 3)) / ln2 if m >= 2 else 0.0
-                      for m in ms])
+    lnc = np.array([0.5 * (lgamma(2 * m + 1) - lgamma(m + 3)
+                           - lgamma(m - 1)) / ln2 if m >= 2 else 0.0
+                    for m in ms])
     nb = -(-(lmax + 1) // _MBLOCK)
     pad = nb * _MBLOCK - (lmax + 1)
     dev = jax.device_put
@@ -96,8 +94,7 @@ def spin2_large_tables(nside: int, lmax: int) -> Spin2LargeTables:
         dev(jnp.asarray(np.log2(np.maximum(sh, 1e-300)), jnp.float32)),
         dev(jnp.asarray(seed2_p, jnp.float32)),
         dev(jnp.asarray(seed2_m, jnp.float32)),
-        dev(jnp.asarray(np.pad(lnc_p, (0, pad)), jnp.float32)),
-        dev(jnp.asarray(np.pad(lnc_m, (0, pad)), jnp.float32)),
+        dev(jnp.asarray(np.pad(lnc, (0, pad)), jnp.float32)),
     )
 
 
@@ -105,8 +102,7 @@ def _spin_seed_state(m0: int, tab: Spin2LargeTables, m1: int):
     """Scaled d^{l0}_{m1, m} seeds for one m-block: (frac, scale)."""
     B = _MBLOCK
     m = (m0 + jnp.arange(B, dtype=jnp.float32))[:, None]
-    lnc = jax.lax.dynamic_slice_in_dim(
-        tab.lnc_p if m1 > 0 else tab.lnc_m, m0, B)[:, None]
+    lnc = jax.lax.dynamic_slice_in_dim(tab.lnc, m0, B)[:, None]
     # |seed| = C * ch^(m+m1) * sh^(m-m1); sign = (-1)^(m-m1) = (-1)^m
     log2_mag = (lnc + (m + m1) * tab.log2_ch[None, :]
                 + (m - m1) * tab.log2_sh[None, :])

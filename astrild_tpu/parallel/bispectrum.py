@@ -96,24 +96,43 @@ def _bispectrum_body_truncated(block, ngrid, boxsize, nbins, m_min, mmax,
     mean = jax.lax.psum(jnp.sum(block), ("x", "y")) / float(ngrid) ** 3
     delta = block / jnp.where(mean == 0, 1.0, mean) - 1.0
     dk = pfft3d_local(delta)                    # (n, n/PX, n/PY)
-    fi, fj, fk = local_mode_numbers(ngrid)
+    # assemble the corner by GATHER, not scatter: a scatter-add over the
+    # full shard lowers to a sort on TPU (the documented serialization
+    # wall), while a gather costs O(n_c^3) — each shard looks up the
+    # coarse modes it owns and the psum assembles/replicates the corner.
+    # All index arithmetic is device iota (no multi-MB host constants in
+    # the HLO). Pencil layout after pfft3d_local: axis 0 carries the full
+    # kx in fftfreq order (mode f sits at row f mod n), axes 1/2 carry
+    # contiguous fftfreq-order slices of ky/kz (local_mode_numbers).
     h = n_c // 2
-    shape = dk.shape
-    fi = jnp.broadcast_to(fi, shape)
-    fj = jnp.broadcast_to(fj, shape)
-    fk = jnp.broadcast_to(fk, shape)
-    sel = ((jnp.abs(fi) < h) & (jnp.abs(fj) < h) & (jnp.abs(fk) < h))
+    px = jax.lax.axis_size("x")
+    py = jax.lax.axis_size("y")
+    xi = jax.lax.axis_index("x")
+    yi = jax.lax.axis_index("y")
+    nj = ngrid // px
+    nk = ngrid // py
+    c = jnp.arange(n_c ** 3, dtype=jnp.int32)
+    cz = c % n_c
+    cy = (c // n_c) % n_c
+    cx = c // (n_c * n_c)
 
-    def cidx1(f):
-        return jnp.mod(f, float(n_c)).astype(jnp.int32)
+    def signed_and_global(ci):
+        f = ci - n_c * (ci >= h).astype(jnp.int32)
+        return f, jnp.mod(f, ngrid)
 
-    cidx = ((cidx1(fi) * n_c + cidx1(fj)) * n_c + cidx1(fk)).reshape(-1)
-    # out-of-corner elements scatter out of bounds and are dropped
-    cidx = jnp.where(sel.reshape(-1), cidx, n_c ** 3)
-    dsel = jnp.where(sel, dk, 0.0).reshape(-1)
-    parts = jnp.zeros((2, n_c ** 3), jnp.float32)
-    parts = parts.at[:, cidx].add(
-        jnp.stack([jnp.real(dsel), jnp.imag(dsel)]), mode="drop")
+    fx, gx = signed_and_global(cx)
+    fy, gy = signed_and_global(cy)
+    fz, gz = signed_and_global(cz)
+    ly = gy - xi * nj
+    lz = gz - yi * nk
+    # coarse-Nyquist planes (f = -h) hold only modes the shells mask out
+    own = ((jnp.abs(fx) < h) & (jnp.abs(fy) < h) & (jnp.abs(fz) < h)
+           & (ly >= 0) & (ly < nj) & (lz >= 0) & (lz < nk))
+    lidx = (gx * nj + jnp.clip(ly, 0, nj - 1)) * nk \
+        + jnp.clip(lz, 0, nk - 1)
+    vals = jnp.take(dk.reshape(-1), lidx)
+    parts = jnp.stack([jnp.where(own, jnp.real(vals), 0.0),
+                       jnp.where(own, jnp.imag(vals), 0.0)])
     parts = jax.lax.psum(parts, ("x", "y"))
     coarse = jax.lax.complex(parts[0], parts[1]).reshape(n_c, n_c, n_c)
 

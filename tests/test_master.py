@@ -160,6 +160,29 @@ def test_skynamaster_per_call_mask_not_stale(rng):
     assert not np.allclose(np.asarray(s1), np.asarray(s2))
 
 
+def test_master_empty_band_raises_clear_error(rng):
+    """nbins > available multipoles/modes must raise a ValueError naming
+    the empty bands, not die inside np.linalg.solve with an opaque
+    LinAlgError (e.g. SkyNamaster on an nside=8 map: default lmax=16 and
+    default nbins=16 leave bands with no multipoles)."""
+    import pytest
+
+    from astrild_tpu.ops import sht
+    from astrild_tpu.utils import healpix as hpx
+
+    nside = 8
+    m = jnp.asarray(rng.standard_normal(hpx.nside2npix(nside)),
+                    jnp.float32)
+    mask = jnp.ones_like(m)
+    with pytest.raises(ValueError, match="band.*no multipoles"):
+        sht.anafast_master(m, mask, lmax=16, nbins=16, niter=0)
+
+    # flat-sky analogue: more bands than populated annuli on a tiny grid
+    img = jnp.asarray(rng.standard_normal((16, 16)), jnp.float32)
+    with pytest.raises(ValueError, match="band.*no.*modes"):
+        AP.cl_flat_sky_master(img, jnp.ones((16, 16)), 5.0, nbins=20)
+
+
 def test_fullsky_coupling_identity():
     from astrild_tpu.ops import sht
     from astrild_tpu.utils import healpix as hpx
