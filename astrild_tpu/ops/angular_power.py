@@ -42,28 +42,32 @@ def _flat_sky_binning(n: int, opening_angle_deg, nbins: int,
     """
     import numpy as np
 
-    theta = opening_angle_deg * DEG2RAD
-    lf = 2.0 * jnp.pi / theta  # fundamental multipole
     f = jnp.fft.fftfreq(n) * n
     m2 = (f[:, None] ** 2 + f[None, :] ** 2).reshape(-1)  # exact ints
-    lmin = lf if ell_min is None else ell_min
-    lmax = lf * (n / 2.0) if ell_max is None else ell_max
-    # host float64 edges in fundamental units, squared, cast f32
+    # host float64 edges in fundamental units, squared, cast f32. The
+    # geometry MUST be concrete here (every jitted caller marks
+    # opening_angle_deg/ell_min/ell_max static): an earlier traced-
+    # geometry device fallback meant jitted estimators binned with
+    # jnp.linspace f32 edges while the eagerly-built MASTER coupling
+    # matrix used these host edges — a 1-ulp edge difference that can
+    # assign an exact-integer edge mode to different bands in the
+    # pseudo-Cl vector and the matrix that decouples it.
     try:
-        lo = float(lmin) / (2.0 * np.pi / (float(opening_angle_deg)
-                                           * float(DEG2RAD)))
-        hi = float(lmax) / (2.0 * np.pi / (float(opening_angle_deg)
-                                           * float(DEG2RAD)))
-        edges_sq = jnp.asarray(
-            (np.linspace(lo, hi, nbins + 1) ** 2).astype(np.float32))
-        lo2 = jnp.float32(lo * lo)
-        hi2 = jnp.float32(hi * hi)
-    except TypeError:  # traced geometry: device fallback (same formula)
-        lo_t = lmin / lf
-        hi_t = lmax / lf
-        edges_sq = jnp.linspace(lo_t, hi_t, nbins + 1) ** 2
-        lo2 = lo_t * lo_t
-        hi2 = hi_t * hi_t
+        lf_host = 2.0 * np.pi / (float(opening_angle_deg) * float(DEG2RAD))
+        lo = 1.0 if ell_min is None else float(ell_min) / lf_host
+        hi = n / 2.0 if ell_max is None else float(ell_max) / lf_host
+    except TypeError as e:
+        raise TypeError(
+            "_flat_sky_binning needs concrete geometry (opening angle / "
+            "ell bounds); jitted callers must mark them static so the "
+            "edge construction stays host-side and bit-identical with "
+            "the MASTER coupling build") from e
+    edges_sq = jnp.asarray(
+        (np.linspace(lo, hi, nbins + 1) ** 2).astype(np.float32))
+    lo2 = jnp.float32(lo * lo)
+    hi2 = jnp.float32(hi * hi)
+    theta = opening_angle_deg * DEG2RAD
+    lf = 2.0 * jnp.pi / theta  # fundamental multipole (for lsum values)
     binidx = jnp.clip(jnp.searchsorted(edges_sq, m2, side="right") - 1,
                       0, nbins - 1)
     inside = ((m2 >= lo2) & (m2 <= hi2)).astype(jnp.float32)
@@ -73,7 +77,8 @@ def _flat_sky_binning(n: int, opening_angle_deg, nbins: int,
     return binidx, inside, nm, lsum
 
 
-@partial(jax.jit, static_argnames=("nbins",))
+@partial(jax.jit, static_argnames=("nbins", "opening_angle_deg",
+                                   "ell_min", "ell_max"))
 def cl_flat_sky(img, opening_angle_deg, nbins: int = 50,
                 ell_min=None, ell_max=None):
     """Cl of a flat-sky map by azimuthal averaging of |FFT|^2.
@@ -123,7 +128,8 @@ def cl_to_flat_map(key, cl_tab_ell, cl_tab_val, npix: int,
     return jnp.real(jnp.fft.ifft2(sym * jnp.sqrt(2.0)))
 
 
-@partial(jax.jit, static_argnames=("npix", "nbins"))
+@partial(jax.jit, static_argnames=("npix", "nbins", "opening_angle_deg",
+                                   "ell_min", "ell_max"))
 def flat_sky_mode_counts(npix: int, opening_angle_deg, nbins: int = 50,
                          ell_min=None, ell_max=None):
     """(ell, nmodes) for cl_flat_sky's binning: the DISCRETE
@@ -205,7 +211,8 @@ def cl_shear_eb(gamma1, gamma2, opening_angle_deg, nbins: int = 50,
     return ell, cl_ee, cl_bb
 
 
-@partial(jax.jit, static_argnames=("nbins", "apodize_arcmin"))
+@partial(jax.jit, static_argnames=("nbins", "apodize_arcmin",
+                                   "opening_angle_deg"))
 def cl_flat_sky_masked(img, mask, opening_angle_deg, nbins: int = 50,
                        apodize_arcmin: float = 0.0):
     """Pseudo-Cl of a masked flat-sky map with mean-w^2 deconvolution.

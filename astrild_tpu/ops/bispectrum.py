@@ -32,28 +32,6 @@ class BispectrumResult(NamedTuple):
     ntri: jnp.ndarray   # (ntri,) triangle counts (mode-space)
 
 
-def _shell_fields(delta, edges_sq):
-    """I_i(x), n_i(x) and mean shell radius for every |k|/kf shell
-    (used by the 2D estimator; the 3D path precomputes the mask-only
-    transforms — get_bispectrum_tables). Shell selection runs on the
-    exact integer m2 against host-built squared edges (shell_edges_sq),
-    the same edge discipline as the 3D and distributed estimators."""
-    m2 = _mode_radius_sq_full(delta.shape)
-    m = jnp.sqrt(m2)
-    dk = jnp.fft.fftn(delta.astype(jnp.complex64))
-
-    def one(lo2, hi2):
-        mask = ((m2 >= lo2) & (m2 < hi2)).astype(jnp.complex64)
-        i_f = jnp.real(jnp.fft.ifftn(mask * dk))
-        n_f = jnp.real(jnp.fft.ifftn(mask))
-        msum = jnp.sum(jnp.real(mask) * m)
-        mcnt = jnp.sum(jnp.real(mask))
-        return i_f, n_f, msum / jnp.maximum(mcnt, 1.0)
-
-    i_fs, n_fs, mmean = jax.vmap(one)(edges_sq[:-1], edges_sq[1:])
-    return i_fs, n_fs, mmean
-
-
 def shell_edges_sq(m_min, m_max, nbins: int):
     """Squared shell edges for EXACT mode selection: comparisons run on
     the integer m2 = fi^2+fj^2+fk^2 (exact in f32), so shell membership
@@ -204,39 +182,82 @@ def bispectrum_3d(grid, boxsize, nbins: int = 8, m_min: float = 1.0,
     return _bispectrum_core(delta, boxsize, nbins, *tables, n_c=n_c)
 
 
+@lru_cache(maxsize=16)
+def get_bispectrum_2d_tables(n: int, nbins: int, m_min: float,
+                             m_max: float):
+    """Input-independent 2D shell tables: den[b] = sum_x n_b(x)^3 (the
+    mask-only inverse FFTs — half the estimator's transforms) and mean
+    shell radii, host float64 (same role as get_bispectrum_tables)."""
+    import numpy as np
+
+    edges_sq = shell_edges_sq(m_min, m_max, nbins)
+    f = (np.fft.fftfreq(n) * n).astype(np.float32)
+    m2 = (f[:, None] ** 2 + f[None, :] ** 2).astype(np.float32)
+    m = np.sqrt(m2.astype(np.float64))
+    den, mmean = [], []
+    for b in range(nbins):
+        mask = ((m2 >= edges_sq[b]) & (m2 < edges_sq[b + 1]))
+        n_f = np.fft.ifft2(mask.astype(np.float64)).real
+        den.append(float((n_f ** 3).sum()))
+        cnt = mask.sum()
+        mmean.append(float((m * mask).sum() / max(cnt, 1)))
+    return (jnp.asarray(edges_sq), jnp.asarray(den, jnp.float32),
+            jnp.asarray(mmean, jnp.float32))
+
+
 def bispectrum_2d_equilateral(img, opening_angle_deg, nbins: int = 16,
                               m_min: float = 1.0, m_max=None):
     """Equilateral bispectrum B(ell) of a flat-sky map.
 
     Replaces lenstools ConvergenceMap.bispectrum(configuration='equilateral')
     (reference bispectra/bispectrum_2d.py:33-50). Returns (ell, B, ntri).
+
+    Same machinery as the 3D estimator: host-built squared edges compared
+    on exact integer m2 (edge-mode discipline), cached mask-only
+    transforms (get_bispectrum_2d_tables), rfft half-spectrum shell
+    transforms, and the band-limit truncation to an n_c > 3*m_max grid.
     """
     n = img.shape[-1]
     if m_max is None:
         m_max = n / 2.0 - 1.0
-    # host-built squared edges + integer-m2 selection: same shell-edge
-    # discipline as the 3D/distributed estimators (a device linspace can
-    # land an edge 1 ulp away and flip edge modes between lowerings)
-    edges_sq = jnp.asarray(shell_edges_sq(m_min, m_max, nbins))
-    return _bispectrum_2d_core(img, opening_angle_deg, edges_sq)
+    n_c = 16
+    while n_c <= 3.0 * float(m_max):
+        n_c *= 2
+    n_c = min(n_c, n)
+    tables = get_bispectrum_2d_tables(n_c, nbins, float(m_min),
+                                      float(m_max))
+    return _bispectrum_2d_core(img, opening_angle_deg, *tables, n_c=n_c)
 
 
-@jax.jit
-def _bispectrum_2d_core(img, opening_angle_deg, edges_sq):
+@partial(jax.jit, static_argnames=("n_c",))
+def _bispectrum_2d_core(img, opening_angle_deg, edges_sq, den, mmean,
+                        n_c: int):
     n = img.shape[-1]
     theta = opening_angle_deg * jnp.pi / 180.0
     lf = 2.0 * jnp.pi / theta
-    i_fs, n_fs, mmean = _shell_fields(img - jnp.mean(img), edges_sq)
+    dk = jnp.fft.rfft2(img - jnp.mean(img))
+    # band-limit truncation (exactness argument: _bispectrum_core; the
+    # 2D no-aliasing condition is the same n_c > 3*m_max per component)
+    if n_c < n:
+        h = n_c // 2
+        dk = jnp.concatenate([dk[:h], dk[n - h:]], axis=0)[:, : h + 1]
+        nt = n_c
+    else:
+        nt = n
+    fx = (jnp.fft.fftfreq(nt) * nt).astype(jnp.float32)
+    fz = (jnp.fft.rfftfreq(nt) * nt).astype(jnp.float32)
+    m2 = fx[:, None] ** 2 + fz[None, :] ** 2
 
-    def one(i_f, n_f):
+    def one(lo2, hi2, d):
+        mask = ((m2 >= lo2) & (m2 < hi2)).astype(jnp.float32)
+        i_f = jnp.fft.irfft2(mask * dk, s=(nt, nt))
         num = jnp.sum(i_f ** 3)
-        den = jnp.sum(n_f ** 3)
-        ntri = den * float(n) ** 4
-        b = jnp.where(den > 1e-10,
-                      theta ** 4 * num / jnp.maximum(den, 1e-30)
+        ntri = d * float(nt) ** 4
+        b = jnp.where(d > 1e-10,
+                      theta ** 4 * num / jnp.maximum(d, 1e-30)
                       / float(n) ** 6,
                       jnp.nan)
         return b, ntri
 
-    bvals, ntris = jax.vmap(one)(i_fs, n_fs)
+    bvals, ntris = jax.vmap(one)(edges_sq[:-1], edges_sq[1:], den)
     return mmean * lf, bvals, ntris

@@ -574,12 +574,18 @@ def paint_windowed(pos_flat, weights, ngrid: int, boxsize, order: int = 3,
     else:
         offs1 = (-1, 0, 1)
         u = [c / h for c in xyz]
-        i0 = [jnp.floor(c) for c in u]
-        frac = [(c - i - 0.5).astype(jnp.float32) for c, i in zip(u, i0)]
-        # i0 in [0, n-1] after the wrap; clip only guards the c == boxsize
-        # float edge (frac is consistent there: u == n -> clip keeps the
-        # n-1 cell with d = +0.5, the same deposit the scatter path makes)
-        ip = [jnp.clip(i.astype(jnp.int32), 0, ngrid - 1) + 1 for i in i0]
+        # i0 in [0, n-1] after the wrap; the clip guards the u == n float
+        # edge, and frac MUST be computed from the CLIPPED index so the
+        # edge particle gets center n-1 with d = +0.5 (mass into n-1 and
+        # the pad cell n, which folds to 0) — the same deposit the
+        # scatter path makes via its wrapped center 0 with d = -0.5.
+        # Deriving frac from the unclipped floor instead leaves d = -0.5
+        # around n-1 (mass into n-2, n-1): a one-cell misplacement.
+        ic = [jnp.clip(jnp.floor(c).astype(jnp.int32), 0, ngrid - 1)
+              for c in u]
+        frac = [(c - i.astype(jnp.float32) - 0.5).astype(jnp.float32)
+                for c, i in zip(u, ic)]
+        ip = [i + 1 for i in ic]
     key = (ip[0] * npd + ip[1]) * npd + ip[2]
 
     # one sort serves all offsets: sort (key, index), gather fracs/weights
@@ -741,7 +747,11 @@ def pallas_deposit_available() -> bool:
         wts = jnp.full((512,), 0.5, jnp.float32)
         outw = deposit_sorted(jax.lax.sort(keys), wts, 2048, window=1024)
         jax.block_until_ready(outw)
-        return ok
+        # the weighted VALUES must be right too: a Mosaic regression that
+        # breaks only the f32 hi/lo-split weighting (e.g. bf16 truncation
+        # reappearing) would otherwise pass the probe and silently corrupt
+        # every weighted P(k)
+        return ok and abs(float(jnp.sum(outw)) - 256.0) < 0.1
 
     return _probe_outside_trace(body)
 

@@ -24,7 +24,8 @@ last_auto_deposit: Optional[str] = None
 
 __all__ = [
     "PowerResult", "MultipoleResult", "kmag_rfft", "hermitian_weights",
-    "delta_k", "shell_average", "auto_power", "auto_power_fast",
+    "delta_k", "delta_k_parts", "shell_average", "auto_power",
+    "auto_power_fast",
     "auto_power_multipoles", "cross_power",
 ]
 
@@ -79,6 +80,11 @@ def delta_k(grid, grid_shifted=None, window: Optional[str] = None,
         (mirrors the reference's cross-spectrum path,
         power_spectrum_3d.py:197-222).
     Returns complex (n, n, n//2+1) array: FFT(delta)/N^3 (dimensionless).
+
+    Backend note: on the axon TPU backend complex host<->device
+    transfers are unimplemented, so np.asarray of this return raises a
+    lazy UNIMPLEMENTED error far from the call site. To pull the modes
+    to host there, use delta_k_parts (real/imag split on device).
     """
     n = grid.shape[-1]
     mean = jnp.mean(grid)
@@ -98,6 +104,15 @@ def delta_k(grid, grid_shifted=None, window: Optional[str] = None,
     if window is not None:
         dk = dk * compensation_kernel(n, window)
     return dk
+
+
+def delta_k_parts(grid, grid_shifted=None, window: Optional[str] = None,
+                  interlaced: bool = False):
+    """delta_k as an on-device (re, im) float32 pair — the transfer-safe
+    form for backends without complex host<->device transfers (axon).
+    """
+    dk = delta_k(grid, grid_shifted, window=window, interlaced=interlaced)
+    return jnp.real(dk), jnp.imag(dk)
 
 
 _SHELL_CACHE = {}

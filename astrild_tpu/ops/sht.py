@@ -197,13 +197,23 @@ def alm2cl(alm_re, alm_im):
     return jnp.sum(p * w[None, :], axis=1) / (2.0 * jnp.arange(L + 1) + 1.0)
 
 
+def cl_to_lmax(cl, lmax: int):
+    """Truncate or ZERO-PAD a Cl table to length lmax+1 — healpy synfast
+    semantics (an explicit lmax beyond the table means zero power there;
+    a bare cl[:lmax+1] instead left a short table that crashed deep in
+    the synthesis with an opaque broadcast error)."""
+    if cl.shape[0] >= lmax + 1:
+        return cl[: lmax + 1]
+    return jnp.pad(cl, (0, lmax + 1 - cl.shape[0]))
+
+
 def synfast(key, cl, nside: int, lmax: Optional[int] = None,
             tables: Optional[SHTTables] = None):
     """Gaussian random RING map with angular spectrum cl[l]
     (hp.sphtfunc.synfast parity — sky_healpix.py:241)."""
     cl = jnp.asarray(cl, jnp.float32)
     L = (cl.shape[0] - 1) if lmax is None else lmax
-    cl = cl[: L + 1]
+    cl = cl_to_lmax(cl, L)
     k1, k2 = jax.random.split(key)
     lgrid = jnp.arange(L + 1)[:, None]
     mgrid = jnp.arange(L + 1)[None, :]

@@ -445,7 +445,9 @@ def synfast_large(key, cl, nside: int, lmax: Optional[int] = None,
     """Gaussian random map from Cl at large lmax (hp.synfast parity)."""
     cl = jnp.asarray(cl, jnp.float32)
     L = (cl.shape[0] - 1) if lmax is None else lmax
-    cl = cl[: L + 1]
+    from .sht import cl_to_lmax
+
+    cl = cl_to_lmax(cl, L)  # zero-pad beyond the table (healpy parity)
     k1, k2 = jax.random.split(key)
     lgrid = jnp.arange(L + 1)[:, None]
     mgrid = jnp.arange(L + 1)[None, :]

@@ -231,6 +231,8 @@ def synfast_spin2(key, cl_ee, cl_bb, nside: int,
                   lmax: Optional[int] = None,
                   tables: Optional[Spin2Tables] = None):
     """Gaussian (Q, U) realization from EE/BB spectra."""
+    from .sht import cl_to_lmax
+
     cl_ee = jnp.asarray(cl_ee, jnp.float32)
     cl_bb = jnp.asarray(cl_bb, jnp.float32)
     L = (cl_ee.shape[0] - 1) if lmax is None else lmax
@@ -240,7 +242,8 @@ def synfast_spin2(key, cl_ee, cl_bb, nside: int,
         lg = jnp.arange(L + 1)[:, None]
         mg = jnp.arange(L + 1)[None, :]
         valid = ((mg <= lg) & (lg >= 2)).astype(jnp.float32)
-        sig = jnp.sqrt(jnp.maximum(cl[: L + 1], 0.0))[:, None]
+        # zero-pad beyond the table (healpy parity)
+        sig = jnp.sqrt(jnp.maximum(cl_to_lmax(cl, L), 0.0))[:, None]
         re = jax.random.normal(k1, (L + 1, L + 1)) * sig * valid
         im = jax.random.normal(k2, (L + 1, L + 1)) * sig * valid
         half = jnp.sqrt(0.5)

@@ -47,7 +47,8 @@ def find_troughs(img, key, n_troughs: int, lowest_fraction: float,
     hardcoded [1024, 3072] placement window generalizes to
     border_frac * npix.
 
-    Returns (positions_deg (N,2), means (N,)).
+    Returns (positions_deg (N,2) as (row, col) pixel-axis order — the
+    convention every map-space estimator here uses — and means (N,)).
     """
     n = img.shape[-1]
     rad_pix = rad_deg * n / map_width_deg
@@ -67,8 +68,11 @@ def trough_profiles(img, pos_deg, rad_deg: float, nbins: int,
     """Mean radial profile of the troughs (troughs.py:113-131)."""
     n = img.shape[-1]
     centers = jnp.rint(pos_deg * n / map_width_deg).astype(jnp.int32)
-    # object_profiles expects (row, col); trough positions are (x, y)
-    centers = centers[:, ::-1]
+    # find_troughs positions are already (row, col) — _trough_means
+    # slices with cen[0] as the row — exactly what object_profiles
+    # expects. (An earlier [:, ::-1] flip here assumed the reference's
+    # (x, y) order and measured every off-diagonal profile at the
+    # TRANSPOSED position.)
     rad_pix = rad_deg * n / map_width_deg
     radii = jnp.full((centers.shape[0],), rad_pix)
     patch_half = int(rad_pix) + 2

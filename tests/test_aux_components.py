@@ -38,6 +38,26 @@ def test_trough_profiles_shape(rng):
     assert prof.shape == (6,)
 
 
+def test_trough_profiles_sample_found_positions(rng):
+    """Composed pipeline regression: profiles must be extracted at the
+    positions find_troughs reports. A single deep OFF-DIAGONAL well must
+    dominate the selection and its profile center must be deep — a
+    row/col transpose between the two stages (the old [:, ::-1] flip)
+    samples an unrelated flat region instead."""
+    n = 256
+    img = np.zeros((n, n), np.float32)
+    img[70:90, 150:170] = -5.0   # off-diagonal well (row ~80, col ~160)
+    pos, means = TR.find_troughs(jnp.asarray(img), jax.random.PRNGKey(2),
+                                 n_troughs=400, lowest_fraction=0.05,
+                                 rad_deg=0.2, map_width_deg=10.0)
+    assert float(np.min(np.asarray(means))) < -0.2
+    # deepest trough center sits in the well (row, col order)
+    best = np.asarray(pos)[0] * n / 10.0
+    assert 60 <= best[0] <= 100 and 140 <= best[1] <= 180
+    r, prof = TR.trough_profiles(img, pos[:1], 0.6, 6, 10.0)
+    assert float(prof[0]) < -0.5   # profile center IS depressed
+
+
 # --------------------------------------------------------------- selection
 def test_categorize_sizes():
     objs = {"rad_deg": np.concatenate([np.full(20, 0.1), np.full(3, 1.0)]),
