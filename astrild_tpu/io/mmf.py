@@ -48,15 +48,27 @@ def mmf_header_dtype():
     ])
 
 
+# fileType -> stored dtype (reference MMF.py:100-115 MMFDataType): the
+# item SIZE alone cannot disambiguate i4 environment/object grids from
+# f4 responses — reading tags as floats turns env code 3 into 4.2e-45
+_MMF_DTYPE = {1: "f4", 5: "f4", 6: "f4", 10: "f4", 11: "f4", 15: "f4",
+              16: "f4", 20: "i2", 21: "i2", 30: "i4", 40: "f4", 41: "f4",
+              50: "f4", 51: "f4"}
+
+
 def read_mmf(path):
-    """-> (header, grid) with dtype from fileType (response: f4; clean
-    environment tags: i2/i4 depending on writer — auto-sized)."""
+    """-> (header, grid) with dtype from the fileType registry
+    (response: f4; clean env tags: i2; object/env grids: i4), falling
+    back to item-size inference for unknown fileType codes."""
     with open(path, "rb") as f:
         header = _read_buffered(f, mmf_header_dtype(), 1)[0]
         total = int(header["totalGrid"])
         b1 = np.fromfile(f, _BUF, 1)[0]
         itemsize = int(b1) // total
-        dt = {4: np.float32, 2: np.int16, 1: np.int8, 8: np.float64}[itemsize]
+        dt = np.dtype(_MMF_DTYPE.get(int(header["fileType"]), "f4"))
+        if dt.itemsize != itemsize:  # unknown writer: size fallback
+            dt = np.dtype({4: np.float32, 2: np.int16, 1: np.int8,
+                           8: np.float64}[itemsize])
         data = np.fromfile(f, dt, total)
         b2 = np.fromfile(f, _BUF, 1)[0]
         if b1 != b2:

@@ -105,8 +105,12 @@ class Dipoles:
         # halo_ prefix (the dipole position is a lobe peak, offset from the
         # halo center — the velocity measurement must center on the halo)
         ok = match >= 0
+        # theta{1,2}_tv are the transverse-velocity truth columns the
+        # halo-lightcone catalogs emit (models/lightcone.py); without
+        # them here, vt cross-validation downstream of a lightcone match
+        # silently had no truth attached
         for col in ("r200_deg", "r200_pix", "m200", "c_NFW",
-                    "theta1_vel", "theta2_vel"):
+                    "theta1_vel", "theta2_vel", "theta1_tv", "theta2_tv"):
             if col in halos:
                 vals = np.full(len(match), np.nan)
                 vals[ok] = np.asarray(halos[col])[match[ok]]

@@ -155,13 +155,18 @@ class SubFind:
         from ..ops import paint as paint_ops, power as power_ops
 
         pos = np.asarray(snapshot["GroupPos"])
-        mass = np.asarray(snapshot["Group_M_Crit200"])
+        mass = np.asarray(snapshot["Group_M_Crit200"], np.float64)
         grid = paint_ops.paint(jnp.asarray(pos, jnp.float32), ngrid, boxsize,
                                weights=jnp.asarray(mass, jnp.float32),
                                window="tsc")
+        # mass-WEIGHTED tracers: the discrete noise is
+        # V sum(m^2)/(sum m)^2, several times V/N for a steep mass
+        # function (same convention as parallel/power._weighted_shotnoise
+        # and auto_power_fast)
+        shot = boxsize ** 3 * float(np.sum(mass ** 2)) \
+            / max(float(np.sum(mass)) ** 2, 1e-300)
         res = power_ops.auto_power(grid, boxsize, nbins=nbins or ngrid // 2,
-                                   window="tsc",
-                                   shotnoise=boxsize ** 3 / len(pos))
+                                   window="tsc", shotnoise=shot)
         return np.asarray(res.k), np.asarray(res.power)
 
 
@@ -192,8 +197,14 @@ class Halos:
         cat = snap.group_catalog(blocks)
         if cat.get("n_groups", 0) and "SubhaloVmax" in cat and \
                 "GroupFirstSub" in cat:
-            cat["SubhaloVmax"] = cat["SubhaloVmax"][
-                np.asarray(cat["GroupFirstSub"], np.int64)]
+            first = np.asarray(cat["GroupFirstSub"], np.int64)
+            # GroupFirstSub == -1 marks a group with NO subhalos; the
+            # negative index would silently wrap to the LAST subhalo's
+            # Vmax and feed a garbage c(M) for those groups — mark them
+            # NaN so downstream stats exclude them
+            vmax = cat["SubhaloVmax"][np.where(first >= 0, first, 0)]
+            cat["SubhaloVmax"] = np.where(
+                first >= 0, vmax, np.nan).astype(vmax.dtype)
         return cls(cat, simulation)
 
     @classmethod

@@ -82,11 +82,29 @@ class PowerSpectrum3D:
             g, g2 = painted
         else:
             g, g2 = painted, None
+        if weights is None:
+            shot = boxsize ** 3 / pos.shape[0]
+        else:
+            # weighted tracers: V sum(w^2)/(sum w)^2 (V/N leaves a
+            # ~14%-of-shot residual for w ~ U(0.5, 2); same convention
+            # as auto_power_fast / parallel/power._weighted_shotnoise)
+            w = np.asarray(weights, np.float64)
+            shot = boxsize ** 3 * float(np.sum(w * w)) \
+                / max(float(np.sum(w)) ** 2, 1e-300)
         res = power_ops.auto_power(g, boxsize, nbins=nbins,
                                    window=self.window, grid_shifted=g2,
                                    interlaced=interlaced,
-                                   shotnoise=boxsize ** 3 / pos.shape[0])
+                                   shotnoise=shot)
         return np.asarray(res.k), np.asarray(res.power)
+
+    def _as_grid(self, arr, boxsize: float, ngrid: int):
+        """(grid, painted): paint a point set with self.window, pass a
+        pre-gridded field through."""
+        if arr.ndim == 2 and arr.shape[1] == 3:
+            g = paint_ops.paint(jnp.asarray(arr), ngrid, boxsize,
+                                window=self.window)
+            return g, True
+        return jnp.asarray(arr), False
 
     def cross_power_from_grids(self, grid1, grid2, boxsize: float,
                                nbins: int = 0, window=None):
@@ -107,15 +125,34 @@ class PowerSpectrum3D:
         path = fd.pop("path", None)
         snap_ids = self.sim.get_file_nrs(fd, path, "max")
         paths1 = self.sim.get_file_paths(fd, path, "max")
+        paths2 = None
+        if len(file_dsc) > 1:
+            fd2 = dict(file_dsc[1])
+            path2 = fd2.pop("path", None)
+            paths2 = self.sim.get_file_paths(fd2, path2, "max")
         if snap_nrs is not None:
             keep = [i for i, s in enumerate(np.sort(snap_ids))
                     if s in set(snap_nrs)]
             paths1 = [paths1[i] for i in keep]
+            if paths2 is not None:
+                paths2 = [paths2[i] for i in keep]
             snap_ids = [np.sort(snap_ids)[i] for i in keep]
         pk = {"k": {}, "P": {}}
-        for snap_nr, p1 in zip(np.sort(np.asarray(snap_ids)), paths1):
+        for i, (snap_nr, p1) in enumerate(
+                zip(np.sort(np.asarray(snap_ids)), paths1)):
             arr = self._read_data(p1, quantities)
-            if arr.ndim == 2 and arr.shape[1] == 3:
+            if paths2 is not None:
+                # cross spectrum of two fields (power_spectrum_3d.py
+                # :197-222): point sets are painted with self.window,
+                # whose aliasing is then deconvolved; pre-gridded fields
+                # carry no assignment window
+                g1, painted1 = self._as_grid(arr, boxsize, ngrid)
+                g2, painted2 = self._as_grid(
+                    self._read_data(paths2[i], quantities), boxsize, ngrid)
+                win = self.window if (painted1 and painted2) else None
+                k, P = self.cross_power_from_grids(g1, g2, boxsize,
+                                                   window=win)
+            elif arr.ndim == 2 and arr.shape[1] == 3:
                 k, P = self.power_from_points(arr, boxsize, ngrid)
             else:
                 k, P = self.power_from_grid(arr, boxsize)

@@ -186,11 +186,23 @@ class SimulationCollection:
             rows = self._config_rows(self.config, box_nr)
             root = sim.file_dsc["root"]
             for ray_nr in box_ray[box_nr]:
-                patterns = [f"{root}_*{ray_nr}.{sim.file_dsc['extension']}",
-                            f"{root}*{ray_nr}.{sim.file_dsc['extension']}"]
+                # glob loosely, then match the file's trailing numeric id
+                # EXACTLY: a suffix pattern like f"*{ray_nr}.h5" also
+                # matches 00015/00025 for ray 5 and glob order is
+                # filesystem-dependent — the wrong shell would be summed
+                # silently (and double-counted at ray 15)
+                ext = sim.file_dsc["extension"]
                 matches = []
-                for pat in patterns:
-                    matches = glob.glob(os.path.join(sim.dirs["sim"], pat))
+                for pat in (f"{root}_*.{ext}", f"{root}*.{ext}"):
+                    cands = sorted(glob.glob(
+                        os.path.join(sim.dirs["sim"], pat)))
+                    matches = [
+                        p for p in cands
+                        if (lambda nums: nums
+                            and int(nums[-1]) == int(ray_nr))(
+                            re.findall(r"\d+",
+                                       os.path.basename(p).rsplit(".", 1)[0]))
+                    ]
                     if matches:
                         break
                 if not matches:
@@ -235,7 +247,12 @@ class SimulationCollection:
             for b in range(1, len(self.sim) + 1):
                 out[b] = list(integration_range["ray"])
         else:
-            boxes = integration_range.get("box") or range(1, len(self.sim) + 1)
+            boxes = integration_range.get("box")
+            # reference convention (simcoll.py:365-368): box [0] means
+            # "integrate over the whole light-cone" — box ids start at 1,
+            # so treating 0 literally matched nothing and returned None
+            if not boxes or list(boxes) == [0]:
+                boxes = range(1, len(self.sim) + 1)
             for b in boxes:
                 rows = self._config_rows(self.config, b)
                 out[int(b)] = [int(x) for x in np.asarray(rows["_index_1"])]

@@ -274,7 +274,15 @@ class RayRamses(Simulation):
 
         results = {}
         root = self.file_dsc["root"]
-        for snap_nr in np.unique(self.file_nrs):
+        # group by the SNAPSHOT id = first number group in the name.
+        # self.file_nrs cannot be used here: __init__ extracts it with
+        # uniques='max', which on per-CPU outputs like
+        # Ray_maps_output00001.out00064 picks the CPU column (the
+        # reference re-extracts with uniques='min' before compressing,
+        # rayramses.py:86-92)
+        snap_ids = sorted({int(re.findall(r"\d+", os.path.basename(p))[0])
+                           for p in self.files[root]})
+        for snap_nr in snap_ids:
             paths = [p for p in self.files[root]
                      if int(re.findall(r"\d+", os.path.basename(p))[0])
                      == snap_nr]

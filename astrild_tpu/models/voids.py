@@ -272,7 +272,10 @@ class Voids:
                 lo, hi = np.percentile(rad, 5), np.percentile(rad, 95)
             else:
                 lo, hi = min(limits[idx]), max(limits[idx])
-            bins = np.arange(lo, hi, (hi - lo) / nbins)
+            # linspace includes hi: arange(lo, hi, step) stopped one step
+            # short (dropping the largest voids from the histogram) and
+            # its float-step edge count is unpredictable
+            bins = np.linspace(lo, hi, nbins + 1)
             hist, edges = np.histogram(rad, bins=bins, density=False)
             hist = np.cumsum(hist[::-1])[::-1]
             out[float(nu)] = {"rad": 0.5 * (edges[1:] + edges[:-1]),

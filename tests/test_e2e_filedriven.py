@@ -94,6 +94,37 @@ def test_power_spectrum_compute_filedriven(snapshot_files, tmp_path):
     npt.assert_allclose(saved["snap_3"], out["P"]["snap_3"])
 
 
+def test_power_spectrum_compute_cross(snapshot_files, tmp_path):
+    """compute() with TWO file_dscs must return the CROSS spectrum (it
+    silently returned field A's auto spectrum before): cross of a field
+    with itself equals its auto spectrum; cross with an independent
+    Poisson field has far less power."""
+    path, box = snapshot_files
+    sim = Simulation(path, None, {"root": "grav_out", "extension": "h5"})
+    rng = np.random.default_rng(5)
+    for snap in (3, 4):
+        pts = rng.uniform(0, box, (9000, 3))
+        columnar_h5.write_table(
+            str(tmp_path / f"rand_out_0000{snap}.h5"),
+            {"x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2]})
+    dsc_a = {"path": path, "root": "grav_out", "extension": "h5"}
+    dsc_r = {"path": str(tmp_path), "root": "rand_out", "extension": "h5"}
+    auto = PowerSpectrum3D("particles", sim).compute(
+        ["density"], [dsc_a], save=False, boxsize=box, ngrid=32)
+    cross_aa = PowerSpectrum3D("particles", sim).compute(
+        ["density"], [dsc_a, dsc_a], save=False, boxsize=box, ngrid=32)
+    cross_ar = PowerSpectrum3D("particles", sim).compute(
+        ["density"], [dsc_a, dsc_r], save=False, boxsize=box, ngrid=32)
+    # self-cross tracks the auto spectrum up to shot noise (auto has
+    # V/N subtracted; compare shapes where clustering dominates)
+    pa = auto["P"]["snap_3"]
+    paa = cross_aa["P"]["snap_3"]
+    par = cross_ar["P"]["snap_3"]
+    assert paa[1] > 0.5 * pa[1]
+    # independent fields decorrelate: |cross| is far below the auto
+    assert abs(par[1]) < 0.2 * paa[1]
+
+
 def test_artifact_staged_pipeline(ray_file, tmp_path):
     """Manifest-memoized pipeline stage over a file artifact."""
     path, _ = ray_file

@@ -82,6 +82,17 @@ def test_sum_raytracing_snapshots(collection):
     npt.assert_allclose(total["kappa_2"], 9.0)
 
 
+def test_sum_raytracing_default_box0_means_whole_lightcone(collection):
+    """Reference convention (simcoll.py:365-368): box [0] (the DEFAULT
+    integration_range) means 'whole light-cone'. Taken literally it
+    matches no box (ids start at 1) and the sum silently returned None."""
+    cfg_yaml, cfg_h5 = collection
+    coll = SimulationCollection.from_file(cfg_yaml, cfg_h5)
+    total = coll.sum_raytracing_snapshots(columns=("kappa_2",))
+    assert total is not None
+    npt.assert_allclose(total["kappa_2"], 9.0)
+
+
 def test_translate_redshift_kernel_ratio(collection):
     cfg_yaml, cfg_h5 = collection
     coll = SimulationCollection.from_file(cfg_yaml, cfg_h5)
