@@ -123,6 +123,13 @@ def restore_state(path, template, with_step: bool = False):
             payload = ckptr.restore(p / "state", {"tree": abstract})
         state = payload["tree"]
     else:
+        if (p / "state").exists() and not (p / "state.npz").exists():
+            raise RuntimeError(
+                f"checkpoint at {p} was written with orbax (state/ dir) "
+                "but orbax is not importable here — install orbax or "
+                "restore in the environment that wrote it (the npz "
+                "fallback would otherwise die in FileNotFoundError "
+                "without naming the real cause)")
         flat_t, treedef = jax.tree_util.tree_flatten(template)
         with np.load(p / "state.npz") as z:
             if "__step__" in z.files:

@@ -116,9 +116,16 @@ class ArtifactStore:
         return content_hash(data) == entry["content_hash"]
 
     def stage(self, name: str, inputs, compute):
-        """Memoized stage: compute() only when inputs changed."""
+        """Memoized stage: compute() only when inputs changed.
+
+        Always returns the stored (host numpy) form — returning
+        compute()'s raw output on a miss would hand callers device
+        arrays on the first run and h5-roundtripped numpy on cached
+        runs, so code depending on either type worked only half the
+        time.
+        """
         if self.fresh(name, inputs):
             return self.load(name)
         out = compute()
         self.save(name, {k: np.asarray(v) for k, v in out.items()}, inputs)
-        return out
+        return self.load(name)

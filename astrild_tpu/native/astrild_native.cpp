@@ -121,8 +121,10 @@ void kappa0_to_alphas(const double *kappa, int npix, double opening_angle,
   fft_2d(k2, npad, true);
   for (size_t r = 0; r < n; r++)
     for (size_t c = 0; c < n; c++) {
-      alpha1[r * n + c] = k1[r * npad + c].real() / (ds * ds) * ds * ds;
-      alpha2[r * n + c] = k2[r * npad + c].real() / (ds * ds) * ds * ds;
+      // the ds*ds pixel-area quadrature factor is already baked into
+      // the kernel at construction above; no output normalization
+      alpha1[r * n + c] = k1[r * npad + c].real();
+      alpha2[r * n + c] = k2[r * npad + c].real();
     }
 }
 

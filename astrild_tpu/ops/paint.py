@@ -153,7 +153,11 @@ def paint(pos, ngrid: int, boxsize, weights=None, window: str = "cic",
     """Deposit particles onto an n^3 grid.
 
     Args:
-      pos: (n, 3) positions in [0, boxsize).
+      pos: (n, 3) positions in [0, boxsize), or a tuple of flat (n,)
+        component buffers (x, y, z) — the layout the multihost loader
+        emits. (The painters build (n, 3) intermediates internally
+        either way; only buffers RESIDENT across jit boundaries hit the
+        lane-padding trap, see CLAUDE.md.)
       ngrid: grid resolution per side.
       boxsize: box side length (same units as pos).
       weights: optional per-particle weights (mass).
@@ -166,6 +170,8 @@ def paint(pos, ngrid: int, boxsize, weights=None, window: str = "cic",
       deposit: None (auto: sorted Pallas kernel on TPU at large n,
         probe-gated) | 'scatter' | 'pallas' | 'pallas_interpret'.
     """
+    if isinstance(pos, (tuple, list)):
+        pos = jnp.stack([jnp.asarray(c) for c in pos], axis=-1)
     g = _paint_one(pos, ngrid, boxsize, weights, window, deposit)
     if not interlaced:
         return g

@@ -40,7 +40,8 @@ def _pad_blocks(arr, block):
 
 def _pairwise_accumulate_tiles(pos_i, vel_i, hat_i, pos_j, vel_j, hat_j,
                                ia0, jb0, nbins: int, binwidth,
-                               block: int = 256, n_valid_global=None):
+                               block: int = 256, n_valid_global=None,
+                               valid_i=None, valid_j=None):
     """Yasini accumulation over all pairs between two chunks.
 
     ia0/jb0 are the GLOBAL index offsets of the chunks; a pair counts only
@@ -50,7 +51,9 @@ def _pairwise_accumulate_tiles(pos_i, vel_i, hat_i, pos_j, vel_j, hat_j,
     n_valid_global: number of REAL rows in the global concatenated
     catalog; rows with global index >= n_valid_global are padding and
     must not form pairs (padded zero rows otherwise land real nom/den
-    in the |p_i| bin).
+    in the |p_i| bin). Only correct when ALL padding sits at the global
+    tail — for per-shard padding (the multihost striped loader) pass
+    per-row validity masks valid_i/valid_j instead.
     """
     ni = pos_i.shape[0]
     nj = pos_j.shape[0]
@@ -84,7 +87,15 @@ def _pairwise_accumulate_tiles(pos_i, vel_i, hat_i, pos_j, vel_j, hat_j,
         if n_valid_global is not None:
             mask = (mask & (ia[:, None] < n_valid_global)
                     & (jb[None, :] < n_valid_global))
+        if valid_i is not None:
+            wi = jax.lax.dynamic_slice(valid_i, (a * block,), (block,)) > 0
+            wj = jax.lax.dynamic_slice(valid_j, (b * block,), (block,)) > 0
+            mask = mask & wi[:, None] & wj[None, :]
         binidx = jnp.clip((rnorm / binwidth).astype(jnp.int32), 0, nbins)
+        # float->int32 of out-of-range values is undefined in XLA (can
+        # yield INT_MIN, which the clip folds into bin 0) — guard BEFORE
+        # trusting the cast, same as _pairwise_accumulate
+        binidx = jnp.where(rnorm / binwidth < nbins, binidx, nbins)
         w = mask.astype(jnp.float32).reshape(-1)
         bflat = jnp.where(mask, binidx, nbins).reshape(-1)
         nom = nom + jax.ops.segment_sum(w * nom_ij.reshape(-1), bflat,

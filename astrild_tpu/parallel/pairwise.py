@@ -22,33 +22,44 @@ __all__ = ["make_distributed_pairwise"]
 
 def make_distributed_pairwise(mesh: Mesh, nbins: int, binwidth: float,
                               axis: str = "sim", block: int = 256,
-                              n_valid: int | None = None):
-    """Build fn(pos, vel, hat) -> (nom, den) over all global pairs.
+                              n_valid: int | None = None,
+                              with_valid_mask: bool = False):
+    """Build fn(pos, vel[, valid]) -> (nom, den) over all global pairs.
 
     pos/vel sharded P((axis,), None) on the leading dimension (equal chunk
     sizes). The Yasini q_ij needs position unit vectors; they derive from
-    pos inside. If the global catalog was zero-padded to equal shards,
-    pass n_valid (real row count): padded rows are excluded from pairing
-    (a zero row otherwise pairs at separation |p_i| and biases v12).
+    pos inside. Padding exclusion, two forms:
+
+    * n_valid (real row count) — only correct when ALL padding sits at
+      the global TAIL (single catalog padded once, then sharded).
+    * with_valid_mask=True — fn takes a third argument, a per-row
+      0/1 validity vector sharded like pos. Use this for catalogs built
+      by the multihost striped loader, whose padding sits at the end of
+      EACH HOST STRIPE: a global count would pair zero rows (landing
+      nom/den at separation |p_i|) and drop real tail rows.
     """
     nshards = mesh.shape[axis]
 
-    def body(pos, vel):
+    def body(pos, vel, valid=None):
         me = jax.lax.axis_index(axis)
         nloc = pos.shape[0]
         norm = jnp.linalg.norm(pos, axis=1, keepdims=True)
         hat = pos / jnp.maximum(norm, 1e-12)
-        resident = (pos, vel, hat, me)
+        resident = ((pos, vel, hat, jnp.asarray(me))
+                    if valid is None else
+                    (pos, vel, hat, jnp.asarray(me), valid))
 
         def step(carry, k):
             nom, den, visit = carry
-            vpos, vvel, vhat, vowner = visit
+            vpos, vvel, vhat, vowner = visit[:4]
+            vvalid = visit[4] if valid is not None else None
             # global index offsets decide the i<j dedup
             ia0 = me * nloc
             jb0 = vowner * nloc
             dn, dd = _pairwise_accumulate_tiles(
                 pos, vel, hat, vpos, vvel, vhat, ia0, jb0, nbins, binwidth,
-                block, n_valid_global=n_valid)
+                block, n_valid_global=n_valid,
+                valid_i=valid, valid_j=vvalid)
             nom = nom + dn
             den = den + dd
             perm = [(i, (i + 1) % nshards) for i in range(nshards)]
@@ -58,15 +69,21 @@ def make_distributed_pairwise(mesh: Mesh, nbins: int, binwidth: float,
 
         zero = jnp.zeros((nbins,), jnp.float32) * jnp.sum(pos[:1, :1]) * 0.0
         (nom, den, _), _ = jax.lax.scan(
-            step, (zero, zero, (pos, vel, hat,
-                                jnp.asarray(me))), jnp.arange(nshards))
+            step, (zero, zero, resident), jnp.arange(nshards))
         nom = jax.lax.psum(nom, axis)
         den = jax.lax.psum(den, axis)
         return nom, den
 
-    fn = jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None)),
-        out_specs=(P(), P()),
-    )
+    if with_valid_mask:
+        fn = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None), P(axis)),
+            out_specs=(P(), P()),
+        )
+    else:
+        fn = jax.shard_map(
+            lambda pos, vel: body(pos, vel), mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None)),
+            out_specs=(P(), P()),
+        )
     return jax.jit(fn)

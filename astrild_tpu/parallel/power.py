@@ -253,12 +253,25 @@ def make_distributed_multipoles(mesh: Mesh, ngrid: int, boxsize: float,
         noise = jnp.asarray([shot if ell == 0 else 0.0 for ell in ells])
         return MultipoleResult(kmean, p_ell - noise[:, None], nm)
 
+    row = P(("sim", "x", "y"))
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(("sim", "x", "y"), None), P(("sim", "x", "y"))),
+        in_specs=(P(("sim", "x", "y"), None), row),
         out_specs=MultipoleResult(P(), P(), P()),
     )
-    return _optional_weights(jax.jit(fn))
+    # flat (x, y, z) component buffers — the multihost loader's layout
+    fn_t = jax.shard_map(
+        body, mesh=mesh, in_specs=((row, row, row), row),
+        out_specs=MultipoleResult(P(), P(), P()),
+    )
+    jfn, jfn_t = jax.jit(fn), jax.jit(fn_t)
+
+    def dispatch(pos, weights):
+        if isinstance(pos, (tuple, list)):
+            return jfn_t(tuple(pos), weights)
+        return jfn(pos, weights)
+
+    return _optional_weights(dispatch)
 
 
 def make_distributed_auto_power(mesh: Mesh, ngrid: int, boxsize: float,
@@ -320,11 +333,26 @@ def make_distributed_auto_power(mesh: Mesh, ngrid: int, boxsize: float,
             out_specs=PowerResult(P("sim"), P("sim"), P("sim")),
         )
     else:
+        row = P(("sim", "x", "y"))
         fn = jax.shard_map(
             lambda p, w: body(p, w, ("sim", "x", "y")), mesh=mesh,
-            in_specs=(P(("sim", "x", "y"), None), P(("sim", "x", "y"))),
+            in_specs=(P(("sim", "x", "y"), None), row),
             out_specs=PowerResult(P(), P(), P()),
         )
+        # flat (x, y, z) component buffers — the multihost loader's layout
+        fn_t = jax.shard_map(
+            lambda p, w: body(p, w, ("sim", "x", "y")), mesh=mesh,
+            in_specs=((row, row, row), row),
+            out_specs=PowerResult(P(), P(), P()),
+        )
+        jfn, jfn_t = jax.jit(fn), jax.jit(fn_t)
+
+        def dispatch(pos, weights):
+            if isinstance(pos, (tuple, list)):
+                return jfn_t(tuple(pos), weights)
+            return jfn(pos, weights)
+
+        return _optional_weights(dispatch)
     return _optional_weights(jax.jit(fn))
 
 

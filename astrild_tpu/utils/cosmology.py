@@ -202,31 +202,8 @@ class Cosmology:
         at mu0=0 it reproduces the GR integral solution to <1e-4
         (tested). Used whenever mu0 != 0.
         """
-        lna = jnp.linspace(jnp.log(_A_MIN), 0.0, _N_TABLE)
-        dlna = lna[1] - lna[0]
-
-        def dlnE(l):
-            return jax.grad(lambda q: jnp.log(self.efunc_a(jnp.exp(q))))(l)
-
-        def rhs(l, y):
-            D, Dp = y
-            a = jnp.exp(l)
-            om = self.Om0 * a ** -3 / self.efunc_a(a) ** 2
-            acc = -(2.0 + dlnE(l)) * Dp + 1.5 * om * (1.0 + self.mu(a)) * D
-            return jnp.stack([Dp, acc])
-
-        def step(y, l):
-            k1 = rhs(l, y)
-            k2 = rhs(l + 0.5 * dlna, y + 0.5 * dlna * k1)
-            k3 = rhs(l + 0.5 * dlna, y + 0.5 * dlna * k2)
-            k4 = rhs(l + dlna, y + dlna * k3)
-            y_new = y + (dlna / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
-            return y_new, y
-
-        y0 = jnp.array([_A_MIN, _A_MIN])  # matter domination: D ~ a
-        _, ys = jax.lax.scan(step, y0, lna)
-        D = ys[:, 0]
-        f = ys[:, 1] / D
+        lna, D, Dp = self._growth_D_of_lna(self.mu, with_derivative=True)
+        f = Dp / D
         lnD = jnp.log(D) - jnp.log(D[-1])
         return lna, lnD, f
 
@@ -297,8 +274,15 @@ class Cosmology:
         return k2 / (3.0 * (k2 + jnp.asarray(a) ** 2
                             * self.scalaron_mass2(a)))
 
-    def _growth_D_of_lna(self, mu_fn):
-        """RK4 growth table D(lna) for a given mu(a) source enhancement."""
+    def _growth_D_of_lna(self, mu_fn, with_derivative: bool = False):
+        """RK4 growth table D(lna) for a given mu(a) source enhancement.
+
+        THE single growth integrator:
+          D'' + (2 + dlnE/dlna) D' = 1.5 Om(a) (1 + mu(a)) D  (' = d/dlna)
+        shared by the scale-independent table (_build_growth_table_ode,
+        mu = self.mu) and the per-k f(R) growth (mu = mu_k(a, k)).
+        Returns (lna, D) or (lna, D, D') with with_derivative.
+        """
         lna = jnp.linspace(jnp.log(_A_MIN), 0.0, _N_TABLE)
         dlna = lna[1] - lna[0]
 
@@ -317,11 +301,13 @@ class Cosmology:
             k2 = rhs(l + 0.5 * dlna, y + 0.5 * dlna * k1)
             k3 = rhs(l + 0.5 * dlna, y + 0.5 * dlna * k2)
             k4 = rhs(l + dlna, y + dlna * k3)
-            return y + (dlna / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4), y[0]
+            return y + (dlna / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4), y
 
         y0 = jnp.array([_A_MIN, _A_MIN])  # matter domination: D ~ a
-        _, D = jax.lax.scan(step, y0, lna)
-        return lna, D
+        _, ys = jax.lax.scan(step, y0, lna)
+        if with_derivative:
+            return lna, ys[:, 0], ys[:, 1]
+        return lna, ys[:, 0]
 
     def growth_factor_k(self, k, z=0.0):
         """Scale-dependent linear growth D(k, z), Hu-Sawicki f(R).

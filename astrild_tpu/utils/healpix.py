@@ -179,8 +179,13 @@ def get_interp_weights(nside: int, theta, phi):
 
     Returns (pix (4, N) int64, wgt (4, N) float64).
     """
-    theta = np.asarray(theta, np.float64).reshape(-1)
-    phi = np.mod(np.asarray(phi, np.float64).reshape(-1), 2.0 * np.pi)
+    # broadcast first: healpy accepts scalar theta with array phi (and
+    # vice versa) — reshaping separately left a (1,) theta against an
+    # (N,) phi, and the polar-cap boolean indexing below then fails
+    theta, phi = np.broadcast_arrays(np.asarray(theta, np.float64),
+                                     np.asarray(phi, np.float64))
+    theta = np.ascontiguousarray(theta).reshape(-1)
+    phi = np.mod(np.ascontiguousarray(phi).reshape(-1), 2.0 * np.pi)
     npix = nside2npix(nside)
     z = np.cos(theta)
     ir1 = _ring_above(nside, z)

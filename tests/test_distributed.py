@@ -69,6 +69,16 @@ def test_distributed_power_matches_local(mesh22, rng):
     npt.assert_allclose(np.asarray(got.power), np.asarray(ref.power),
                         rtol=5e-3, atol=1e-3 * BOX ** 3 / n_part)
 
+    # flat (x, y, z) component buffers — the multihost loader's layout —
+    # must feed the same factory (documented contract; previously only
+    # the _fast factory had the tuple in_specs)
+    rspec = NamedSharding(mesh22, P(("sim", "x", "y")))
+    comp = tuple(jax.device_put(jnp.asarray(pos[:, i]), rspec)
+                 for i in range(3))
+    got_t = dfn(comp, w_sh)
+    npt.assert_allclose(np.asarray(got_t.power), np.asarray(got.power),
+                        rtol=1e-6)
+
 
 def test_distributed_power_batched_sims(mesh22, rng):
     n_part = 4096
@@ -153,6 +163,51 @@ def test_distributed_pairwise_matches_local(rng):
     rsep, v12_local = PW.mean_pairwise_velocity(jnp.asarray(pos),
                                                 jnp.asarray(vel), bins,
                                                 backend="xla")
+    v12_d = np.asarray(nom_d) / np.maximum(np.asarray(den_d), 1e-30)
+    good = np.isfinite(np.asarray(v12_local))
+    npt.assert_allclose(v12_d[good], np.asarray(v12_local)[good],
+                        rtol=2e-3, atol=0.3)
+
+
+def test_distributed_pairwise_valid_mask_per_shard_padding(rng):
+    """Per-SHARD padding (the multihost striped-loader layout) must be
+    excluded via the validity-mask variant: a global n_valid count would
+    pair zero rows and drop real tail rows, silently biasing v12."""
+    from astrild_tpu.ops import pairwise as PW
+    from astrild_tpu.parallel.pairwise import make_distributed_pairwise
+
+    mesh = make_mesh(n_sim=4, n_x=1, n_y=1)
+    per = 256
+    reals = [200, 256, 120, 256]  # ragged per-shard real counts
+    pos_parts, vel_parts, val_parts, keep = [], [], [], []
+    for nr in reals:
+        p = rng.uniform(400, 600, (per, 3)).astype(np.float32)
+        v = rng.normal(0, 100, (per, 3)).astype(np.float32)
+        p[nr:] = 0.0
+        v[nr:] = 0.0
+        m = np.zeros(per, np.float32)
+        m[:nr] = 1.0
+        pos_parts.append(p)
+        vel_parts.append(v)
+        val_parts.append(m)
+        keep.append(p[:nr])
+    pos = np.concatenate(pos_parts)
+    vel = np.concatenate(vel_parts)
+    val = np.concatenate(val_parts)
+    nbins, binw = 16, 10.0
+    fn = make_distributed_pairwise(mesh, nbins, binw, axis="sim",
+                                   block=256, with_valid_mask=True)
+    sh = NamedSharding(mesh, P("sim", None))
+    shv = NamedSharding(mesh, P("sim"))
+    nom_d, den_d = fn(jax.device_put(jnp.asarray(pos), sh),
+                      jax.device_put(jnp.asarray(vel), sh),
+                      jax.device_put(jnp.asarray(val), shv))
+    # local reference over only the real rows
+    real = val > 0
+    bins = jnp.asarray(np.arange(nbins, dtype=np.float64) * binw)
+    _, v12_local = PW.mean_pairwise_velocity(jnp.asarray(pos[real]),
+                                             jnp.asarray(vel[real]), bins,
+                                             backend="xla")
     v12_d = np.asarray(nom_d) / np.maximum(np.asarray(den_d), 1e-30)
     good = np.isfinite(np.asarray(v12_local))
     npt.assert_allclose(v12_d[good], np.asarray(v12_local)[good],
