@@ -18,7 +18,9 @@ in the reference (/root/reference/src/astrild/particles/hutils/
 stats_subfind.py:129-141, power_spectrum_3d.py:140-153).
 
 Measured at 512^3 particles -> 8*256^3 cells (bench scale): sort+kernel
-530 ms vs 1582 ms for the XLA scatter (3.0x).
+~380 ms (is_stable=False sort 237 ms + kernel 144 ms) vs 1582 ms for the
+XLA scatter (4.2x). Stable sort costs 442 ms — XLA implements stability
+with an implicit index-tiebreaker operand; deposits never need it.
 
 Runs compiled on TPU; in interpreter mode on the CPU test mesh.
 """
@@ -246,9 +248,13 @@ def deposit_sorted(keys_sorted, vals_sorted, n_cells: int,
 # --------------------------------------------------------------------------
 # Segment-sorted deposit: kill the monolithic-sort wall.
 #
-# lax.sort of 134M keys costs 437 ms on the chip while sorting the SAME
-# keys as 64 independent segments costs 296 ms (batched bitonic depth
-# shrinks with log^2 of the run length). A fully sorted order is not
+# Stable lax.sort of 134M keys costs 437 ms on the chip while sorting
+# the SAME keys as 64 independent segments costs 296 ms (batched bitonic
+# depth shrinks with log^2 of the run length). NOTE: with
+# is_stable=False the MONOLITHIC sort drops to 237 ms, so the segmented
+# path's sort advantage has largely evaporated — it remains opt-in for
+# spatially coherent input where the (window, segment) ranges are mostly
+# empty and the kernel grid no-ops dominate. A fully sorted order is not
 # actually required by the deposit: the kernel only needs, per output
 # window, DMA ranges that COVER the window's particles, with everything
 # else discarded by the in-window value mask. With keys sorted within S
@@ -332,10 +338,25 @@ def deposit_flat_segmented(flat_idx, weights, n_cells: int,
     but sorts keys only within n_seg equal segments (~1.5x cheaper than
     the monolithic sort at 134M keys) and makes S passes per output
     window. Exact for arbitrary input order.
+
+    (window, n_seg) are auto-adjusted so n_cells/window * n_seg stays
+    <= 2^16: the two scalar-prefetch arrays are (nw * n_seg,) int32 and
+    must fit the 1 MB SMEM budget, and the Mosaic compiler rejects
+    >= 131072 grid programs (measured: HTTP 500 through the tunnel).
+    At bench scale (2^27 cells, window 16384, n_seg 64 -> 2^19 pairs)
+    the un-adjusted kernel fails AOT with "would exceed memory
+    (space=smem)".
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     assert n_cells % window == 0 and window % 128 == 0
+    while (n_cells // window) * n_seg > 65536:
+        if n_cells % (2 * window) == 0 and window < 131072:
+            window *= 2  # fewer windows; one-hot build grows ~linearly
+        elif n_seg > 1:
+            n_seg //= 2  # weaker segment-sort benefit, same exactness
+        else:
+            break
     rows = window // 128
     p1 = chunk_rows
     nw = n_cells // window
@@ -353,7 +374,7 @@ def deposit_flat_segmented(flat_idx, weights, n_cells: int,
     keys = jnp.pad(flat_idx, (0, pad), constant_values=n_cells
                    ).reshape(n_seg, seg_len)
     if counts_only:
-        keys_s = jax.lax.sort(keys, dimension=1)
+        keys_s = jax.lax.sort(keys, dimension=1, is_stable=False)
         vals2d = jnp.zeros((1, 128), jnp.float32)  # placeholder operand
         try:
             kvma = tuple(jax.typeof(keys_s).vma)
@@ -365,7 +386,7 @@ def deposit_flat_segmented(flat_idx, weights, n_cells: int,
         vals = jnp.pad(weights.reshape(-1).astype(jnp.float32), (0, pad)
                        ).reshape(n_seg, seg_len)
         keys_s, vals_s = jax.lax.sort((keys, vals), dimension=1,
-                                      num_keys=1)
+                                      num_keys=1, is_stable=False)
         vals2d = vals_s.reshape(n_seg * rps, 128)
     keys2d = keys_s.reshape(n_seg * rps, 128)
 
@@ -590,7 +611,7 @@ def paint_windowed(pos_flat, weights, ngrid: int, boxsize, order: int = 3,
 
     # one sort serves all offsets: sort (key, index), gather fracs/weights
     keys_s, idx_s = jax.lax.sort((key, jnp.arange(n, dtype=jnp.int32)),
-                                 num_keys=1)
+                                 num_keys=1, is_stable=False)
     comps = [frac[0][idx_s], frac[1][idx_s], frac[2][idx_s]]
     has_w = weights is not None
     if has_w:
@@ -766,11 +787,17 @@ def deposit_flat(flat_idx, weights, n_cells: int,
     fastest path; the bench's NGP deposit is unit-weight).
     """
     flat_idx = flat_idx.reshape(-1).astype(jnp.int32)
+    # is_stable=False everywhere a deposit consumes the sort: stability
+    # costs XLA an implicit index tiebreaker operand (measured on the
+    # chip at 134M keys: 442 ms stable vs 237 ms unstable; weighted pair
+    # 647 vs 439 ms) and the windowed one-hot accumulate is
+    # order-independent within equal keys.
     if weights is None:
-        keys = jax.lax.sort(flat_idx)
+        keys = jax.lax.sort(flat_idx, is_stable=False)
         return deposit_sorted(keys, None, n_cells, window=window,
                               interpret=interpret, chunk_rows=chunk_rows)
     keys, vals = jax.lax.sort(
-        (flat_idx, weights.reshape(-1).astype(jnp.float32)), num_keys=1)
+        (flat_idx, weights.reshape(-1).astype(jnp.float32)), num_keys=1,
+        is_stable=False)
     return deposit_sorted(keys, vals, n_cells, window=window,
                           interpret=interpret, chunk_rows=chunk_rows)
