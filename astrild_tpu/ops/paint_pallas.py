@@ -273,6 +273,24 @@ def deposit_sorted(keys_sorted, vals_sorted, n_cells: int,
 # design (round-3 notes) is irrelevant at p1-row granularity.
 
 
+def _fit_seg_params(n_cells: int, window: int, n_seg: int):
+    """Cap (n_cells/window) * n_seg at 2^16 by widening windows, then
+    shedding segments.
+
+    The segmented kernel's two scalar-prefetch arrays are (nw * n_seg,)
+    int32 and must fit the 1 MB SMEM budget, and Mosaic rejects
+    >= 131072 grid programs; 2^16 pairs = 256 KB each keeps both safe.
+    """
+    while (n_cells // window) * n_seg > 65536:
+        if n_cells % (2 * window) == 0 and window < 131072:
+            window *= 2  # fewer windows; one-hot build grows ~linearly
+        elif n_seg > 1:
+            n_seg //= 2  # weaker segment-sort benefit, same exactness
+        else:
+            break
+    return window, n_seg
+
+
 def _kernel_seg(srow_ref, nch_ref, keys_hbm, vals_hbm, out_ref, kbuf, vbuf,
                 sem_k, sem_v, *, rows: int, window: int, p1: int,
                 counts_only: bool, nw: int):
@@ -350,13 +368,7 @@ def deposit_flat_segmented(flat_idx, weights, n_cells: int,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     assert n_cells % window == 0 and window % 128 == 0
-    while (n_cells // window) * n_seg > 65536:
-        if n_cells % (2 * window) == 0 and window < 131072:
-            window *= 2  # fewer windows; one-hot build grows ~linearly
-        elif n_seg > 1:
-            n_seg //= 2  # weaker segment-sort benefit, same exactness
-        else:
-            break
+    window, n_seg = _fit_seg_params(n_cells, window, n_seg)
     rows = window // 128
     p1 = chunk_rows
     nw = n_cells // window

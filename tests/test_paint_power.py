@@ -234,6 +234,22 @@ def test_pallas_deposit_segmented_correctness(rng):
                             atol=2e-5 * np.abs(ref).max(), err_msg=name)
 
 
+def test_seg_param_auto_fit():
+    """Bench-scale (2^27 cells) parameters previously overflowed the
+    kernel's SMEM scalar-prefetch budget (2 MB of (nw*n_seg,) int32 vs
+    the 1 MB limit); the fit must keep nw*n_seg <= 2^16 while preserving
+    divisibility, and leave small configs untouched."""
+    from astrild_tpu.ops.paint_pallas import _fit_seg_params
+
+    w, s = _fit_seg_params(2 ** 27, 16384, 64)
+    assert (2 ** 27 // w) * s <= 65536
+    assert 2 ** 27 % w == 0 and w % 128 == 0 and s >= 1
+    assert _fit_seg_params(128 * 256, 4096, 8) == (4096, 8)
+    # windows cap at 131072; excess pairs shed segments instead
+    w2, s2 = _fit_seg_params(2 ** 30, 16384, 64)
+    assert w2 <= 131072 * 2 and (2 ** 30 // w2) * s2 <= 65536
+
+
 def test_pallas_seg_deposit_in_auto_power(rng):
     """deposit='pallas_seg' gives the same P(k) as the scatter path."""
     import astrild_tpu.ops.power as PS
