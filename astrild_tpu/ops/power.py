@@ -478,13 +478,14 @@ def _auto_power_fast_impl(pos, boxsize, weights, binning, *, ngrid: int,
                            interpret=(None if deposit == "pallas"
                                       else True))
     elif deposit in ("pallas_seg", "pallas_seg_interpret"):
-        # segment-sorted deposit: ~2x cheaper than the monolithic path
-        # when the input is spatially COHERENT (file-ordered snapshots:
-        # segment sort 77-223 ms vs 437 ms monolithic at 134M keys and
-        # the (window, segment) ranges stay long). For scrambled input
-        # it matches the monolithic path within noise (measured 551 vs
-        # 552 ms) — never auto-selected, callers opt in when they know
-        # their ordering (e.g. Simulation snapshot pipelines).
+        # segment-sorted deposit. NOTE (r3 re-measurement): lax.sort
+        # cost is data-INDEPENDENT (coherent keys sort in the same time
+        # as random), and with is_stable=False the monolithic sort
+        # dropped to 237 ms at 134M keys, so this path no longer beats
+        # the default even for file-ordered snapshots — its remaining
+        # niche is spatially coherent input where mostly-empty
+        # (window, segment) ranges keep the kernel grid cheap. Never
+        # auto-selected; callers opt in explicitly.
         from .paint_pallas import deposit_flat_segmented
         dep = deposit_flat_segmented(
             flat, w32, ff ** 3 * ngrid ** 3,
