@@ -274,21 +274,47 @@ def deposit_sorted(keys_sorted, vals_sorted, n_cells: int,
 
 
 def _fit_seg_params(n_cells: int, window: int, n_seg: int):
-    """Cap (n_cells/window) * n_seg at 2^16 by widening windows, then
-    shedding segments.
+    """Cap (n_cells/window) * n_seg at 2^16 by shedding segments, then
+    widening windows.
 
     The segmented kernel's two scalar-prefetch arrays are (nw * n_seg,)
     int32 and must fit the 1 MB SMEM budget, and Mosaic rejects
     >= 131072 grid programs; 2^16 pairs = 256 KB each keeps both safe.
+    Segments go first: fewer segments leave the per-chunk kernel cost
+    unchanged (the sort-batching benefit is marginal since unstable
+    monolithic sorts), while a wider window grows the one-hot H build
+    ~linearly with rows. Raises when neither knob can satisfy the cap
+    (odd window-count grids) instead of failing AOT with an opaque
+    SMEM error.
     """
     while (n_cells // window) * n_seg > 65536:
-        if n_cells % (2 * window) == 0 and window < 131072:
-            window *= 2  # fewer windows; one-hot build grows ~linearly
-        elif n_seg > 1:
-            n_seg //= 2  # weaker segment-sort benefit, same exactness
+        if n_seg > 1:
+            n_seg //= 2  # kernel cost unchanged, same exactness
+        elif n_cells % (2 * window) == 0:
+            window *= 2  # last resort: one-hot build grows with rows
         else:
-            break
+            raise ValueError(
+                f"deposit_flat_segmented: n_cells={n_cells} has "
+                f"{n_cells // window} windows of {window} and no "
+                "power-of-two headroom to widen; the scalar-prefetch "
+                "arrays would exceed the 1 MB SMEM budget. Pick a "
+                "window w (multiple of 128) with n_cells % w == 0 and "
+                "n_cells / w <= 65536, or use deposit_flat.")
     return window, n_seg
+
+
+def _fit_paint_window(raw_cells: int, window: int, n_off: int) -> int:
+    """Widen the paint window until ceil(raw_cells/window) * n_off fits
+    the same 2^16 scalar-prefetch/grid-program cap as _fit_seg_params.
+
+    paint_windowed rounds n_cells UP to a window multiple, so the window
+    is a free parameter here — doubling always converges. Without this,
+    TSC at ngrid >= ~430 (27 offsets) exceeds the 131072-program Mosaic
+    crash line and the SMEM budget on the north-star 512^3 grid.
+    """
+    while (-(-raw_cells // window)) * n_off > 65536:
+        window *= 2
+    return window
 
 
 def _kernel_seg(srow_ref, nch_ref, keys_hbm, vals_hbm, out_ref, kbuf, vbuf,
@@ -620,6 +646,7 @@ def paint_windowed(pos_flat, weights, ngrid: int, boxsize, order: int = 3,
                 for c, i in zip(u, ic)]
         ip = [i + 1 for i in ic]
     key = (ip[0] * npd + ip[1]) * npd + ip[2]
+    window = _fit_paint_window(npd ** 3, window, len(offs1) ** 3)
 
     # one sort serves all offsets: sort (key, index), gather fracs/weights
     keys_s, idx_s = jax.lax.sort((key, jnp.arange(n, dtype=jnp.int32)),
@@ -774,11 +801,13 @@ def pallas_deposit_available() -> bool:
         # smallest LEGAL config: window >= 1024 keeps the (rows, 128)
         # output block at >= 8 sublanes (the Mosaic minimum)
         keys = (jnp.arange(512, dtype=jnp.int32) * 7) % 2048
-        out = deposit_sorted(jax.lax.sort(keys), None, 2048, window=1024)
+        out = deposit_sorted(jax.lax.sort(keys, is_stable=False), None,
+                             2048, window=1024)
         jax.block_until_ready(out)
         ok = int(jnp.sum(out)) == 512
         wts = jnp.full((512,), 0.5, jnp.float32)
-        outw = deposit_sorted(jax.lax.sort(keys), wts, 2048, window=1024)
+        outw = deposit_sorted(jax.lax.sort(keys, is_stable=False), wts,
+                              2048, window=1024)
         jax.block_until_ready(outw)
         # the weighted VALUES must be right too: a Mosaic regression that
         # breaks only the f32 hi/lo-split weighting (e.g. bf16 truncation

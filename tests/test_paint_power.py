@@ -241,13 +241,26 @@ def test_seg_param_auto_fit():
     divisibility, and leave small configs untouched."""
     from astrild_tpu.ops.paint_pallas import _fit_seg_params
 
-    w, s = _fit_seg_params(2 ** 27, 16384, 64)
-    assert (2 ** 27 // w) * s <= 65536
-    assert 2 ** 27 % w == 0 and w % 128 == 0 and s >= 1
+    # segments shed first (kernel cost is ~linear in window rows)
+    assert _fit_seg_params(2 ** 27, 16384, 64) == (16384, 8)
     assert _fit_seg_params(128 * 256, 4096, 8) == (4096, 8)
-    # windows cap at 131072; excess pairs shed segments instead
-    w2, s2 = _fit_seg_params(2 ** 30, 16384, 64)
-    assert w2 <= 131072 * 2 and (2 ** 30 // w2) * s2 <= 65536
+    assert _fit_seg_params(2 ** 30, 16384, 64) == (16384, 1)
+    # window widens only once segments are exhausted
+    w2, s2 = _fit_seg_params(2 ** 31, 16384, 4)
+    assert s2 == 1 and (2 ** 31 // w2) * s2 <= 65536 and w2 == 32768
+    # odd window-count grids with no headroom raise instead of failing
+    # AOT with an opaque SMEM error
+    with pytest.raises(ValueError):
+        _fit_seg_params(16384 * 69999, 16384, 1)
+
+    from astrild_tpu.ops.paint_pallas import _fit_paint_window
+
+    # TSC at the north-star 512^3 grid: 27 * ceil(514^3/16384) programs
+    # used to exceed the 131072 Mosaic crash line AND the SMEM budget
+    w3 = _fit_paint_window(514 ** 3, 16384, 27)
+    assert (-(-514 ** 3 // w3)) * 27 <= 65536 and w3 % 128 == 0
+    # small grids untouched
+    assert _fit_paint_window(66 ** 3, 16384, 27) == 16384
 
 
 def test_pallas_seg_deposit_in_auto_power(rng):
