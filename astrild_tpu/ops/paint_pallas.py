@@ -40,6 +40,10 @@ __all__ = ["deposit_sorted", "deposit_flat", "deposit_flat_segmented",
 
 DEFAULT_WINDOW = 16384  # cells per output window (must be multiple of 128)
 _CHUNK_ROWS = 64        # particle rows (of 128) DMA'd per inner step
+# shared cap on scalar-prefetch pairs per pallas_call: two (pairs,) int32
+# arrays must fit the 1 MB SMEM budget and Mosaic crashes at >= 131072
+# grid programs; 2^16 keeps both safe (tests shrink it to force splits)
+_MAX_PREFETCH_PAIRS = 65536
 
 
 from ..utils.jax_compat import pcast_varying as _pvary  # shared shim
@@ -287,7 +291,7 @@ def _fit_seg_params(n_cells: int, window: int, n_seg: int):
     (odd window-count grids) instead of failing AOT with an opaque
     SMEM error.
     """
-    while (n_cells // window) * n_seg > 65536:
+    while (n_cells // window) * n_seg > _MAX_PREFETCH_PAIRS:
         if n_seg > 1:
             n_seg //= 2  # kernel cost unchanged, same exactness
         elif n_cells % (2 * window) == 0:
@@ -308,11 +312,12 @@ def _fit_paint_window(raw_cells: int, window: int, n_off: int) -> int:
     the same 2^16 scalar-prefetch/grid-program cap as _fit_seg_params.
 
     paint_windowed rounds n_cells UP to a window multiple, so the window
-    is a free parameter here — doubling always converges. Without this,
-    TSC at ngrid >= ~430 (27 offsets) exceeds the 131072-program Mosaic
-    crash line and the SMEM budget on the north-star 512^3 grid.
+    is a free parameter here — doubling always converges. Called with
+    n_off=1 (the offset axis is split across pallas_calls instead —
+    widening the window grows the one-hot build ~linearly with rows, so
+    it is the knob of last resort, needed only for > ~2^30-cell grids).
     """
-    while (-(-raw_cells // window)) * n_off > 65536:
+    while (-(-raw_cells // window)) * n_off > _MAX_PREFETCH_PAIRS:
         window *= 2
     return window
 
@@ -646,7 +651,7 @@ def paint_windowed(pos_flat, weights, ngrid: int, boxsize, order: int = 3,
                 for c, i in zip(u, ic)]
         ip = [i + 1 for i in ic]
     key = (ip[0] * npd + ip[1]) * npd + ip[2]
-    window = _fit_paint_window(npd ** 3, window, len(offs1) ** 3)
+    window = _fit_paint_window(npd ** 3, window, 1)
 
     # one sort serves all offsets: sort (key, index), gather fracs/weights
     keys_s, idx_s = jax.lax.sort((key, jnp.arange(n, dtype=jnp.int32)),
@@ -683,28 +688,10 @@ def paint_windowed(pos_flat, weights, ngrid: int, boxsize, order: int = 3,
     bounds = jax.vmap(
         lambda off: jnp.searchsorted(keys_s, edges - off).astype(jnp.int32)
     )(off_flat)                                   # (n_off, nw+1)
-    srow = (bounds[:, :-1] // 128).reshape(-1)
+    srow2 = bounds[:, :-1] // 128                 # (n_off, nw)
     erow = -(-bounds[:, 1:] // 128)
-    nch = (-(-jnp.maximum(erow - bounds[:, :-1] // 128, 0) // p1)
-           ).reshape(-1)
+    nch2 = -(-jnp.maximum(erow - srow2, 0) // p1)
 
-    kern = functools.partial(_paint_kernel, rows=rows, window=window,
-                             p1=p1, order=order, has_w=has_w)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
-        grid=(nw, n_off),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((rows, 128), lambda j, o, *pref: (j, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, p1, 128), jnp.int32),
-            pltpu.VMEM((2, 4 if has_w else 3, p1, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
     try:
         vma = frozenset(jax.typeof(keys2d).vma) | frozenset(
             jax.typeof(fw).vma)
@@ -716,15 +703,47 @@ def paint_windowed(pos_flat, weights, ngrid: int, boxsize, order: int = 3,
         # dynamic_slice rejects the mixed-vma operands
         off_flat, axs, ays, azs = (_pvary(a, vma)
                                    for a in (off_flat, axs, ays, azs))
-    out = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_cells // 128, 128), jnp.float32,
-                                       vma=vma),
-        interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(off_flat, axs, ays, azs, srow, nch, keys2d, fw)
+
+    # The offset axis is SPLIT across pallas_calls so nw * group stays
+    # under the 2^16 scalar-prefetch/grid-program cap (the 131072-program
+    # Mosaic crash line and the 1 MB SMEM budget — same limits as
+    # _fit_seg_params). One call handles every offset up to ngrid ~ 340
+    # (TSC) / ~ 510 (CIC); larger grids pay only ceil(n_off/group) - 1
+    # extra full-grid adds (~ms) instead of a 4x-wider one-hot build.
+    group = max(1, min(n_off, _MAX_PREFETCH_PAIRS // nw))
+    partials = []
+    for o0 in range(0, n_off, group):
+        o1 = min(o0 + group, n_off)
+        kern = functools.partial(_paint_kernel, rows=rows, window=window,
+                                 p1=p1, order=order, has_w=has_w)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(nw, o1 - o0),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((rows, 128), lambda j, o, *pref: (j, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, p1, 128), jnp.int32),
+                pltpu.VMEM((2, 4 if has_w else 3, p1, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        partials.append(pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_cells // 128, 128),
+                                           jnp.float32, vma=vma),
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(off_flat[o0:o1], axs[o0:o1], ays[o0:o1], azs[o0:o1],
+          srow2[o0:o1].reshape(-1), nch2[o0:o1].reshape(-1), keys2d, fw))
+    out = partials[0]
+    for p_ in partials[1:]:
+        out = out + p_
 
     # fold the periodic pad back: padded index p -> cell (p-1) mod n
     g = out.reshape(-1)[: npd ** 3].reshape(npd, npd, npd)

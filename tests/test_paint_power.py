@@ -255,12 +255,33 @@ def test_seg_param_auto_fit():
 
     from astrild_tpu.ops.paint_pallas import _fit_paint_window
 
-    # TSC at the north-star 512^3 grid: 27 * ceil(514^3/16384) programs
-    # used to exceed the 131072 Mosaic crash line AND the SMEM budget
-    w3 = _fit_paint_window(514 ** 3, 16384, 27)
-    assert (-(-514 ** 3 // w3)) * 27 <= 65536 and w3 % 128 == 0
-    # small grids untouched
-    assert _fit_paint_window(66 ** 3, 16384, 27) == 16384
+    # paint splits the OFFSET axis across pallas_calls, so the window
+    # only widens once the window count ALONE busts the cap (> ~2^30
+    # cells); the north-star 512^3 grid keeps the tuned window
+    assert _fit_paint_window(514 ** 3, 16384, 1) == 16384
+    assert _fit_paint_window(1026 ** 3, 16384, 1) == 32768
+
+
+def test_paint_windowed_offset_split(rng, monkeypatch):
+    """TSC at ngrid >= ~430 used to exceed the 131072-program Mosaic
+    crash line and the SMEM budget (27 * nw scalar-prefetch pairs in one
+    pallas_call). The offset axis now splits across calls; shrinking the
+    cap forces multi-call grouping on a test-size grid and the deposit
+    must stay exact."""
+    import astrild_tpu.ops.paint_pallas as PP
+    from astrild_tpu.ops import paint as P
+
+    n, ngrid, box = 20000, 9, 50.0
+    pos = jnp.asarray(rng.uniform(0, box, (3 * n,)), jnp.float32)
+    want = np.asarray(P.paint((pos[:n], pos[n:2 * n], pos[2 * n:]),
+                              ngrid, box, window="tsc"))
+    # npd=11 -> nw=ceil(11^3/128)=11 pairs/offset; cap 32 -> group=2,
+    # 14 pallas_calls instead of 1
+    monkeypatch.setattr(PP, "_MAX_PREFETCH_PAIRS", 32)
+    got = PP.paint_windowed(pos, None, ngrid, box, order=3, window=128,
+                            chunk_rows=2)
+    npt.assert_allclose(np.asarray(got), want, rtol=2e-4,
+                        atol=2e-4 * want.max())
 
 
 def test_pallas_seg_deposit_in_auto_power(rng):
