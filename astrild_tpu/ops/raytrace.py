@@ -87,13 +87,16 @@ def plane_deflection_fields(kap, opening_angle, padding_factor: int = 1):
     # row npad//2 / the last rfft column there would delete a legitimate
     # +k mode and break Hermitian symmetry
 
+    # all spectral indexing targets the LAST TWO axes so batched
+    # (..., n, n) plane stacks stay correct (absolute-axis indexing would
+    # silently zero a batch element instead of the Nyquist plane)
     def inv_vec(spec_1, spec_2):
         # odd transfer: zero own-negative Nyquist planes (see kappa_to_alpha)
         if even:
-            spec_1 = spec_1.at[ny, :].set(0.0)
-            spec_2 = spec_2.at[:, -1].set(0.0)
-        a1 = jnp.fft.irfft2(spec_1, s=(npad, npad))[:n, :n]
-        a2 = jnp.fft.irfft2(spec_2, s=(npad, npad))[:n, :n]
+            spec_1 = spec_1.at[..., ny, :].set(0.0)
+            spec_2 = spec_2.at[..., :, -1].set(0.0)
+        a1 = jnp.fft.irfft2(spec_1, s=(npad, npad))[..., :n, :n]
+        a2 = jnp.fft.irfft2(spec_2, s=(npad, npad))[..., :n, :n]
         return a1, a2
 
     alpha1, alpha2 = inv_vec(1j * k1 * psi_ft, 1j * k2 * psi_ft)
@@ -101,12 +104,12 @@ def plane_deflection_fields(kap, opening_angle, padding_factor: int = 1):
     # in EACH axis separately, so like the alphas it must vanish on its
     # own-negative Nyquist planes or irfft2 silently symmetrizes spurious
     # content into a checkerboard (verified ~8% of max on white noise)
-    u11 = jnp.fft.irfft2(-k1 * k1 * psi_ft, s=(npad, npad))[:n, :n]
+    u11 = jnp.fft.irfft2(-k1 * k1 * psi_ft, s=(npad, npad))[..., :n, :n]
     u12_spec = -k1 * k2 * psi_ft
     if even:
-        u12_spec = u12_spec.at[ny, :].set(0.0).at[:, -1].set(0.0)
-    u12 = jnp.fft.irfft2(u12_spec, s=(npad, npad))[:n, :n]
-    u22 = jnp.fft.irfft2(-k2 * k2 * psi_ft, s=(npad, npad))[:n, :n]
+        u12_spec = u12_spec.at[..., ny, :].set(0.0).at[..., :, -1].set(0.0)
+    u12 = jnp.fft.irfft2(u12_spec, s=(npad, npad))[..., :n, :n]
+    u22 = jnp.fft.irfft2(-k2 * k2 * psi_ft, s=(npad, npad))[..., :n, :n]
     return alpha1, alpha2, u11, u12, u22
 
 

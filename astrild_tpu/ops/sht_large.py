@@ -72,8 +72,9 @@ class LargeSHTTables(NamedTuple):
 
 @lru_cache(maxsize=4)
 def sht_large_tables(nside: int, lmax: int) -> LargeSHTTables:
-    assert lmax <= 4 * nside - 1, \
-        "belt alias-fold supports lmax <= 4*nside - 1"
+    if lmax > 4 * nside - 1:  # not an assert: under python -O the alias
+        # fold would wrap-index m > n into the m=0 bin and corrupt silently
+        raise ValueError("belt alias-fold supports lmax <= 4*nside - 1")
     geo = ring_geometry(nside)
     theta = geo.theta
     x = np.cos(theta)
@@ -193,78 +194,93 @@ def _pad_alm_blocks(alm, lmax):
     return jnp.pad(alm, ((0, 0), (0, nb * _MBLOCK - (lmax + 1)))), nb
 
 
-def _cap_trig_apply(c_re, c_im, tab: LargeSHTTables, lmax: int,
-                    adjoint: bool, map_cap=None):
-    """m-blocked on-the-fly trig matmul over cap rings.
+def _cap_core_apply(a_cos, b_sin, phi_cap, mask_cap, lmax: int,
+                    adjoint: bool = False, map_cap=None):
+    """m-blocked on-the-fly trig matmul over cap rings — the ONE home of
+    the cap-ring chunking/padding/scan structure (sht_spin_large wraps
+    it too; per the repo convention shared estimator pieces live once).
 
-    synthesis (adjoint=False): c_* (lmax+1, ncap) -> cap map (ncap, pmax),
-      already including the m>=1 doubling and the m=0 term.
-    analysis (adjoint=True): map_cap (ncap, pmax) -> d_re, d_im
-      (lmax+1, ncap) = sum_p map e^{-im phi} (no doubling).
+    synthesis (adjoint=False):
+      (a_cos, b_sin) (lmax+1, ncap) -> cap map (ncap, pmax)
+      = sum_m a_cos cos(m phi) + b_sin sin(m phi).
+    analysis (adjoint=True): map_cap (ncap, pmax) ->
+      (sum_p map cos(m phi), sum_p map sin(m phi)), each (lmax+1, ncap).
     """
-    ncap, pmax = tab.phi_cap.shape
+    ncap, pmax = phi_cap.shape
     nb = -(-(lmax + 1) // _MBLOCK)
     nchunk = -(-ncap // _CAP_RING_CHUNK)
     pad_r = nchunk * _CAP_RING_CHUNK - ncap
-    phi = jnp.pad(tab.phi_cap, ((0, pad_r), (0, 0))).reshape(
+    phi = jnp.pad(phi_cap, ((0, pad_r), (0, 0))).reshape(
         nchunk, _CAP_RING_CHUNK, pmax)
-    msk = jnp.pad(tab.mask_cap, ((0, pad_r), (0, 0))).reshape(
+    msk = jnp.pad(mask_cap, ((0, pad_r), (0, 0))).reshape(
         nchunk, _CAP_RING_CHUNK, pmax)
     ms = jnp.arange(nb * _MBLOCK, dtype=jnp.float32)
+    m_blk = ms.reshape(nb, _MBLOCK)
 
     if not adjoint:
-        c_re_p = jnp.pad(c_re, ((0, nb * _MBLOCK - (lmax + 1)), (0, pad_r)))
-        c_im_p = jnp.pad(c_im, ((0, nb * _MBLOCK - (lmax + 1)), (0, pad_r)))
-        # weights: m=0 once, m>=1 doubled
-        w = jnp.where(ms == 0, 1.0, 2.0)[:, None]
-        c_re_p = (c_re_p * w).reshape(nb, _MBLOCK, nchunk, _CAP_RING_CHUNK)
-        c_im_p = (c_im_p * w).reshape(nb, _MBLOCK, nchunk, _CAP_RING_CHUNK)
-        m_blk = ms.reshape(nb, _MBLOCK)
+        a_p = jnp.pad(a_cos, ((0, nb * _MBLOCK - (lmax + 1)), (0, pad_r))
+                      ).reshape(nb, _MBLOCK, nchunk, _CAP_RING_CHUNK)
+        b_p = jnp.pad(b_sin, ((0, nb * _MBLOCK - (lmax + 1)), (0, pad_r))
+                      ).reshape(nb, _MBLOCK, nchunk, _CAP_RING_CHUNK)
 
         def chunk_body(carry, xs):
-            phi_c, msk_c, cr, ci = xs  # (C,pmax), (nb,B,C)
+            phi_c, msk_c, ab, bb = xs  # (C,pmax), (nb,B,C)
             def m_body(acc, xs2):
-                mv, crb, cib = xs2      # (B,), (B,C)
+                mv, abb, bbb = xs2      # (B,), (B,C)
                 ang = mv[:, None, None] * phi_c[None, :, :]
-                cosb = jnp.cos(ang)
-                sinb = jnp.sin(ang)
-                # sum_b cr[b,r] cos - ci[b,r] sin  -> (C, pmax)
-                add = (jnp.einsum("bc,bcp->cp", crb, cosb)
-                       - jnp.einsum("bc,bcp->cp", cib, sinb))
+                add = (jnp.einsum("bc,bcp->cp", abb, jnp.cos(ang))
+                       + jnp.einsum("bc,bcp->cp", bbb, jnp.sin(ang)))
                 return acc + add, None
             out, _ = jax.lax.scan(
                 m_body, jnp.zeros((_CAP_RING_CHUNK, pmax), jnp.float32),
-                (m_blk, cr, ci))
+                (m_blk, ab, bb))
             return carry, out * msk_c
 
         _, maps = jax.lax.scan(
             chunk_body, 0,
-            (phi, msk, jnp.moveaxis(c_re_p, 2, 0),
-             jnp.moveaxis(c_im_p, 2, 0)))
+            (phi, msk, jnp.moveaxis(a_p, 2, 0),
+             jnp.moveaxis(b_p, 2, 0)))
         return maps.reshape(nchunk * _CAP_RING_CHUNK, pmax)[:ncap]
 
     map_p = jnp.pad(map_cap, ((0, pad_r), (0, 0))).reshape(
         nchunk, _CAP_RING_CHUNK, pmax)
-    m_blk = ms.reshape(nb, _MBLOCK)
 
     def chunk_body(carry, xs):
         phi_c, msk_c, mp = xs
         mpm = mp * msk_c
         def m_body(acc, mv):
             ang = mv[:, None, None] * phi_c[None, :, :]
-            d_re = jnp.einsum("cp,bcp->bc", mpm, jnp.cos(ang))
-            d_im = -jnp.einsum("cp,bcp->bc", mpm, jnp.sin(ang))
-            return acc, (d_re, d_im)
+            dc = jnp.einsum("cp,bcp->bc", mpm, jnp.cos(ang))
+            ds = jnp.einsum("cp,bcp->bc", mpm, jnp.sin(ang))
+            return acc, (dc, ds)
         _, outs = jax.lax.scan(m_body, 0, m_blk)
         return carry, outs  # ((nb, B, C), (nb, B, C))
 
-    _, (d_re, d_im) = jax.lax.scan(chunk_body, 0, (phi, msk, map_p))
+    _, (dc, ds) = jax.lax.scan(chunk_body, 0, (phi, msk, map_p))
     # (nchunk, nb, B, C) -> (nb*B, nchunk*C)
-    d_re = jnp.moveaxis(d_re, 0, 2).reshape(nb * _MBLOCK,
-                                            nchunk * _CAP_RING_CHUNK)
-    d_im = jnp.moveaxis(d_im, 0, 2).reshape(nb * _MBLOCK,
-                                            nchunk * _CAP_RING_CHUNK)
-    return d_re[: lmax + 1, :ncap], d_im[: lmax + 1, :ncap]
+    dc = jnp.moveaxis(dc, 0, 2).reshape(nb * _MBLOCK,
+                                        nchunk * _CAP_RING_CHUNK)
+    ds = jnp.moveaxis(ds, 0, 2).reshape(nb * _MBLOCK,
+                                        nchunk * _CAP_RING_CHUNK)
+    return dc[: lmax + 1, :ncap], ds[: lmax + 1, :ncap]
+
+
+def _cap_trig_apply(c_re, c_im, tab: LargeSHTTables, lmax: int,
+                    adjoint: bool, map_cap=None):
+    """Scalar-SHT cap sums in the e^{im phi} convention.
+
+    synthesis: includes the m>=1 doubling and the m=0 term:
+      map = sum_m w_m (c_re cos - c_im sin), w_0 = 1, w_m = 2.
+    analysis: (d_re, d_im) = sum_p map e^{-im phi} (no doubling).
+    """
+    if not adjoint:
+        wm = jnp.where(jnp.arange(lmax + 1) == 0, 1.0, 2.0
+                       ).astype(jnp.float32)[:, None]
+        return _cap_core_apply(c_re * wm, -(c_im * wm), tab.phi_cap,
+                               tab.mask_cap, lmax)
+    dc, ds = _cap_core_apply(None, None, tab.phi_cap, tab.mask_cap, lmax,
+                             adjoint=True, map_cap=map_cap)
+    return dc, -ds
 
 
 def _rotate_phase(c_re, c_im, phi0, sign=1.0):
@@ -405,6 +421,10 @@ def analyze_large(hpmap, nside: int, lmax: int, niter: int = 3,
     that super-Nyquist regime and jacobi otherwise (bit-compatible with
     the previously validated <= 2*nside numbers).
     """
+    if method not in ("auto", "cg", "jacobi"):
+        raise ValueError(f"method must be 'auto', 'cg' or 'jacobi', got "
+                         f"{method!r}")  # a typo silently ran jacobi,
+    # which is badly biased exactly where cg matters (lmax > 2*nside)
     tab = tables if tables is not None else sht_large_tables(nside, lmax)
     hpmap = jnp.asarray(hpmap, jnp.float32)
     if method == "auto":

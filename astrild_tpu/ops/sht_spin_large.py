@@ -42,12 +42,10 @@ import numpy as np
 from ..utils import healpix as hpx
 from .sht import alm2cl, ring_geometry
 from .sht_large import (_INV_RESCALE, _MBLOCK, _TRIGGER, LargeSHTTables,
-                        _rotate_phase, sht_large_tables)
+                        _cap_core_apply, _rotate_phase, sht_large_tables)
 
 __all__ = ["Spin2LargeTables", "spin2_large_tables", "synthesize_spin2_large",
            "analyze_spin2_large", "anafast_spin2_large"]
-
-_CAP_RING_CHUNK = 64
 
 
 class Spin2LargeTables(NamedTuple):
@@ -224,68 +222,15 @@ def _fold_coeffs(tab: Spin2LargeTables, lmax: int, e_re, e_im, b_re,
 def _cap_complex_apply(qc, qs, tab: Spin2LargeTables, lmax: int,
                        adjoint: bool = False, map_cap=None):
     """Cap-ring trig synthesis sum_m qc cos(m phi) + qs sin(m phi)
-    (adjoint: returns (sum_p map cos, sum_p map sin) per m)."""
+    (adjoint: returns (sum_p map cos, sum_p map sin) per m).
+
+    Thin wrapper over sht_large._cap_core_apply — the cap-ring
+    chunk/scan structure has ONE home; the spin path is the sign-free
+    convention (no m >= 1 doubling, + sin, + adjoint sin).
+    """
     base = tab.base
-    ncap, pmax = base.phi_cap.shape
-    nb = -(-(lmax + 1) // _MBLOCK)
-    nchunk = -(-ncap // _CAP_RING_CHUNK)
-    pad_r = nchunk * _CAP_RING_CHUNK - ncap
-    phi = jnp.pad(base.phi_cap, ((0, pad_r), (0, 0))).reshape(
-        nchunk, _CAP_RING_CHUNK, pmax)
-    msk = jnp.pad(base.mask_cap, ((0, pad_r), (0, 0))).reshape(
-        nchunk, _CAP_RING_CHUNK, pmax)
-    ms = jnp.arange(nb * _MBLOCK, dtype=jnp.float32)
-    m_blk = ms.reshape(nb, _MBLOCK)
-
-    if not adjoint:
-        qc_p = jnp.pad(qc, ((0, nb * _MBLOCK - (lmax + 1)), (0, pad_r)))
-        qs_p = jnp.pad(qs, ((0, nb * _MBLOCK - (lmax + 1)), (0, pad_r)))
-        qc_p = qc_p.reshape(nb, _MBLOCK, nchunk, _CAP_RING_CHUNK)
-        qs_p = qs_p.reshape(nb, _MBLOCK, nchunk, _CAP_RING_CHUNK)
-
-        def chunk_body(carry, xs):
-            phi_c, msk_c, cc, ss = xs
-
-            def m_body(acc, xs2):
-                mv, ccb, ssb = xs2
-                ang = mv[:, None, None] * phi_c[None, :, :]
-                add = (jnp.einsum("bc,bcp->cp", ccb, jnp.cos(ang))
-                       + jnp.einsum("bc,bcp->cp", ssb, jnp.sin(ang)))
-                return acc + add, None
-
-            out, _ = jax.lax.scan(
-                m_body, jnp.zeros((_CAP_RING_CHUNK, pmax), jnp.float32),
-                (m_blk, cc, ss))
-            return carry, out * msk_c
-
-        _, maps = jax.lax.scan(
-            chunk_body, 0,
-            (phi, msk, jnp.moveaxis(qc_p, 2, 0),
-             jnp.moveaxis(qs_p, 2, 0)))
-        return maps.reshape(nchunk * _CAP_RING_CHUNK, pmax)[:ncap]
-
-    map_p = jnp.pad(map_cap, ((0, pad_r), (0, 0))).reshape(
-        nchunk, _CAP_RING_CHUNK, pmax)
-
-    def chunk_body(carry, xs):
-        phi_c, msk_c, mp = xs
-        mpm = mp * msk_c
-
-        def m_body(acc, mv):
-            ang = mv[:, None, None] * phi_c[None, :, :]
-            dc = jnp.einsum("cp,bcp->bc", mpm, jnp.cos(ang))
-            ds = jnp.einsum("cp,bcp->bc", mpm, jnp.sin(ang))
-            return acc, (dc, ds)
-
-        _, outs = jax.lax.scan(m_body, 0, m_blk)
-        return carry, outs
-
-    _, (dc, ds) = jax.lax.scan(chunk_body, 0, (phi, msk, map_p))
-    dc = jnp.moveaxis(dc, 0, 2).reshape(nb * _MBLOCK,
-                                        nchunk * _CAP_RING_CHUNK)
-    ds = jnp.moveaxis(ds, 0, 2).reshape(nb * _MBLOCK,
-                                        nchunk * _CAP_RING_CHUNK)
-    return dc[: lmax + 1, :ncap], ds[: lmax + 1, :ncap]
+    return _cap_core_apply(qc, qs, base.phi_cap, base.mask_cap, lmax,
+                           adjoint=adjoint, map_cap=map_cap)
 
 
 @partial(jax.jit, static_argnames=("nside", "lmax"))
@@ -369,8 +314,10 @@ def _adjoint_spin2_large_impl(q, u, tab: Spin2LargeTables, nside: int,
     p = (jnp.arange(lmax + 1) > 0).astype(jnp.float32)[:, None]
     dgp_re_c = dqc + dus
     dgp_im_c = -dqs + duc
-    dgm_re_c = p * (dqc - dus)
-    dgm_im_c = p * (dqs + duc)
+    # m = 0 masking happens ONCE, post-assemble (the `* p` below covers
+    # cap and belt rows alike)
+    dgm_re_c = dqc - dus
+    dgm_im_c = dqs + duc
 
     def assemble(cap, beltm):
         return jnp.concatenate([cap[:, :ncap_side], beltm,
@@ -439,6 +386,10 @@ def analyze_spin2_large(q, u, nside: int, lmax: int, niter: int = 3,
     aliased +-m pairs make Jacobi useless (measured roundtrip error 0.25
     at lmax = 3*nside-1 vs 1e-3 with cg-3).
     """
+    if method not in ("auto", "cg", "jacobi"):
+        raise ValueError(f"method must be 'auto', 'cg' or 'jacobi', got "
+                         f"{method!r}")  # typos must not silently run
+    # jacobi in the super-Nyquist band where it is badly biased
     tab = tables if tables is not None else spin2_large_tables(nside, lmax)
     q = jnp.asarray(q, jnp.float32)
     u = jnp.asarray(u, jnp.float32)
@@ -470,11 +421,17 @@ def analyze_spin2_large(q, u, nside: int, lmax: int, niter: int = 3,
 
 
 def anafast_spin2_large(q, u, lmax: int, niter: int = 3,
-                        tables: Optional[Spin2LargeTables] = None):
-    """(Cl_EE, Cl_BB, Cl_EB) of a spin-2 map pair at large lmax."""
+                        tables: Optional[Spin2LargeTables] = None,
+                        method: str = "auto"):
+    """(Cl_EE, Cl_BB, Cl_EB) of a spin-2 map pair at large lmax.
+
+    method passes through to analyze_spin2_large ('auto'/'cg'/'jacobi')
+    — healpy-parity comparisons must pin method='jacobi', matching the
+    scalar anafast_large surface.
+    """
     nside = hpx.npix2nside(jnp.asarray(q).shape[0])
     er, ei, br, bi = analyze_spin2_large(q, u, nside, lmax, niter=niter,
-                                         tables=tables)
+                                         tables=tables, method=method)
     ee = alm2cl(er, ei)
     bb = alm2cl(br, bi)
     pp = alm2cl(er + br, ei + bi)

@@ -108,6 +108,23 @@ def test_raygrid_subsampling_and_scale_factors():
             > np.abs(np.asarray(out1["kappa"])).mean())
 
 
+def test_plane_deflection_fields_batched_matches_loop():
+    """(nplane, n, n) stacks must equal the per-plane 2D results — the
+    Nyquist zeroing/cropping used to index absolute axes and silently
+    wiped batch element n//2's alpha1 spectrum instead of the Nyquist
+    row."""
+    rng = np.random.default_rng(7)
+    npix, nplane = 16, 20  # nplane > npix: batch/axis mixups can't hide
+    kaps = jnp.asarray(rng.normal(size=(nplane, npix, npix))
+                       .astype(np.float32))
+    batched = R.plane_deflection_fields(kaps, 0.7)
+    for i in range(nplane):
+        single = R.plane_deflection_fields(kaps[i], 0.7)
+        for b, s in zip(batched, single):
+            npt.assert_allclose(np.asarray(b[i]), np.asarray(s),
+                                rtol=1e-6, atol=1e-6)
+
+
 def test_u12_is_exact_spectral_derivative_of_alpha1():
     """u12 must equal d(alpha1)/d(theta2) spectrally — including on
     white noise, where an unzeroed Nyquist plane of the odd-odd mixed
