@@ -70,6 +70,7 @@ class GadgetSnapshot:
             os.path.join(directory, f"{snapbase}{s3}"),
         ]
         self.snapname = None
+        self._candidates = candidates  # for error messages
         for cand in candidates:
             if os.path.isfile(cand + ".hdf5") or os.path.isfile(cand + ".0.hdf5"):
                 self.snapname = cand
@@ -105,6 +106,14 @@ class GadgetSnapshot:
         """Read particle blocks with unit conversion; returns self.data."""
         import h5py
 
+        if self.snapname is None:
+            # __init__ stays lenient (catalog-only directories construct a
+            # snapshot handle for group_catalog alone), but a read without
+            # files must name the paths it tried, not die later on a
+            # KeyError('hubble') / TypeError(None + str)
+            raise FileNotFoundError(
+                "no snapshot files found; tried "
+                + ", ".join(c + "(.0).hdf5" for c in self._candidates))
         if isinstance(blocklist, str):
             blocklist = [blocklist]
         if isinstance(parttype, int):
@@ -123,7 +132,13 @@ class GadgetSnapshot:
                         if g is None:
                             continue
                         if block in g:
-                            chunks[block].append(np.asarray(g[block]) * fac)
+                            arr = np.asarray(g[block])
+                            # fac == 1.0 blocks (IDs, counts, velocities)
+                            # keep their native dtype: an unconditional
+                            # multiply promoted uint64 ParticleIDs to
+                            # float64 (exactness lost above 2^53)
+                            chunks[block].append(arr if fac == 1.0
+                                                 else arr * fac)
                         elif block == "Masses":
                             # constant-mass species from the MassTable
                             n = f["Header"].attrs["NumPart_ThisFile"][pt]
@@ -150,13 +165,24 @@ class GadgetSnapshot:
         if not path:
             path = os.path.join(self.directory, f"{dirname}{s3}",
                                 f"{filename}{s3}")
-        h = self.header.get("hubble", 1.0)
+        h = self.header.get("hubble")
         chunks: Dict[str, List[np.ndarray]] = {n: [] for n in hdf5_names}
         files = self._files(path, partition)
         if not files:
             raise FileNotFoundError(f"no group catalog at {path}*")
         for fname in files:
             with h5py.File(fname, "r") as f:
+                if h is None:
+                    # catalog-only directories (no snapshot files): take h
+                    # from the catalog's own header rather than silently
+                    # assuming 1.0 (a 1/h ~ 1.5x unit error on masses)
+                    attrs = f["Header"].attrs
+                    if "HubbleParam" not in attrs:
+                        raise KeyError(
+                            f"{fname}: no snapshot header was read and the "
+                            "catalog header lacks HubbleParam — cannot "
+                            "determine h for unit conversion")
+                    h = float(attrs["HubbleParam"])
                 if not self.cat:
                     for k, v in f["Header"].attrs.items():
                         self.cat[k] = v
@@ -169,8 +195,11 @@ class GadgetSnapshot:
                     g = f.get(grp)
                     if g is None or name not in g:
                         continue
-                    chunks[name].append(
-                        np.asarray(g[name]) * unit_factor(name, h))
+                    arr = np.asarray(g[name])
+                    fac = unit_factor(name, h)
+                    # keep native dtypes for fac == 1.0 blocks (GroupLen,
+                    # GroupFirstSub, ... are ints used for indexing)
+                    chunks[name].append(arr if fac == 1.0 else arr * fac)
         for name in hdf5_names:
             if chunks[name]:
                 self.cat[name] = np.concatenate(chunks[name], axis=0)

@@ -61,17 +61,21 @@ def initialize(coordinator_address: Optional[str] = None,
         return
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
+    # env fallbacks BEFORE the single-process early return: a launcher
+    # that sets only JAX_NUM_PROCESSES/JAX_PROCESS_ID (relying on cloud
+    # coordinator auto-detection) must not silently no-op into
+    # process_count()==1, where every host would read the FULL snapshot
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is None and num_processes is None:
         return  # single-process run
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
-    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
-        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if num_processes is not None:
         kwargs["num_processes"] = int(num_processes)
-    if process_id is None and "JAX_PROCESS_ID" in os.environ:
-        process_id = int(os.environ["JAX_PROCESS_ID"])
     if process_id is not None:
         kwargs["process_id"] = int(process_id)
     if local_device_ids is not None:
@@ -119,6 +123,13 @@ def pad_to_shard(arrays, nshards: int, target_rows: Optional[int] = None):
     """
     arrays = [np.asarray(a) for a in arrays]
     n = arrays[0].shape[0]
+    ragged = [a.shape[0] for a in arrays if a.shape[0] != n]
+    if ragged:
+        # a block present in only some files would otherwise pad to a
+        # different length than its companions and the validity weights
+        # would mark rows that don't exist in it
+        raise ValueError(f"pad_to_shard: arrays disagree on leading rows "
+                         f"({[a.shape[0] for a in arrays]})")
     if target_rows is None:
         target_rows = -(-n // nshards) * nshards
     if target_rows % nshards:

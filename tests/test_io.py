@@ -120,6 +120,8 @@ def synth_snapshot(tmp_path):
             pt = f.create_group("PartType1")
             pt["Coordinates"] = rng.uniform(0, 100, (n, 3))
             pt["Velocities"] = rng.normal(0, 100, (n, 3))
+            pt["ParticleIDs"] = (np.arange(fn * n, (fn + 1) * n,
+                                           dtype=np.uint64) + 2 ** 60)
     # group catalog
     gdir = tmp_path / "groups_012"
     gdir.mkdir()
@@ -153,6 +155,58 @@ def test_gadget_snapshot_partition(synth_snapshot):
     snap = aio.GadgetSnapshot(12, synth_snapshot)
     snap.read(["Coordinates"], parttype=[1], partition=(2, 0))
     assert snap.data["Coordinates"].shape == (100, 3)
+
+
+def test_gadget_ids_keep_native_dtype(synth_snapshot):
+    """fac == 1.0 blocks must not be promoted to float64: uint64
+    ParticleIDs above 2^53 would silently lose exactness."""
+    snap = aio.GadgetSnapshot(12, synth_snapshot)
+    snap.read(["ParticleIDs"], parttype=[1])
+    ids = snap.data["ParticleIDs"]
+    assert ids.dtype == np.uint64
+    npt.assert_array_equal(np.sort(ids),
+                           np.arange(200, dtype=np.uint64) + 2 ** 60)
+
+
+def test_gadget_missing_snapshot_read_raises(tmp_path):
+    snap = aio.GadgetSnapshot(7, str(tmp_path))  # lenient construction
+    with pytest.raises(FileNotFoundError, match="snap_007"):
+        snap.read(["Coordinates"])
+
+
+def test_gadget_catalog_only_h_from_catalog_header(tmp_path):
+    """No snapshot files: h comes from the catalog's own header (not a
+    silent 1.0), and integer blocks keep their dtype."""
+    import h5py
+
+    gdir = tmp_path / "groups_012"
+    gdir.mkdir()
+    with h5py.File(gdir / "fof_subhalo_tab_012.0.hdf5", "w") as f:
+        h = f.create_group("Header")
+        h.attrs["Ngroups_Total"] = 2
+        h.attrs["HubbleParam"] = 0.8
+        g = f.create_group("Group")
+        g["Group_M_Crit200"] = np.array([1.0, 2.0])
+        g["GroupLen"] = np.array([10, 20], dtype=np.int32)
+    snap = aio.GadgetSnapshot(12, str(tmp_path))
+    cat = snap.group_catalog(["Group_M_Crit200", "GroupLen"])
+    npt.assert_allclose(cat["Group_M_Crit200"],
+                        np.array([1.0, 2.0]) * 1e10 / 0.8)
+    assert cat["GroupLen"].dtype == np.int32
+
+
+def test_gadget_catalog_only_without_h_raises(tmp_path):
+    import h5py
+
+    gdir = tmp_path / "groups_012"
+    gdir.mkdir()
+    with h5py.File(gdir / "fof_subhalo_tab_012.0.hdf5", "w") as f:
+        f.create_group("Header")
+        g = f.create_group("Group")
+        g["Group_M_Crit200"] = np.array([1.0])
+    snap = aio.GadgetSnapshot(12, str(tmp_path))
+    with pytest.raises(KeyError, match="HubbleParam"):
+        snap.group_catalog(["Group_M_Crit200"])
 
 
 def test_gadget_group_catalog(synth_snapshot):

@@ -141,6 +141,29 @@ def test_pad_to_shard_contract():
         multihost.pad_to_shard([a], nshards=4, target_rows=8)
 
 
+def test_pad_to_shard_ragged_raises():
+    a = np.arange(10, dtype=np.float32)
+    b = np.arange(9, dtype=np.float32)
+    with pytest.raises(ValueError, match="disagree"):
+        multihost.pad_to_shard([a, b], nshards=2)
+
+
+def test_initialize_env_fallback(monkeypatch):
+    """A launcher setting only JAX_NUM_PROCESSES/JAX_PROCESS_ID (cloud
+    coordinator auto-detection) must reach jax.distributed.initialize,
+    not silently no-op into a single-process run where every host would
+    read the full snapshot."""
+    recorded = {}
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: recorded.update(kw))
+    monkeypatch.setattr(multihost, "_initialized", False)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.setenv("JAX_PROCESS_ID", "1")
+    multihost.initialize()
+    assert recorded == {"num_processes": 2, "process_id": 1}
+
+
 def test_initialize_single_process_noop(monkeypatch):
     # no coordinator configured -> must not touch jax.distributed
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
