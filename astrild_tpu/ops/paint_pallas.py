@@ -307,17 +307,17 @@ def _fit_seg_params(n_cells: int, window: int, n_seg: int):
     return window, n_seg
 
 
-def _fit_paint_window(raw_cells: int, window: int, n_off: int) -> int:
-    """Widen the paint window until ceil(raw_cells/window) * n_off fits
-    the same 2^16 scalar-prefetch/grid-program cap as _fit_seg_params.
+def _fit_paint_window(raw_cells: int, window: int) -> int:
+    """Widen the paint window until ceil(raw_cells/window) fits the same
+    2^16 scalar-prefetch/grid-program cap as _fit_seg_params.
 
     paint_windowed rounds n_cells UP to a window multiple, so the window
-    is a free parameter here — doubling always converges. Called with
-    n_off=1 (the offset axis is split across pallas_calls instead —
+    is a free parameter here — doubling always converges. The offset
+    axis is split across pallas_calls and never enters this bound;
     widening the window grows the one-hot build ~linearly with rows, so
-    it is the knob of last resort, needed only for > ~2^30-cell grids).
+    it is the knob of last resort, needed only for > ~2^30-cell grids.
     """
-    while (-(-raw_cells // window)) * n_off > _MAX_PREFETCH_PAIRS:
+    while -(-raw_cells // window) > _MAX_PREFETCH_PAIRS:
         window *= 2
     return window
 
@@ -651,7 +651,7 @@ def paint_windowed(pos_flat, weights, ngrid: int, boxsize, order: int = 3,
                 for c, i in zip(u, ic)]
         ip = [i + 1 for i in ic]
     key = (ip[0] * npd + ip[1]) * npd + ip[2]
-    window = _fit_paint_window(npd ** 3, window, 1)
+    window = _fit_paint_window(npd ** 3, window)
 
     # one sort serves all offsets: sort (key, index), gather fracs/weights
     keys_s, idx_s = jax.lax.sort((key, jnp.arange(n, dtype=jnp.int32)),
@@ -711,11 +711,11 @@ def paint_windowed(pos_flat, weights, ngrid: int, boxsize, order: int = 3,
     # (TSC) / ~ 510 (CIC); larger grids pay only ceil(n_off/group) - 1
     # extra full-grid adds (~ms) instead of a 4x-wider one-hot build.
     group = max(1, min(n_off, _MAX_PREFETCH_PAIRS // nw))
+    kern = functools.partial(_paint_kernel, rows=rows, window=window,
+                             p1=p1, order=order, has_w=has_w)
     partials = []
     for o0 in range(0, n_off, group):
         o1 = min(o0 + group, n_off)
-        kern = functools.partial(_paint_kernel, rows=rows, window=window,
-                                 p1=p1, order=order, has_w=has_w)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=6,
             grid=(nw, o1 - o0),

@@ -71,6 +71,13 @@ def initialize(coordinator_address: Optional[str] = None,
         process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is None and num_processes is None:
         return  # single-process run
+    if num_processes is not None and int(num_processes) == 1 \
+            and coordinator_address is None:
+        # a launcher that uniformly exports JAX_NUM_PROCESSES=$NTASKS run
+        # with one task: genuinely single-process, and with no coordinator
+        # jax.distributed.initialize would raise outside cloud
+        # auto-detect environments where the old early return no-opped
+        return
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
@@ -289,10 +296,19 @@ def _block_shapes(snap, blocks, parttype):
     import h5py
 
     base = snap.snapname
+    if base is None:
+        # GadgetSnapshot.__init__ is lenient (catalog-only directories);
+        # the loader must fail here with the paths it tried, matching
+        # GadgetSnapshot.read(), not with TypeError(None + str) below
+        raise FileNotFoundError(
+            "no snapshot files found; tried "
+            + ", ".join(c + "(.0).hdf5" for c in snap._candidates))
     first = base + ".hdf5"
     if not os.path.isfile(first):
         files = sorted(_glob.glob(base + ".*.hdf5"),
                        key=lambda p: int(p.split(".")[-2]))
+        if not files:
+            raise FileNotFoundError(f"no snapshot files match {base}*.hdf5")
         first = files[0]
     pts = (list(parttype) if parttype is not None else None)
     out = {}

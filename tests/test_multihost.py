@@ -70,6 +70,17 @@ def test_emulated_striped_load_matches_unsharded_read(snapshot4):
     assert data["header"]["boxsize"] == BOX
 
 
+def test_load_snapshot_sharded_missing_dir_clear_error(tmp_path):
+    """A typo'd snapshot directory must fail with FileNotFoundError naming
+    the attempted paths (the lenient GadgetSnapshot handle used to reach
+    _block_shapes and die with TypeError(None + str))."""
+    mesh = make_mesh(n_sim=2, n_x=2, n_y=2)
+    with pytest.raises(FileNotFoundError, match="no snapshot files"):
+        multihost.load_snapshot_sharded(12, str(tmp_path / "typo"), mesh,
+                                        blocks=("Coordinates",),
+                                        emulate_hosts=2)
+
+
 def test_loader_output_feeds_distributed_power(snapshot4):
     from astrild_tpu.ops import paint as paint_ops
     from astrild_tpu.ops import power as power_ops
@@ -165,11 +176,36 @@ def test_initialize_env_fallback(monkeypatch):
 
 
 def test_initialize_single_process_noop(monkeypatch):
-    # no coordinator configured -> must not touch jax.distributed
+    # no coordinator configured -> must not touch jax.distributed (guard
+    # the real initialize so an ambient JAX_NUM_PROCESSES can't leak in)
+    def _boom(**kw):
+        raise AssertionError(f"initialize called with {kw}")
+
+    monkeypatch.setattr(jax.distributed, "initialize", _boom)
+    monkeypatch.setattr(multihost, "_initialized", False)
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
     multihost.initialize()
     assert multihost.process_count() == 1
     assert not multihost.is_distributed()
+
+
+def test_initialize_ntasks_one_noop(monkeypatch):
+    """JAX_NUM_PROCESSES=1 with no coordinator (a wrapper that uniformly
+    exports $NTASKS run single-task) is a legitimate single-process run:
+    initialize() must no-op, not call jax.distributed.initialize with no
+    coordinator (which raises outside cloud auto-detect environments)."""
+    def _boom(**kw):
+        raise AssertionError(f"initialize called with {kw}")
+
+    monkeypatch.setattr(jax.distributed, "initialize", _boom)
+    monkeypatch.setattr(multihost, "_initialized", False)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "1")
+    monkeypatch.setenv("JAX_PROCESS_ID", "0")
+    multihost.initialize()
+    assert multihost.process_count() == 1
 
 
 _WORKER = textwrap.dedent("""

@@ -258,8 +258,8 @@ def test_seg_param_auto_fit():
     # paint splits the OFFSET axis across pallas_calls, so the window
     # only widens once the window count ALONE busts the cap (> ~2^30
     # cells); the north-star 512^3 grid keeps the tuned window
-    assert _fit_paint_window(514 ** 3, 16384, 1) == 16384
-    assert _fit_paint_window(1026 ** 3, 16384, 1) == 32768
+    assert _fit_paint_window(514 ** 3, 16384) == 16384
+    assert _fit_paint_window(1026 ** 3, 16384) == 32768
 
 
 def test_paint_windowed_offset_split(rng, monkeypatch):
