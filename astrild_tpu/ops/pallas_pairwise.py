@@ -1,5 +1,10 @@
 """Pallas TPU kernel for the blocked pairwise-velocity accumulation.
 
+TPU counterpart of the reference's compiled pair loops
+(/root/reference/src/astrild/particles/utils_cython/pairwise_velocity.pyx:32,194,259
+and the numba thread pool in hutils/mean_pairwise_velocity.py:81-97,
+which hard-caps N at 50k); this kernel has no cap.
+
 The hot O(N^2) loop of the Yasini+18 estimator (see ops/pairwise.py for
 the XLA scan version and the estimator math): the pair space is tiled
 (B x B); each grid step loads two B-particle tiles into VMEM, evaluates

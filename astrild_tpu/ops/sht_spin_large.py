@@ -1,5 +1,10 @@
 """Large-lmax spin-2 transforms: production-scale full-sky shear E/B.
 
+No direct reference counterpart (the reference's healpy surface,
+/root/reference/src/astrild/rays/skys/sky_healpix.py:183-241, is
+scalar-only); this extends the healpy-parity SHT stack to the spin-2
+transforms (alm2map_spin/map2alm_spin) a full-sky shear pipeline needs.
+
 The table spin-2 path (ops/sht_spin.py) materializes O(lmax^2 * nring)
 Wigner-d tables — practical to lmax ~ 512 like the scalar tables. This
 module is its libsharp-style counterpart on the ops/sht_large
