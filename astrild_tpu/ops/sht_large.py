@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils import healpix as hpx
+from ..utils.jax_compat import match_vma as _match_vma
 from .sht import alm2cl, ring_geometry
 
 __all__ = ["LargeSHTTables", "sht_large_tables", "synthesize_large",
@@ -179,8 +180,13 @@ def _legendre_scan(m0: int, tab: LargeSHTTables, lmax: int,
         return (p_prev2, p_next, s, acc_re, acc_im), out
 
     zeros = jnp.zeros((B, nring), jnp.float32)
-    init = (zeros, zeros, s0, zeros, zeros)
+    # under shard_map (parallel/sht_large: traced m0, varying alm/q
+    # streams) the carry zeros must match the data's vma or vma checking
+    # rejects the scan jaxpr; outside shard_map this is a no-op
+    zeros = _match_vma(zeros, alm_rows[0] if synth else q[0])
     ls = jnp.arange(lmax + 1, dtype=jnp.float32)
+    ls = _match_vma(ls, zeros)
+    init = (zeros, zeros, _match_vma(s0, zeros), zeros, zeros)
     if synth:
         xs = (ls, alm_rows[0], alm_rows[1])
         (_, _, _, acc_re, acc_im), _ = jax.lax.scan(step, init, xs)
@@ -294,10 +300,6 @@ def _rotate_phase(c_re, c_im, phi0, sign=1.0):
 @partial(jax.jit, static_argnames=("nside", "lmax"))
 def _synth_large_impl(alm_re, alm_im, tab: LargeSHTTables, nside: int,
                       lmax: int):
-    nring = tab.x.shape[0]
-    ncap_side = nside - 1
-    n = 4 * nside
-
     alm_re_p, nb = _pad_alm_blocks(alm_re, lmax)
     alm_im_p, _ = _pad_alm_blocks(alm_im, lmax)
     cs = []
@@ -309,6 +311,19 @@ def _synth_large_impl(alm_re, alm_im, tab: LargeSHTTables, nside: int,
                                                     (blk + 1) * _MBLOCK])))
     c_re = jnp.concatenate([c[0] for c in cs])[: lmax + 1]  # (lmax+1, R)
     c_im = jnp.concatenate([c[1] for c in cs])[: lmax + 1]
+    return _synth_from_c(c_re, c_im, tab, nside, lmax)
+
+
+def _synth_from_c(c_re, c_im, tab: LargeSHTTables, nside: int, lmax: int):
+    """Ring-coefficient tail of synthesis: (lmax+1, nring) c -> RING map.
+
+    Shared by the single-device impl above and the distributed m-sharded
+    path (parallel/sht_large.py), which computes c with its m-blocks
+    spread over the mesh and gathers before this tail.
+    """
+    nring = tab.x.shape[0]
+    ncap_side = nside - 1
+    n = 4 * nside
 
     # ---- belt: fold m into rfft bins and inverse-FFT each ring
     belt = slice(ncap_side, nring - ncap_side)
@@ -342,12 +357,17 @@ def _synth_large_impl(alm_re, alm_im, tab: LargeSHTTables, nside: int,
     return plane.reshape(-1)[tab.flat_idx]
 
 
-@partial(jax.jit, static_argnames=("nside", "lmax"))
-def _adjoint_large_impl(hpmap, tab: LargeSHTTables, nside: int, lmax: int):
+def _quadrature_sums(hpmap, tab: LargeSHTTables, nside: int, lmax: int):
+    """Quadrature-sum head of analysis: RING map -> d[m, r] =
+    sum_p map e^{-im phi_rp}, assembled (lmax+1, nring) in ring order.
+
+    Shared by the single-device impl below and the distributed m-sharded
+    path (parallel/sht_large.py), whose devices each contract their
+    m-blocks of d with the Legendre scan.
+    """
     nring = tab.x.shape[0]
     ncap_side = nside - 1
     n = 4 * nside
-    npix = hpmap.shape[0]
     plane = (hpmap[tab.pad_idx] * tab.pad_valid).reshape(nring, n)
 
     # ---- belt: rfft, undo the start phase, apply m>=1 doubling
@@ -377,6 +397,13 @@ def _adjoint_large_impl(hpmap, tab: LargeSHTTables, nside: int, lmax: int):
                                 dc_re[:, ncap_side:]], axis=1)
     d_all_im = jnp.concatenate([dc_im[:, :ncap_side], d_im,
                                 dc_im[:, ncap_side:]], axis=1)
+    return d_all_re, d_all_im
+
+
+@partial(jax.jit, static_argnames=("nside", "lmax"))
+def _adjoint_large_impl(hpmap, tab: LargeSHTTables, nside: int, lmax: int):
+    npix = hpmap.shape[0]
+    d_all_re, d_all_im = _quadrature_sums(hpmap, tab, nside, lmax)
 
     nb = -(-(lmax + 1) // _MBLOCK)
     pad_m = nb * _MBLOCK - (lmax + 1)

@@ -1,0 +1,155 @@
+"""Distributed large-lmax SHT: Legendre m-blocks sharded over the mesh.
+
+The production-scale transforms (ops/sht_large.py: ring FFTs + m-blocked
+on-device Legendre scans, lmax <= 4*nside-1) spend >90% of their time in
+the per-m-block scans — and the blocks are independent. This module
+shards the m-block axis over a mesh axis: each device scans its blocks,
+then ONE psum assembles the full ring-coefficient plane (synthesis) or
+the alm columns (analysis). The ring-FFT/cap tail and quadrature head
+(shared single-home functions `_synth_from_c` / `_quadrature_sums`) are
+cheap next to the scans and run replicated.
+
+Complements parallel/sht.py, which ring-shards the TABLE path
+(lmax <~ 512); this is its scan-path counterpart for nside 1024-2048
+production maps (the reference's healpy working point,
+/root/reference/src/astrild/rays/skys/sky_healpix.py:218-241 — healpy
+itself is OpenMP single-node; this scales over a TPU pod axis).
+
+Gathers use embed-at-offset + psum, NOT all_gather: all_gather output
+stays device-varying under vma checking, which would forbid the
+replicated P() out_specs (same pattern as parallel/suite.py).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import sht_large as sl
+from ..ops.sht import alm2cl
+
+__all__ = ["make_distributed_sht_large"]
+
+
+def make_distributed_sht_large(mesh: Mesh, nside: int, lmax: int,
+                               ax: str = "x"):
+    """Build jitted m-sharded (synthesize, analyze) over mesh axis `ax`.
+
+    synthesize(alm_re, alm_im) -> (npix,) RING map, replicated.
+    analyze(hpmap, niter, method) -> (alm_re, alm_im), replicated —
+      same jacobi/cg semantics as ops.sht_large.analyze_large (matvecs
+      are the distributed transforms).
+
+    alm layout matches ops/sht_large: (lmax+1, lmax+1) [l, m] real pairs.
+    The m-block count is padded to a multiple of the axis size with
+    blocks whose alm/q rows are zero (m > lmax never seeds the
+    recursion), so any lmax works on any mesh.
+    """
+    B = sl._MBLOCK
+    Lp1 = lmax + 1
+    nb = -(-Lp1 // B)
+    nproc = mesh.shape[ax]
+    nb_p = -(-nb // nproc) * nproc
+    nbl = nb_p // nproc
+    tab = sl.sht_large_tables(nside, lmax)
+    # re-pad mm_log2 so padded blocks (m > lmax) read real (finite) rows;
+    # their contributions vanish because alm/q rows are zero there and
+    # l >= m never fires in the recursion mask
+    pad_m = nb_p * B - int(tab.mm_log2.shape[0])
+    if pad_m > 0:
+        tab = tab._replace(mm_log2=jnp.pad(tab.mm_log2, (0, pad_m)))
+    nring = int(tab.x.shape[0])
+    npix = int(tab.flat_idx.shape[0])
+    n_tab = len(tab)
+
+    def synth_body(alm_re_blk, alm_im_blk, *tab_leaves):
+        t = sl.LargeSHTTables(*tab_leaves)
+        idx = jax.lax.axis_index(ax)
+        cs = [sl._legendre_scan((idx * nbl + i) * B, t, lmax,
+                                alm_rows=(alm_re_blk[i], alm_im_blk[i]))
+              for i in range(nbl)]
+        c_re_loc = jnp.concatenate([c[0] for c in cs])  # (nbl*B, nring)
+        c_im_loc = jnp.concatenate([c[1] for c in cs])
+        full = jnp.zeros((nb_p * B, nring), jnp.float32)
+        c_re = jax.lax.psum(jax.lax.dynamic_update_slice(
+            full, c_re_loc, (idx * nbl * B, 0)), ax)[:Lp1]
+        c_im = jax.lax.psum(jax.lax.dynamic_update_slice(
+            full, c_im_loc, (idx * nbl * B, 0)), ax)[:Lp1]
+        return sl._synth_from_c(c_re, c_im, t, nside, lmax)
+
+    synth = jax.jit(jax.shard_map(
+        synth_body, mesh=mesh,
+        in_specs=(P(ax), P(ax)) + (P(),) * n_tab,
+        out_specs=P()))
+
+    def adjoint_body(hpmap, *tab_leaves):
+        t = sl.LargeSHTTables(*tab_leaves)
+        d_re, d_im = sl._quadrature_sums(hpmap, t, nside, lmax)
+        d_re = jnp.pad(d_re, ((0, nb_p * B - Lp1), (0, 0)))
+        d_im = jnp.pad(d_im, ((0, nb_p * B - Lp1), (0, 0)))
+        idx = jax.lax.axis_index(ax)
+        outs = []
+        for i in range(nbl):
+            m0 = (idx * nbl + i) * B
+            qr = jax.lax.dynamic_slice_in_dim(d_re, m0, B, axis=0)
+            qi = jax.lax.dynamic_slice_in_dim(d_im, m0, B, axis=0)
+            outs.append(sl._legendre_scan(m0, t, lmax, q=(qr, qi)))
+        a_re_loc = jnp.concatenate([o[0] for o in outs], axis=1)
+        a_im_loc = jnp.concatenate([o[1] for o in outs], axis=1)
+        full = jnp.zeros((Lp1, nb_p * B), jnp.float32)
+        wq = 4.0 * jnp.pi / npix
+        a_re = jax.lax.psum(jax.lax.dynamic_update_slice(
+            full, a_re_loc, (0, idx * nbl * B)), ax)[:, :Lp1]
+        a_im = jax.lax.psum(jax.lax.dynamic_update_slice(
+            full, a_im_loc, (0, idx * nbl * B)), ax)[:, :Lp1]
+        return wq * a_re, wq * a_im
+
+    adjoint = jax.jit(jax.shard_map(
+        adjoint_body, mesh=mesh,
+        in_specs=(P(),) + (P(),) * n_tab,
+        out_specs=(P(), P())))
+
+    def _to_blocks(alm):
+        a = jnp.pad(jnp.asarray(alm, jnp.float32),
+                    ((0, 0), (0, nb_p * B - Lp1)))
+        return jnp.moveaxis(a.reshape(Lp1, nb_p, B), 1, 0)
+
+    def synthesize(alm_re, alm_im):
+        return synth(_to_blocks(alm_re), _to_blocks(alm_im), *tab)
+
+    def analyze(hpmap, niter: int = 3, method: str = "auto"):
+        if method not in ("auto", "cg", "jacobi"):
+            raise ValueError(f"method must be 'auto', 'cg' or 'jacobi', "
+                             f"got {method!r}")
+        if method == "auto":
+            method = "cg" if lmax > 2 * nside else "jacobi"
+        hpmap = jnp.asarray(hpmap, jnp.float32)
+        b = adjoint(hpmap, *tab)
+        if method == "cg" and niter > 0:
+            from jax.scipy.sparse.linalg import cg
+
+            # same S^T S normal equations as ops.sht_large.analyze_large:
+            # the quadrature adjoint omits the m>0 factor-2 synthesis
+            # carries, so restore the true transpose with the m-weighting
+            mg = jnp.arange(Lp1)[None, :]
+            wm = jnp.where(mg == 0, 1.0, 2.0).astype(jnp.float32)
+
+            def mul_w(t):
+                return t[0] * wm, t[1] * wm
+
+            def matvec(a):
+                return mul_w(adjoint(synthesize(a[0], a[1]), *tab))
+
+            (a_re, a_im), _ = cg(matvec, mul_w(b), x0=b, maxiter=niter)
+            return a_re, a_im
+        a_re, a_im = b
+        for _ in range(niter):
+            resid = hpmap - synthesize(a_re, a_im)
+            d_re, d_im = adjoint(resid, *tab)
+            a_re, a_im = a_re + d_re, a_im + d_im
+        return a_re, a_im
+
+    return synthesize, analyze

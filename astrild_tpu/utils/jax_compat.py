@@ -28,9 +28,21 @@ def match_vma(tree, ref):
     no-op, so callers need no branching.
     """
     try:
-        vma = tuple(jax.typeof(ref).vma)
+        vma = frozenset(jax.typeof(ref).vma)
     except Exception:
         return tree
     if not vma:
         return tree
-    return jax.tree.map(lambda c: pcast_varying(c, vma), tree)
+
+    def cast(c):
+        # pcast rejects axes a value ALREADY varies over — cast only the
+        # missing ones (leaves may arrive with mixed vma, e.g. a scan
+        # init mixing fresh zeros with data-derived seeds)
+        try:
+            have = frozenset(jax.typeof(c).vma)
+        except Exception:
+            have = frozenset()
+        need = tuple(sorted(vma - have))
+        return pcast_varying(c, need) if need else c
+
+    return jax.tree.map(cast, tree)

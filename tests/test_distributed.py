@@ -276,6 +276,54 @@ def test_distributed_sht_matches_local(mesh22, rng):
     npt.assert_allclose(np.asarray(b_im), a_im, atol=5e-4)
 
 
+def test_distributed_sht_large_matches_local(mesh22, rng):
+    """m-sharded scan-path SHT == single-device ops.sht_large, including
+    the alias-fold band (lmax = 4*nside-1, where the m-block count 2
+    pads to the axis size) and both analysis solvers."""
+    from astrild_tpu.ops import sht_large as sl
+    from astrild_tpu.parallel.sht_large import make_distributed_sht_large
+
+    nside = 16
+    for lmax in (31, 63):  # ~2*nside (jacobi regime) and 4*nside-1 (cg)
+        valid = np.tril(np.ones((lmax + 1, lmax + 1), np.float32))
+        a_re = rng.standard_normal((lmax + 1, lmax + 1)
+                                   ).astype(np.float32) * valid * 0.1
+        a_im = rng.standard_normal((lmax + 1, lmax + 1)
+                                   ).astype(np.float32) * valid * 0.1
+        a_im[:, 0] = 0.0
+        want_map = np.asarray(sl.synthesize_large(a_re, a_im, nside, lmax))
+
+        synth, analyze = make_distributed_sht_large(mesh22, nside, lmax)
+        got_map = np.asarray(synth(a_re, a_im))
+        # same scans, same tail, one psum of disjoint embeds: bit-exact
+        npt.assert_array_equal(got_map, want_map)
+
+        for method, niter in (("jacobi", 2), ("cg", 3)):
+            w_re, w_im = sl.analyze_large(want_map, nside, lmax,
+                                          niter=niter, method=method)
+            g_re, g_im = analyze(got_map, niter=niter, method=method)
+            if method == "jacobi":
+                # same matvecs, same order: bit-exact
+                npt.assert_array_equal(np.asarray(g_re), np.asarray(w_re))
+                npt.assert_array_equal(np.asarray(g_im), np.asarray(w_im))
+            else:
+                # cg traces the matvec into ONE while_loop program; XLA
+                # reassociates the fused reductions differently for the
+                # sharded matvec — ulp-level only
+                npt.assert_allclose(np.asarray(g_re), np.asarray(w_re),
+                                    atol=5e-7)
+                npt.assert_allclose(np.asarray(g_im), np.asarray(w_im),
+                                    atol=5e-7)
+
+
+def test_distributed_sht_large_rejects_bad_method(mesh22):
+    from astrild_tpu.parallel.sht_large import make_distributed_sht_large
+
+    _, analyze = make_distributed_sht_large(mesh22, 16, 31)
+    with pytest.raises(ValueError, match="method"):
+        analyze(np.zeros(12 * 16 * 16, np.float32), method="jacobi3")
+
+
 def test_painter_in_shard_map_matches_local(mesh22, rng):
     """The multi-offset CIC/TSC painter composes with shard_map: each
     device paints its particle shard onto a full local grid (interpret
