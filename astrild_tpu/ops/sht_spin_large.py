@@ -45,6 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils import healpix as hpx
+from ..utils.jax_compat import match_vma as _match_vma
 from .sht import alm2cl, ring_geometry
 from .sht_large import (_INV_RESCALE, _MBLOCK, _TRIGGER, LargeSHTTables,
                         _cap_core_apply, _rotate_phase, sht_large_tables)
@@ -112,11 +113,15 @@ def _spin_seed_state(m0: int, tab: Spin2LargeTables, m1: int):
     s0 = jnp.maximum(0.0, jnp.ceil((-log2_mag - 29.0) / 60.0))
     sign = jnp.where(jnp.mod(m, 2.0) == 0.0, 1.0, -1.0)
     frac = sign * jnp.exp2(log2_mag + 60.0 * s0)
-    if m0 == 0:
-        # closed-form l0 = 2 seeds for the m = 0, 1 rows (no underflow)
-        seeds = tab.seed2_p if m1 > 0 else tab.seed2_m
-        frac = frac.at[:2].set(seeds)
-        s0 = s0.at[:2].set(0.0)
+    # closed-form l0 = 2 seeds for the m = 0, 1 rows (no underflow).
+    # Selected by a traceable where on the m VALUE, not a python branch
+    # on m0: the distributed path (parallel/sht_large) calls with a
+    # TRACED m0 (only the first block has m < 2 rows, so for every other
+    # block the where is the identity, matching the old m0 == 0 branch).
+    seeds = tab.seed2_p if m1 > 0 else tab.seed2_m
+    row01 = jnp.where(m == 0.0, seeds[0][None, :], seeds[1][None, :])
+    frac = jnp.where(m < 2.0, row01, frac)
+    s0 = jnp.where(m < 2.0, 0.0, s0)
     return frac, s0
 
 
@@ -182,15 +187,36 @@ def _spin_scan(m0: int, tab: Spin2LargeTables, lmax: int, m1: int,
         return (p_prev2, p_next, s, accs), out
 
     zeros = jnp.zeros((B, nring), jnp.float32)
-    init = (zeros, zeros, s0, tuple(zeros for _ in range(nch))
-            if synth else ())
-    ls = jnp.arange(lmax + 1, dtype=jnp.float32)
+    # carry zeros must match the data stream's vma under shard_map
+    # (parallel/sht_large spin path); no-op outside shard_map
+    zeros = _match_vma(zeros, alm_rows[0] if synth else q[0])
+    ls = _match_vma(jnp.arange(lmax + 1, dtype=jnp.float32), zeros)
+    init = (zeros, zeros, _match_vma(s0, zeros),
+            tuple(zeros for _ in range(nch)) if synth else ())
     if synth:
         xs = (ls,) + tuple(alm_rows)
         (_, _, _, accs), _ = jax.lax.scan(step, init, xs)
         return accs
     (_, _, _, _), outs = jax.lax.scan(step, init, ls)
     return outs
+
+
+def _fold_block(m0, tab: Spin2LargeTables, lmax: int, blk_rows):
+    """One m-block's folded ring coefficients, each (MBLOCK, nring).
+
+    blk_rows: the block's 4 alm row slices (lmax+1, MBLOCK). m0 may be
+    traced (the distributed path). Shared by _fold_coeffs below and
+    parallel/sht_large's spin synthesis body.
+    """
+    A_er, A_ei, A_br, A_bi = _spin_scan(m0, tab, lmax, -2,
+                                        alm_rows=blk_rows)
+    M_er, M_ei, M_br, M_bi = _spin_scan(m0, tab, lmax, 2,
+                                        alm_rows=blk_rows)
+    gp_re = -(A_er - A_bi)
+    gp_im = -(A_ei + A_br)
+    gm_re = -(M_er + M_bi)
+    gm_im = M_ei - M_br
+    return gp_re, gp_im, gm_re, gm_im
 
 
 def _fold_coeffs(tab: Spin2LargeTables, lmax: int, e_re, e_im, b_re,
@@ -204,24 +230,14 @@ def _fold_coeffs(tab: Spin2LargeTables, lmax: int, e_re, e_im, b_re,
     pad = nb * _MBLOCK - (lmax + 1)
     rows = tuple(jnp.pad(a, ((0, 0), (0, pad)))
                  for a in (e_re, e_im, b_re, b_im))
-    Ae, AE, Ab, AB, Me, ME, Mb, MB = [], [], [], [], [], [], [], []
+    gs = [[], [], [], []]
     for blk in range(nb):
         blk_rows = tuple(r[:, blk * _MBLOCK:(blk + 1) * _MBLOCK]
                          for r in rows)
-        aer, aei, abr, abi = _spin_scan(blk * _MBLOCK, tab, lmax, -2,
-                                        alm_rows=blk_rows)
-        mer, mei, mbr, mbi = _spin_scan(blk * _MBLOCK, tab, lmax, 2,
-                                        alm_rows=blk_rows)
-        Ae.append(aer); AE.append(aei); Ab.append(abr); AB.append(abi)
-        Me.append(mer); ME.append(mei); Mb.append(mbr); MB.append(mbi)
-    cat = lambda xs: jnp.concatenate(xs)[: lmax + 1]
-    A_er, A_ei, A_br, A_bi = cat(Ae), cat(AE), cat(Ab), cat(AB)
-    M_er, M_ei, M_br, M_bi = cat(Me), cat(ME), cat(Mb), cat(MB)
-    gp_re = -(A_er - A_bi)
-    gp_im = -(A_ei + A_br)
-    gm_re = -(M_er + M_bi)
-    gm_im = M_ei - M_br
-    return gp_re, gp_im, gm_re, gm_im
+        for acc, g in zip(gs, _fold_block(blk * _MBLOCK, tab, lmax,
+                                          blk_rows)):
+            acc.append(g)
+    return tuple(jnp.concatenate(x)[: lmax + 1] for x in gs)
 
 
 def _cap_complex_apply(qc, qs, tab: Spin2LargeTables, lmax: int,
@@ -241,12 +257,19 @@ def _cap_complex_apply(qc, qs, tab: Spin2LargeTables, lmax: int,
 @partial(jax.jit, static_argnames=("nside", "lmax"))
 def _synth_spin2_large_impl(e_re, e_im, b_re, b_im,
                             tab: Spin2LargeTables, nside: int, lmax: int):
+    gp_re, gp_im, gm_re, gm_im = _fold_coeffs(tab, lmax, e_re, e_im,
+                                              b_re, b_im)
+    return _synth_from_g(gp_re, gp_im, gm_re, gm_im, tab, nside, lmax)
+
+
+def _synth_from_g(gp_re, gp_im, gm_re, gm_im, tab: Spin2LargeTables,
+                  nside: int, lmax: int):
+    """Ring-coefficient tail of spin-2 synthesis (shared with the
+    distributed m-sharded path, which gathers g before this tail)."""
     base = tab.base
     nring = base.x.shape[0]
     ncap_side = nside - 1
     n = 4 * nside
-    gp_re, gp_im, gm_re, gm_im = _fold_coeffs(tab, lmax, e_re, e_im,
-                                              b_re, b_im)
     p = (jnp.arange(lmax + 1) > 0).astype(jnp.float32)[:, None]
 
     # ---- belt: one complex inverse FFT per ring; bins taken mod n is
@@ -282,16 +305,15 @@ def _synth_spin2_large_impl(e_re, e_im, b_re, b_im,
     return assemble(q_cap, q_belt), assemble(u_cap, u_belt)
 
 
-@partial(jax.jit, static_argnames=("nside", "lmax"))
-def _adjoint_spin2_large_impl(q, u, tab: Spin2LargeTables, nside: int,
-                              lmax: int):
-    """Quadrature adjoint (the exact transpose with 4pi/npix + m>0 halves
-    folded in, the same normalization as sht_spin._adjoint_spin2)."""
+def _spin_quadrature_sums(q, u, tab: Spin2LargeTables, nside: int,
+                          lmax: int):
+    """Quadrature-sum head of spin-2 analysis: (Q, U) maps ->
+    (dgp_re, dgp_im, dgm_re, dgm_im), each (lmax+1, nring) (shared with
+    the distributed m-sharded path)."""
     base = tab.base
     nring = base.x.shape[0]
     ncap_side = nside - 1
     n = 4 * nside
-    npix = q.shape[0]
     qp = (q[base.pad_idx] * base.pad_valid).reshape(nring, n)
     up = (u[base.pad_idx] * base.pad_valid).reshape(nring, n)
 
@@ -334,38 +356,57 @@ def _adjoint_spin2_large_impl(q, u, tab: Spin2LargeTables, nside: int,
     # gm only for m > 0, so zero the m = 0 row
     dgm_re = assemble(dgm_re_c, dgm_re_b) * p
     dgm_im = assemble(dgm_im_c, dgm_im_b) * p
+    return dgp_re, dgp_im, dgm_re, dgm_im
 
-    # ---- transpose of the lambda contractions (analysis-mode scans)
-    nb = -(-(lmax + 1) // _MBLOCK)
-    pad_m = nb * _MBLOCK - (lmax + 1)
-    pads = tuple(jnp.pad(a, ((0, pad_m), (0, 0)))
-                 for a in (dgp_re, dgp_im, dgm_re, dgm_im))
-    outs = {k: [] for k in ("Ar", "Ai", "Mr", "Mi")}
-    for blk in range(nb):
-        sl = slice(blk * _MBLOCK, (blk + 1) * _MBLOCK)
-        ar, ai = _spin_scan(blk * _MBLOCK, tab, lmax, -2,
-                            q=(pads[0][sl], pads[1][sl]))
-        mr, mi = _spin_scan(blk * _MBLOCK, tab, lmax, 2,
-                            q=(pads[2][sl], pads[3][sl]))
-        outs["Ar"].append(ar); outs["Ai"].append(ai)
-        outs["Mr"].append(mr); outs["Mi"].append(mi)
-    cat = lambda xs: jnp.concatenate(xs, axis=1)[:, : lmax + 1]
-    Ar, Ai, Mr, Mi = (cat(outs[k]) for k in ("Ar", "Ai", "Mr", "Mi"))
+
+def _adjoint_block(m0, tab: Spin2LargeTables, lmax: int, dg_slices):
+    """One m-block of the transpose scans + fold chain rule: returns the
+    UNMASKED (der, dei, dbr, dbi) column chunks, each (lmax+1, MBLOCK).
+
+    dg_slices: the block's slices of (dgp_re, dgp_im, dgm_re, dgm_im).
+    m0 may be traced (the distributed path). The wq/triangle/half masks
+    apply AFTER column assembly (they are elementwise in (l, m))."""
+    Ar, Ai = _spin_scan(m0, tab, lmax, -2, q=(dg_slices[0], dg_slices[1]))
+    Mr, Mi = _spin_scan(m0, tab, lmax, 2, q=(dg_slices[2], dg_slices[3]))
     # chain rule through the fold (see ops/sht_spin derivation)
-    der = -(Ar + Mr)
-    dei = -Ai + Mi
-    dbr = -(Ai + Mi)
-    dbi = Ar - Mr
+    return -(Ar + Mr), -Ai + Mi, -(Ai + Mi), Ar - Mr
 
+
+def _alm_masks(lmax: int, npix: int):
+    """(vre, vim) final masks: wq * triangle * m>0-halving (shared with
+    the distributed path)."""
     wq = 4.0 * jnp.pi / npix
     lg = jnp.arange(lmax + 1)[:, None]
     mg = jnp.arange(lmax + 1)[None, :]
     valid = (mg <= lg) & (lg >= 2)
     half = jnp.where(mg == 0, 1.0, 0.5)
-    vre = valid.astype(jnp.float32) * half
-    vim = (valid & (mg > 0)).astype(jnp.float32) * half
-    return (wq * der * vre, wq * dei * vim,
-            wq * dbr * vre, wq * dbi * vim)
+    vre = valid.astype(jnp.float32) * half * wq
+    vim = (valid & (mg > 0)).astype(jnp.float32) * half * wq
+    return vre, vim
+
+
+@partial(jax.jit, static_argnames=("nside", "lmax"))
+def _adjoint_spin2_large_impl(q, u, tab: Spin2LargeTables, nside: int,
+                              lmax: int):
+    """Quadrature adjoint (the exact transpose with 4pi/npix + m>0 halves
+    folded in, the same normalization as sht_spin._adjoint_spin2)."""
+    npix = q.shape[0]
+    dgs = _spin_quadrature_sums(q, u, tab, nside, lmax)
+
+    nb = -(-(lmax + 1) // _MBLOCK)
+    pad_m = nb * _MBLOCK - (lmax + 1)
+    pads = tuple(jnp.pad(a, ((0, pad_m), (0, 0))) for a in dgs)
+    outs = [[], [], [], []]
+    for blk in range(nb):
+        sl = slice(blk * _MBLOCK, (blk + 1) * _MBLOCK)
+        chunk = _adjoint_block(blk * _MBLOCK, tab, lmax,
+                               tuple(pp[sl] for pp in pads))
+        for acc, c in zip(outs, chunk):
+            acc.append(c)
+    der, dei, dbr, dbi = (jnp.concatenate(x, axis=1)[:, : lmax + 1]
+                          for x in outs)
+    vre, vim = _alm_masks(lmax, npix)
+    return der * vre, dei * vim, dbr * vre, dbi * vim
 
 
 def synthesize_spin2_large(e_re, e_im, b_re, b_im, nside: int, lmax: int,

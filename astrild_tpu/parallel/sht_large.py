@@ -29,9 +29,10 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import sht_large as sl
+from ..ops import sht_spin_large as ssl
 from ..ops.sht import alm2cl
 
-__all__ = ["make_distributed_sht_large"]
+__all__ = ["make_distributed_sht_large", "make_distributed_sht_spin2_large"]
 
 
 def make_distributed_sht_large(mesh: Mesh, nside: int, lmax: int,
@@ -151,5 +152,125 @@ def make_distributed_sht_large(mesh: Mesh, nside: int, lmax: int,
             d_re, d_im = adjoint(resid, *tab)
             a_re, a_im = a_re + d_re, a_im + d_im
         return a_re, a_im
+
+    return synthesize, analyze
+
+
+def make_distributed_sht_spin2_large(mesh: Mesh, nside: int, lmax: int,
+                                     ax: str = "x"):
+    """m-sharded spin-2 scan-path SHT: full-sky shear E/B at pod scale.
+
+    synthesize(e_re, e_im, b_re, b_im) -> (Q, U) RING maps, replicated.
+    analyze(q, u, niter, method) -> (e_re, e_im, b_re, b_im), replicated
+      (same jacobi/cg semantics as ops.sht_spin_large.analyze_spin2_large).
+
+    Each device runs its m-blocks' Wigner-d scans (both m1 = +-2
+    columns) and folds locally; one psum assembles the 4 ring-coefficient
+    planes (synthesis) / the 4 alm channels (analysis). The belt-FFT/cap
+    tail and quadrature head (shared `_synth_from_g` /
+    `_spin_quadrature_sums`) run replicated.
+    """
+    B = ssl._MBLOCK
+    Lp1 = lmax + 1
+    nb = -(-Lp1 // B)
+    nproc = mesh.shape[ax]
+    nb_p = -(-nb // nproc) * nproc
+    nbl = nb_p // nproc
+    tab = ssl.spin2_large_tables(nside, lmax)
+    pad_m = nb_p * B - int(tab.lnc.shape[0])
+    if pad_m > 0:
+        tab = tab._replace(
+            lnc=jnp.pad(tab.lnc, (0, pad_m)),
+            base=tab.base._replace(mm_log2=jnp.pad(
+                tab.base.mm_log2,
+                (0, nb_p * B - int(tab.base.mm_log2.shape[0])))))
+    nring = int(tab.base.x.shape[0])
+    npix = int(tab.base.flat_idx.shape[0])
+    tab_leaves, tab_tree = jax.tree.flatten(tab)
+    n_tab = len(tab_leaves)
+
+    def synth_body(er_blk, ei_blk, br_blk, bi_blk, *leaves):
+        t = jax.tree.unflatten(tab_tree, leaves)
+        idx = jax.lax.axis_index(ax)
+        gs = [[], [], [], []]
+        for i in range(nbl):
+            m0 = (idx * nbl + i) * B
+            blk_rows = (er_blk[i], ei_blk[i], br_blk[i], bi_blk[i])
+            for acc, g in zip(gs, ssl._fold_block(m0, t, lmax, blk_rows)):
+                acc.append(g)
+        full = jnp.zeros((nb_p * B, nring), jnp.float32)
+        g4 = [jax.lax.psum(jax.lax.dynamic_update_slice(
+            full, jnp.concatenate(x), (idx * nbl * B, 0)), ax)[:Lp1]
+            for x in gs]
+        return ssl._synth_from_g(*g4, t, nside, lmax)
+
+    synth = jax.jit(jax.shard_map(
+        synth_body, mesh=mesh,
+        in_specs=(P(ax),) * 4 + (P(),) * n_tab,
+        out_specs=(P(), P())))
+
+    def adjoint_body(q, u, *leaves):
+        t = jax.tree.unflatten(tab_tree, leaves)
+        dgs = ssl._spin_quadrature_sums(q, u, t, nside, lmax)
+        dgs = tuple(jnp.pad(d, ((0, nb_p * B - Lp1), (0, 0)))
+                    for d in dgs)
+        idx = jax.lax.axis_index(ax)
+        outs = [[], [], [], []]
+        for i in range(nbl):
+            m0 = (idx * nbl + i) * B
+            sls = tuple(jax.lax.dynamic_slice_in_dim(d, m0, B, axis=0)
+                        for d in dgs)
+            for acc, c in zip(outs, ssl._adjoint_block(m0, t, lmax, sls)):
+                acc.append(c)
+        full = jnp.zeros((Lp1, nb_p * B), jnp.float32)
+        a4 = [jax.lax.psum(jax.lax.dynamic_update_slice(
+            full, jnp.concatenate(x, axis=1), (0, idx * nbl * B)),
+            ax)[:, :Lp1] for x in outs]
+        vre, vim = ssl._alm_masks(lmax, npix)
+        return a4[0] * vre, a4[1] * vim, a4[2] * vre, a4[3] * vim
+
+    adjoint = jax.jit(jax.shard_map(
+        adjoint_body, mesh=mesh,
+        in_specs=(P(), P()) + (P(),) * n_tab,
+        out_specs=(P(),) * 4))
+
+    def _to_blocks(alm):
+        a = jnp.pad(jnp.asarray(alm, jnp.float32),
+                    ((0, 0), (0, nb_p * B - Lp1)))
+        return jnp.moveaxis(a.reshape(Lp1, nb_p, B), 1, 0)
+
+    def synthesize(e_re, e_im, b_re, b_im):
+        return synth(_to_blocks(e_re), _to_blocks(e_im),
+                     _to_blocks(b_re), _to_blocks(b_im), *tab_leaves)
+
+    def analyze(q, u, niter: int = 3, method: str = "auto"):
+        if method not in ("auto", "cg", "jacobi"):
+            raise ValueError(f"method must be 'auto', 'cg' or 'jacobi', "
+                             f"got {method!r}")
+        if method == "auto":
+            method = "cg" if lmax > 2 * nside else "jacobi"
+        q = jnp.asarray(q, jnp.float32)
+        u = jnp.asarray(u, jnp.float32)
+        b = adjoint(q, u, *tab_leaves)
+        if method == "cg" and niter > 0:
+            from jax.scipy.sparse.linalg import cg
+
+            mg = jnp.arange(Lp1)[None, :]
+            unhalf = jnp.where(mg == 0, 1.0, 2.0).astype(jnp.float32)
+
+            def mul(t):
+                return tuple(a * unhalf for a in t)
+
+            def matvec(a):
+                return mul(adjoint(*synthesize(*a), *tab_leaves))
+
+            alm, _ = cg(matvec, mul(b), x0=b, maxiter=niter)
+            return alm
+        alm = b
+        for _ in range(niter):
+            sq, su = synthesize(*alm)
+            d = adjoint(q - sq, u - su, *tab_leaves)
+            alm = tuple(a + da for a, da in zip(alm, d))
+        return alm
 
     return synthesize, analyze

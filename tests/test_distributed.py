@@ -316,6 +316,43 @@ def test_distributed_sht_large_matches_local(mesh22, rng):
                                     atol=5e-7)
 
 
+def test_distributed_sht_spin2_large_matches_local(mesh22, rng):
+    """m-sharded spin-2 scan path == single-device ops.sht_spin_large
+    (ulp-level: the tail's complex FFT/scatter fuse differently in the
+    sharded program)."""
+    from astrild_tpu.ops import sht_spin_large as ssl
+    from astrild_tpu.parallel.sht_large import (
+        make_distributed_sht_spin2_large)
+
+    nside = 16
+    for lmax in (31, 63):
+        lg = np.arange(lmax + 1)[:, None]
+        mg = np.arange(lmax + 1)[None, :]
+        valid = ((mg <= lg) & (lg >= 2)).astype(np.float32)
+        alms = [rng.standard_normal((lmax + 1, lmax + 1)
+                                    ).astype(np.float32) * valid * 0.1
+                for _ in range(4)]
+        alms[1][:, 0] = 0.0
+        alms[3][:, 0] = 0.0
+        qw, uw = ssl.synthesize_spin2_large(*alms, nside, lmax)
+        synth, analyze = make_distributed_sht_spin2_large(mesh22, nside,
+                                                          lmax)
+        qd, ud = synth(*alms)
+        scale = float(jnp.std(qw))
+        npt.assert_allclose(np.asarray(qd), np.asarray(qw),
+                            atol=2e-6 * scale)
+        npt.assert_allclose(np.asarray(ud), np.asarray(uw),
+                            atol=2e-6 * scale)
+
+        for method, niter in (("jacobi", 2), ("cg", 3)):
+            want = ssl.analyze_spin2_large(qw, uw, nside, lmax,
+                                           niter=niter, method=method)
+            got = analyze(qd, ud, niter=niter, method=method)
+            for g, w in zip(got, want):
+                npt.assert_allclose(np.asarray(g), np.asarray(w),
+                                    atol=5e-6)
+
+
 def test_distributed_sht_large_rejects_bad_method(mesh22):
     from astrild_tpu.parallel.sht_large import make_distributed_sht_large
 
