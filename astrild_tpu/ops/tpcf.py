@@ -86,6 +86,83 @@ def pair_counts_s_mu(pos, boxsize, s_edges, ns: int, nmu: int = 20,
     return counts.reshape(ns, nmu)
 
 
+def _check_halfbox(s_edges, boxsize):
+    """The analytic periodic RR is only exact up to the half-box
+    (min-image shells are cube-clipped beyond it) — shared guard for the
+    local estimator and parallel/tpcf.py."""
+    import numpy as np
+
+    smax_edge = float(np.asarray(s_edges)[-1])
+    if smax_edge > float(boxsize) / 2.0 + 1e-9:
+        raise ValueError(
+            f"tpcf: s_edges[-1]={smax_edge} exceeds boxsize/2="
+            f"{float(boxsize) / 2.0}; the analytic periodic RR is only "
+            "exact up to the half-box (min-image shells are cube-clipped "
+            "beyond it)")
+
+
+def _s_mu_accumulate_tiles(pos_i, pos_j, ia0, jb0, s_edges, ns: int,
+                           nmu: int, los: int, boxsize,
+                           block: int = 512, n_valid_global=None,
+                           valid_i=None, valid_j=None):
+    """DD(s, mu) accumulation over all pairs between two chunks.
+
+    ia0/jb0 are the GLOBAL index offsets of the chunks; a pair counts
+    only when its global i < global j, so ring-rotation schedules
+    (parallel/tpcf.py) count each unordered pair exactly once — the same
+    contract as ops.pairwise._pairwise_accumulate_tiles.
+
+    Padding exclusion, two forms (same caveats as pairwise):
+    n_valid_global masks rows by global index (all padding at the global
+    tail); valid_i/valid_j are per-row 0/1 masks for per-shard padding
+    (the multihost striped loader).
+    """
+    ni = pos_i.shape[0]
+    nj = pos_j.shape[0]
+    assert ni % block == 0 and nj % block == 0, \
+        "chunk sizes must be multiples of block (pad before sharding)"
+    nbi = ni // block
+    nbj = nj // block
+    smin = s_edges[0]
+    smax = s_edges[-1]
+
+    def tile(carry, ab):
+        counts = carry
+        a, b = ab
+        ia = ia0 + a * block + jnp.arange(block)
+        jb = jb0 + b * block + jnp.arange(block)
+        pi = jax.lax.dynamic_slice(pos_i, (a * block, 0), (block, 3))
+        pj = jax.lax.dynamic_slice(pos_j, (b * block, 0), (block, 3))
+        d = _min_image(pi[:, None, :] - pj[None, :, :], boxsize)
+        s = jnp.linalg.norm(d, axis=-1)
+        spar = jnp.abs(d[..., los])
+        mu = spar / jnp.maximum(s, 1e-12)
+        sbin = jnp.clip(jnp.searchsorted(s_edges, s, side="right") - 1,
+                        0, ns - 1)
+        mubin = jnp.clip((mu * nmu).astype(jnp.int32), 0, nmu - 1)
+        mask = (ia[:, None] < jb[None, :]) & (s >= smin) & (s < smax)
+        if n_valid_global is not None:
+            mask = mask & (ia[:, None] < n_valid_global) \
+                & (jb[None, :] < n_valid_global)
+        if valid_i is not None:
+            vi = jax.lax.dynamic_slice(valid_i, (a * block,), (block,))
+            vj = jax.lax.dynamic_slice(valid_j, (b * block,), (block,))
+            mask = mask & (vi[:, None] > 0) & (vj[None, :] > 0)
+        flat = jnp.where(mask, sbin * nmu + mubin, ns * nmu)
+        w = mask.astype(jnp.float32)
+        return counts + jax.ops.segment_sum(
+            w.reshape(-1), flat.reshape(-1),
+            num_segments=ns * nmu + 1)[: ns * nmu], None
+
+    pairs = [(a, b) for a in range(nbi) for b in range(nbj)]
+    ab = jnp.array(pairs, jnp.int32)
+    zero = jnp.zeros((ns * nmu,), jnp.float32)
+    from ..utils.jax_compat import match_vma
+    zero = match_vma(zero, pos_i)
+    counts, _ = jax.lax.scan(tile, zero, (ab[:, 0], ab[:, 1]))
+    return counts
+
+
 def tpcf_s_mu(pos, boxsize, s_edges, nmu: int = 20, los: int = 2,
               n_valid=None, block: int = 512):
     """Redshift-space xi(s, mu) with analytic periodic randoms.
@@ -98,15 +175,7 @@ def tpcf_s_mu(pos, boxsize, s_edges, nmu: int = 20, los: int = 2,
     minimum-image shell is clipped by the cube and the spherical-shell
     RR over-counts (anisotropically), silently biasing xi negative.
     """
-    import numpy as np
-
-    smax_edge = float(np.asarray(s_edges)[-1])
-    if smax_edge > float(boxsize) / 2.0 + 1e-9:
-        raise ValueError(
-            f"tpcf: s_edges[-1]={smax_edge} exceeds boxsize/2="
-            f"{float(boxsize) / 2.0}; the analytic periodic RR is only "
-            "exact up to the half-box (min-image shells are cube-clipped "
-            "beyond it)")
+    _check_halfbox(s_edges, boxsize)
     ns = int(s_edges.shape[0]) - 1
     n = pos.shape[0] if n_valid is None else n_valid
     dd = pair_counts_s_mu(pos, boxsize, s_edges, ns, nmu=nmu, los=los,

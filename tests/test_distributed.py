@@ -353,6 +353,51 @@ def test_distributed_sht_spin2_large_matches_local(mesh22, rng):
                                     atol=5e-6)
 
 
+def test_distributed_tpcf_matches_local(mesh22, rng):
+    """Ring-rotation xi(s, mu) == single-device ops.tpcf, plain and
+    per-shard-valid-mask paths (bit-exact: same tiles, same binning)."""
+    from astrild_tpu.ops import tpcf as tpcf_ops
+    from astrild_tpu.parallel.tpcf import make_distributed_tpcf_s_mu
+
+    n = 1024
+    pos = rng.uniform(0, BOX, (n, 3)).astype(np.float32)
+    s_edges = jnp.linspace(1.0, 40.0, 9)
+    _, _, want = tpcf_ops.tpcf_s_mu(jnp.asarray(pos), BOX, s_edges,
+                                    nmu=10, block=128)
+    f = make_distributed_tpcf_s_mu(mesh22, BOX, s_edges, nmu=10,
+                                   axis="sim", block=128)
+    posd = jax.device_put(jnp.asarray(pos),
+                          NamedSharding(mesh22, P("sim", None)))
+    _, _, got = f(posd)
+    npt.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # per-shard tail padding (the multihost loader layout): mask path
+    valid = np.zeros(n, np.float32)
+    valid[:450] = 1
+    valid[512:512 + 450] = 1
+    pos_m = pos.copy()
+    pos_m[valid == 0] = 0.0
+    _, _, want_m = tpcf_ops.tpcf_s_mu(jnp.asarray(pos[valid > 0]), BOX,
+                                      s_edges, nmu=10, block=128)
+    fm = make_distributed_tpcf_s_mu(mesh22, BOX, s_edges, nmu=10,
+                                    axis="sim", block=128,
+                                    with_valid_mask=True)
+    pm = jax.device_put(jnp.asarray(pos_m),
+                        NamedSharding(mesh22, P("sim", None)))
+    vm = jax.device_put(jnp.asarray(valid),
+                        NamedSharding(mesh22, P("sim")))
+    _, _, got_m = fm(pm, vm)
+    npt.assert_array_equal(np.asarray(got_m), np.asarray(want_m))
+
+
+def test_distributed_tpcf_halfbox_guard(mesh22):
+    from astrild_tpu.parallel.tpcf import make_distributed_tpcf_s_mu
+
+    with pytest.raises(ValueError, match="boxsize/2"):
+        make_distributed_tpcf_s_mu(mesh22, BOX,
+                                   jnp.linspace(1.0, BOX, 9))
+
+
 def test_distributed_sht_large_rejects_bad_method(mesh22):
     from astrild_tpu.parallel.sht_large import make_distributed_sht_large
 
