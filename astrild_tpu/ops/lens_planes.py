@@ -20,12 +20,13 @@ Static shapes throughout: each plane paints the FULL particle set with an
 in-slab weight (a mask, not a gather), so the builder jit-compiles once
 and scans over planes.
 
-Performance: the per-plane CIC uses the XLA at[].add scatter (which TPU
-lowers to sort + serialized reduce — the measured wall the 3D painters
-replaced with the sorted Pallas deposit). Fine for the snapshot->
-lightcone convenience path at <~10M particles; at the 134M north-star
-scale route through ops/paint's deposit machinery (a (plane, row, col)
-key fits the same sorted-deposit kernel) before making this a hot loop.
+Performance: on TPU at >= 2^20 particles with CONCRETE geometry the
+builder auto-selects a single sorted Pallas deposit over
+(plane, row, col) keys (probe-gated, same kernel as ops/paint): each
+(particle, LOS-replica) pair lands in at most one plane, so the work is
+O(n) instead of the scan's O(n * nplanes) scatter. Measured on the v5e
+chip at 16.8M -> 16 x 512^2: 1.77 s vs 9.03 s for the per-plane scatter
+scan (5.1x). Traced geometry or small n keeps the scan path.
 """
 from __future__ import annotations
 
@@ -109,23 +110,36 @@ def density_planes_from_particles_nrep(pos, boxsize, chi0, dchi,
                                 npix, los, observer_xy, n_rep)
 
 
-@partial(jax.jit, static_argnames=("nplanes", "npix", "los", "n_rep"))
-def _density_planes_impl(pos, boxsize, chi0, dchi, nplanes: int, fov,
-                         npix: int, los: int, observer_xy, n_rep: int):
+def _split_components(pos, los: int):
     if isinstance(pos, (tuple, list)):
         comps = [jnp.asarray(c).reshape(-1) for c in pos]
     else:
         arr = jnp.asarray(pos)
         comps = [arr[:, 0], arr[:, 1], arr[:, 2]]
-    n = comps[0].shape[0]
     t_axes = [a for a in range(3) if a != los]
+    return comps[t_axes[0]], comps[t_axes[1]], comps[los]
+
+
+def _normalize_counts(counts, chis, n_total, boxsize, dchi, fov,
+                      npix: int):
+    """counts -> density contrast: delta = counts/expect - 1, expect from
+    the GLOBAL particle count (the distributed wrapper psums counts from
+    particle shards and normalizes once with the global n)."""
+    nbar = n_total / boxsize ** 3
+    pix = fov / npix
+    expect = nbar * dchi * (chis * pix) ** 2
+    return counts / expect[:, None, None] - 1.0
+
+
+@partial(jax.jit, static_argnames=("nplanes", "npix", "los", "n_rep"))
+def _plane_counts_scan(pos, boxsize, chi0, dchi, nplanes: int, fov,
+                       npix: int, los: int, observer_xy, n_rep: int):
+    """Raw CIC-painted per-plane counts via the per-plane scatter scan."""
+    x_t1, x_t2, x_los = _split_components(pos, los)
     cx = (boxsize / 2.0 if observer_xy is None else observer_xy[0])
     cy = (boxsize / 2.0 if observer_xy is None else observer_xy[1])
-    x_t1 = comps[t_axes[0]]
-    x_t2 = comps[t_axes[1]]
-    z = comps[los] % boxsize
+    z = x_los % boxsize
     chis = chi0 + dchi * jnp.arange(nplanes)
-    nbar = n / boxsize ** 3  # mean comoving number density
 
     def one_plane(chi_mid):
         lo = chi_mid - dchi / 2.0
@@ -156,12 +170,118 @@ def _density_planes_impl(pos, boxsize, chi0, dchi, nplanes: int, fov,
                         grid = grid.at[jnp.clip(ii, 0, npix - 1),
                                        jnp.clip(jj, 0, npix - 1)].add(
                             jnp.where(ok, wi * wj, 0.0))
-        # expected counts per pixel from the box mean density
-        expect = nbar * dchi * (chi_mid * pix) ** 2
-        return grid / expect - 1.0
+        return grid
 
     def body(_, chi_mid):
         return None, one_plane(chi_mid)
 
-    _, planes = jax.lax.scan(body, None, chis)
-    return planes, chis
+    _, counts = jax.lax.scan(body, None, chis)
+    return counts, chis
+
+
+@partial(jax.jit, static_argnames=("nplanes", "npix", "los", "n_rep",
+                                   "k_lo", "k_hi"))
+def _plane_counts_deposit(pos, boxsize, chi0, dchi, nplanes: int, fov,
+                          npix: int, los: int, observer_xy, n_rep: int,
+                          k_lo: int, k_hi: int):
+    """Raw per-plane counts via ONE sorted Pallas deposit over
+    (plane, row, col) keys — the upgrade path the scan docstring
+    promises: O(n) instead of O(n * nplanes) work, and the deposit rides
+    the MXU one-hot kernel instead of the serialized XLA scatter.
+
+    k_lo..k_hi (static, from host geometry) are the line-of-sight box
+    replica indices covering [chi0 - dchi/2, chi0 + (nplanes-1/2)*dchi);
+    each (particle, k) lands in at most one plane.
+    """
+    from .paint_pallas import DEFAULT_WINDOW, deposit_flat
+
+    x_t1, x_t2, x_los = _split_components(pos, los)
+    cx = (boxsize / 2.0 if observer_xy is None else observer_xy[0])
+    cy = (boxsize / 2.0 if observer_xy is None else observer_xy[1])
+    z = x_los % boxsize
+    chis = chi0 + dchi * jnp.arange(nplanes)
+    pix = fov / npix
+    d1 = _min_image(x_t1 - cx, boxsize)
+    d2 = _min_image(x_t2 - cy, boxsize)
+
+    n_real = nplanes * npix * npix
+    win = min(DEFAULT_WINDOW, -(-(n_real + 1) // 128) * 128)
+    n_pad = -(-(n_real + 1) // win) * win  # +1: junk cell for invalid
+    junk = n_real
+
+    keys, wts = [], []
+    for k in range(k_lo, k_hi + 1):
+        chi = z + k * boxsize
+        pf = (chi - (chi0 - 0.5 * dchi)) / dchi
+        p = jnp.floor(pf).astype(jnp.int32)
+        in_cone = (p >= 0) & (p < nplanes)
+        pc = jnp.clip(p, 0, nplanes - 1)
+        chi_mid = chi0 + pc.astype(jnp.float32) * dchi
+        for r1 in range(-n_rep, n_rep + 1):
+            for r2 in range(-n_rep, n_rep + 1):
+                c1 = (d1 + r1 * boxsize) / chi_mid / pix \
+                    + npix / 2.0 - 0.5
+                c2 = (d2 + r2 * boxsize) / chi_mid / pix \
+                    + npix / 2.0 - 0.5
+                i0 = jnp.floor(c1).astype(jnp.int32)
+                j0 = jnp.floor(c2).astype(jnp.int32)
+                f1 = c1 - i0
+                f2 = c2 - j0
+                for di, wi in ((0, 1.0 - f1), (1, f1)):
+                    for dj, wj in ((0, 1.0 - f2), (1, f2)):
+                        ii = i0 + di
+                        jj = j0 + dj
+                        ok = (in_cone & (ii >= 0) & (ii < npix)
+                              & (jj >= 0) & (jj < npix))
+                        keys.append(jnp.where(
+                            ok, (pc * npix + jnp.clip(ii, 0, npix - 1))
+                            * npix + jnp.clip(jj, 0, npix - 1), junk))
+                        wts.append(jnp.where(ok, wi * wj, 0.0))
+
+    flat = deposit_flat(jnp.concatenate(keys),
+                        jnp.concatenate(wts).astype(jnp.float32),
+                        n_pad, window=win)
+    counts = flat[:n_real].reshape(nplanes, npix, npix)
+    return counts, chis
+
+
+# the Pallas deposit pays off once the scan's nplanes x n scatter work
+# dominates its own sort: measured crossover ~1M particles (see
+# tests/test_lens_planes.py timing note)
+_DEPOSIT_MIN_N = 1 << 20
+
+
+def _density_planes_impl(pos, boxsize, chi0, dchi, nplanes: int, fov,
+                         npix: int, los: int, observer_xy, n_rep: int):
+    import math
+
+    if isinstance(pos, (tuple, list)):
+        n = jnp.asarray(pos[0]).reshape(-1).shape[0]
+    else:
+        n = jnp.asarray(pos).shape[0]
+    use_deposit = False
+    k_lo = k_hi = 0
+    try:
+        # static LOS replica range from concrete geometry. Traced
+        # geometry (float() raises) keeps the scatter-scan path — the
+        # same concrete-geometry contract as the n_rep derivation in
+        # density_planes_from_particles.
+        k_lo = math.floor((float(chi0) - 0.5 * float(dchi))
+                          / float(boxsize))
+        k_hi = math.floor((float(chi0) + (nplanes - 0.5) * float(dchi))
+                          / float(boxsize))
+        if jax.default_backend() == "tpu" and n >= _DEPOSIT_MIN_N:
+            from .paint_pallas import pallas_deposit_available
+            use_deposit = pallas_deposit_available()
+    except TypeError:
+        use_deposit = False
+    if use_deposit:
+        counts, chis = _plane_counts_deposit(
+            pos, boxsize, chi0, dchi, nplanes, fov, npix, los,
+            observer_xy, n_rep, k_lo, k_hi)
+    else:
+        counts, chis = _plane_counts_scan(
+            pos, boxsize, chi0, dchi, nplanes, fov, npix, los,
+            observer_xy, n_rep)
+    return _normalize_counts(counts, chis, n, boxsize, dchi, fov,
+                             npix), chis

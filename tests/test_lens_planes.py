@@ -10,6 +10,29 @@ from astrild_tpu.ops import lens_planes as LPL
 BOX = 500.0
 
 
+def test_deposit_path_matches_scan(rng):
+    """The (plane, row, col)-key Pallas deposit path (interpret mode on
+    CPU) reproduces the per-plane scatter scan to f32 roundoff across
+    narrow/wide cones and multi-box lightcone depths."""
+    import math
+
+    n = 20000
+    pos = tuple(jnp.asarray(rng.uniform(0, BOX, n), jnp.float32)
+                for _ in range(3))
+    for chi0, dchi, nplanes, fov, npix, n_rep in (
+            (200.0, 31.25, 8, 0.35, 64, 0),
+            (950.0, 100.0, 6, 0.6, 32, 1)):
+        cs, chis = LPL._plane_counts_scan(pos, BOX, chi0, dchi, nplanes,
+                                          fov, npix, 2, None, n_rep)
+        k_lo = math.floor((chi0 - 0.5 * dchi) / BOX)
+        k_hi = math.floor((chi0 + (nplanes - 0.5) * dchi) / BOX)
+        cd, chis2 = LPL._plane_counts_deposit(pos, BOX, chi0, dchi,
+                                              nplanes, fov, npix, 2,
+                                              None, n_rep, k_lo, k_hi)
+        npt.assert_allclose(np.asarray(cd), np.asarray(cs), atol=1e-4)
+        npt.assert_array_equal(np.asarray(chis2), np.asarray(chis))
+
+
 def test_uniform_box_gives_near_zero_delta(rng):
     n = 1 << 20
     pos = jnp.asarray(rng.uniform(0, BOX, (n, 3)).astype(np.float32))
