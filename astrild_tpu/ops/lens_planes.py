@@ -133,8 +133,14 @@ def _normalize_counts(counts, chis, n_total, boxsize, dchi, fov,
 
 @partial(jax.jit, static_argnames=("nplanes", "npix", "los", "n_rep"))
 def _plane_counts_scan(pos, boxsize, chi0, dchi, nplanes: int, fov,
-                       npix: int, los: int, observer_xy, n_rep: int):
-    """Raw CIC-painted per-plane counts via the per-plane scatter scan."""
+                       npix: int, los: int, observer_xy, n_rep: int,
+                       weights=None):
+    """Raw CIC-painted per-plane counts via the per-plane scatter scan.
+
+    weights: optional (n,) per-particle weight (mass, or a 0/1 validity
+    mask excluding the per-shard padding rows of the multihost loader —
+    zero-position pads otherwise paint into whichever plane's slab wraps
+    over z=0)."""
     x_t1, x_t2, x_los = _split_components(pos, los)
     cx = (boxsize / 2.0 if observer_xy is None else observer_xy[0])
     cy = (boxsize / 2.0 if observer_xy is None else observer_xy[1])
@@ -167,9 +173,11 @@ def _plane_counts_scan(pos, boxsize, chi0, dchi, nplanes: int, fov,
                         jj = j0 + dj
                         ok = (in_slab & (ii >= 0) & (ii < npix)
                               & (jj >= 0) & (jj < npix))
+                        w = wi * wj if weights is None else \
+                            wi * wj * weights
                         grid = grid.at[jnp.clip(ii, 0, npix - 1),
                                        jnp.clip(jj, 0, npix - 1)].add(
-                            jnp.where(ok, wi * wj, 0.0))
+                            jnp.where(ok, w, 0.0))
         return grid
 
     def body(_, chi_mid):
@@ -183,7 +191,7 @@ def _plane_counts_scan(pos, boxsize, chi0, dchi, nplanes: int, fov,
                                    "k_lo", "k_hi"))
 def _plane_counts_deposit(pos, boxsize, chi0, dchi, nplanes: int, fov,
                           npix: int, los: int, observer_xy, n_rep: int,
-                          k_lo: int, k_hi: int):
+                          k_lo: int, k_hi: int, weights=None):
     """Raw per-plane counts via ONE sorted Pallas deposit over
     (plane, row, col) keys — the upgrade path the scan docstring
     promises: O(n) instead of O(n * nplanes) work, and the deposit rides
@@ -236,7 +244,9 @@ def _plane_counts_deposit(pos, boxsize, chi0, dchi, nplanes: int, fov,
                         keys.append(jnp.where(
                             ok, (pc * npix + jnp.clip(ii, 0, npix - 1))
                             * npix + jnp.clip(jj, 0, npix - 1), junk))
-                        wts.append(jnp.where(ok, wi * wj, 0.0))
+                        w = wi * wj if weights is None else \
+                            wi * wj * weights
+                        wts.append(jnp.where(ok, w, 0.0))
 
     flat = deposit_flat(jnp.concatenate(keys),
                         jnp.concatenate(wts).astype(jnp.float32),

@@ -22,7 +22,7 @@ from ..ops import raytrace as ray_ops
 from ..ops import voids as void_ops
 
 __all__ = ["LensingSuiteResult", "make_distributed_lensing_suite",
-           "make_distributed_raytrace"]
+           "make_distributed_raytrace", "make_distributed_lens_planes"]
 
 
 class LensingSuiteResult(NamedTuple):
@@ -93,4 +93,81 @@ def make_distributed_raytrace(mesh: Mesh, chi_s: float, omega_m: float,
         in_specs=(P("sim", None, None, None), P(None), P(None)),
         out_specs=P("sim"),
     )
+    return jax.jit(fn)
+
+
+def make_distributed_lens_planes(mesh: Mesh, boxsize, chi0, dchi,
+                                 nplanes: int, fov, npix: int,
+                                 los: int = 2, observer_xy=None,
+                                 axis: str = "sim",
+                                 with_valid_mask: bool = False,
+                                 deposit: str | None = None):
+    """Particle-sharded lens-plane painting: fn(pos[, valid]) ->
+    (delta (nplanes, npix, npix), chis), replicated.
+
+    pos: (x, y, z) flat component buffers, each sharded P(axis) on the
+    particle dimension (the multihost loader's layout). Each device
+    paints raw per-plane counts from its shard (Pallas deposit path when
+    available on this backend, scatter scan otherwise — chosen ONCE at
+    factory build, outside any trace, per the probe-gate rule); counts
+    psum over `axis` and normalize with the GLOBAL particle/weight total.
+
+    with_valid_mask=True: fn takes a per-row 0/1 validity vector sharded
+    like pos — required for multihost-loaded catalogs (their zero-
+    position padding rows otherwise paint into whichever plane's slab
+    wraps over z = 0).
+    """
+    import math
+
+    from ..ops import lens_planes as lp
+
+    # transverse replica count + LOS replica range from CONCRETE factory
+    # geometry (same derivation as density_planes_from_particles)
+    chi_far = float(chi0) + float(dchi) * (nplanes - 1)
+    half_need = float(fov) * chi_far / 2.0
+    n_rep = max(0, int(-(-(half_need - float(boxsize) / 2.0)
+                         // float(boxsize))))
+    k_lo = math.floor((float(chi0) - 0.5 * float(dchi)) / float(boxsize))
+    k_hi = math.floor((float(chi0) + (nplanes - 0.5) * float(dchi))
+                      / float(boxsize))
+    if deposit is None:
+        use_deposit = False
+        if jax.default_backend() == "tpu":
+            from ..ops.paint_pallas import pallas_deposit_available
+            use_deposit = pallas_deposit_available()
+    else:
+        if deposit not in ("pallas", "scatter"):
+            raise ValueError(f"deposit must be 'pallas' or 'scatter', "
+                             f"got {deposit!r}")
+        use_deposit = deposit == "pallas"
+
+    def body(pos, valid=None):
+        if use_deposit:
+            counts, chis = lp._plane_counts_deposit(
+                pos, boxsize, chi0, dchi, nplanes, fov, npix, los,
+                observer_xy, n_rep, k_lo, k_hi, weights=valid)
+        else:
+            counts, chis = lp._plane_counts_scan(
+                pos, boxsize, chi0, dchi, nplanes, fov, npix, los,
+                observer_xy, n_rep, weights=valid)
+        counts = jax.lax.psum(counts, axis)
+        n_loc = (jnp.sum(valid) if valid is not None
+                 else jnp.asarray(pos[0].shape[0], jnp.float32))
+        n_tot = jax.lax.psum(n_loc, axis)
+        return lp._normalize_counts(counts, chis, n_tot, boxsize, dchi,
+                                    fov, npix), chis
+
+    # interpret-mode pallas discharges the kernel into a jaxpr whose
+    # program_id-derived slice indices are non-varying; vma checking
+    # rejects that mix (same workaround as parallel/power.py). The
+    # compiled TPU kernel is opaque to the check, so it stays on there.
+    vma_ok = not (use_deposit and jax.default_backend() != "tpu")
+    if with_valid_mask:
+        fn = jax.shard_map(body, mesh=mesh,
+                           in_specs=((P(axis),) * 3, P(axis)),
+                           out_specs=(P(), P()), check_vma=vma_ok)
+    else:
+        fn = jax.shard_map(lambda pos: body(pos), mesh=mesh,
+                           in_specs=((P(axis),) * 3,),
+                           out_specs=(P(), P()), check_vma=vma_ok)
     return jax.jit(fn)

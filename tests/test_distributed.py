@@ -390,6 +390,52 @@ def test_distributed_tpcf_matches_local(mesh22, rng):
     npt.assert_array_equal(np.asarray(got_m), np.asarray(want_m))
 
 
+def test_distributed_lens_planes_matches_local(mesh22, rng):
+    """Particle-sharded lens-plane painting == single-device builder,
+    via both count paths (scatter scan and interpret-mode Pallas
+    deposit) and with the per-shard valid mask."""
+    from astrild_tpu.ops import lens_planes as lp
+    from astrild_tpu.parallel.lensing import make_distributed_lens_planes
+
+    n = 4096
+    pos = tuple(jnp.asarray(rng.uniform(0, BOX, n), jnp.float32)
+                for _ in range(3))
+    want, chis = lp.density_planes_from_particles(pos, BOX, 200.0,
+                                                  31.25, 8, 0.35, 32)
+    sh = NamedSharding(mesh22, P("sim"))
+    posd = tuple(jax.device_put(c, sh) for c in pos)
+    for dep in ("scatter", "pallas"):
+        f = make_distributed_lens_planes(mesh22, BOX, 200.0, 31.25, 8,
+                                         0.35, 32, axis="sim",
+                                         deposit=dep)
+        got, chis2 = f(posd)
+        # delta divides tiny per-pixel counts by a tiny expectation, so
+        # f32 count roundoff amplifies; scale the tolerance to the field
+        npt.assert_allclose(np.asarray(got), np.asarray(want),
+                            atol=1e-3 * float(np.std(np.asarray(want))))
+        npt.assert_array_equal(np.asarray(chis2), np.asarray(chis))
+
+    # per-shard padding: the valid mask must drop zero-position pads
+    valid = np.ones(n, np.float32)
+    valid[1000:2048] = 0.0
+    pos_m = tuple(np.where(valid > 0, np.asarray(c), 0.0
+                           ).astype(np.float32) for c in pos)
+    real = tuple(jnp.asarray(np.asarray(c)[valid > 0]) for c in pos)
+    want_m, _ = lp.density_planes_from_particles(real, BOX, 200.0,
+                                                 31.25, 8, 0.35, 32)
+    fm = make_distributed_lens_planes(mesh22, BOX, 200.0, 31.25, 8,
+                                      0.35, 32, axis="sim",
+                                      with_valid_mask=True,
+                                      deposit="scatter")
+    pm = tuple(jax.device_put(jnp.asarray(c), sh) for c in pos_m)
+    vm = jax.device_put(jnp.asarray(valid), sh)
+    got_m, _ = fm(pm, vm)
+    # zero-weight pads change the f32 summation order vs the compacted
+    # single-device catalog: agreement is to roundoff, not bitwise
+    npt.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                        rtol=1e-3, atol=1e-5)
+
+
 def test_distributed_tpcf_halfbox_guard(mesh22):
     from astrild_tpu.parallel.tpcf import make_distributed_tpcf_s_mu
 
