@@ -43,6 +43,29 @@ def _min_image(d, boxsize):
     return d - boxsize * jnp.round(d / boxsize)
 
 
+def replica_ranges(boxsize, chi0, dchi, nplanes: int, fov):
+    """(n_rep, k_lo, k_hi) from CONCRETE lightcone geometry — the ONE
+    home of the replica derivations (shared by the local builder, the
+    deposit path, and parallel/lensing.make_distributed_lens_planes).
+
+    n_rep: transverse periodic-image count so the far plane's field of
+      view is covered ((2*n_rep+1)^2 images).
+    k_lo..k_hi: line-of-sight box replica indices covering
+      [chi0 - dchi/2, chi0 + (nplanes - 1/2)*dchi).
+    Raises TypeError on traced inputs (callers fall back / refuse).
+    """
+    import math
+
+    chi_far = float(chi0) + float(dchi) * (nplanes - 1)
+    half_need = float(fov) * chi_far / 2.0
+    n_rep = max(0, int(-(-(half_need - float(boxsize) / 2.0)
+                         // float(boxsize))))
+    k_lo = math.floor((float(chi0) - 0.5 * float(dchi)) / float(boxsize))
+    k_hi = math.floor((float(chi0) + (nplanes - 0.5) * float(dchi))
+                      / float(boxsize))
+    return n_rep, k_lo, k_hi
+
+
 def density_planes_from_particles(pos, boxsize, chi0, dchi, nplanes: int,
                                   fov, npix: int, los: int = 2,
                                   observer_xy=None):
@@ -79,10 +102,7 @@ def density_planes_from_particles(pos, boxsize, chi0, dchi, nplanes: int,
     reduces to the plain minimum-image paint at no extra cost.
     """
     try:
-        chi_far = float(chi0) + float(dchi) * (nplanes - 1)
-        half_need = float(fov) * chi_far / 2.0
-        n_rep = max(0, int(-(-(half_need - float(boxsize) / 2.0)
-                             // float(boxsize))))
+        n_rep, _, _ = replica_ranges(boxsize, chi0, dchi, nplanes, fov)
     except TypeError:
         # traced geometry (called inside another jit): the replica count
         # cannot be derived from tracers. Refusing beats SILENTLY
@@ -200,6 +220,13 @@ def _plane_counts_deposit(pos, boxsize, chi0, dchi, nplanes: int, fov,
     k_lo..k_hi (static, from host geometry) are the line-of-sight box
     replica indices covering [chi0 - dchi/2, chi0 + (nplanes-1/2)*dchi);
     each (particle, k) lands in at most one plane.
+
+    Memory: LOS replicas are deposited in GROUPS whose total key/weight
+    entry count stays under _DEPOSIT_MAX_ENTRIES — one (key, w) pair
+    sort per group. Deep lightcones (many k) cost extra group sorts,
+    never extra resident HBM; a single-group geometry (the common case)
+    keeps the one-sort fast path. The transverse-replica factor scales
+    the per-k footprint; _density_planes_impl gates auto-selection on it.
     """
     from .paint_pallas import DEFAULT_WINDOW, deposit_flat
 
@@ -217,8 +244,25 @@ def _plane_counts_deposit(pos, boxsize, chi0, dchi, nplanes: int, fov,
     n_pad = -(-(n_real + 1) // win) * win  # +1: junk cell for invalid
     junk = n_real
 
+    n = x_t1.shape[0]
+    per_k = (2 * n_rep + 1) ** 2 * 4 * n
+    group = max(1, _DEPOSIT_MAX_ENTRIES // max(per_k, 1))
+
+    flat = jnp.zeros((n_pad,), jnp.float32)
     keys, wts = [], []
-    for k in range(k_lo, k_hi + 1):
+
+    def flush():
+        nonlocal flat, keys, wts
+        if keys:
+            flat = flat + deposit_flat(
+                jnp.concatenate(keys),
+                jnp.concatenate(wts).astype(jnp.float32), n_pad,
+                window=win)
+            keys, wts = [], []
+
+    for nk, k in enumerate(range(k_lo, k_hi + 1)):
+        if nk and nk % group == 0:
+            flush()
         chi = z + k * boxsize
         pf = (chi - (chi0 - 0.5 * dchi)) / dchi
         p = jnp.floor(pf).astype(jnp.int32)
@@ -247,10 +291,7 @@ def _plane_counts_deposit(pos, boxsize, chi0, dchi, nplanes: int, fov,
                         w = wi * wj if weights is None else \
                             wi * wj * weights
                         wts.append(jnp.where(ok, w, 0.0))
-
-    flat = deposit_flat(jnp.concatenate(keys),
-                        jnp.concatenate(wts).astype(jnp.float32),
-                        n_pad, window=win)
+    flush()
     counts = flat[:n_real].reshape(nplanes, npix, npix)
     return counts, chis
 
@@ -259,12 +300,26 @@ def _plane_counts_deposit(pos, boxsize, chi0, dchi, nplanes: int, fov,
 # dominates its own sort: measured crossover ~1M particles (see
 # tests/test_lens_planes.py timing note)
 _DEPOSIT_MIN_N = 1 << 20
+# per-k deposit footprint cap: (2*n_rep+1)^2 * 4 key/weight pairs of
+# length n — 2^28 entries is ~2 GB of (i32, f32) pairs through the pair
+# sort, safely inside the 16 GB chip for the bench-scale workloads.
+# Wider transverse replication falls back to the O(n)-memory scan.
+_DEPOSIT_MAX_ENTRIES = 1 << 28
+
+
+def _deposit_eligible(n, n_rep: int) -> bool:
+    """Shared auto-selection gate for the lens-plane deposit path
+    (used here and by parallel.lensing.make_distributed_lens_planes)."""
+    if jax.default_backend() != "tpu" or n < _DEPOSIT_MIN_N:
+        return False
+    if (2 * n_rep + 1) ** 2 * 4 * n > _DEPOSIT_MAX_ENTRIES:
+        return False
+    from .paint_pallas import pallas_deposit_available
+    return pallas_deposit_available()
 
 
 def _density_planes_impl(pos, boxsize, chi0, dchi, nplanes: int, fov,
                          npix: int, los: int, observer_xy, n_rep: int):
-    import math
-
     if isinstance(pos, (tuple, list)):
         n = jnp.asarray(pos[0]).reshape(-1).shape[0]
     else:
@@ -276,13 +331,8 @@ def _density_planes_impl(pos, boxsize, chi0, dchi, nplanes: int, fov,
         # geometry (float() raises) keeps the scatter-scan path — the
         # same concrete-geometry contract as the n_rep derivation in
         # density_planes_from_particles.
-        k_lo = math.floor((float(chi0) - 0.5 * float(dchi))
-                          / float(boxsize))
-        k_hi = math.floor((float(chi0) + (nplanes - 0.5) * float(dchi))
-                          / float(boxsize))
-        if jax.default_backend() == "tpu" and n >= _DEPOSIT_MIN_N:
-            from .paint_pallas import pallas_deposit_available
-            use_deposit = pallas_deposit_available()
+        _, k_lo, k_hi = replica_ranges(boxsize, chi0, dchi, nplanes, fov)
+        use_deposit = _deposit_eligible(n, n_rep)
     except TypeError:
         use_deposit = False
     if use_deposit:

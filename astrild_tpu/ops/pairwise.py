@@ -41,12 +41,19 @@ def _pad_blocks(arr, block):
 def _pairwise_accumulate_tiles(pos_i, vel_i, hat_i, pos_j, vel_j, hat_j,
                                ia0, jb0, nbins: int, binwidth,
                                block: int = 256, n_valid_global=None,
-                               valid_i=None, valid_j=None):
+                               valid_i=None, valid_j=None,
+                               dedup: bool = True,
+                               triangular: bool = False):
     """Yasini accumulation over all pairs between two chunks.
 
-    ia0/jb0 are the GLOBAL index offsets of the chunks; a pair counts only
-    when its global i < global j (so ring-rotation schedules count each
-    unordered pair exactly once). Used by parallel/pairwise.py.
+    ia0/jb0 are the GLOBAL index offsets of the chunks; with dedup=True a
+    pair counts only when its global i < global j (so ring-rotation
+    schedules count each unordered pair exactly once); dedup=False counts
+    every (i, j) pair once — valid for the half-ring schedule's
+    full-cross steps because the Yasini pair terms are i<->j symmetric
+    (rhat, q and vij all flip sign together). triangular=True skips the
+    a > b tiles (self pairs, where i<j masks them fully). Used by
+    parallel/pairwise.py.
 
     n_valid_global: number of REAL rows in the global concatenated
     catalog; rows with global index >= n_valid_global are padding and
@@ -83,7 +90,10 @@ def _pairwise_accumulate_tiles(pos_i, vel_i, hat_i, pos_j, vel_j, hat_j,
         vij = vi[:, None, :] - vj[None, :, :]
         nom_ij = jnp.einsum("abk,abk->ab", vij, q)
         den_ij = jnp.einsum("abk,abk->ab", q, q)
-        mask = (ia[:, None] < jb[None, :])
+        if dedup:
+            mask = (ia[:, None] < jb[None, :])
+        else:
+            mask = jnp.ones((block, block), bool)
         if n_valid_global is not None:
             mask = (mask & (ia[:, None] < n_valid_global)
                     & (jb[None, :] < n_valid_global))
@@ -104,9 +114,11 @@ def _pairwise_accumulate_tiles(pos_i, vel_i, hat_i, pos_j, vel_j, hat_j,
                                         num_segments=nbins + 1)[:nbins]
         return (nom, den), None
 
-    pairs = [(a, b) for a in range(nbi) for b in range(nbj)]
+    pairs = [(a, b) for a in range(nbi) for b in range(nbj)
+             if not triangular or a <= b]
     ab = jnp.array(pairs, jnp.int32)
-    zero = jnp.zeros((nbins,), jnp.float32) + 0.0 * jnp.sum(pos_i[:1, :1])
+    from ..utils.jax_compat import match_vma
+    zero = match_vma(jnp.zeros((nbins,), jnp.float32), pos_i)
     (nom, den), _ = jax.lax.scan(tile, (zero, zero), (ab[:, 0], ab[:, 1]))
     return nom, den
 

@@ -44,45 +44,25 @@ def pair_counts_s_mu(pos, boxsize, s_edges, ns: int, nmu: int = 20,
                      los: int = 2, n_valid=None, block: int = 512):
     """DD(s, mu) pair counts (i<j) with periodic minimum image.
 
-    mu = |s_parallel| / s along the `los` axis. Returns (ns, nmu) counts.
+    mu = |s_parallel| / s along the `los` axis. pos is an (n, 3) array
+    or a tuple of flat (x, y, z) components (preferred at large n —
+    CLAUDE.md minor-dim padding). Returns (ns, nmu) counts. Delegates to
+    the shared tile accumulator (one home with parallel/tpcf.py).
     """
-    n = pos.shape[0]
+    if isinstance(pos, (tuple, list)):
+        comps = tuple(jnp.asarray(c).reshape(-1).astype(jnp.float32)
+                      for c in pos)
+    else:
+        arr = jnp.asarray(pos).astype(jnp.float32)
+        comps = (arr[:, 0], arr[:, 1], arr[:, 2])
+    n = comps[0].shape[0]
     n_valid = n if n_valid is None else n_valid
     nb = (n + block - 1) // block
     pad = nb * block - n
-    posp = jnp.pad(pos.astype(jnp.float32), ((0, pad), (0, 0)))
-
-    smin = s_edges[0]
-    smax = s_edges[-1]
-
-    def tile(carry, ab):
-        counts = carry
-        a, b = ab
-        ia = a * block + jnp.arange(block)
-        jb = b * block + jnp.arange(block)
-        pi = jax.lax.dynamic_slice(posp, (a * block, 0), (block, 3))
-        pj = jax.lax.dynamic_slice(posp, (b * block, 0), (block, 3))
-        d = _min_image(pi[:, None, :] - pj[None, :, :], boxsize)
-        s = jnp.linalg.norm(d, axis=-1)
-        spar = jnp.abs(d[..., los])
-        mu = spar / jnp.maximum(s, 1e-12)
-        sbin = jnp.clip(jnp.searchsorted(s_edges, s, side="right") - 1,
-                        0, ns - 1)
-        mubin = jnp.clip((mu * nmu).astype(jnp.int32), 0, nmu - 1)
-        mask = ((ia[:, None] < jb[None, :])
-                & (ia[:, None] < n_valid) & (jb[None, :] < n_valid)
-                & (s >= smin) & (s < smax))
-        flat = jnp.where(mask, sbin * nmu + mubin, ns * nmu)
-        w = mask.astype(jnp.float32)
-        counts = counts + jax.ops.segment_sum(
-            w.reshape(-1), flat.reshape(-1),
-            num_segments=ns * nmu + 1)[: ns * nmu]
-        return counts, None
-
-    pairs = [(a, b) for a in range(nb) for b in range(nb) if a <= b]
-    ab = jnp.array(pairs, jnp.int32)
-    counts, _ = jax.lax.scan(tile, jnp.zeros((ns * nmu,)),
-                             (ab[:, 0], ab[:, 1]))
+    comps = tuple(jnp.pad(c, (0, pad)) for c in comps)
+    counts = _s_mu_accumulate_tiles(
+        comps, comps, 0, 0, s_edges, ns, nmu, los, boxsize, block=block,
+        n_valid_global=n_valid, dedup=True, triangular=True)
     return counts.reshape(ns, nmu)
 
 
@@ -104,21 +84,42 @@ def _check_halfbox(s_edges, boxsize):
 def _s_mu_accumulate_tiles(pos_i, pos_j, ia0, jb0, s_edges, ns: int,
                            nmu: int, los: int, boxsize,
                            block: int = 512, n_valid_global=None,
-                           valid_i=None, valid_j=None):
+                           valid_i=None, valid_j=None,
+                           dedup: bool = True,
+                           triangular: bool = False):
     """DD(s, mu) accumulation over all pairs between two chunks.
 
-    ia0/jb0 are the GLOBAL index offsets of the chunks; a pair counts
-    only when its global i < global j, so ring-rotation schedules
-    (parallel/tpcf.py) count each unordered pair exactly once — the same
-    contract as ops.pairwise._pairwise_accumulate_tiles.
+    ia0/jb0 are the GLOBAL index offsets of the chunks; with dedup=True a
+    pair counts only when its global i < global j, so ring-rotation
+    schedules (parallel/tpcf.py) count each unordered pair exactly once —
+    the same contract as ops.pairwise._pairwise_accumulate_tiles.
+    dedup=False counts every (i, j) pair once (the half-ring schedule's
+    full-cross steps, where the two chunks are disjoint by construction
+    and each unordered shard pair is visited from one side only).
 
     Padding exclusion, two forms (same caveats as pairwise):
     n_valid_global masks rows by global index (all padding at the global
     tail); valid_i/valid_j are per-row 0/1 masks for per-shard padding
     (the multihost striped loader).
+
+    The per-bin accumulation is Kahan-compensated: plain f32 adds stop
+    counting once a bin's total passes ~2^24x the tile increments, a
+    systematic DD deficit at the large-N scales the distributed
+    estimator exists for.
     """
-    ni = pos_i.shape[0]
-    nj = pos_j.shape[0]
+    def _comps(p):
+        # component tuples avoid a resident (n, 3) array (which pads its
+        # 3-wide minor dim to 128 lanes at large n — CLAUDE.md); the
+        # per-tile (block, 3) stacks below are small temporaries
+        if isinstance(p, (tuple, list)):
+            return tuple(jnp.asarray(c).reshape(-1) for c in p)
+        arr = jnp.asarray(p)
+        return arr[:, 0], arr[:, 1], arr[:, 2]
+
+    ci = _comps(pos_i)
+    cj = _comps(pos_j)
+    ni = ci[0].shape[0]
+    nj = cj[0].shape[0]
     assert ni % block == 0 and nj % block == 0, \
         "chunk sizes must be multiples of block (pad before sharding)"
     nbi = ni // block
@@ -127,12 +128,14 @@ def _s_mu_accumulate_tiles(pos_i, pos_j, ia0, jb0, s_edges, ns: int,
     smax = s_edges[-1]
 
     def tile(carry, ab):
-        counts = carry
+        counts, comp = carry
         a, b = ab
         ia = ia0 + a * block + jnp.arange(block)
         jb = jb0 + b * block + jnp.arange(block)
-        pi = jax.lax.dynamic_slice(pos_i, (a * block, 0), (block, 3))
-        pj = jax.lax.dynamic_slice(pos_j, (b * block, 0), (block, 3))
+        pi = jnp.stack([jax.lax.dynamic_slice_in_dim(c, a * block, block)
+                        for c in ci], axis=-1)
+        pj = jnp.stack([jax.lax.dynamic_slice_in_dim(c, b * block, block)
+                        for c in cj], axis=-1)
         d = _min_image(pi[:, None, :] - pj[None, :, :], boxsize)
         s = jnp.linalg.norm(d, axis=-1)
         spar = jnp.abs(d[..., los])
@@ -140,7 +143,9 @@ def _s_mu_accumulate_tiles(pos_i, pos_j, ia0, jb0, s_edges, ns: int,
         sbin = jnp.clip(jnp.searchsorted(s_edges, s, side="right") - 1,
                         0, ns - 1)
         mubin = jnp.clip((mu * nmu).astype(jnp.int32), 0, nmu - 1)
-        mask = (ia[:, None] < jb[None, :]) & (s >= smin) & (s < smax)
+        mask = (s >= smin) & (s < smax)
+        if dedup:
+            mask = mask & (ia[:, None] < jb[None, :])
         if n_valid_global is not None:
             mask = mask & (ia[:, None] < n_valid_global) \
                 & (jb[None, :] < n_valid_global)
@@ -150,16 +155,25 @@ def _s_mu_accumulate_tiles(pos_i, pos_j, ia0, jb0, s_edges, ns: int,
             mask = mask & (vi[:, None] > 0) & (vj[None, :] > 0)
         flat = jnp.where(mask, sbin * nmu + mubin, ns * nmu)
         w = mask.astype(jnp.float32)
-        return counts + jax.ops.segment_sum(
+        inc = jax.ops.segment_sum(
             w.reshape(-1), flat.reshape(-1),
-            num_segments=ns * nmu + 1)[: ns * nmu], None
+            num_segments=ns * nmu + 1)[: ns * nmu]
+        # Kahan step: the per-tile increment is exact (<= block^2 < 2^24)
+        y = inc - comp
+        t = counts + y
+        comp = (t - counts) - y
+        return (t, comp), None
 
-    pairs = [(a, b) for a in range(nbi) for b in range(nbj)]
+    # triangular=True (self pairs, ia0 == jb0): tiles with a > b are
+    # fully i<j-masked, so skip them — half the tile work
+    pairs = [(a, b) for a in range(nbi) for b in range(nbj)
+             if not triangular or a <= b]
     ab = jnp.array(pairs, jnp.int32)
     zero = jnp.zeros((ns * nmu,), jnp.float32)
     from ..utils.jax_compat import match_vma
-    zero = match_vma(zero, pos_i)
-    counts, _ = jax.lax.scan(tile, zero, (ab[:, 0], ab[:, 1]))
+    zero = match_vma(zero, ci[0])
+    (counts, _), _ = jax.lax.scan(tile, (zero, zero),
+                                  (ab[:, 0], ab[:, 1]))
     return counts
 
 
@@ -177,7 +191,12 @@ def tpcf_s_mu(pos, boxsize, s_edges, nmu: int = 20, los: int = 2,
     """
     _check_halfbox(s_edges, boxsize)
     ns = int(s_edges.shape[0]) - 1
-    n = pos.shape[0] if n_valid is None else n_valid
+    if n_valid is not None:
+        n = n_valid
+    elif isinstance(pos, (tuple, list)):
+        n = jnp.asarray(pos[0]).reshape(-1).shape[0]
+    else:
+        n = pos.shape[0]
     dd = pair_counts_s_mu(pos, boxsize, s_edges, ns, nmu=nmu, los=los,
                           n_valid=n_valid, block=block)
     vshell = 4.0 / 3.0 * jnp.pi * (s_edges[1:] ** 3 - s_edges[:-1] ** 3)

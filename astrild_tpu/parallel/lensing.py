@@ -117,24 +117,18 @@ def make_distributed_lens_planes(mesh: Mesh, boxsize, chi0, dchi,
     position padding rows otherwise paint into whichever plane's slab
     wraps over z = 0).
     """
-    import math
-
     from ..ops import lens_planes as lp
 
     # transverse replica count + LOS replica range from CONCRETE factory
-    # geometry (same derivation as density_planes_from_particles)
-    chi_far = float(chi0) + float(dchi) * (nplanes - 1)
-    half_need = float(fov) * chi_far / 2.0
-    n_rep = max(0, int(-(-(half_need - float(boxsize) / 2.0)
-                         // float(boxsize))))
-    k_lo = math.floor((float(chi0) - 0.5 * float(dchi)) / float(boxsize))
-    k_hi = math.floor((float(chi0) + (nplanes - 0.5) * float(dchi))
-                      / float(boxsize))
+    # geometry (ONE home: ops.lens_planes.replica_ranges)
+    n_rep, k_lo, k_hi = lp.replica_ranges(boxsize, chi0, dchi, nplanes,
+                                          fov)
     if deposit is None:
-        use_deposit = False
-        if jax.default_backend() == "tpu":
-            from ..ops.paint_pallas import pallas_deposit_available
-            use_deposit = pallas_deposit_available()
+        # per-shard n is unknown until call time, so gate the replica
+        # footprint at a nominal production shard share (2^24 rows);
+        # callers with wider transverse replication and small shards can
+        # force deposit="pallas"
+        use_deposit = lp._deposit_eligible(1 << 24, n_rep)
     else:
         if deposit not in ("pallas", "scatter"):
             raise ValueError(f"deposit must be 'pallas' or 'scatter', "

@@ -1,11 +1,13 @@
-"""Distributed pairwise statistics: ring-rotation pair counting.
+"""Distributed pairwise statistics: half-ring rotation pair counting.
 
 Particles shard over the mesh; each step every device evaluates the pair
 tiles between its resident chunk and a visiting chunk, then the visiting
-chunks rotate one hop around the ring (ppermute over ICI). After P steps
-every cross-shard pair was seen exactly once; per-bin partial sums psum
-at the end. This is the sharded-particle-axis form of the reference's
-thread-parallel pair loops (SURVEY §2), with no size cap.
+chunks rotate one hop around the ring (ppermute over ICI). Only
+floor(P/2) rotations run — each unordered shard pair is evaluated from
+ONE side (the Yasini terms are i<->j symmetric), not computed twice and
+half-masked. Per-bin partial sums psum at the end. This is the
+sharded-particle-axis form of the reference's thread-parallel pair loops
+(SURVEY §2), with no size cap.
 """
 from __future__ import annotations
 
@@ -40,6 +42,14 @@ def make_distributed_pairwise(mesh: Mesh, nbins: int, binwidth: float,
     """
     nshards = mesh.shape[axis]
 
+    # half-ring schedule: visitors flow so that after k hops the chunk at
+    # `me` originated at (me + k) mod P; only floor(P/2) rotations run,
+    # each unordered shard pair binned from ONE side with no i<j mask
+    # (legal because the Yasini pair terms are i<->j symmetric). For even
+    # P the final step is seen by both pair members -> global i<j dedup
+    # there alone. Halves the dominant cross-tile work vs the full ring.
+    perm_back = [((i + 1) % nshards, i) for i in range(nshards)]
+
     def body(pos, vel, valid=None):
         me = jax.lax.axis_index(axis)
         nloc = pos.shape[0]
@@ -49,27 +59,36 @@ def make_distributed_pairwise(mesh: Mesh, nbins: int, binwidth: float,
                     if valid is None else
                     (pos, vel, hat, jnp.asarray(me), valid))
 
-        def step(carry, k):
-            nom, den, visit = carry
+        def count(visit, dedup, triangular=False):
             vpos, vvel, vhat, vowner = visit[:4]
             vvalid = visit[4] if valid is not None else None
-            # global index offsets decide the i<j dedup
-            ia0 = me * nloc
-            jb0 = vowner * nloc
-            dn, dd = _pairwise_accumulate_tiles(
-                pos, vel, hat, vpos, vvel, vhat, ia0, jb0, nbins, binwidth,
-                block, n_valid_global=n_valid,
-                valid_i=valid, valid_j=vvalid)
+            return _pairwise_accumulate_tiles(
+                pos, vel, hat, vpos, vvel, vhat, me * nloc,
+                vowner * nloc, nbins, binwidth, block,
+                n_valid_global=n_valid, valid_i=valid, valid_j=vvalid,
+                dedup=dedup, triangular=triangular)
+
+        nom, den = count(resident, dedup=True, triangular=True)
+
+        def step(carry, _):
+            nom, den, visit = carry
+            visit = jax.tree_util.tree_map(
+                lambda x: jax.lax.ppermute(x, axis, perm_back), visit)
+            dn, dd = count(visit, dedup=False)
+            return (nom + dn, den + dd, visit), None
+
+        n_full = (nshards - 1) // 2
+        if n_full > 0:
+            (nom, den, visit), _ = jax.lax.scan(
+                step, (nom, den, resident), None, length=n_full)
+        else:
+            visit = resident
+        if nshards % 2 == 0 and nshards > 1:
+            visit = jax.tree_util.tree_map(
+                lambda x: jax.lax.ppermute(x, axis, perm_back), visit)
+            dn, dd = count(visit, dedup=True)
             nom = nom + dn
             den = den + dd
-            perm = [(i, (i + 1) % nshards) for i in range(nshards)]
-            visit = jax.tree_util.tree_map(
-                lambda x: jax.lax.ppermute(x, axis, perm), visit)
-            return (nom, den, visit), None
-
-        zero = jnp.zeros((nbins,), jnp.float32) * jnp.sum(pos[:1, :1]) * 0.0
-        (nom, den, _), _ = jax.lax.scan(
-            step, (zero, zero, resident), jnp.arange(nshards))
         nom = jax.lax.psum(nom, axis)
         den = jax.lax.psum(den, axis)
         return nom, den

@@ -1,12 +1,15 @@
-"""Distributed two-point correlation function: ring-rotation pair counts.
+"""Distributed two-point correlation function: half-ring pair counts.
 
-The same schedule as parallel/pairwise.py applied to the redshift-space
-xi(s, mu) estimator (ops/tpcf.py): catalogs shard over a mesh axis, each
-step every device bins the pair tiles between its resident chunk and a
-visiting chunk (global i < j dedup), the visitors rotate one hop around
-the ring (ppermute over ICI), and per-(s, mu)-bin partial counts psum at
-the end. Replaces the single-node halotools s_mu_tpcf usage the
-reference capped at one machine
+The ring-rotation schedule of parallel/pairwise.py applied to the
+redshift-space xi(s, mu) estimator (ops/tpcf.py), with the half-ring
+refinement: after the self step, visitors rotate so that at step k the
+visitor chunk originated at (me + k) mod P, and only floor(P/2) rotations
+run — each unordered shard pair is binned from ONE side with no i<j mask
+(the chunks are disjoint), instead of being computed from both sides and
+half-discarded. For even P the final step (k = P/2) is seen by both
+members of each pair, so there alone the global i<j dedup applies.
+Per-(s, mu)-bin partial counts psum at the end. Replaces the single-node
+halotools s_mu_tpcf usage the reference capped at one machine
 (/root/reference/src/astrild/particles/hutils/tpcf.py:18-105) with no
 size limit.
 """
@@ -30,10 +33,13 @@ def make_distributed_tpcf_s_mu(mesh: Mesh, boxsize, s_edges, nmu: int = 20,
     """Build fn(pos[, valid]) -> (s_centers, mu_centers, xi) over all
     global pairs.
 
-    pos sharded P((axis,), None) on the leading dimension (equal chunk
-    sizes, multiples of `block`). xi uses the analytic periodic RR of
-    ops.tpcf.tpcf_s_mu with the GLOBAL real-row count. Padding exclusion
-    as in make_distributed_pairwise:
+    pos: EITHER an (n, 3) array sharded P(axis, None) (convenient at
+    small n) or a tuple of flat (x, y, z) component buffers each sharded
+    P(axis) — prefer the tuple at large n: a resident (n, 3) device
+    array pads its 3-wide minor dim to 128 lanes (42x HBM, CLAUDE.md).
+    Equal chunk sizes, multiples of `block`. xi uses the analytic
+    periodic RR of ops.tpcf.tpcf_s_mu with the GLOBAL real-row count.
+    Padding exclusion as in make_distributed_pairwise:
 
     * n_valid — real global row count; only correct when all padding
       sits at the global tail.
@@ -45,33 +51,50 @@ def make_distributed_tpcf_s_mu(mesh: Mesh, boxsize, s_edges, nmu: int = 20,
     s_edges = jnp.asarray(s_edges, jnp.float32)
     ns = int(s_edges.shape[0]) - 1
     nshards = mesh.shape[axis]
+    # visitors flow so that after k hops the chunk at `me` originated at
+    # (me + k) mod P
+    perm_back = [((i + 1) % nshards, i) for i in range(nshards)]
 
-    def body(pos, valid=None):
+    def body(cx, cy, cz, valid=None):
         me = jax.lax.axis_index(axis)
-        nloc = pos.shape[0]
-        pos = pos.astype(jnp.float32)
-        resident = ((pos, jnp.asarray(me)) if valid is None
-                    else (pos, jnp.asarray(me), valid))
+        nloc = cx.shape[0]
+        comps = (cx.astype(jnp.float32), cy.astype(jnp.float32),
+                 cz.astype(jnp.float32))
+
+        def count(visit, dedup, triangular=False):
+            vcomps = visit[:3]
+            vowner = visit[3]
+            vvalid = visit[4] if valid is not None else None
+            return _s_mu_accumulate_tiles(
+                comps, vcomps, me * nloc, vowner * nloc, s_edges, ns,
+                nmu, los, boxsize, block=block,
+                n_valid_global=n_valid, valid_i=valid, valid_j=vvalid,
+                dedup=dedup, triangular=triangular)
+
+        resident = comps + (jnp.asarray(me),) + (
+            (valid,) if valid is not None else ())
+        # self pairs (i < j within the chunk; a <= b tiles suffice)
+        counts = count(resident, dedup=True, triangular=True)
+
+        n_full = (nshards - 1) // 2
 
         def step(carry, _):
-            counts, visit = carry
-            vpos, vowner = visit[:2]
-            vvalid = visit[2] if valid is not None else None
-            ia0 = me * nloc
-            jb0 = vowner * nloc
-            dc = _s_mu_accumulate_tiles(
-                pos, vpos, ia0, jb0, s_edges, ns, nmu, los, boxsize,
-                block=block, n_valid_global=n_valid,
-                valid_i=valid, valid_j=vvalid)
-            perm = [(i, (i + 1) % nshards) for i in range(nshards)]
+            acc, visit = carry
             visit = jax.tree_util.tree_map(
-                lambda x: jax.lax.ppermute(x, axis, perm), visit)
-            return (counts + dc, visit), None
+                lambda x: jax.lax.ppermute(x, axis, perm_back), visit)
+            return (acc + count(visit, dedup=False), visit), None
 
-        zero = jnp.zeros((ns * nmu,), jnp.float32) \
-            * jnp.sum(pos[:1, :1]) * 0.0
-        (counts, _), _ = jax.lax.scan(step, (zero, resident),
-                                      jnp.arange(nshards))
+        if n_full > 0:
+            (counts, visit), _ = jax.lax.scan(
+                step, (counts, resident), None, length=n_full)
+        else:
+            visit = resident
+        if nshards % 2 == 0 and nshards > 1:
+            # k = P/2: both pair members see each other -> global dedup
+            visit = jax.tree_util.tree_map(
+                lambda x: jax.lax.ppermute(x, axis, perm_back), visit)
+            counts = counts + count(visit, dedup=True)
+
         counts = jax.lax.psum(counts, axis)
         if valid is not None:
             n_real = jax.lax.psum(jnp.sum(valid > 0), axis)
@@ -81,21 +104,33 @@ def make_distributed_tpcf_s_mu(mesh: Mesh, boxsize, s_edges, nmu: int = 20,
             n_real = jax.lax.psum(jnp.asarray(nloc), axis)
         return counts, n_real
 
+    row = P(axis)
     if with_valid_mask:
         fn = jax.shard_map(body, mesh=mesh,
-                           in_specs=(P(axis, None), P(axis)),
+                           in_specs=(row, row, row, row),
                            out_specs=(P(), P()))
     else:
-        fn = jax.shard_map(lambda pos: body(pos), mesh=mesh,
-                           in_specs=P(axis, None), out_specs=(P(), P()))
+        fn = jax.shard_map(lambda cx, cy, cz: body(cx, cy, cz),
+                           mesh=mesh, in_specs=(row, row, row),
+                           out_specs=(P(), P()))
     fn = jax.jit(fn)
 
     def tpcf(pos, valid=None):
-        counts, n_real = (fn(pos, valid) if with_valid_mask
-                          else fn(pos))
+        if (valid is not None) != with_valid_mask:
+            # silently dropping a mask would count padding rows as real
+            # particles (DD spikes at the pad positions' separations)
+            raise ValueError(
+                "valid mask mismatch: build the factory with "
+                f"with_valid_mask={valid is not None} to "
+                + ("use" if valid is not None else "omit") + " a mask")
+        if isinstance(pos, (tuple, list)):
+            cx, cy, cz = pos
+        else:
+            cx, cy, cz = pos[:, 0], pos[:, 1], pos[:, 2]
+        counts, n_real = (fn(cx, cy, cz, valid) if with_valid_mask
+                          else fn(cx, cy, cz))
         dd = counts.reshape(ns, nmu)
-        n = n_real.astype(jnp.float64 if jax.config.jax_enable_x64
-                          else jnp.float32)
+        n = n_real.astype(jnp.float32)
         vshell = 4.0 / 3.0 * jnp.pi * (s_edges[1:] ** 3
                                        - s_edges[:-1] ** 3)
         npairs = n * (n - 1.0) / 2.0

@@ -436,6 +436,33 @@ def test_distributed_lens_planes_matches_local(mesh22, rng):
                         rtol=1e-3, atol=1e-5)
 
 
+def test_distributed_tpcf_odd_shards_and_tuple_input(rng):
+    """Odd shard counts exercise the half-ring schedule's no-final-dedup
+    branch; component-tuple input avoids the (n, 3) resident array."""
+    from jax.sharding import Mesh
+    from astrild_tpu.ops import tpcf as tpcf_ops
+    from astrild_tpu.parallel.tpcf import make_distributed_tpcf_s_mu
+
+    mesh3 = Mesh(np.array(jax.devices()[:3]).reshape(3, 1, 1),
+                 ("sim", "x", "y"))
+    n = 768  # 256 per shard
+    pos = rng.uniform(0, BOX, (n, 3)).astype(np.float32)
+    s_edges = jnp.linspace(1.0, 40.0, 9)
+    _, _, want = tpcf_ops.tpcf_s_mu(jnp.asarray(pos), BOX, s_edges,
+                                    nmu=10, block=128)
+    f = make_distributed_tpcf_s_mu(mesh3, BOX, s_edges, nmu=10,
+                                   axis="sim", block=128)
+    sh = NamedSharding(mesh3, P("sim"))
+    comps = tuple(jax.device_put(jnp.asarray(pos[:, i]), sh)
+                  for i in range(3))
+    _, _, got = f(comps)
+    npt.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # passing a mask to a maskless factory must raise, not silently drop
+    with pytest.raises(ValueError, match="valid mask"):
+        f(comps, jnp.ones((n,), jnp.float32))
+
+
 def test_distributed_tpcf_halfbox_guard(mesh22):
     from astrild_tpu.parallel.tpcf import make_distributed_tpcf_s_mu
 
