@@ -40,6 +40,7 @@ class PowerSpectrum3D:
         self.sim = simulation
         self.sim_type = sim_type
         self.window = window
+        self._dist_cache = {}
 
     # ------------------------------------------------------- low-level API
     def power_from_grid(self, grid, boxsize: float, nbins: int = 0,
@@ -63,14 +64,38 @@ class PowerSpectrum3D:
 
     def power_from_points(self, pos, boxsize: float, ngrid: int,
                           weights=None, nbins: int = 0,
-                          interlaced: bool = False, method: str = "window"):
+                          interlaced: bool = False, method: str = "window",
+                          mesh=None):
         """Point set -> paint -> P(k) (power_spectrum_3d.py:140-195).
 
         method='fast' uses the folded fine-grid NGP estimator
         (ops.power.auto_power_fast) — ~10x faster on TPU at matched
         accuracy over the reported k-range; 'window' paints with
         self.window (cic/tsc) and deconvolves.
+
+        mesh: a jax.sharding.Mesh runs the distributed estimator
+        (parallel.power.make_distributed_auto_power_fast — the
+        reference's nbodykit-MPI role) over particle shards: pass pos
+        already device_put with P(('sim','x','y')) on the leading
+        dimension, either (n, 3) or a flat (x, y, z) component tuple.
+        Only method='fast' distributes (the jitted factory is cached per
+        (mesh, ngrid, nbins)).
         """
+        if mesh is not None:
+            if method != "fast":
+                raise ValueError("mesh= requires method='fast' (the "
+                                 "distributed estimator is the folded "
+                                 "fine-NGP path)")
+            from ..parallel.power import make_distributed_auto_power_fast
+
+            key = (id(mesh), ngrid, float(boxsize), nbins or ngrid // 2)
+            fn = self._dist_cache.get(key)
+            if fn is None:
+                fn = make_distributed_auto_power_fast(
+                    mesh, ngrid, boxsize, nbins or ngrid // 2)
+                self._dist_cache[key] = fn
+            res = fn(pos, weights)
+            return np.asarray(res.k), np.asarray(res.power)
         pos = jnp.asarray(pos)
         if method == "fast":
             res = power_ops.auto_power_fast(pos, ngrid, boxsize,

@@ -178,6 +178,31 @@ def test_power_spectrum_3d_from_points(rng):
     npt.assert_allclose(P[:10] + sn, sn, rtol=0.3)
 
 
+def test_power_spectrum_3d_mesh_dispatch(rng):
+    """mesh= on the facade routes through the distributed estimator and
+    caches the jitted factory; method='window' with a mesh raises."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from astrild_tpu.parallel import make_mesh
+
+    ps = PowerSpectrum3D()
+    pos = rng.uniform(0, 100.0, (4096, 3)).astype(np.float32)
+    k1, p1 = ps.power_from_points(jnp.asarray(pos), 100.0, 32,
+                                  method="fast", nbins=6)
+    mesh = make_mesh(n_sim=2, n_x=2, n_y=2)
+    posd = jax.device_put(jnp.asarray(pos),
+                          NamedSharding(mesh, P(("sim", "x", "y"), None)))
+    k2, p2 = ps.power_from_points(posd, 100.0, 32, method="fast",
+                                  nbins=6, mesh=mesh)
+    npt.assert_allclose(p2, p1, rtol=1e-2, atol=1e-3 * float(np.std(p1)))
+    assert len(ps._dist_cache) == 1
+    ps.power_from_points(posd, 100.0, 32, method="fast", nbins=6,
+                         mesh=mesh)
+    assert len(ps._dist_cache) == 1  # factory reused, not rebuilt
+    with pytest.raises(ValueError, match="method='fast'"):
+        ps.power_from_points(posd, 100.0, 32, method="window", mesh=mesh)
+
+
 def test_linear_spectra_classes():
     lps = LinearPowerSpectrum()
     P = lps.P_dd(np.array([0.01, 0.1, 1.0]))
