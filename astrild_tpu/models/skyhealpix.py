@@ -47,6 +47,7 @@ class SkyHealpix:
         self.data: Dict[str, np.ndarray] = {"orig": np.asarray(hpmap)}
         self.quantity = quantity
         self.nside = hp.npix2nside(len(hpmap))
+        self._dist_sht: Dict = {}  # (mesh, nside, lmax) -> jitted fns
 
     # ---------------------------------------------------------- constructors
     @classmethod
@@ -208,9 +209,27 @@ class SkyHealpix:
         self.data[of + "_smooth"] = out
         return out
 
-    def anafast(self, lmax: int, of: str = "orig", niter: int = 3
-                ) -> np.ndarray:
-        """Angular power spectrum of a layer (native SHT analysis)."""
+    def anafast(self, lmax: int, of: str = "orig", niter: int = 3,
+                mesh=None) -> np.ndarray:
+        """Angular power spectrum of a layer (native SHT analysis).
+
+        mesh: a jax.sharding.Mesh runs the m-block-sharded scan-path
+        analysis (parallel.sht_large.make_distributed_sht_large — the
+        production nside >= 1024 regime, where the Legendre scans are
+        >90% of the cost and distribute over the mesh axis). The jitted
+        factory is cached per (mesh, nside, lmax).
+        """
+        if mesh is not None:
+            from ..ops.sht import alm2cl
+            from ..parallel.sht_large import make_distributed_sht_large
+
+            key = (id(mesh), self.nside, lmax)
+            fns = self._dist_sht.get(key)
+            if fns is None:
+                fns = make_distributed_sht_large(mesh, self.nside, lmax)
+                self._dist_sht[key] = fns
+            a_re, a_im = fns[1](self.data[of], niter=niter)
+            return np.asarray(alm2cl(a_re, a_im))
         _, anafast, _ = _sht_backend(self.nside, lmax)
         return np.asarray(anafast(self.data[of], lmax, niter=niter))
 

@@ -471,6 +471,23 @@ def test_distributed_tpcf_halfbox_guard(mesh22):
                                    jnp.linspace(1.0, BOX, 9))
 
 
+def test_skyhealpix_anafast_mesh_dispatch(mesh22):
+    """SkyHealpix.anafast(mesh=...) routes through the m-sharded scan
+    path and caches the jitted factory."""
+    from astrild_tpu.models import SkyHealpix
+
+    nside, lmax = 16, 31
+    cl = np.zeros(lmax + 1)
+    cl[2:] = 1.0 / np.arange(2, lmax + 1) ** 2
+    sky = SkyHealpix.from_Cl_array(cl, "kappa_2", nside, lmax=lmax,
+                                   rnd_seed=1)
+    want = sky.anafast(lmax, niter=2)
+    got = sky.anafast(lmax, niter=2, mesh=mesh22)
+    npt.assert_allclose(got, want, atol=1e-7)
+    sky.anafast(lmax, niter=2, mesh=mesh22)
+    assert len(sky._dist_sht) == 1  # factory reused
+
+
 def test_distributed_sht_large_rejects_bad_method(mesh22):
     from astrild_tpu.parallel.sht_large import make_distributed_sht_large
 
