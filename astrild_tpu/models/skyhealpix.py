@@ -234,31 +234,56 @@ class SkyHealpix:
         return np.asarray(anafast(self.data[of], lmax, niter=niter))
 
     def shear_from_kappa(self, lmax: Optional[int] = None,
-                         of: str = "orig", niter: int = 3):
+                         of: str = "orig", niter: int = 3, mesh=None):
         """Full-sky spherical Kaiser-Squires forward: store 'gamma1'/
         'gamma2' layers from a convergence layer via spin-2 synthesis of
         E_lm = sqrt((l+2)(l-1)/(l(l+1))) kappa_lm (the channel healpy
         provides as alm2map_spin and the reference never exposed).
         Tables below _TABLE_LMAX_LIMIT (ops/sht_spin.py); the scan path
-        (ops/sht_spin_large.py) above — production nside 1024+."""
+        (ops/sht_spin_large.py) above — production nside 1024+.
+
+        mesh: run both the scalar analysis and the spin-2 synthesis on
+        the m-block-sharded scan paths (parallel/sht_large), factories
+        cached per (mesh, nside, lmax)."""
         from ..ops import sht, sht_large, sht_spin, sht_spin_large
 
         L = lmax if lmax is not None else min(2 * self.nside, 512)
-        if L <= _TABLE_LMAX_LIMIT:
-            k_re, k_im = sht.analyze(self.data[of], self.nside, L,
-                                     niter=niter)
+        if mesh is not None:
+            from ..parallel.sht_large import (
+                make_distributed_sht_large,
+                make_distributed_sht_spin2_large)
+
+            key = (id(mesh), self.nside, L)
+            fns = self._dist_sht.get(key)
+            if fns is None:
+                fns = make_distributed_sht_large(mesh, self.nside, L)
+                self._dist_sht[key] = fns
+            key2 = ("spin2",) + key
+            fns2 = self._dist_sht.get(key2)
+            if fns2 is None:
+                fns2 = make_distributed_sht_spin2_large(mesh, self.nside,
+                                                        L)
+                self._dist_sht[key2] = fns2
+            k_re, k_im = fns[1](self.data[of], niter=niter)
+            e_re, e_im = sht_spin.kappa_alm_to_shear_alm(k_re, k_im)
+            z = np.zeros_like(np.asarray(e_re))
+            g1, g2 = fns2[0](e_re, e_im, z, z)
         else:
-            k_re, k_im = sht_large.analyze_large(self.data[of],
-                                                 self.nside, L,
-                                                 niter=niter)
-        e_re, e_im = sht_spin.kappa_alm_to_shear_alm(k_re, k_im)
-        z = np.zeros_like(np.asarray(e_re))
-        if L <= _TABLE_LMAX_LIMIT:
-            g1, g2 = sht_spin.synthesize_spin2(e_re, e_im, z, z,
-                                               self.nside, L)
-        else:
-            g1, g2 = sht_spin_large.synthesize_spin2_large(
-                e_re, e_im, z, z, self.nside, L)
+            if L <= _TABLE_LMAX_LIMIT:
+                k_re, k_im = sht.analyze(self.data[of], self.nside, L,
+                                         niter=niter)
+            else:
+                k_re, k_im = sht_large.analyze_large(self.data[of],
+                                                     self.nside, L,
+                                                     niter=niter)
+            e_re, e_im = sht_spin.kappa_alm_to_shear_alm(k_re, k_im)
+            z = np.zeros_like(np.asarray(e_re))
+            if L <= _TABLE_LMAX_LIMIT:
+                g1, g2 = sht_spin.synthesize_spin2(e_re, e_im, z, z,
+                                                   self.nside, L)
+            else:
+                g1, g2 = sht_spin_large.synthesize_spin2_large(
+                    e_re, e_im, z, z, self.nside, L)
         self.data["gamma1"] = np.asarray(g1)
         self.data["gamma2"] = np.asarray(g2)
         return self.data["gamma1"], self.data["gamma2"]

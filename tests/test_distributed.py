@@ -487,6 +487,13 @@ def test_skyhealpix_anafast_mesh_dispatch(mesh22):
     sky.anafast(lmax, niter=2, mesh=mesh22)
     assert len(sky._dist_sht) == 1  # factory reused
 
+    # spin-2 facade: shear via the m-sharded paths == local
+    g1w, g2w = sky.shear_from_kappa(lmax=lmax, niter=2)
+    g1d, g2d = sky.shear_from_kappa(lmax=lmax, niter=2, mesh=mesh22)
+    scale = float(np.std(g1w))
+    npt.assert_allclose(g1d, g1w, atol=1e-5 * max(scale, 1e-6))
+    npt.assert_allclose(g2d, g2w, atol=1e-5 * max(scale, 1e-6))
+
 
 def test_distributed_sht_large_rejects_bad_method(mesh22):
     from astrild_tpu.parallel.sht_large import make_distributed_sht_large
