@@ -239,9 +239,20 @@ _WORKER = textwrap.dedent("""
     fn = make_distributed_auto_power(mesh, 16, 100.0, 6, window="cic")
     res = fn(pos, w)
     power = np.asarray(jax.device_get(res.power))  # replicated output
+
+    # second factory through the SAME loader output: lens planes from
+    # the flat component buffers + validity mask (per-stripe padding)
+    from astrild_tpu.parallel.lensing import make_distributed_lens_planes
+    lpf = make_distributed_lens_planes(
+        mesh, 100.0, 80.0, 20.0, 4, 0.5, 16, axis=("sim", "x", "y"),
+        with_valid_mask=True, deposit="scatter")
+    comps = tuple(data[f"Coordinates:{i}"] for i in range(3))
+    planes, chis = lpf(comps, w)
+    planes = np.asarray(jax.device_get(planes))
     if rank == 0:
         np.savez(out, k=np.asarray(jax.device_get(res.k)), power=power,
-                 nmodes=np.asarray(jax.device_get(res.nmodes)))
+                 nmodes=np.asarray(jax.device_get(res.nmodes)),
+                 planes=planes)
     jax.distributed.shutdown()
     print("WORKER_OK", rank)
 """)
@@ -292,3 +303,12 @@ def test_two_process_distributed_power(snapshot4, tmp_path):
     npt.assert_allclose(got["nmodes"], np.asarray(ref.nmodes))
     npt.assert_allclose(got["power"], np.asarray(ref.power),
                         rtol=5e-3, atol=1e-3 * BOX ** 3 / n_tot)
+
+    # lens planes through the same loader output == single-process build
+    from astrild_tpu.ops import lens_planes as lp
+
+    want_planes, _ = lp.density_planes_from_particles(
+        tuple(jnp.asarray(full[:, i], jnp.float32) for i in range(3)),
+        BOX, 80.0, 20.0, 4, 0.5, 16)
+    npt.assert_allclose(got["planes"], np.asarray(want_planes),
+                        rtol=1e-3, atol=1e-4)
