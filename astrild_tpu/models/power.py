@@ -86,9 +86,18 @@ class PowerSpectrum3D:
                 raise ValueError("mesh= requires method='fast' (the "
                                  "distributed estimator is the folded "
                                  "fine-NGP path)")
+            missing = {"sim", "x", "y"} - set(mesh.shape)
+            if missing:
+                raise ValueError(
+                    "the distributed P(k) factory shards over the "
+                    "('sim', 'x', 'y') axes; this mesh lacks "
+                    f"{sorted(missing)} (axes: {tuple(mesh.shape)}) — "
+                    "build it with parallel.make_mesh")
             from ..parallel.power import make_distributed_auto_power_fast
 
-            key = (id(mesh), ngrid, float(boxsize), nbins or ngrid // 2)
+            # Mesh is hashable/eq-comparable: equal meshes built
+            # separately share one jitted factory (id() would rebuild)
+            key = (mesh, ngrid, float(boxsize), nbins or ngrid // 2)
             fn = self._dist_cache.get(key)
             if fn is None:
                 fn = make_distributed_auto_power_fast(

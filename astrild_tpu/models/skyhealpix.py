@@ -43,11 +43,16 @@ def _sht_backend(nside: int, lmax: int):
 class SkyHealpix:
     """Named full-sky layers at a fixed nside (RING)."""
 
+    # CLASS-level cache: SkyHealpix instances are created per map, so a
+    # per-instance cache would rebuild the jitted distributed factories
+    # (30-200 s first compile through the tunnel) for every realization.
+    # jax.sharding.Mesh is hashable/eq-comparable, so equal meshes dedup.
+    _dist_sht: Dict = {}  # (mesh, nside, lmax[, kind]) -> jitted fns
+
     def __init__(self, hpmap: np.ndarray, quantity: str = "kappa_2"):
         self.data: Dict[str, np.ndarray] = {"orig": np.asarray(hpmap)}
         self.quantity = quantity
         self.nside = hp.npix2nside(len(hpmap))
-        self._dist_sht: Dict = {}  # (mesh, nside, lmax) -> jitted fns
 
     # ---------------------------------------------------------- constructors
     @classmethod
@@ -209,32 +214,65 @@ class SkyHealpix:
         self.data[of + "_smooth"] = out
         return out
 
+    def _dist_factory(self, mesh, lmax: int, ax: str, spin2: bool = False):
+        """Cached m-sharded SHT factory for this nside (class-level cache
+        keyed by the hashable Mesh, so equal meshes and repeated
+        per-realization instances reuse one jitted build)."""
+        if ax not in mesh.shape:
+            raise ValueError(
+                f"mesh has no axis {ax!r} to shard the SHT m-blocks "
+                f"over (axes: {tuple(mesh.shape)}); pass ax=<axis name>")
+        if mesh.shape[ax] == 1 and len(mesh.shape) > 1:
+            import warnings
+
+            warnings.warn(
+                f"SkyHealpix: mesh axis {ax!r} has size 1 — the SHT "
+                "will run replicated with no speedup; pass ax= a "
+                f"larger axis (mesh axes: {dict(mesh.shape)})",
+                stacklevel=3)
+        key = (mesh, self.nside, lmax, ax, spin2)
+        fns = SkyHealpix._dist_sht.get(key)
+        if fns is None:
+            from ..parallel.sht_large import (
+                make_distributed_sht_large,
+                make_distributed_sht_spin2_large)
+
+            make = (make_distributed_sht_spin2_large if spin2
+                    else make_distributed_sht_large)
+            fns = make(mesh, self.nside, lmax, ax=ax)
+            SkyHealpix._dist_sht[key] = fns
+        return fns
+
     def anafast(self, lmax: int, of: str = "orig", niter: int = 3,
-                mesh=None) -> np.ndarray:
+                mesh=None, ax: str = "x",
+                method: str | None = None) -> np.ndarray:
         """Angular power spectrum of a layer (native SHT analysis).
 
         mesh: a jax.sharding.Mesh runs the m-block-sharded scan-path
         analysis (parallel.sht_large.make_distributed_sht_large — the
         production nside >= 1024 regime, where the Legendre scans are
-        >90% of the cost and distribute over the mesh axis). The jitted
-        factory is cached per (mesh, nside, lmax).
+        >90% of the cost and distribute over mesh axis `ax`). method
+        defaults to 'jacobi' wherever the LOCAL call would use the
+        table backend (<= lmax 512, pure Jacobi) so passing mesh= does
+        not silently change the estimator in the 2*nside < lmax <= 512
+        band; pass method='auto'/'cg'/'jacobi' to control the solver.
         """
         if mesh is not None:
             from ..ops.sht import alm2cl
-            from ..parallel.sht_large import make_distributed_sht_large
 
-            key = (id(mesh), self.nside, lmax)
-            fns = self._dist_sht.get(key)
-            if fns is None:
-                fns = make_distributed_sht_large(mesh, self.nside, lmax)
-                self._dist_sht[key] = fns
-            a_re, a_im = fns[1](self.data[of], niter=niter)
+            if method is None:
+                method = ("jacobi" if lmax <= _TABLE_LMAX_LIMIT
+                          else "auto")
+            fns = self._dist_factory(mesh, lmax, ax)
+            a_re, a_im = fns[1](self.data[of], niter=niter,
+                                method=method)
             return np.asarray(alm2cl(a_re, a_im))
         _, anafast, _ = _sht_backend(self.nside, lmax)
         return np.asarray(anafast(self.data[of], lmax, niter=niter))
 
     def shear_from_kappa(self, lmax: Optional[int] = None,
-                         of: str = "orig", niter: int = 3, mesh=None):
+                         of: str = "orig", niter: int = 3, mesh=None,
+                         ax: str = "x"):
         """Full-sky spherical Kaiser-Squires forward: store 'gamma1'/
         'gamma2' layers from a convergence layer via spin-2 synthesis of
         E_lm = sqrt((l+2)(l-1)/(l(l+1))) kappa_lm (the channel healpy
@@ -249,22 +287,11 @@ class SkyHealpix:
 
         L = lmax if lmax is not None else min(2 * self.nside, 512)
         if mesh is not None:
-            from ..parallel.sht_large import (
-                make_distributed_sht_large,
-                make_distributed_sht_spin2_large)
-
-            key = (id(mesh), self.nside, L)
-            fns = self._dist_sht.get(key)
-            if fns is None:
-                fns = make_distributed_sht_large(mesh, self.nside, L)
-                self._dist_sht[key] = fns
-            key2 = ("spin2",) + key
-            fns2 = self._dist_sht.get(key2)
-            if fns2 is None:
-                fns2 = make_distributed_sht_spin2_large(mesh, self.nside,
-                                                        L)
-                self._dist_sht[key2] = fns2
-            k_re, k_im = fns[1](self.data[of], niter=niter)
+            fns = self._dist_factory(mesh, L, ax)
+            fns2 = self._dist_factory(mesh, L, ax, spin2=True)
+            method = "jacobi" if L <= _TABLE_LMAX_LIMIT else "auto"
+            k_re, k_im = fns[1](self.data[of], niter=niter,
+                                method=method)
             e_re, e_im = sht_spin.kappa_alm_to_shear_alm(k_re, k_im)
             z = np.zeros_like(np.asarray(e_re))
             g1, g2 = fns2[0](e_re, e_im, z, z)

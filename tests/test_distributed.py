@@ -494,6 +494,23 @@ def test_skyhealpix_anafast_mesh_dispatch(mesh22):
     npt.assert_allclose(g1d, g1w, atol=1e-5 * max(scale, 1e-6))
     npt.assert_allclose(g2d, g2w, atol=1e-5 * max(scale, 1e-6))
 
+    # a mesh without the shard axis fails with a clear error, a size-1
+    # axis warns (replicated, no speedup); the cache is class-level
+    from jax.sharding import Mesh
+    bad = Mesh(np.array(jax.devices()).reshape(8), ("rings",))
+    with pytest.raises(ValueError, match="no axis 'x'"):
+        sky.anafast(lmax, mesh=bad)
+    m1 = Mesh(np.array(jax.devices()).reshape(8, 1, 1),
+              ("sim", "x", "y"))
+    with pytest.warns(UserWarning, match="no speedup"):
+        sky.anafast(lmax, niter=0, mesh=m1)
+    sky_b = SkyHealpix.from_Cl_array(cl, "kappa_2", nside, lmax=lmax,
+                                     rnd_seed=2)
+    n_cached = len(SkyHealpix._dist_sht)
+    with pytest.warns(UserWarning, match="no speedup"):
+        sky_b.anafast(lmax, niter=0, mesh=m1)
+    assert len(SkyHealpix._dist_sht) == n_cached  # shared across maps
+
 
 def test_distributed_sht_large_rejects_bad_method(mesh22):
     from astrild_tpu.parallel.sht_large import make_distributed_sht_large
