@@ -164,3 +164,50 @@ class SkyNamaster:
         return sht.anafast_master(jnp.asarray(m), jnp.asarray(mask),
                                   lmax, nbins=nbins, niter=niter,
                                   coupling=coupling)
+
+    def compute_cl_spin2(self, gamma1, gamma2, mask=None,
+                         nbins: int = 16, decouple: bool = True):
+        """Masked shear spectra (ell, Cl_EE, Cl_BB) — the spin-2 MASTER
+        flow NaMaster users expect (flat-sky fields only).
+
+        decouple=True solves the 2x2-block (EE, BB) mode-coupling system
+        (ops.angular_power.cl_flat_sky_shear_master): a mask both
+        suppresses power AND leaks E->B, so without the decoupling the
+        B-mode null test is meaningless under any realistic mask. The
+        coupling matrices cache per stored mask like compute_cl's.
+        decouple=False returns the <w^2>-normalized pseudo E/B spectra.
+        """
+        import jax.numpy as jnp
+
+        from ..ops import angular_power as AP
+
+        if not self.flat:
+            raise NotImplementedError(
+                "spin-2 MASTER is implemented for flat-sky fields; "
+                "full-sky shear transforms live in ops/sht_spin*, "
+                "full-sky spin-2 decoupling is not built")
+        mask_is_stored = mask is None and "mask" in self.data
+        if mask is None:
+            mask = self.data.get("mask")
+        if mask is None:
+            mask = np.ones_like(np.asarray(gamma1))
+            mask_is_stored = True
+        if not decouple:
+            w = jnp.asarray(mask, jnp.float32)
+            w2 = jnp.maximum(jnp.mean(w ** 2), 1e-12)
+            ell, ee, bb = AP.cl_shear_eb(jnp.asarray(gamma1) * w,
+                                         jnp.asarray(gamma2) * w,
+                                         self.opening_angle, nbins=nbins)
+            return ell, ee / w2, bb / w2
+        coupling = None
+        key = ("flat-spin2", nbins)
+        if mask_is_stored:
+            coupling = self._workspace.get(key)
+        if coupling is None:
+            coupling = AP.flat_sky_spin2_coupling_matrices(
+                mask, self.opening_angle, nbins)
+            if mask_is_stored:
+                self._workspace[key] = coupling
+        return AP.cl_flat_sky_shear_master(
+            jnp.asarray(gamma1), jnp.asarray(gamma2), jnp.asarray(mask),
+            self.opening_angle, nbins=nbins, coupling=coupling)

@@ -22,7 +22,8 @@ __all__ = ["cl_flat_sky", "cl_to_flat_map", "cl_isw_limber",
            "shear_eb_maps", "cl_shear_eb", "cl_kappa_cross_limber",
            "cl_flat_sky_cross", "flat_sky_mode_counts",
            "cl_kappa_limber", "cl_flat_sky_masked",
-           "flat_sky_coupling_matrix", "cl_flat_sky_master"]
+           "flat_sky_coupling_matrix", "cl_flat_sky_master",
+           "flat_sky_spin2_coupling_matrices", "cl_flat_sky_shear_master"]
 
 
 def _flat_sky_binning(n: int, opening_angle_deg, nbins: int,
@@ -325,6 +326,115 @@ def cl_flat_sky_master(img, mask, opening_angle_deg, nbins: int = 16,
     cl_hat = np.linalg.solve(np.asarray(coupling, np.float64),
                              np.asarray(pcl, np.float64))
     return ell, jnp.asarray(cl_hat, jnp.float32)
+
+
+def flat_sky_spin2_coupling_matrices(mask, opening_angle_deg, nbins: int,
+                                     ell_min=None, ell_max=None):
+    """(M_pp, M_pm): binned mode-coupling matrices of masked shear E/B.
+
+    A mask convolves the spin-2 Fourier modes and ROTATES them: the
+    pseudo mode at ell mixes E(ell') and B(ell') through the relative
+    mode angle, so (NaMaster's spin-2 pseudo-Cl, here on the exact
+    discrete DFT grid like flat_sky_coupling_matrix):
+
+        <pEE_b> = sum_b' [M_pp C_EE + M_pm C_BB]_b'
+        <pBB_b> = sum_b' [M_pm C_EE + M_pp C_BB]_b'
+        M_pp/pm[b,b'] = (1/(N_b N^2)) sum_{l in b, l' in b'}
+                        |w~(l-l')|^2 {cos^2, sin^2}(2(phi_l' - phi_l))
+
+    cos^2 = (1 + cos 4phi' cos 4phi + sin 4phi' sin 4phi)/2 turns the
+    double sum into THREE circular convolutions per bin (the scalar
+    machinery's one): Wn (*) q, Wn (*) (q cos 4phi), Wn (*) (q sin 4phi).
+    Host float64 like the scalar coupling (f32 FFT noise in M couples
+    low-ell power into high bins at catastrophic relative levels).
+
+    Validated by Monte Carlo in tests/test_master.py: an E-only field
+    under an aggressive mask leaks E->B at the tens-of-percent level in
+    the raw pseudo spectra; the 2x2-block solve returns the EE input
+    unbiased and BB consistent with zero.
+    """
+    import numpy as np
+
+    w = np.asarray(mask, np.float64)
+    n = w.shape[-1]
+    npts = float(n * n)
+    binidx, inside, nm, _ = _flat_sky_binning(n, opening_angle_deg, nbins,
+                                              ell_min, ell_max)
+    binidx = np.asarray(binidx)
+    inside = np.asarray(inside)
+    nm = np.asarray(nm, np.float64)
+    ind = ((binidx[None, :] == np.arange(nbins)[:, None])
+           & (inside[None, :] > 0)).astype(np.float64)
+    from .sht import shape_binned_interp
+
+    lf = 2.0 * np.pi / (opening_angle_deg * DEG2RAD)
+    f = np.fft.fftfreq(n) * n
+    l1 = f[:, None] * np.ones((1, n))
+    l2 = np.ones((n, 1)) * f[None, :]
+    lmag = lf * np.sqrt(l1 ** 2 + l2 ** 2).reshape(-1)
+    q = shape_binned_interp(lmag, ind, nm, what="flat-sky grid modes")
+    # 4phi trig from the mode components (phi = atan2(l2, l1); the zero
+    # mode gets phi = 0 — its weight is immaterial, |l|=0 is outside
+    # every band)
+    phi = np.arctan2(l2, l1)
+    c4 = np.cos(4.0 * phi).reshape(-1)
+    s4 = np.sin(4.0 * phi).reshape(-1)
+
+    Wn = (np.abs(np.fft.fft2(w)) ** 2) / npts ** 2
+    WnF = np.fft.fft2(Wn)
+
+    def conv(fields):  # (nbins, n*n) -> (nbins, n, n) circ convolutions
+        maps = fields.reshape(nbins, n, n)
+        return np.real(np.fft.ifft2(WnF[None] * np.fft.fft2(maps)))
+
+    conv0 = conv(q)
+    conv_c = conv(q * c4[None, :])
+    conv_s = conv(q * s4[None, :])
+    # rows: ind_b(l) . [ (conv0 +- (c4 conv_c + s4 conv_s))/2 ]
+    cross = (c4[None, :] * conv_c.reshape(nbins, -1)
+             + s4[None, :] * conv_s.reshape(nbins, -1))
+    half0 = conv0.reshape(nbins, -1)
+    M_pp = ind @ (0.5 * (half0 + cross)).T
+    M_pm = ind @ (0.5 * (half0 - cross)).T
+    norm = np.maximum(nm, 1.0)[:, None]
+    return M_pp / norm, M_pm / norm
+
+
+def cl_flat_sky_shear_master(gamma1, gamma2, mask, opening_angle_deg,
+                             nbins: int = 16, apodize_arcmin: float = 0.0,
+                             ell_min=None, ell_max=None, coupling=None):
+    """Mask-decoupled shear spectra: (ell, Cl_EE, Cl_BB).
+
+    The spin-2 MASTER estimator: pseudo E/B of the masked shear maps
+    (cl_shear_eb), then the 2x2-block mode-coupling solve of
+    flat_sky_spin2_coupling_matrices — undoing BOTH the power lost to
+    the mask and the E->B leakage it induces (the <w^2> normalization
+    can do neither; cosmic-shear B-mode nulls are meaningless without
+    this decoupling). For many maps under one mask precompute
+    `coupling = flat_sky_spin2_coupling_matrices(...)` and pass it in.
+    """
+    import numpy as np
+
+    from .filters import gaussian as gaussian_filter
+
+    w = jnp.asarray(mask, jnp.float32)
+    if apodize_arcmin > 0:
+        w = gaussian_filter(w, opening_angle_deg,
+                            sigma_arcmin=apodize_arcmin)
+    ell, p_ee, p_bb = cl_shear_eb(jnp.asarray(gamma1) * w,
+                                  jnp.asarray(gamma2) * w,
+                                  opening_angle_deg, nbins=nbins,
+                                  ell_min=ell_min, ell_max=ell_max)
+    if coupling is None:
+        coupling = flat_sky_spin2_coupling_matrices(
+            w, opening_angle_deg, nbins, ell_min=ell_min, ell_max=ell_max)
+    M_pp, M_pm = (np.asarray(c, np.float64) for c in coupling)
+    big = np.block([[M_pp, M_pm], [M_pm, M_pp]])
+    rhs = np.concatenate([np.asarray(p_ee, np.float64),
+                          np.asarray(p_bb, np.float64)])
+    sol = np.linalg.solve(big, rhs)
+    return (ell, jnp.asarray(sol[:nbins], jnp.float32),
+            jnp.asarray(sol[nbins:], jnp.float32))
 
 
 def cl_isw_limber(ells, cosmo: Cosmology, z_min=0.08, z_max=0.9,
