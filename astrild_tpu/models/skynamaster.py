@@ -166,15 +166,17 @@ class SkyNamaster:
                                   coupling=coupling)
 
     def compute_cl_spin2(self, gamma1, gamma2, mask=None,
-                         nbins: int = 16, decouple: bool = True):
+                         nbins: int = 16, decouple: bool = True,
+                         lmax: Optional[int] = None, niter: int = 3):
         """Masked shear spectra (ell, Cl_EE, Cl_BB) — the spin-2 MASTER
-        flow NaMaster users expect (flat-sky fields only).
+        flow NaMaster users expect, flat-sky AND full-sky.
 
         decouple=True solves the 2x2-block (EE, BB) mode-coupling system
-        (ops.angular_power.cl_flat_sky_shear_master): a mask both
-        suppresses power AND leaks E->B, so without the decoupling the
-        B-mode null test is meaningless under any realistic mask. The
-        coupling matrices cache per stored mask like compute_cl's.
+        (ops.angular_power.cl_flat_sky_shear_master on flat maps;
+        ops.sht_spin.anafast_spin2_master on HEALPix (Q, U)): a mask
+        both suppresses power AND leaks E->B, so without the decoupling
+        the B-mode null test is meaningless under any realistic mask.
+        The coupling matrices cache per stored mask like compute_cl's.
         decouple=False returns the <w^2>-normalized pseudo E/B spectra.
         """
         import jax.numpy as jnp
@@ -182,10 +184,47 @@ class SkyNamaster:
         from ..ops import angular_power as AP
 
         if not self.flat:
-            raise NotImplementedError(
-                "spin-2 MASTER is implemented for flat-sky fields; "
-                "full-sky shear transforms live in ops/sht_spin*, "
-                "full-sky spin-2 decoupling is not built")
+            from ..ops import sht, sht_spin
+
+            mask_is_stored = mask is None and "mask" in self.data
+            if mask is None:
+                mask = self.data.get("mask")
+            if mask is None:
+                mask = np.ones_like(np.asarray(gamma1))
+                mask_is_stored = True
+            if lmax is None:
+                lmax = min(2 * self.nside, 512)
+            if not decouple:
+                w = jnp.asarray(mask, jnp.float32)
+                w2 = jnp.maximum(jnp.mean(w ** 2), 1e-12)
+                ee, bb, _ = sht_spin.anafast_spin2(
+                    jnp.asarray(gamma1) * w, jnp.asarray(gamma2) * w,
+                    lmax, niter=niter)
+                ell = jnp.arange(lmax + 1, dtype=jnp.float32)
+                return ell, ee / w2, bb / w2
+            coupling = None
+            key = ("full-spin2", lmax, niter)
+            if mask_is_stored:
+                coupling = self._workspace.get(key)
+            if coupling is None:
+                lmax_mask = min(2 * lmax, 2 * self.nside)
+                if lmax_mask <= 512:
+                    wl = sht.anafast(jnp.asarray(mask, jnp.float32),
+                                     lmax_mask, niter=niter)
+                else:
+                    from ..ops import sht_large
+
+                    wl = sht_large.anafast_large(
+                        jnp.asarray(mask, jnp.float32), lmax_mask,
+                        niter=niter)
+                coupling = sht_spin.spin2_coupling_matrices_from_mask_cl(
+                    np.asarray(wl), lmax)
+                if mask_is_stored:
+                    self._workspace[key] = coupling
+            return sht_spin.anafast_spin2_master(
+                jnp.asarray(gamma1), jnp.asarray(gamma2),
+                jnp.asarray(mask), lmax, nbins=nbins, niter=niter,
+                coupling=coupling)
         mask_is_stored = mask is None and "mask" in self.data
         if mask is None:
             mask = self.data.get("mask")

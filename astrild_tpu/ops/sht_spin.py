@@ -47,7 +47,8 @@ from .sht import alm2cl, ring_geometry
 
 __all__ = ["Spin2Tables", "spin2_tables", "wigner_d_column",
            "synthesize_spin2", "analyze_spin2", "anafast_spin2",
-           "synfast_spin2", "kappa_alm_to_shear_alm"]
+           "synfast_spin2", "kappa_alm_to_shear_alm",
+           "spin2_coupling_matrices_from_mask_cl", "anafast_spin2_master"]
 
 
 def wigner_d_column(lmax: int, costheta: np.ndarray, m1: int) -> np.ndarray:
@@ -266,3 +267,137 @@ def kappa_alm_to_shear_alm(k_re, k_im):
                              (ell + 2.0) * (ell - 1.0)
                              / jnp.maximum(ell * (ell + 1.0), 1.0), 0.0))
     return k_re * fac[:, None], k_im * fac[:, None]
+
+
+def _wigner_d_l_rows(lmax: int, x: np.ndarray, m1: int, m: int):
+    """d^l_{m1, m}(x) for all l <= lmax at the nodes x — ONE (m1, m)
+    column of wigner_d_column without materializing the (L+1)^2 cube
+    (the MASTER coupling quadrature needs ~lmax GL nodes, where the full
+    cube is gigabytes). Host float64; (lmax+1, nx). Requires
+    m >= |m1| (the seed branch the couplings use: m=2, m1=+-2)."""
+    assert m >= abs(m1)
+    x = np.asarray(x, np.float64)
+    out = np.zeros((lmax + 1, x.size))
+    l0 = m
+    if l0 > lmax:
+        return out
+    ch = np.sqrt((1.0 + x) / 2.0)
+    sh = np.sqrt((1.0 - x) / 2.0)
+    lnC = 0.5 * (lgamma(2 * m + 1) - lgamma(m + m1 + 1)
+                 - lgamma(m - m1 + 1))
+    d0 = ((-1.0) ** (m - m1) * np.exp(lnC)
+          * ch ** (m + m1) * sh ** (m - m1))
+    out[l0] = d0
+    dm1, dm2 = d0, np.zeros_like(d0)
+    for l in range(l0 + 1, lmax + 1):
+        den = (l - 1.0) * np.sqrt((l * l - m1 * m1) * (l * l - m * m))
+        a = (2.0 * l - 1.0) * (l * (l - 1.0) * x - m1 * m) / den
+        b = (l * np.sqrt(((l - 1.0) ** 2 - m1 * m1)
+                         * ((l - 1.0) ** 2 - m * m)) / den)
+        d = a * dm1 - b * dm2
+        out[l] = d
+        dm2, dm1 = dm1, d
+    return out
+
+
+def spin2_coupling_matrices_from_mask_cl(mask_cl, lmax: int):
+    """(M_pp, M_pm): full-sky spin-2 MASTER couplings, Wigner-free.
+
+    Hivon-style spin-2 mode coupling (e.g. Brown et al. 2005 / NaMaster):
+
+        M_pp/pm[l1,l2] = (2 l2 + 1)/(8 pi) sum_l3 (2 l3 + 1) W_l3
+                         wigner3j(l1,l2,l3; 2,-2,0)^2 (1 +- (-1)^L)
+
+    with <pEE> = M_pp C_EE + M_pm C_BB and EE<->BB swapped for <pBB>.
+    Evaluated WITHOUT Wigner symbols via the d-function product
+    identities (the spin-2 analogue of coupling_matrix_from_mask_cl's
+    Legendre trick):
+
+        int d^l1_{22} d^l2_{22} P_l3 dx = 2 * 3j(2,-2,0)^2
+        int d^l1_{2,-2} d^l2_{2,-2} P_l3 dx = 2 * 3j(2,-2,0)^2 (-1)^L
+
+    so M_pp/pm = (2 l2 + 1)/4 int xi_W(x) [d22 d22 +- d2m2 d2m2] dx on
+    an exact Gauss-Legendre grid. Identity check: a unit mask gives
+    M_pp = 1 (l >= 2 diagonal), M_pm = 0 by d-orthogonality. Host
+    float64 (precision note in coupling_matrix_from_mask_cl).
+    """
+    wl = np.asarray(mask_cl, np.float64)
+    lmax_w = wl.shape[0] - 1
+    deg = 2 * lmax + lmax_w
+    ngl = deg // 2 + 2
+    mu, gw = np.polynomial.legendre.leggauss(ngl)
+    P = np.zeros((lmax_w + 1, ngl))
+    P[0] = 1.0
+    if lmax_w >= 1:
+        P[1] = mu
+    for ell in range(2, lmax_w + 1):
+        P[ell] = ((2 * ell - 1) * mu * P[ell - 1]
+                  - (ell - 1) * P[ell - 2]) / ell
+    l3 = np.arange(lmax_w + 1)
+    xi = ((2 * l3 + 1) / (4 * np.pi) * wl) @ P          # (ngl,)
+    d22 = _wigner_d_l_rows(lmax, mu, 2, 2)              # (lmax+1, ngl)
+    d2m2 = _wigner_d_l_rows(lmax, mu, -2, 2)
+    w = gw * xi
+    A = (d22 * w[None, :]) @ d22.T
+    Bm = (d2m2 * w[None, :]) @ d2m2.T
+    fac = (2.0 * np.arange(lmax + 1, dtype=np.float64) + 1.0)[None, :] / 4.0
+    return (A + Bm) * fac, (A - Bm) * fac
+
+
+def anafast_spin2_master(q, u, mask, lmax: int, nbins: int = 16,
+                         niter: int = 3, lmin: int = 2,
+                         lmax_mask: Optional[int] = None,
+                         coupling=None):
+    """Mask-decoupled full-sky shear/polarization band powers.
+
+    The spin-2 MASTER estimator: pseudo EE/BB of the masked (Q, U)
+    maps, the (M_pp, M_pm) couplings from the mask spectrum, binned
+    2x2-block solve — undoing both the mask's power suppression and its
+    E->B leakage (the flat-sky counterpart is
+    angular_power.cl_flat_sky_shear_master). Returns
+    (ell_eff, cl_ee_hat, cl_bb_hat). Analyses route through the
+    table-free spin scan path beyond lmax ~ 512, like anafast_master.
+    """
+    from .sht import _bin_operator, anafast, shape_binned_interp
+
+    q = jnp.asarray(q, jnp.float32)
+    u = jnp.asarray(u, jnp.float32)
+    mask = jnp.asarray(mask, jnp.float32)
+    nside = hpx.npix2nside(q.shape[0])
+    if lmax_mask is None:
+        lmax_mask = min(2 * lmax, 2 * nside)
+
+    if lmax <= 512:
+        p_ee, p_bb, _ = anafast_spin2(q * mask, u * mask, lmax,
+                                      niter=niter)
+    else:
+        from .sht_spin_large import anafast_spin2_large
+
+        p_ee, p_bb, _ = anafast_spin2_large(q * mask, u * mask, lmax,
+                                            niter=niter)
+    if coupling is None:
+        if lmax_mask <= 512:
+            wl = anafast(mask, lmax_mask, niter=niter)
+        else:
+            from .sht_large import anafast_large
+
+            wl = anafast_large(mask, lmax_mask, niter=niter)
+        M_pp, M_pm = spin2_coupling_matrices_from_mask_cl(
+            np.asarray(wl), lmax)
+    else:
+        M_pp, M_pm = (np.asarray(c, np.float64) for c in coupling)
+    B = _bin_operator(lmax, nbins, lmin=lmin)
+    ells_f = np.arange(lmax + 1, dtype=np.float64)
+    sel = (B > 0).astype(np.float64)
+    Q = shape_binned_interp(ells_f, sel, sel.sum(1),
+                            what=f"multipoles in [{lmin}, {lmax}]").T
+    Mb_pp = B @ M_pp @ Q
+    Mb_pm = B @ M_pm @ Q
+    big = np.block([[Mb_pp, Mb_pm], [Mb_pm, Mb_pp]])
+    rhs = np.concatenate([B @ np.asarray(p_ee, np.float64),
+                          B @ np.asarray(p_bb, np.float64)])
+    sol = np.linalg.solve(big, rhs)
+    ells = np.arange(lmax + 1)
+    ell_eff = jnp.asarray(B @ ells, jnp.float32)
+    return (ell_eff, jnp.asarray(sol[:nbins], jnp.float32),
+            jnp.asarray(sol[nbins:], jnp.float32))

@@ -265,6 +265,89 @@ def test_skynamaster_spin2_facade(rng):
     _, ee_p, bb_p = sn.compute_cl_spin2(g1, g2, nbins=NB, decouple=False)
     assert np.all(np.isfinite(np.asarray(ee_p)))
 
+    # full-sky facade: HEALPix (Q, U) route through anafast_spin2_master
+    from astrild_tpu.ops import sht_spin as SS
+    from astrild_tpu.utils import healpix as hpx
+
+    nside, lmax = 16, 31
+    npix = 12 * nside * nside
+    ellv = np.arange(lmax + 1, dtype=np.float64)
+    cl_ee = np.zeros(lmax + 1)
+    cl_ee[2:] = 1.0 / ellv[2:] ** 2
+    q, u = SS.synfast_spin2(jax.random.PRNGKey(0),
+                            jnp.asarray(cl_ee, jnp.float32),
+                            jnp.zeros(lmax + 1, jnp.float32), nside, lmax)
+    theta, _ = hpx.pix2ang_ring(nside, np.arange(npix))
+    fmask = (np.asarray(theta) < 1.9).astype(np.float64)
+    snf = SkyNamaster.from_array(np.zeros(npix, np.float32))
+    snf.set_mask(fmask)
+    ell_f, ee_f, bb_f = snf.compute_cl_spin2(q, u, nbins=5, lmax=lmax)
+    assert ("full-spin2", lmax, 3) in snf._workspace
+    assert np.all(np.isfinite(np.asarray(ee_f)))
+    assert ee_f.shape == (5,) and bb_f.shape == (5,)
+
+
+def test_fullsky_spin2_coupling_identity():
+    """Unit mask: M_pp is the identity on l >= 2, M_pm vanishes (the
+    d-function orthogonality limit of the spin-2 couplings)."""
+    from astrild_tpu.ops.sht_spin import (
+        spin2_coupling_matrices_from_mask_cl)
+
+    lmax = 24
+    wl = np.zeros(2 * lmax + 1)
+    wl[0] = 4 * np.pi
+    M_pp, M_pm = spin2_coupling_matrices_from_mask_cl(wl, lmax)
+    npt.assert_allclose(M_pp[2:, 2:], np.eye(lmax - 1), atol=1e-12)
+    npt.assert_allclose(M_pm, 0.0, atol=1e-12)
+
+
+def test_fullsky_spin2_master_unbiased_and_b_null():
+    """Full-sky spin-2 MASTER: an E-only field under a belt mask leaks
+    E->B at the 5-12% level in the w2 pseudo spectra and biases EE by
+    >15% in the lowest band; the 2x2-block solve recovers EE and nulls
+    BB (Monte Carlo)."""
+    import jax
+
+    from astrild_tpu.ops import sht_spin as SS
+    from astrild_tpu.ops.sht import _bin_operator, anafast
+    from astrild_tpu.utils import healpix as hpx
+
+    nside, lmax, NB = 16, 31, 5
+    npix = 12 * nside * nside
+    ell = np.arange(lmax + 1, dtype=np.float64)
+    cl_ee = np.zeros(lmax + 1)
+    cl_ee[2:] = 1.0 / ell[2:] ** 2
+    cl_bb = np.zeros(lmax + 1)
+    theta, _ = hpx.pix2ang_ring(nside, np.arange(npix))
+    mask = ((np.asarray(theta) < 1.2)
+            | (np.asarray(theta) > 1.9)).astype(np.float32)
+    wl = np.asarray(anafast(jnp.asarray(mask), 2 * lmax, niter=3))
+    coup = SS.spin2_coupling_matrices_from_mask_cl(wl, lmax)
+    w2 = float((mask ** 2).mean())
+
+    ee_t, pee, pbb, ee_m, bb_m = [], [], [], [], []
+    for i in range(20):
+        q, u = SS.synfast_spin2(jax.random.PRNGKey(i),
+                                jnp.asarray(cl_ee, jnp.float32),
+                                jnp.asarray(cl_bb, jnp.float32),
+                                nside, lmax)
+        te, _, _ = SS.anafast_spin2(q, u, lmax, niter=3)
+        ee_t.append(np.asarray(te))
+        pe, pb, _ = SS.anafast_spin2(q * mask, u * mask, lmax, niter=3)
+        pee.append(np.asarray(pe) / w2)
+        pbb.append(np.asarray(pb) / w2)
+        _, me, mb = SS.anafast_spin2_master(q, u, mask, lmax, nbins=NB,
+                                            niter=3, coupling=coup)
+        ee_m.append(np.asarray(me))
+        bb_m.append(np.asarray(mb))
+    B = _bin_operator(lmax, NB, lmin=2)
+    ee_t_b = B @ np.mean(ee_t, 0)
+    leak = (B @ np.mean(pbb, 0)) / ee_t_b
+    assert np.all(leak[:3] > 0.04), leak        # the failure MASTER fixes
+    assert abs((B @ np.mean(pee, 0))[0] / ee_t_b[0] - 1.0) > 0.15
+    npt.assert_allclose(np.mean(ee_m, 0) / ee_t_b, 1.0, atol=0.06)
+    assert np.all(np.abs(np.mean(bb_m, 0) / ee_t_b) < 0.025)
+
 
 def test_fullsky_coupling_identity():
     from astrild_tpu.ops import sht
