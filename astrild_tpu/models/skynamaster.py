@@ -84,6 +84,45 @@ class SkyNamaster:
         self.data["mask"] = np.asarray(mask, np.float64)
         self._workspace.clear()  # cached couplings belong to the old mask
 
+    # ------------------------------------------------------ shared plumbing
+    def _resolve_mask(self, mask, like):
+        """(mask, mask_is_stored): per-call mask, stored mask, or a
+        trivial all-ones fallback. ONE home of the resolution dance —
+        the workspace caches per STORED mask only, because a per-call
+        mask argument has no stable identity (a stale matrix silently
+        biases the decoupled spectrum); the trivial fallback also gets a
+        stable identity."""
+        mask_is_stored = mask is None and "mask" in self.data
+        if mask is None:
+            mask = self.data.get("mask")
+        if mask is None:
+            mask = np.ones_like(np.asarray(like))
+            mask_is_stored = True
+        return mask, mask_is_stored
+
+    def _mask_cl(self, mask, lmax_mask: int, niter: int):
+        """Mask pseudo-spectrum for the full-sky coupling builds, routed
+        through the table or scan path by lmax; a unit mask returns the
+        exact analytic 4*pi delta_l0 (the estimated wl of a ones map
+        carries niter noise AND costs a full SHT for a matrix that is
+        analytically the identity)."""
+        import jax.numpy as jnp
+
+        from ..ops import sht
+
+        m = np.asarray(mask, np.float64)
+        if np.all(m == 1.0):
+            wl = np.zeros(lmax_mask + 1)
+            wl[0] = 4.0 * np.pi
+            return wl
+        if lmax_mask <= 512:
+            return np.asarray(sht.anafast(jnp.asarray(mask, jnp.float32),
+                                          lmax_mask, niter=niter))
+        from ..ops import sht_large
+
+        return np.asarray(sht_large.anafast_large(
+            jnp.asarray(mask, jnp.float32), lmax_mask, niter=niter))
+
     # -------------------------------------------------------------- spectra
     def compute_cl(self, mask=None, lmax: Optional[int] = None,
                    nbins: int = 16, of: str = "orig",
@@ -100,12 +139,7 @@ class SkyNamaster:
         from ..ops import angular_power as AP
         from ..ops import sht
 
-        mask_is_stored = mask is None and "mask" in self.data
-        if mask is None:
-            mask = self.data.get("mask")
-        if mask is None:
-            mask = np.ones_like(self.data[of])
-            mask_is_stored = True  # trivial mask: stable identity too
+        mask, mask_is_stored = self._resolve_mask(mask, self.data[of])
         m = self.data[of]
         if self.flat:
             if not decouple:
@@ -113,10 +147,6 @@ class SkyNamaster:
                                              jnp.asarray(mask),
                                              self.opening_angle,
                                              nbins=nbins)
-            # the workspace caches per STORED mask only — a per-call
-            # mask argument has no stable identity, so it always gets a
-            # fresh coupling build (a stale matrix silently biases the
-            # decoupled spectrum)
             coupling = None
             key = ("flat", nbins)
             if mask_is_stored:
@@ -147,18 +177,9 @@ class SkyNamaster:
         if mask_is_stored:
             coupling = self._workspace.get(key)
         if coupling is None:
-            lmax_mask = min(2 * lmax, 2 * self.nside)
-            if lmax_mask <= 512:
-                wl = sht.anafast(jnp.asarray(mask, jnp.float32),
-                                 lmax_mask, niter=niter)
-            else:
-                from ..ops import sht_large
-
-                wl = sht_large.anafast_large(
-                    jnp.asarray(mask, jnp.float32), lmax_mask,
-                    niter=niter)
-            coupling = sht.coupling_matrix_from_mask_cl(np.asarray(wl),
-                                                        lmax)
+            wl = self._mask_cl(mask, min(2 * lmax, 2 * self.nside),
+                               niter)
+            coupling = sht.coupling_matrix_from_mask_cl(wl, lmax)
             if mask_is_stored:
                 self._workspace[key] = coupling
         return sht.anafast_master(jnp.asarray(m), jnp.asarray(mask),
@@ -183,15 +204,10 @@ class SkyNamaster:
 
         from ..ops import angular_power as AP
 
+        mask, mask_is_stored = self._resolve_mask(mask, gamma1)
         if not self.flat:
-            from ..ops import sht, sht_spin
+            from ..ops import sht_spin
 
-            mask_is_stored = mask is None and "mask" in self.data
-            if mask is None:
-                mask = self.data.get("mask")
-            if mask is None:
-                mask = np.ones_like(np.asarray(gamma1))
-                mask_is_stored = True
             if lmax is None:
                 lmax = min(2 * self.nside, 512)
             if not decouple:
@@ -203,34 +219,27 @@ class SkyNamaster:
                 ell = jnp.arange(lmax + 1, dtype=jnp.float32)
                 return ell, ee / w2, bb / w2
             coupling = None
+            # niter in the key: see compute_cl (the matrix is built from
+            # a mask pseudo-Cl estimated at that niter)
             key = ("full-spin2", lmax, niter)
             if mask_is_stored:
                 coupling = self._workspace.get(key)
             if coupling is None:
-                lmax_mask = min(2 * lmax, 2 * self.nside)
-                if lmax_mask <= 512:
-                    wl = sht.anafast(jnp.asarray(mask, jnp.float32),
-                                     lmax_mask, niter=niter)
-                else:
-                    from ..ops import sht_large
-
-                    wl = sht_large.anafast_large(
-                        jnp.asarray(mask, jnp.float32), lmax_mask,
-                        niter=niter)
+                wl = self._mask_cl(mask, min(2 * lmax, 2 * self.nside),
+                                   niter)
                 coupling = sht_spin.spin2_coupling_matrices_from_mask_cl(
-                    np.asarray(wl), lmax)
+                    wl, lmax)
                 if mask_is_stored:
                     self._workspace[key] = coupling
             return sht_spin.anafast_spin2_master(
                 jnp.asarray(gamma1), jnp.asarray(gamma2),
                 jnp.asarray(mask), lmax, nbins=nbins, niter=niter,
                 coupling=coupling)
-        mask_is_stored = mask is None and "mask" in self.data
-        if mask is None:
-            mask = self.data.get("mask")
-        if mask is None:
-            mask = np.ones_like(np.asarray(gamma1))
-            mask_is_stored = True
+        if lmax is not None:
+            raise ValueError(
+                "compute_cl_spin2: lmax applies to full-sky HEALPix "
+                "fields; flat-sky band ranges are set by nbins (and the "
+                "estimator's ell_min/ell_max)")
         if not decouple:
             w = jnp.asarray(mask, jnp.float32)
             w2 = jnp.maximum(jnp.mean(w ** 2), 1e-12)

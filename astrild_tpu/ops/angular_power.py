@@ -264,6 +264,24 @@ def flat_sky_coupling_matrix(mask, opening_angle_deg, nbins: int,
     """
     import numpy as np
 
+    n, ind, nm, conv = _flat_coupling_pieces(mask, opening_angle_deg,
+                                             nbins, ell_min, ell_max)
+    M = ind @ conv(None).T
+    return M / np.maximum(nm, 1.0)[:, None]
+
+
+def _flat_coupling_pieces(mask, opening_angle_deg, nbins: int,
+                          ell_min, ell_max):
+    """ONE home of the flat-sky coupling core shared by the scalar and
+    spin-2 matrices: the mode-grid binning indicator, the in-band
+    l(l+1) shape weights q (single home: sht.shape_binned_interp — it
+    raises a clear error when a band holds no grid modes, where the
+    downstream solve would otherwise die in LinAlgError), the mask
+    mode power, and a `conv(trig)` closure returning the circular
+    convolutions Wn (*) (q * trig) as (nbins, N) rows.
+    """
+    import numpy as np
+
     w = np.asarray(mask, np.float64)
     n = w.shape[-1]
     npts = float(n * n)
@@ -274,9 +292,6 @@ def flat_sky_coupling_matrix(mask, opening_angle_deg, nbins: int,
     nm = np.asarray(nm, np.float64)
     ind = ((binidx[None, :] == np.arange(nbins)[:, None])
            & (inside[None, :] > 0)).astype(np.float64)     # (nbins, N)
-    # in-band l(l+1) shape weighting: single home shared with the
-    # full-sky MASTER estimator (raises a clear error when a band holds
-    # no grid modes — the solve would otherwise die in LinAlgError)
     from .sht import shape_binned_interp
 
     lf = 2.0 * np.pi / (opening_angle_deg * DEG2RAD)
@@ -284,12 +299,15 @@ def flat_sky_coupling_matrix(mask, opening_angle_deg, nbins: int,
     lmag = lf * np.sqrt(f[:, None] ** 2 + f[None, :] ** 2).reshape(-1)
     q = shape_binned_interp(lmag, ind, nm, what="flat-sky grid modes")
     Wn = (np.abs(np.fft.fft2(w)) ** 2) / npts ** 2   # mode-grid mask power
-    q_maps = q.reshape(nbins, n, n)
-    conv = np.real(np.fft.ifft2(
-        np.fft.fft2(Wn)[None] * np.fft.fft2(q_maps)))      # (nbins, n, n)
-    # M[b, b'] = sum_k ind_b(k) conv_{b'}(k) / N_b
-    M = ind @ conv.reshape(nbins, -1).T
-    return M / np.maximum(nm, 1.0)[:, None]
+    WnF = np.fft.fft2(Wn)
+
+    def conv(trig):
+        rows = q if trig is None else q * trig[None, :]
+        maps = rows.reshape(nbins, n, n)
+        out = np.real(np.fft.ifft2(WnF[None] * np.fft.fft2(maps)))
+        return out.reshape(nbins, -1)
+
+    return n, ind, nm, conv
 
 
 def cl_flat_sky_master(img, mask, opening_angle_deg, nbins: int = 16,
@@ -313,6 +331,16 @@ def cl_flat_sky_master(img, mask, opening_angle_deg, nbins: int = 16,
 
     from .filters import gaussian as gaussian_filter
 
+    if apodize_arcmin > 0 and coupling is not None:
+        # the pseudo-Cl is measured under the APODIZED mask while the
+        # caller's matrix was (almost certainly) built from the raw one
+        # — a silently biased decoupling. Precompute the coupling from
+        # the already-apodized mask and pass apodize_arcmin=0.
+        raise ValueError(
+            "cl_flat_sky_master: apodize_arcmin > 0 with a precomputed "
+            "coupling would decouple apodized pseudo-spectra with the "
+            "raw mask's matrix; apodize the mask yourself, build the "
+            "coupling from it, and pass apodize_arcmin=0")
     w = jnp.asarray(mask, jnp.float32)
     if apodize_arcmin > 0:
         w = gaussian_filter(w, opening_angle_deg,
@@ -355,45 +383,21 @@ def flat_sky_spin2_coupling_matrices(mask, opening_angle_deg, nbins: int,
     """
     import numpy as np
 
-    w = np.asarray(mask, np.float64)
-    n = w.shape[-1]
-    npts = float(n * n)
-    binidx, inside, nm, _ = _flat_sky_binning(n, opening_angle_deg, nbins,
-                                              ell_min, ell_max)
-    binidx = np.asarray(binidx)
-    inside = np.asarray(inside)
-    nm = np.asarray(nm, np.float64)
-    ind = ((binidx[None, :] == np.arange(nbins)[:, None])
-           & (inside[None, :] > 0)).astype(np.float64)
-    from .sht import shape_binned_interp
-
-    lf = 2.0 * np.pi / (opening_angle_deg * DEG2RAD)
-    f = np.fft.fftfreq(n) * n
-    l1 = f[:, None] * np.ones((1, n))
-    l2 = np.ones((n, 1)) * f[None, :]
-    lmag = lf * np.sqrt(l1 ** 2 + l2 ** 2).reshape(-1)
-    q = shape_binned_interp(lmag, ind, nm, what="flat-sky grid modes")
+    n, ind, nm, conv = _flat_coupling_pieces(mask, opening_angle_deg,
+                                             nbins, ell_min, ell_max)
     # 4phi trig from the mode components (phi = atan2(l2, l1); the zero
     # mode gets phi = 0 — its weight is immaterial, |l|=0 is outside
     # every band)
+    f = np.fft.fftfreq(n) * n
+    l1 = f[:, None] * np.ones((1, n))
+    l2 = np.ones((n, 1)) * f[None, :]
     phi = np.arctan2(l2, l1)
     c4 = np.cos(4.0 * phi).reshape(-1)
     s4 = np.sin(4.0 * phi).reshape(-1)
 
-    Wn = (np.abs(np.fft.fft2(w)) ** 2) / npts ** 2
-    WnF = np.fft.fft2(Wn)
-
-    def conv(fields):  # (nbins, n*n) -> (nbins, n, n) circ convolutions
-        maps = fields.reshape(nbins, n, n)
-        return np.real(np.fft.ifft2(WnF[None] * np.fft.fft2(maps)))
-
-    conv0 = conv(q)
-    conv_c = conv(q * c4[None, :])
-    conv_s = conv(q * s4[None, :])
     # rows: ind_b(l) . [ (conv0 +- (c4 conv_c + s4 conv_s))/2 ]
-    cross = (c4[None, :] * conv_c.reshape(nbins, -1)
-             + s4[None, :] * conv_s.reshape(nbins, -1))
-    half0 = conv0.reshape(nbins, -1)
+    half0 = conv(None)
+    cross = c4[None, :] * conv(c4) + s4[None, :] * conv(s4)
     M_pp = ind @ (0.5 * (half0 + cross)).T
     M_pm = ind @ (0.5 * (half0 - cross)).T
     norm = np.maximum(nm, 1.0)[:, None]
@@ -417,6 +421,13 @@ def cl_flat_sky_shear_master(gamma1, gamma2, mask, opening_angle_deg,
 
     from .filters import gaussian as gaussian_filter
 
+    if apodize_arcmin > 0 and coupling is not None:
+        raise ValueError(
+            "cl_flat_sky_shear_master: apodize_arcmin > 0 with a "
+            "precomputed coupling would decouple apodized pseudo-"
+            "spectra with the raw mask's matrices; apodize the mask "
+            "yourself, build the couplings from it, and pass "
+            "apodize_arcmin=0")
     w = jnp.asarray(mask, jnp.float32)
     if apodize_arcmin > 0:
         w = gaussian_filter(w, opening_angle_deg,

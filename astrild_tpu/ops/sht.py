@@ -402,17 +402,23 @@ def anafast_master(hpmap, mask, lmax: int, nbins: int = 16,
         M = coupling_matrix_from_mask_cl(np.asarray(wl), lmax)
     else:
         M = np.asarray(coupling, np.float64)
+    B, Q, ell_eff = _binned_shape_ops(lmax, nbins, lmin)
+    Mb = B @ M @ Q
+    pb = B @ np.asarray(pcl, np.float64)
+    cl_hat = np.linalg.solve(Mb, pb)
+    return ell_eff, jnp.asarray(cl_hat, jnp.float32)
+
+
+def _binned_shape_ops(lmax: int, nbins: int, lmin: int):
+    """(B, Q, ell_eff) — ONE home of the MASTER band machinery shared by
+    the scalar (anafast_master) and spin-2 (sht_spin.anafast_spin2_master)
+    full-sky estimators: the binning operator, the l(l+1) in-band
+    shape-model columns (shape_binned_interp raises a clear error on
+    empty bands, e.g. nbins > lmax - lmin + 1), and the band centers."""
     B = _bin_operator(lmax, nbins, lmin=lmin)
-    # binned coupling: rows binned with B, columns carrying the l(l+1)
-    # in-band shape model (single home: shape_binned_interp; raises a
-    # clear error on empty bands, e.g. nbins > lmax - lmin + 1)
     ells_f = np.arange(lmax + 1, dtype=np.float64)
     sel = (B > 0).astype(np.float64)                      # (nbins, lmax+1)
     Q = shape_binned_interp(ells_f, sel, sel.sum(1),
                             what=f"multipoles in [{lmin}, {lmax}]").T
-    Mb = B @ M @ Q
-    pb = B @ np.asarray(pcl, np.float64)
-    cl_hat = np.linalg.solve(Mb, pb)
-    ells = np.arange(lmax + 1)
-    ell_eff = jnp.asarray(B @ ells, jnp.float32)
-    return ell_eff, jnp.asarray(cl_hat, jnp.float32)
+    ell_eff = jnp.asarray(B @ np.arange(lmax + 1), jnp.float32)
+    return B, Q, ell_eff

@@ -358,7 +358,7 @@ def anafast_spin2_master(q, u, mask, lmax: int, nbins: int = 16,
     (ell_eff, cl_ee_hat, cl_bb_hat). Analyses route through the
     table-free spin scan path beyond lmax ~ 512, like anafast_master.
     """
-    from .sht import _bin_operator, anafast, shape_binned_interp
+    from .sht import _binned_shape_ops, anafast
 
     q = jnp.asarray(q, jnp.float32)
     u = jnp.asarray(u, jnp.float32)
@@ -386,18 +386,12 @@ def anafast_spin2_master(q, u, mask, lmax: int, nbins: int = 16,
             np.asarray(wl), lmax)
     else:
         M_pp, M_pm = (np.asarray(c, np.float64) for c in coupling)
-    B = _bin_operator(lmax, nbins, lmin=lmin)
-    ells_f = np.arange(lmax + 1, dtype=np.float64)
-    sel = (B > 0).astype(np.float64)
-    Q = shape_binned_interp(ells_f, sel, sel.sum(1),
-                            what=f"multipoles in [{lmin}, {lmax}]").T
+    B, Q, ell_eff = _binned_shape_ops(lmax, nbins, lmin)
     Mb_pp = B @ M_pp @ Q
     Mb_pm = B @ M_pm @ Q
     big = np.block([[Mb_pp, Mb_pm], [Mb_pm, Mb_pp]])
     rhs = np.concatenate([B @ np.asarray(p_ee, np.float64),
                           B @ np.asarray(p_bb, np.float64)])
     sol = np.linalg.solve(big, rhs)
-    ells = np.arange(lmax + 1)
-    ell_eff = jnp.asarray(B @ ells, jnp.float32)
     return (ell_eff, jnp.asarray(sol[:nbins], jnp.float32),
             jnp.asarray(sol[nbins:], jnp.float32))

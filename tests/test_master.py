@@ -8,6 +8,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import numpy.testing as npt
+import pytest
 
 from astrild_tpu.ops import angular_power as AP
 
@@ -285,6 +286,48 @@ def test_skynamaster_spin2_facade(rng):
     assert ("full-spin2", lmax, 3) in snf._workspace
     assert np.all(np.isfinite(np.asarray(ee_f)))
     assert ee_f.shape == (5,) and bb_f.shape == (5,)
+
+
+def test_skynamaster_unit_mask_analytic_wl(rng):
+    """A maskless full-sky object uses the exact analytic mask spectrum
+    (4*pi delta_l0) instead of estimating the wl of a ones map, so the
+    decoupled spectrum matches the plain anafast."""
+    import jax
+
+    from astrild_tpu.models import SkyNamaster
+    from astrild_tpu.ops import sht
+    from astrild_tpu.ops.sht import _bin_operator
+
+    nside, lmax, NB = 16, 31, 5
+    cl = np.zeros(lmax + 1)
+    cl[2:] = 1.0 / np.arange(2, lmax + 1) ** 2
+    m = np.asarray(sht.synfast(jax.random.PRNGKey(0),
+                               jnp.asarray(cl, jnp.float32), nside,
+                               lmax))
+    sn = SkyNamaster.from_array(m)      # full-sky, no mask set
+    ell_b, cl_hat = sn.compute_cl(lmax=lmax, nbins=NB)
+    ref = np.asarray(sht.anafast(jnp.asarray(m), lmax, niter=3))
+    B = _bin_operator(lmax, NB, lmin=2)
+    npt.assert_allclose(np.asarray(cl_hat), B @ ref, rtol=2e-2)
+    # apodize + precomputed coupling is a rejected combination
+    from astrild_tpu.ops import angular_power as AP
+    with pytest.raises(ValueError, match="apodize"):
+        AP.cl_flat_sky_master(np.zeros((32, 32), np.float32),
+                              np.ones((32, 32), np.float32), 10.0,
+                              nbins=4, apodize_arcmin=5.0,
+                              coupling=np.eye(4))
+    with pytest.raises(ValueError, match="apodize"):
+        AP.cl_flat_sky_shear_master(np.zeros((32, 32), np.float32),
+                                    np.zeros((32, 32), np.float32),
+                                    np.ones((32, 32), np.float32), 10.0,
+                                    nbins=4, apodize_arcmin=5.0,
+                                    coupling=(np.eye(4), np.zeros((4, 4))))
+    # flat-sky spin-2 with lmax= raises (bands come from nbins)
+    snf = SkyNamaster.from_array(np.zeros((32, 32), np.float32),
+                                 opening_angle=10.0)
+    with pytest.raises(ValueError, match="lmax"):
+        snf.compute_cl_spin2(np.zeros((32, 32), np.float32),
+                             np.zeros((32, 32), np.float32), lmax=100)
 
 
 def test_fullsky_spin2_coupling_identity():
