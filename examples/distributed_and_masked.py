@@ -130,3 +130,12 @@ back_re, back_im = analyze(hp_map, niter=3)  # 'auto' -> cg beyond 2*nside
 err = float(np.max(np.abs(np.asarray(back_re) - alm_re)[: 2 * nside]))
 print(f"m-sharded SHT (lmax={lmax_big}): map {hp_map.shape}, "
       f"alm recovery err (l < 2*nside) = {err:.1e}")
+
+# ------------------------- 6. masked shear: spin-2 MASTER decoupling
+# A mask leaks E into B, so the raw pseudo-BB null test is meaningless;
+# the 2x2-block coupling solve recovers EE and restores the null.
+g1m = rng.standard_normal((NPIX, NPIX)).astype(np.float32)
+g2m = rng.standard_normal((NPIX, NPIX)).astype(np.float32)
+ell_s2, ee_hat, bb_hat = sn.compute_cl_spin2(g1m, g2m, nbins=8)
+print(f"spin-2 MASTER shear bands: EE[0:3] = {np.asarray(ee_hat)[:3]}, "
+      f"BB finite = {bool(np.all(np.isfinite(np.asarray(bb_hat))))}")

@@ -330,6 +330,17 @@ def test_skynamaster_unit_mask_analytic_wl(rng):
                              np.zeros((32, 32), np.float32), lmax=100)
 
 
+def test_flat_spin2_couplings_sum_to_scalar(rng):
+    """cos^2 + sin^2 = 1: the scalar flat-sky coupling equals
+    M_pp + M_pm exactly — ties the two constructions (now sharing
+    _flat_coupling_pieces) together as a regression invariant."""
+    w = np.asarray(_blob_mask(rng))
+    M = AP.flat_sky_coupling_matrix(w, FOV, 8)
+    M_pp, M_pm = AP.flat_sky_spin2_coupling_matrices(w, FOV, 8)
+    npt.assert_allclose(np.asarray(M_pp) + np.asarray(M_pm),
+                        np.asarray(M), rtol=1e-10, atol=1e-14)
+
+
 def test_fullsky_spin2_coupling_identity():
     """Unit mask: M_pp is the identity on l >= 2, M_pm vanishes (the
     d-function orthogonality limit of the spin-2 couplings)."""
