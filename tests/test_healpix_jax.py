@@ -1,0 +1,95 @@
+"""Device HEALPix (utils/healpix_jax) parity vs the float64 host module."""
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+from astrild_tpu.utils import healpix as hpx
+from astrild_tpu.utils import healpix_jax as hpj
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def _random_angles(rng, n):
+    theta = np.arccos(rng.uniform(-1, 1, n))
+    phi = rng.uniform(0, 2 * np.pi, n)
+    return theta, phi
+
+
+@pytest.mark.parametrize("nside", [4, 64, 512])
+def test_ang2pix_parity(rng, nside):
+    theta, phi = _random_angles(rng, 20000)
+    host = hpx.ang2pix_ring(nside, theta, phi)
+    dev = np.asarray(hpj.ang2pix_ring(nside, theta.astype(np.float32),
+                                      phi.astype(np.float32)))
+    match = np.mean(dev == host)
+    assert match > 0.999, f"nside={nside}: only {match:.4f} exact"
+    # mismatches must be boundary effects: neighbouring pixel centers
+    bad = dev != host
+    if np.any(bad):
+        t1, p1 = hpx.pix2ang_ring(nside, host[bad])
+        t2, p2 = hpx.pix2ang_ring(nside, dev[bad].astype(np.int64))
+        dphi = np.abs(np.mod(p1 - p2 + np.pi, 2 * np.pi) - np.pi)
+        dist = np.hypot(t1 - t2, dphi * np.sin(0.5 * (t1 + t2)))
+        pixscale = np.sqrt(4 * np.pi / hpx.nside2npix(nside))
+        assert np.max(dist) < 3 * pixscale
+
+
+def test_ang2pix_pixel_centers_exact():
+    """Every pixel center maps back to its own pixel (no boundary
+    ambiguity at centers)."""
+    nside = 32
+    ipix = np.arange(hpx.nside2npix(nside))
+    theta, phi = hpx.pix2ang_ring(nside, ipix)
+    dev = np.asarray(hpj.ang2pix_ring(nside, theta.astype(np.float32),
+                                      phi.astype(np.float32)))
+    npt.assert_array_equal(dev, ipix)
+
+
+@pytest.mark.parametrize("nside", [4, 64])
+def test_interp_weights_parity(rng, nside):
+    theta, phi = _random_angles(rng, 5000)
+    # keep clear of pixel-boundary ulp flips for the strict comparison
+    hpix, hwgt = hpx.get_interp_weights(nside, theta, phi)
+    dpix, dwgt = (np.asarray(a) for a in hpj.get_interp_weights(
+        nside, theta.astype(np.float32), phi.astype(np.float32)))
+    # weights sum to one
+    npt.assert_allclose(dwgt.sum(0), 1.0, atol=1e-5)
+    # stencil agreement for the overwhelming majority of points (float32
+    # ring/phi boundary flips move weight between adjacent pixels only)
+    same = np.all(dpix == hpix, axis=0)
+    assert np.mean(same) > 0.99
+    npt.assert_allclose(dwgt[:, same], hwgt[:, same], atol=2e-4)
+
+
+def test_interp_val_smooth_field(rng):
+    """Interpolating a smooth field matches the host interpolation and
+    the analytic field itself."""
+    nside = 64
+    ipix = np.arange(hpx.nside2npix(nside))
+    tc, pc = hpx.pix2ang_ring(nside, ipix)
+    fmap = (np.cos(tc) ** 2 + 0.3 * np.sin(tc) * np.cos(pc)
+            ).astype(np.float32)
+    theta, phi = _random_angles(rng, 4000)
+    host = hpx.get_interp_val(fmap.astype(np.float64), theta, phi)
+    dev = np.asarray(hpj.get_interp_val(fmap, theta.astype(np.float32),
+                                        phi.astype(np.float32)))
+    npt.assert_allclose(dev, host, atol=5e-5)
+    exact = np.cos(theta) ** 2 + 0.3 * np.sin(theta) * np.cos(phi)
+    assert np.max(np.abs(dev - exact)) < 2e-3  # bilinear truncation
+
+
+def test_interp_poles(rng):
+    """Polar-cap fallback: points above ring 1 / below the last ring."""
+    nside = 16
+    n = 200
+    theta = np.concatenate([rng.uniform(0, 1e-3, n),
+                            np.pi - rng.uniform(0, 1e-3, n)])
+    phi = rng.uniform(0, 2 * np.pi, 2 * n)
+    fmap = rng.standard_normal(hpx.nside2npix(nside)).astype(np.float32)
+    host = hpx.get_interp_val(fmap.astype(np.float64), theta, phi)
+    dev = np.asarray(hpj.get_interp_val(fmap, theta.astype(np.float32),
+                                        phi.astype(np.float32)))
+    npt.assert_allclose(dev, host, atol=1e-4)
