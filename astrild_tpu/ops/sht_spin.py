@@ -48,7 +48,10 @@ from .sht import alm2cl, ring_geometry
 __all__ = ["Spin2Tables", "spin2_tables", "wigner_d_column",
            "synthesize_spin2", "analyze_spin2", "anafast_spin2",
            "synfast_spin2", "kappa_alm_to_shear_alm",
-           "spin2_coupling_matrices_from_mask_cl", "anafast_spin2_master"]
+           "spin2_coupling_matrices_from_mask_cl", "anafast_spin2_master",
+           "Spin1Tables", "spin1_tables", "synthesize_spin1",
+           "analyze_spin1", "deflection_from_kappa_alm",
+           "kappa_omega_alm_from_deflection"]
 
 
 def wigner_d_column(lmax: int, costheta: np.ndarray, m1: int) -> np.ndarray:
@@ -267,6 +270,164 @@ def kappa_alm_to_shear_alm(k_re, k_im):
                              (ell + 2.0) * (ell - 1.0)
                              / jnp.maximum(ell * (ell + 1.0), 1.0), 0.0))
     return k_re * fac[:, None], k_im * fac[:, None]
+
+
+# --------------------------------------------------------------------
+# spin-1: gradient/curl (deflection) transforms
+# --------------------------------------------------------------------
+
+class Spin1Tables(NamedTuple):
+    """Device tables for the spin-1 channel (gradient/deflection)."""
+    lam_p: jnp.ndarray     # (L+1, L+1, nring) plus-branch 1lambda_lm
+    lam_m: jnp.ndarray     # (L+1, L+1, nring) folded m<0 branch
+    cosmphi: jnp.ndarray
+    sinmphi: jnp.ndarray
+    flat_idx: jnp.ndarray
+
+
+@lru_cache(maxsize=4)
+def spin1_tables(nside: int, lmax: int) -> Spin1Tables:
+    """Tables such that for a REAL scalar psi with this package's alms,
+
+        alpha_theta + i alpha_phi = (d/dtheta + i csc(theta) d/dphi) psi
+          = sum_{m>=0} E_lm lam_p e^{im phi}
+            + sum_{m>0} conj(E_lm) lam_m e^{-im phi},   E_lm = g_l psi_lm
+
+    with g_l = sqrt(l(l+1)). The branch tables were pinned NUMERICALLY
+    against finite-difference gradients of random full-spectrum fields
+    (tests/test_sht_spin1.py): lam_p = s_m norm d^l_{-1,m} with s_0 = -1,
+    s_{m>0} = +1, and lam_m = -norm d^l_{+1,m} (the a_{l,-m} reality
+    factor and the d-symmetry signs collapse to a constant -1)."""
+    from .sht import sht_tables
+
+    geo = ring_geometry(nside)
+    x = np.cos(geo.theta)
+    norm = np.sqrt((2.0 * np.arange(lmax + 1) + 1.0)
+                   / (4.0 * np.pi))[:, None, None]
+    lam_p = norm * wigner_d_column(lmax, x, -1)
+    lam_p[:, 0, :] *= -1.0
+    lam_m = -norm * wigner_d_column(lmax, x, 1)
+    scal = sht_tables(nside, lmax)
+    dev = jax.device_put
+    return Spin1Tables(dev(jnp.asarray(lam_p, jnp.float32)),
+                       dev(jnp.asarray(lam_m, jnp.float32)),
+                       scal.cosmphi, scal.sinmphi, scal.flat_idx)
+
+
+@jax.jit
+def _synth_spin1_impl(e_re, e_im, b_re, b_im, tab: Spin1Tables):
+    """(E, B) spin-1 alms -> (alpha_theta, alpha_phi) RING maps.
+
+    E is the gradient channel (E_lm = g_l psi_lm for alpha = grad psi),
+    B the curl channel (alpha_curl = n x grad omega, i.e. the i*G(omega)
+    part): F = G(psi) + i G(omega) with G the pinned gradient operator.
+    """
+    def A(a):   # m >= 0 branch
+        return jnp.einsum("lmr,lm->mr", tab.lam_p, a)
+
+    def M(a):   # m < 0 branch folded to m > 0
+        return jnp.einsum("lmr,lm->mr", tab.lam_m, a)
+
+    p_re = A(e_re) - A(b_im)   # plus-branch complex coefficient
+    p_im = A(e_im) + A(b_re)
+    c_re = M(e_re) + M(b_im)   # fold coefficient (conj(E) + i conj(B))
+    c_im = M(b_re) - M(e_im)
+    p = (jnp.arange(e_re.shape[1]) > 0).astype(jnp.float32)[:, None]
+    tc = p_re + p * c_re       # alpha_theta = Re F
+    ts = -p_im + p * c_im
+    pc = p_im + p * c_im       # alpha_phi = Im F
+    ps = p_re - p * c_re
+    a_t = (jnp.einsum("mr,mrp->rp", tc, tab.cosmphi)
+           + jnp.einsum("mr,mrp->rp", ts, tab.sinmphi))
+    a_p = (jnp.einsum("mr,mrp->rp", pc, tab.cosmphi)
+           + jnp.einsum("mr,mrp->rp", ps, tab.sinmphi))
+    return (a_t.reshape(-1)[tab.flat_idx],
+            a_p.reshape(-1)[tab.flat_idx])
+
+
+def synthesize_spin1(e_re, e_im, b_re, b_im, nside: int, lmax: int,
+                     tables: Optional[Spin1Tables] = None):
+    """Spin-1 synthesis: (E, B) alms -> (alpha_theta, alpha_phi) maps.
+
+    For a pure-gradient deflection alpha = grad psi pass
+    E_lm = sqrt(l(l+1)) psi_lm, B = 0 (see deflection_from_kappa_alm)."""
+    tab = tables if tables is not None else spin1_tables(nside, lmax)
+    return _synth_spin1_impl(jnp.asarray(e_re, jnp.float32),
+                             jnp.asarray(e_im, jnp.float32),
+                             jnp.asarray(b_re, jnp.float32),
+                             jnp.asarray(b_im, jnp.float32), tab)
+
+
+@partial(jax.jit, static_argnames=("npix",))
+def _adjoint_spin1(a_t, a_p, tab: Spin1Tables, npix: int):
+    """Exact transpose of the spin-1 synthesis (via vjp) with 4pi/npix
+    quadrature weights — same construction as _adjoint_spin2."""
+    L = tab.lam_p.shape[0] - 1
+    z = jnp.zeros((L + 1, L + 1), jnp.float32)
+    _, vjp = jax.vjp(
+        lambda er, ei, br, bi: _synth_spin1_impl(er, ei, br, bi, tab),
+        z, z, z, z)
+    der, dei, dbr, dbi = vjp((a_t, a_p))
+    wq = 4.0 * jnp.pi / npix
+    lg = jnp.arange(L + 1)[:, None]
+    mg = jnp.arange(L + 1)[None, :]
+    valid = (mg <= lg) & (lg >= 1)
+    half = jnp.where(mg == 0, 1.0, 0.5)
+    vre = valid.astype(jnp.float32) * half
+    vim = (valid & (mg > 0)).astype(jnp.float32) * half
+    return (wq * der * vre, wq * dei * vim,
+            wq * dbr * vre, wq * dbi * vim)
+
+
+def analyze_spin1(a_t, a_p, nside: int, lmax: int, niter: int = 3,
+                  tables: Optional[Spin1Tables] = None):
+    """(alpha_theta, alpha_phi) maps -> (E_re, E_im, B_re, B_im)."""
+    tab = tables if tables is not None else spin1_tables(nside, lmax)
+    a_t = jnp.asarray(a_t, jnp.float32)
+    a_p = jnp.asarray(a_p, jnp.float32)
+    npix = a_t.shape[0]
+    alm = _adjoint_spin1(a_t, a_p, tab, npix)
+    for _ in range(niter):
+        st, sp = _synth_spin1_impl(*alm, tab)
+        d = _adjoint_spin1(a_t - st, a_p - sp, tab, npix)
+        alm = tuple(a + da for a, da in zip(alm, d))
+    return alm
+
+
+def _g_ell(lmax: int):
+    ell = jnp.arange(lmax + 1, dtype=jnp.float32)
+    return jnp.sqrt(ell * (ell + 1.0))
+
+
+def deflection_from_kappa_alm(k_re, k_im, nside: int, lmax: int,
+                              tables: Optional[Spin1Tables] = None):
+    """kappa alms -> deflection maps (alpha_theta, alpha_phi).
+
+    Lensing convention lap(psi) = 2 kappa on the sphere:
+    psi_lm = -2 kappa_lm / (l(l+1)), so the spin-1 gradient channel is
+    E_lm = g_l psi_lm = -(2/g_l) kappa_lm (B = 0). Matches the flat-sky
+    spectral inversion in ops.lensing.kappa_to_alpha / ops.raytrace."""
+    g = _g_ell(lmax)
+    inv = jnp.where(g > 0, -2.0 / jnp.maximum(g, 1e-30), 0.0)[:, None]
+    z = jnp.zeros_like(jnp.asarray(k_re, jnp.float32))
+    return synthesize_spin1(k_re * inv, k_im * inv, z, z, nside, lmax,
+                            tables=tables)
+
+
+def kappa_omega_alm_from_deflection(a_t, a_p, nside: int, lmax: int,
+                                    niter: int = 3,
+                                    tables: Optional[Spin1Tables] = None):
+    """Deflection maps -> (kappa, omega) alms: the effective convergence
+    and post-Born rotation of a traced deflection field.
+
+    kappa = -(1/2) div(alpha) with lap psi = 2 kappa => in harmonic space
+    kappa_lm = -(g_l/2) E_lm; the curl (rotation) channel mirrors it,
+    omega_lm = -(g_l/2) B_lm. A Born-level (single-gradient) deflection
+    has omega = 0 identically."""
+    er, ei, br, bi = analyze_spin1(a_t, a_p, nside, lmax, niter=niter,
+                                   tables=tables)
+    fac = -0.5 * _g_ell(lmax)[:, None]
+    return er * fac, ei * fac, br * fac, bi * fac
 
 
 def _wigner_d_l_rows(lmax: int, x: np.ndarray, m1: int, m: int):
