@@ -1,10 +1,10 @@
 from . import (angular_power, bispectrum, covariance, fftlog, filters, halo_model, halo_stats, lens_planes, lensing,
-               linear_power, map_transform, mocks, object_selection, paint,
+               lightcone_sphere, linear_power, map_transform, mocks, object_selection, paint,
                pairwise, pallas_pairwise, peaks, power, profiles, profiles3d,
                raytrace, strong_lensing, tpcf, troughs, voids)
 
 __all__ = ["angular_power", "bispectrum", "covariance", "fftlog", "filters", "halo_model", "halo_stats", "lens_planes", "lensing",
-           "linear_power", "map_transform", "mocks", "object_selection",
+           "lightcone_sphere", "linear_power", "map_transform", "mocks", "object_selection",
            "paint", "pairwise", "pallas_pairwise", "peaks", "power",
            "profiles", "profiles3d", "raytrace", "strong_lensing", "tpcf", "troughs",
            "voids"]
