@@ -85,7 +85,8 @@ def _use_pallas_deposit(n: int) -> bool:
 
 def shell_counts_healpix(pos, chi_edges, nside: int, boxsize: float,
                          observer: Optional[Sequence[float]] = None,
-                         weights=None, replicate: bool = True):
+                         weights=None, replicate: bool = True,
+                         deposit: Optional[str] = None):
     """Paint particles onto HEALPix shells of an observer-centred
     lightcone: counts[s, p] = sum of weights in radial bin s, pixel p.
 
@@ -99,6 +100,10 @@ def shell_counts_healpix(pos, chi_edges, nside: int, boxsize: float,
         chi_edges[-1] is covered (the standard box-replication
         lightcone). With False only the primary image is painted —
         shells beyond the box boundary will be incomplete.
+      deposit: None = auto (Pallas sorted deposit on TPU above the
+        crossover size, XLA scatter otherwise); "pallas"/"scatter"
+        force a path — distributed factories must decide OUTSIDE any
+        trace (probe-gate rule) and pass it through.
 
     Returns (nshell, npix) float32 counts.
     """
@@ -123,7 +128,13 @@ def shell_counts_healpix(pos, chi_edges, nside: int, boxsize: float,
         jnp.asarray(weights, jnp.float32).reshape(-1)
 
     n_real = nshell * npix
-    use_pallas = _use_pallas_deposit(n)
+    if deposit is None:
+        use_pallas = _use_pallas_deposit(n)
+    elif deposit in ("pallas", "scatter"):
+        use_pallas = deposit == "pallas"
+    else:
+        raise ValueError(f"deposit must be None, 'pallas' or 'scatter', "
+                         f"got {deposit!r}")
     if use_pallas:
         from .paint_pallas import DEFAULT_WINDOW, deposit_flat
         win = min(DEFAULT_WINDOW, -(-(n_real + 1) // 128) * 128)
@@ -199,11 +210,13 @@ def shell_overdensity(counts, chi_edges, n_total: float, boxsize: float,
     """
     chi_edges = np.asarray(chi_edges, np.float64)
     npix = counts.shape[-1]
-    nbar = (n_total if total_weight is None else total_weight) \
-        / float(boxsize) ** 3
     omega_pix = 4.0 * np.pi / npix
     vol = omega_pix * np.diff(chi_edges ** 3) / 3.0
-    expected = jnp.asarray(nbar * vol, jnp.float32)[:, None]
+    # n_total/total_weight may be TRACED (distributed psum totals):
+    # keep the normalization jnp-friendly
+    nbar = jnp.asarray(n_total if total_weight is None else total_weight,
+                       jnp.float32) / jnp.float32(float(boxsize) ** 3)
+    expected = nbar * jnp.asarray(vol, jnp.float32)[:, None]
     return counts / expected - 1.0
 
 

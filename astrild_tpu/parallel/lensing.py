@@ -22,6 +22,7 @@ from ..ops import raytrace as ray_ops
 from ..ops import voids as void_ops
 
 __all__ = ["LensingSuiteResult", "make_distributed_lensing_suite",
+           "make_distributed_healpix_shells",
            "make_distributed_raytrace", "make_distributed_lens_planes"]
 
 
@@ -164,4 +165,58 @@ def make_distributed_lens_planes(mesh: Mesh, boxsize, chi0, dchi,
         fn = jax.shard_map(lambda pos: body(pos), mesh=mesh,
                            in_specs=((P(axis),) * 3,),
                            out_specs=(P(), P()), check_vma=vma_ok)
+    return jax.jit(fn)
+
+
+def make_distributed_healpix_shells(mesh: Mesh, chi_edges, nside: int,
+                                    boxsize, observer=None,
+                                    axis: str = "sim",
+                                    with_valid_mask: bool = False,
+                                    deposit: str | None = None):
+    """Particle-sharded full-sky lightcone shells: fn(pos[, valid]) ->
+    delta (nshell, npix) HEALPix density contrast, replicated.
+
+    The curved-sky counterpart of make_distributed_lens_planes: each
+    device paints its particle shard's (shell, pixel) counts
+    (ops.lightcone_sphere.shell_counts_healpix — Pallas sorted deposit
+    on TPU, XLA scatter otherwise, decided HERE outside any trace per
+    the probe-gate rule), counts psum over `axis`, and the overdensity
+    normalization uses the GLOBAL particle/weight total.
+
+    pos: (x, y, z) flat component buffers sharded P(axis);
+    with_valid_mask=True takes a 0/1 row validity vector sharded the
+    same way (multihost zero-padding rows otherwise land in whichever
+    shell contains the observer-to-origin distance).
+    """
+    import numpy as np
+
+    from ..ops import lightcone_sphere as lcs
+
+    if deposit is None:
+        deposit = ("pallas" if lcs._use_pallas_deposit(1 << 24)
+                   else "scatter")
+    elif deposit not in ("pallas", "scatter"):
+        raise ValueError(f"deposit must be 'pallas' or 'scatter', "
+                         f"got {deposit!r}")
+    chi_edges = np.asarray(chi_edges, np.float64)
+
+    def body(pos, valid=None):
+        counts = lcs.shell_counts_healpix(
+            pos, chi_edges, nside, boxsize, observer=observer,
+            weights=valid, deposit=deposit)
+        counts = jax.lax.psum(counts, axis)
+        n_loc = (jnp.sum(valid) if valid is not None
+                 else jnp.asarray(pos[0].shape[0], jnp.float32))
+        n_tot = jax.lax.psum(n_loc, axis)
+        return lcs.shell_overdensity(counts, chi_edges, n_tot, boxsize)
+
+    vma_ok = not (deposit == "pallas" and jax.default_backend() != "tpu")
+    if with_valid_mask:
+        fn = jax.shard_map(body, mesh=mesh,
+                           in_specs=((P(axis),) * 3, P(axis)),
+                           out_specs=P(), check_vma=vma_ok)
+    else:
+        fn = jax.shard_map(lambda pos: body(pos), mesh=mesh,
+                           in_specs=((P(axis),) * 3,),
+                           out_specs=P(), check_vma=vma_ok)
     return jax.jit(fn)

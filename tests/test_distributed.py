@@ -623,3 +623,42 @@ def test_distributed_factories_default_weights(mesh22, rng):
     mfn = make_distributed_multipoles(mesh22, NG, BOX, 6, window="cic")
     mres = mfn(pos_sh)
     assert np.all(np.isfinite(np.asarray(mres.p_ell)))
+
+
+def test_distributed_healpix_shells_matches_local(mesh22, rng):
+    """Particle-sharded full-sky lightcone shells == single-device
+    builder (both deposit paths), incl. the multihost valid mask."""
+    from astrild_tpu.ops import lightcone_sphere as lcs
+    from astrild_tpu.parallel.lensing import make_distributed_healpix_shells
+
+    n = 4096
+    nside = 8
+    edges = np.array([20.0, 60.0, 110.0, 170.0])  # needs replication
+    pos = tuple(jnp.asarray(rng.uniform(0, BOX, n), jnp.float32)
+                for _ in range(3))
+    want, _, _ = lcs.density_shells_healpix(pos, edges, nside, BOX)
+    sh = NamedSharding(mesh22, P("sim"))
+    posd = tuple(jax.device_put(c, sh) for c in pos)
+    for dep in ("scatter", "pallas"):
+        f = make_distributed_healpix_shells(mesh22, edges, nside, BOX,
+                                            axis="sim", deposit=dep)
+        got = f(posd)
+        npt.assert_allclose(np.asarray(got), np.asarray(want),
+                            atol=1e-3 * float(np.std(np.asarray(want))))
+
+    # padded rows masked out: must match the compacted catalog
+    valid = np.ones(n, np.float32)
+    valid[500:1500] = 0.0
+    pos_m = tuple(np.where(valid > 0, np.asarray(c), 0.0
+                           ).astype(np.float32) for c in pos)
+    real = tuple(jnp.asarray(np.asarray(c)[valid > 0]) for c in pos)
+    want_m, _, _ = lcs.density_shells_healpix(real, edges, nside, BOX)
+    fm = make_distributed_healpix_shells(mesh22, edges, nside, BOX,
+                                         axis="sim",
+                                         with_valid_mask=True,
+                                         deposit="scatter")
+    pm = tuple(jax.device_put(jnp.asarray(c), sh) for c in pos_m)
+    vm = jax.device_put(jnp.asarray(valid), sh)
+    got_m = fm(pm, vm)
+    npt.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                        rtol=1e-3, atol=1e-5)

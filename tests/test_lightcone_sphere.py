@@ -238,3 +238,32 @@ def test_chi_edges_validation():
     with pytest.raises(ValueError):
         lcs.shell_counts_healpix(np.zeros((10, 3), np.float32),
                                  np.array([100.0, 50.0]), 4, BOX)
+
+
+def test_skyhealpix_multiplane_facade(rng):
+    """SkyHealpix.from_multiplane_shells: traced kappa as the map,
+    gamma/omega layers populated, Born facade agreement on a smooth
+    single shell."""
+    import jax
+    from astrild_tpu.models.skyhealpix import SkyHealpix
+
+    nside = 16
+    cl = np.zeros(25)
+    cl[2:12] = 1e-4
+    dmap = np.asarray(sht.synfast(jax.random.PRNGKey(2), cl, nside,
+                                  lmax=24))
+    shells = dmap[None, :].astype(np.float32)
+    chis = np.array([400.0], np.float32)
+    dchis = np.array([100.0], np.float32)
+    sky = SkyHealpix.from_multiplane_shells(shells, chis, dchis, 800.0,
+                                            0.31, lmax=2 * nside)
+    for k in ("gamma1", "gamma2", "omega"):
+        assert sky.data[k].shape == sky.data["orig"].shape
+    born = SkyHealpix.from_density_shells(shells, chis, dchis, 800.0,
+                                          0.31)
+    scale = np.abs(born.data["orig"]).max()
+    # multiplane sees the band-limited shell; agreement to a few % of
+    # the Born scale on a smooth lmax<=24 field
+    diff = np.abs(sky.data["orig"] - born.data["orig"]).max()
+    assert diff < 0.05 * scale
+    assert np.abs(sky.data["omega"]).max() < 1e-3 * scale
