@@ -170,6 +170,13 @@ class SkyHealpix:
         .data, ready for shear_eb_spectra-style analysis."""
         from ..ops import lightcone_sphere as lcs
 
+        if np.ndim(chi_s) != 0:
+            raise ValueError(
+                "from_multiplane_shells builds ONE SkyHealpix and takes "
+                "a scalar chi_s; for tomography call "
+                "ops.lightcone_sphere.multiplane_raytrace_healpix with "
+                "the chi_s array (leading nsrc axis on its outputs) and "
+                "wrap each source's maps yourself")
         out = lcs.multiplane_raytrace_healpix(
             shells, chis, dchis, chi_s, omega_m, lmax=lmax,
             scale_factors=scale_factors)

@@ -83,6 +83,30 @@ def _use_pallas_deposit(n: int) -> bool:
     return pallas_deposit_available()
 
 
+@partial(jax.jit, static_argnames=("nside", "nshell", "junk", "weighted"))
+def _shell_keys(dx, dy, dz, edges, w_in, nside: int, nshell: int,
+                junk: int, weighted: bool):
+    """(observer-relative components) -> deposit (key[, weight]).
+
+    Module-level jit (NOT a per-call closure): jax.jit caches on
+    function identity, so a closure would recompile on every
+    shell_counts_healpix call — 30-200 s each through the axon
+    remote-compile tunnel."""
+    npix = hpx.nside2npix(nside)
+    chi = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    s = jnp.searchsorted(edges, chi, side="right") - 1
+    ok = (s >= 0) & (s < nshell) & (chi > 0)
+    chi_safe = jnp.where(chi > 0, chi, 1.0)
+    theta = jnp.arccos(jnp.clip(dz / chi_safe, -1.0, 1.0))
+    phi = jnp.arctan2(dy, dx)
+    pix = hpj.ang2pix_ring(nside, theta, phi)
+    key = jnp.clip(s, 0, nshell - 1) * npix + pix
+    key = jnp.where(ok, key, junk)  # junk cell absorbs invalids
+    if weighted:
+        return key, jnp.where(ok, w_in, 0.0)
+    return key
+
+
 def shell_counts_healpix(pos, chi_edges, nside: int, boxsize: float,
                          observer: Optional[Sequence[float]] = None,
                          weights=None, replicate: bool = True,
@@ -144,21 +168,15 @@ def shell_counts_healpix(pos, chi_edges, nside: int, boxsize: float,
         n_pad = n_real + 1
     junk = n_real
     edges_dev = jnp.asarray(chi_edges, jnp.float32)
+    dummy_w = jnp.zeros((), jnp.float32)
 
-    @jax.jit
     def keys_for(dx, dy, dz):
-        chi = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-        s = jnp.searchsorted(edges_dev, chi, side="right") - 1
-        ok = (s >= 0) & (s < nshell) & (chi > 0)
-        chi_safe = jnp.where(chi > 0, chi, 1.0)
-        theta = jnp.arccos(jnp.clip(dz / chi_safe, -1.0, 1.0))
-        phi = jnp.arctan2(dy, dx)
-        pix = hpj.ang2pix_ring(nside, theta, phi)
-        key = jnp.clip(s, 0, nshell - 1) * npix + pix
-        key = jnp.where(ok, key, junk)  # junk cell absorbs invalids
-        if w_in is None:
-            return key, None            # unweighted: keys-only sort
-        return key, jnp.where(ok, w_in, 0.0)
+        if w_in is None:                # unweighted: keys-only sort
+            return _shell_keys(dx, dy, dz, edges_dev, dummy_w,
+                               nside=nside, nshell=nshell, junk=junk,
+                               weighted=False), None
+        return _shell_keys(dx, dy, dz, edges_dev, w_in, nside=nside,
+                           nshell=nshell, junk=junk, weighted=True)
 
     flat = jnp.zeros((n_pad,), jnp.float32)
     group = max(1, _MAX_ENTRIES // max(n, 1))
@@ -277,13 +295,12 @@ def _plane_fields_healpix(kap_maps, tabs, lmax: int):
     tables support). kap_bl is the band-limited kappa the transforms
     actually see — the single-shell limit is exact against it."""
     from .sht import _adjoint_impl, _synth_impl
-    from .sht_spin import (_g_ell, _synth_spin1_impl, _synth_spin2_impl,
-                           kappa_alm_to_shear_alm)
+    from .sht_spin import (deflection_E_factor, _synth_spin1_impl,
+                           _synth_spin2_impl, kappa_alm_to_shear_alm)
 
     tab0, tab1, tab2 = tabs
     npix = kap_maps.shape[-1]
-    g = _g_ell(lmax)
-    inv = jnp.where(g > 0, -2.0 / jnp.maximum(g, 1e-30), 0.0)[:, None]
+    inv = deflection_E_factor(lmax)
 
     def one(kap):
         kr, ki = _adjoint_impl(kap, tab0, npix)
@@ -393,6 +410,11 @@ def multiplane_raytrace_healpix(delta_shells, chis, dchis, chi_s,
         practical to nside ~ 256 on one chip, use the flat-sky
         ops.raytrace for higher-resolution patches).
       nside_out: ray grid resolution (default: the shell nside).
+
+    Device memory: besides the SHT tables, the trace materializes its
+    interpolation stencils (a fusion-consistency requirement, see
+    _multiplane_impl) at 32 bytes/ray/shell (x nsrc for tomographic
+    chi_s) — e.g. nside 256, 30 shells, 1 source: ~0.75 GB.
 
     Returns dict of (npix_out,) maps: kappa, gamma1, gamma2, omega
     (post-Born rotation), beta_theta/beta_phi (source-plane positions).

@@ -399,16 +399,25 @@ def _g_ell(lmax: int):
     return jnp.sqrt(ell * (ell + 1.0))
 
 
+def deflection_E_factor(lmax: int):
+    """(lmax+1, 1) factor turning kappa alms into the spin-1 gradient
+    channel of the deflection: E_lm = -(2/g_l) kappa_lm, from the
+    lensing convention lap(psi) = 2 kappa (psi_lm = -2 kappa_lm /
+    (l(l+1)), E = g psi). The ONE home of this sign/normalization —
+    used by deflection_from_kappa_alm and the spherical multiplane
+    tracer's per-shell fields (ops.lightcone_sphere)."""
+    g = _g_ell(lmax)
+    return jnp.where(g > 0, -2.0 / jnp.maximum(g, 1e-30), 0.0)[:, None]
+
+
 def deflection_from_kappa_alm(k_re, k_im, nside: int, lmax: int,
                               tables: Optional[Spin1Tables] = None):
     """kappa alms -> deflection maps (alpha_theta, alpha_phi).
 
-    Lensing convention lap(psi) = 2 kappa on the sphere:
-    psi_lm = -2 kappa_lm / (l(l+1)), so the spin-1 gradient channel is
-    E_lm = g_l psi_lm = -(2/g_l) kappa_lm (B = 0). Matches the flat-sky
-    spectral inversion in ops.lensing.kappa_to_alpha / ops.raytrace."""
-    g = _g_ell(lmax)
-    inv = jnp.where(g > 0, -2.0 / jnp.maximum(g, 1e-30), 0.0)[:, None]
+    Matches the flat-sky spectral inversion in
+    ops.lensing.kappa_to_alpha / ops.raytrace (see deflection_E_factor
+    for the convention)."""
+    inv = deflection_E_factor(lmax)
     z = jnp.zeros_like(jnp.asarray(k_re, jnp.float32))
     return synthesize_spin1(k_re * inv, k_im * inv, z, z, nside, lmax,
                             tables=tables)

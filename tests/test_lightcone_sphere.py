@@ -267,3 +267,14 @@ def test_skyhealpix_multiplane_facade(rng):
     diff = np.abs(sky.data["orig"] - born.data["orig"]).max()
     assert diff < 0.05 * scale
     assert np.abs(sky.data["omega"]).max() < 1e-3 * scale
+
+
+def test_skyhealpix_multiplane_facade_rejects_tomography():
+    from astrild_tpu.models.skyhealpix import SkyHealpix
+
+    shells = np.zeros((1, hpx.nside2npix(8)), np.float32)
+    with pytest.raises(ValueError, match="scalar chi_s"):
+        SkyHealpix.from_multiplane_shells(
+            shells, np.array([300.0], np.float32),
+            np.array([100.0], np.float32),
+            np.array([500.0, 800.0], np.float32), 0.31, lmax=16)
