@@ -384,13 +384,23 @@ class SkyHealpix:
     def lens_cmb_by_deflection(self, cmb_map, alpha_theta, alpha_phi
                                ) -> np.ndarray:
         """Lens a CMB map by remapping with a deflection field: sample the
-        unlensed map at the source-plane positions
-        (healpytools.py:52-59)."""
+        unlensed map at the source-plane positions (healpytools.py:52-59).
+
+        The bilinear sampling runs on-device (utils/healpix_jax); with a
+        lightcone in hand the deflection field itself can come from
+        ops.sht_spin.deflection_from_kappa_alm of a Born/multiplane kappa.
+        """
+        import jax.numpy as jnp
+
+        from ..utils import healpix_jax as hpj
+
         ipix = np.arange(hp.nside2npix(self.nside))
         theta, phi = hp.pix2ang_ring(self.nside, ipix)
         ts = theta + np.asarray(alpha_theta)
         ps = phi + np.asarray(alpha_phi) / np.maximum(np.sin(theta), 1e-6)
         ts = np.clip(ts, 0.0, np.pi)
-        lensed = hp.get_interp_val(np.asarray(cmb_map), ts, ps)
+        lensed = np.asarray(hpj.get_interp_val(
+            jnp.asarray(cmb_map, jnp.float32),
+            jnp.asarray(ts, jnp.float32), jnp.asarray(ps, jnp.float32)))
         self.data["cmb_lensed"] = lensed
         return lensed

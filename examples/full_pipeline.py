@@ -128,6 +128,33 @@ def main():
              float(boost[1]), float(clk[0]), float(fr[1]),
              float(hmf[0]))
 
+    # --- full-sky lightcone: shells -> Born + post-Born maps -> Cl ----
+    with stage("full-sky lightcone"):
+        from astrild_tpu.models.skyhealpix import SkyHealpix
+        from astrild_tpu.ops import lightcone_sphere as lcs
+
+        key = jax.random.PRNGKey(9)
+        pos_lc = np.asarray(synthetic_particles(key, N_PART))
+        edges = np.linspace(150.0, 650.0, 6)   # replicated box lightcone
+        nside = 32
+        delta, chis, dchis = lcs.density_shells_healpix(
+            (pos_lc[:, 0], pos_lc[:, 1], pos_lc[:, 2]), edges, nside,
+            BOX)
+        chi_s = 700.0
+        sky = SkyHealpix.from_multiplane_shells(
+            np.asarray(delta), np.asarray(chis), np.asarray(dchis),
+            chi_s, 0.31, lmax=2 * nside)
+        born = lcs.born_convergence_healpix(delta, chis, dchis, chi_s,
+                                            0.31)
+        ee, bb, _ = sky.shear_eb_spectra(lmax=2 * nside)
+    log.info("lightcone: %d shells at nside=%d; kappa rms %.2e "
+             "(born %.2e); post-Born omega rms %.2e; "
+             "shear B/E = %.1e",
+             len(chis), nside, float(np.std(sky.data["orig"])),
+             float(jnp.std(born)), float(np.std(sky.data["omega"])),
+             float(np.sum(np.asarray(bb)[2:])
+                   / max(np.sum(np.asarray(ee)[2:]), 1e-30)))
+
     print("pipeline complete")
 
 
