@@ -381,6 +381,34 @@ class SkyHealpix:
         self.data[on + "_mask"] = out
         return out
 
+    def lens_cmb_from_kappa(self, cmb_map, kappa_map,
+                            lmax: Optional[int] = None) -> np.ndarray:
+        """Lens a CMB map by the deflection field of a convergence map:
+        kappa -> alm (scale-selected SHT backend) -> spin-1 gradient
+        synthesis of psi -> device bilinear remap. The production
+        lensed-CMB synthesis loop (lenspyx/taylens-style) the reference
+        could not express — its CMB surface stopped at adding flat-sky
+        GRF patches (sky_array.py:742-775).
+
+        lmax defaults to 2*nside (the unbiased-adjoint analysis regime);
+        the spin-1 synthesis auto-selects the table path below lmax 512
+        and the scan (libsharp-style) path above."""
+        from ..ops import sht, sht_large, sht_spin, sht_spin_large
+
+        L = 2 * self.nside if lmax is None else lmax
+        kappa_map = np.asarray(kappa_map, np.float32)
+        if L <= _TABLE_LMAX_LIMIT:
+            kr, ki = sht.analyze(kappa_map, self.nside, L, niter=0)
+            a_t, a_p = sht_spin.deflection_from_kappa_alm(
+                kr, ki, self.nside, L)
+        else:
+            kr, ki = sht_large.analyze_large(kappa_map, self.nside, L,
+                                             niter=0)
+            a_t, a_p = sht_spin_large.deflection_from_kappa_alm_large(
+                kr, ki, self.nside, L)
+        return self.lens_cmb_by_deflection(cmb_map, np.asarray(a_t),
+                                           np.asarray(a_p))
+
     def lens_cmb_by_deflection(self, cmb_map, alpha_theta, alpha_phi
                                ) -> np.ndarray:
         """Lens a CMB map by remapping with a deflection field: sample the

@@ -51,7 +51,10 @@ from .sht_large import (_INV_RESCALE, _MBLOCK, _TRIGGER, LargeSHTTables,
                         _cap_core_apply, _rotate_phase, sht_large_tables)
 
 __all__ = ["Spin2LargeTables", "spin2_large_tables", "synthesize_spin2_large",
-           "analyze_spin2_large", "anafast_spin2_large"]
+           "analyze_spin2_large", "anafast_spin2_large",
+           "Spin1LargeTables", "spin1_large_tables",
+           "synthesize_spin1_large", "analyze_spin1_large",
+           "deflection_from_kappa_alm_large"]
 
 
 class Spin2LargeTables(NamedTuple):
@@ -102,26 +105,37 @@ def spin2_large_tables(nside: int, lmax: int) -> Spin2LargeTables:
     )
 
 
-def _spin_seed_state(m0: int, tab: Spin2LargeTables, m1: int):
-    """Scaled d^{l0}_{m1, m} seeds for one m-block: (frac, scale)."""
+def _spin_seed_state(m0: int, tab, m1: int):
+    """Scaled d^{l0}_{m1, m} seeds for one m-block: (frac, scale).
+
+    Generic in the spin s = |m1|, read off the closed-form seed table's
+    row count (Spin2LargeTables carries the m = 0, 1 rows at l0 = 2;
+    Spin1LargeTables the m = 0 row at l0 = 1)."""
     B = _MBLOCK
+    s_spin = abs(m1)
     m = (m0 + jnp.arange(B, dtype=jnp.float32))[:, None]
     lnc = jax.lax.dynamic_slice_in_dim(tab.lnc, m0, B)[:, None]
-    # |seed| = C * ch^(m+m1) * sh^(m-m1); sign = (-1)^(m-m1) = (-1)^m
+    # |seed| = C * ch^(m+m1) * sh^(m-m1); sign = (-1)^(m-m1)
     log2_mag = (lnc + (m + m1) * tab.log2_ch[None, :]
                 + (m - m1) * tab.log2_sh[None, :])
     s0 = jnp.maximum(0.0, jnp.ceil((-log2_mag - 29.0) / 60.0))
     sign = jnp.where(jnp.mod(m, 2.0) == 0.0, 1.0, -1.0)
+    if s_spin % 2:
+        sign = -sign            # (-1)^(m-m1) = (-1)^m (-1)^m1
     frac = sign * jnp.exp2(log2_mag + 60.0 * s0)
-    # closed-form l0 = 2 seeds for the m = 0, 1 rows (no underflow).
+    # closed-form l0 = s seeds for the m < s rows (no underflow).
     # Selected by a traceable where on the m VALUE, not a python branch
     # on m0: the distributed path (parallel/sht_large) calls with a
-    # TRACED m0 (only the first block has m < 2 rows, so for every other
+    # TRACED m0 (only the first block has m < s rows, so for every other
     # block the where is the identity, matching the old m0 == 0 branch).
     seeds = tab.seed2_p if m1 > 0 else tab.seed2_m
-    row01 = jnp.where(m == 0.0, seeds[0][None, :], seeds[1][None, :])
-    frac = jnp.where(m < 2.0, row01, frac)
-    s0 = jnp.where(m < 2.0, 0.0, s0)
+    if seeds.shape[0] == 1:
+        row_lo = seeds[0][None, :]
+    else:
+        row_lo = jnp.where(m == 0.0, seeds[0][None, :],
+                           seeds[1][None, :])
+    frac = jnp.where(m < s_spin, row_lo, frac)
+    s0 = jnp.where(m < s_spin, 0.0, s0)
     return frac, s0
 
 
@@ -129,14 +143,15 @@ def _spin_coeffs(l, m, m1: int):
     """alpha (x-coefficient), beta, gamma of the d-recursion, masked so
     denominators never divide by zero for l <= l0."""
     lf = l.astype(jnp.float32)
-    d1 = lf * lf - 4.0
+    m1sq = float(m1 * m1)
+    d1 = lf * lf - m1sq
     d2 = lf * lf - m * m
     den = (lf - 1.0) * jnp.sqrt(jnp.where(d1 > 0, d1, 1.0)
                                 * jnp.where(d2 > 0, d2, 1.0))
     den = jnp.where((d1 > 0) & (d2 > 0) & (lf > 1), den, 1.0)
     alpha = (2.0 * lf - 1.0) * lf * (lf - 1.0) / den
     beta = -(2.0 * lf - 1.0) * m1 * m / den
-    g1 = (lf - 1.0) ** 2 - 4.0
+    g1 = (lf - 1.0) ** 2 - m1sq
     g2 = (lf - 1.0) ** 2 - m * m
     gamma = -lf * jnp.sqrt(jnp.maximum(g1, 0.0)
                            * jnp.maximum(g2, 0.0)) / den
@@ -156,7 +171,7 @@ def _spin_scan(m0: int, tab: Spin2LargeTables, lmax: int, m1: int,
     B = _MBLOCK
     nring = tab.base.x.shape[0]
     m = (m0 + jnp.arange(B, dtype=jnp.float32))[:, None]
-    l0 = jnp.maximum(m, 2.0)
+    l0 = jnp.maximum(m, float(abs(m1)))
     x = tab.base.x[None, :]
     frac_seed, s0 = _spin_seed_state(m0, tab, m1)
     synth = alm_rows is not None
@@ -372,13 +387,13 @@ def _adjoint_block(m0, tab: Spin2LargeTables, lmax: int, dg_slices):
     return -(Ar + Mr), -Ai + Mi, -(Ai + Mi), Ar - Mr
 
 
-def _alm_masks(lmax: int, npix: int):
+def _alm_masks(lmax: int, npix: int, lmin: int = 2):
     """(vre, vim) final masks: wq * triangle * m>0-halving (shared with
-    the distributed path)."""
+    the distributed path; lmin = spin)."""
     wq = 4.0 * jnp.pi / npix
     lg = jnp.arange(lmax + 1)[:, None]
     mg = jnp.arange(lmax + 1)[None, :]
-    valid = (mg <= lg) & (lg >= 2)
+    valid = (mg <= lg) & (lg >= lmin)
     half = jnp.where(mg == 0, 1.0, 0.5)
     vre = valid.astype(jnp.float32) * half * wq
     vim = (valid & (mg > 0)).astype(jnp.float32) * half * wq
@@ -483,3 +498,200 @@ def anafast_spin2_large(q, u, lmax: int, niter: int = 3,
     pp = alm2cl(er + br, ei + bi)
     mm = alm2cl(er - br, ei - bi)
     return ee, bb, 0.25 * (pp - mm)
+
+
+# --------------------------------------------------------------------
+# spin-1: large-lmax gradient/curl (deflection) transforms
+# --------------------------------------------------------------------
+
+class Spin1LargeTables(NamedTuple):
+    """Same field layout as Spin2LargeTables (the generic scan reads the
+    spin off the seed table's row count); seed2_* hold the single m = 0
+    closed-form row at l0 = 1."""
+    base: LargeSHTTables
+    log2_ch: jnp.ndarray
+    log2_sh: jnp.ndarray
+    seed2_p: jnp.ndarray    # (1, nring) d^1_{+1, 0}
+    seed2_m: jnp.ndarray    # (1, nring) d^1_{-1, 0}
+    lnc: jnp.ndarray
+
+
+@lru_cache(maxsize=4)
+def spin1_large_tables(nside: int, lmax: int) -> Spin1LargeTables:
+    from math import lgamma
+
+    base = sht_large_tables(nside, lmax)
+    geo = ring_geometry(nside)
+    th = np.asarray(geo.theta, np.float64)
+    s = np.sin(th)
+    # closed-form l0 = 1 seeds for m = 0 (verified against
+    # wigner_d_column): d^1_{1,0} = -sin/sqrt(2), d^1_{-1,0} = +sin/sqrt(2)
+    seed1_p = (-s / np.sqrt(2.0))[None, :]
+    seed1_m = (+s / np.sqrt(2.0))[None, :]
+    # seed amplitude log2 for m >= 1: sqrt((2m)!/((m+1)!(m-1)!))
+    ms = np.arange(lmax + 1)
+    ln2 = np.log(2.0)
+    lnc = np.array([0.5 * (lgamma(2 * m + 1) - lgamma(m + 2)
+                           - lgamma(m)) / ln2 if m >= 1 else 0.0
+                    for m in ms])
+    ch = np.cos(th / 2.0)
+    sh = np.sin(th / 2.0)
+    nb = -(-(lmax + 1) // _MBLOCK)
+    pad = nb * _MBLOCK - (lmax + 1)
+    dev = jax.device_put
+    return Spin1LargeTables(
+        base,
+        dev(jnp.asarray(np.log2(np.maximum(ch, 1e-300)), jnp.float32)),
+        dev(jnp.asarray(np.log2(np.maximum(sh, 1e-300)), jnp.float32)),
+        dev(jnp.asarray(seed1_p, jnp.float32)),
+        dev(jnp.asarray(seed1_m, jnp.float32)),
+        dev(jnp.asarray(np.pad(lnc, (0, pad)), jnp.float32)),
+    )
+
+
+def _fold_block_spin1(m0, tab: Spin1LargeTables, lmax: int, blk_rows):
+    """One m-block's folded spin-1 ring coefficients.
+
+    Convention pinned in ops/sht_spin.spin1_tables:
+    alpha_theta + i alpha_phi = sum_{m>=0} P e^{im phi} + sum_{m>0} C
+    e^{-im phi} with the plus branch s_m d_{-1,m} (s_0 = -1) and the
+    fold -d_{+1,m}; returns (gp_re, gp_im, gm_re, gm_im) for the generic
+    complex-FFT synthesis tail (_synth_from_g)."""
+    B = _MBLOCK
+    m = (m0 + jnp.arange(B, dtype=jnp.float32))[:, None]
+    s_m = jnp.where(m == 0.0, -1.0, 1.0)
+    A_er, A_ei, A_br, A_bi = _spin_scan(m0, tab, lmax, -1,
+                                        alm_rows=blk_rows)
+    M_er, M_ei, M_br, M_bi = _spin_scan(m0, tab, lmax, 1,
+                                        alm_rows=blk_rows)
+    gp_re = s_m * (A_er - A_bi)
+    gp_im = s_m * (A_ei + A_br)
+    gm_re = -(M_er + M_bi)
+    gm_im = M_ei - M_br
+    return gp_re, gp_im, gm_re, gm_im
+
+
+def _fold_coeffs_spin1(tab: Spin1LargeTables, lmax: int, e_re, e_im,
+                       b_re, b_im):
+    nb = -(-(lmax + 1) // _MBLOCK)
+    pad = nb * _MBLOCK - (lmax + 1)
+    rows = tuple(jnp.pad(a, ((0, 0), (0, pad)))
+                 for a in (e_re, e_im, b_re, b_im))
+    gs = [[], [], [], []]
+    for blk in range(nb):
+        blk_rows = tuple(r[:, blk * _MBLOCK:(blk + 1) * _MBLOCK]
+                         for r in rows)
+        for acc, g in zip(gs, _fold_block_spin1(blk * _MBLOCK, tab,
+                                                lmax, blk_rows)):
+            acc.append(g)
+    return tuple(jnp.concatenate(x)[: lmax + 1] for x in gs)
+
+
+@partial(jax.jit, static_argnames=("nside", "lmax"))
+def _synth_spin1_large_impl(e_re, e_im, b_re, b_im,
+                            tab: Spin1LargeTables, nside: int, lmax: int):
+    gp_re, gp_im, gm_re, gm_im = _fold_coeffs_spin1(tab, lmax, e_re,
+                                                    e_im, b_re, b_im)
+    # the complex-FFT/cap tail is spin-generic: F = alpha_th + i alpha_ph
+    return _synth_from_g(gp_re, gp_im, gm_re, gm_im, tab, nside, lmax)
+
+
+def _adjoint_block_spin1(m0, tab: Spin1LargeTables, lmax: int,
+                         dg_slices):
+    """Transpose of _fold_block_spin1 (chain rule through the fold)."""
+    B = _MBLOCK
+    m = (m0 + jnp.arange(B, dtype=jnp.float32))[:, None]
+    s_m = jnp.where(m == 0.0, -1.0, 1.0)[:, 0][None, :]
+    Ar, Ai = _spin_scan(m0, tab, lmax, -1, q=(dg_slices[0], dg_slices[1]))
+    Mr, Mi = _spin_scan(m0, tab, lmax, 1, q=(dg_slices[2], dg_slices[3]))
+    der = s_m * Ar - Mr
+    dei = s_m * Ai + Mi
+    dbr = s_m * Ai - Mi
+    dbi = -s_m * Ar - Mr
+    return der, dei, dbr, dbi
+
+
+@partial(jax.jit, static_argnames=("nside", "lmax"))
+def _adjoint_spin1_large_impl(a_t, a_p, tab: Spin1LargeTables,
+                              nside: int, lmax: int):
+    npix = a_t.shape[0]
+    dgs = _spin_quadrature_sums(a_t, a_p, tab, nside, lmax)
+    nb = -(-(lmax + 1) // _MBLOCK)
+    pad_m = nb * _MBLOCK - (lmax + 1)
+    pads = tuple(jnp.pad(a, ((0, pad_m), (0, 0))) for a in dgs)
+    outs = [[], [], [], []]
+    for blk in range(nb):
+        sl = slice(blk * _MBLOCK, (blk + 1) * _MBLOCK)
+        chunk = _adjoint_block_spin1(blk * _MBLOCK, tab, lmax,
+                                     tuple(pp[sl] for pp in pads))
+        for acc, c in zip(outs, chunk):
+            acc.append(c)
+    der, dei, dbr, dbi = (jnp.concatenate(x, axis=1)[:, : lmax + 1]
+                          for x in outs)
+    vre, vim = _alm_masks(lmax, npix, lmin=1)
+    return der * vre, dei * vim, dbr * vre, dbi * vim
+
+
+def synthesize_spin1_large(e_re, e_im, b_re, b_im, nside: int, lmax: int,
+                           tables: Optional[Spin1LargeTables] = None):
+    """Spin-1 (E = gradient, B = curl) alms -> (alpha_theta, alpha_phi)
+    at large lmax (convention of ops.sht_spin.synthesize_spin1;
+    lmax <= 4*nside - 1)."""
+    tab = tables if tables is not None else spin1_large_tables(nside, lmax)
+    return _synth_spin1_large_impl(
+        jnp.asarray(e_re, jnp.float32), jnp.asarray(e_im, jnp.float32),
+        jnp.asarray(b_re, jnp.float32), jnp.asarray(b_im, jnp.float32),
+        tab, nside, lmax)
+
+
+def analyze_spin1_large(a_t, a_p, nside: int, lmax: int, niter: int = 3,
+                        tables: Optional[Spin1LargeTables] = None,
+                        method: str = "auto"):
+    """(alpha_theta, alpha_phi) maps -> (E_re, E_im, B_re, B_im) at
+    large lmax (method semantics as analyze_spin2_large)."""
+    if method not in ("auto", "cg", "jacobi"):
+        raise ValueError(f"method must be 'auto', 'cg' or 'jacobi', got "
+                         f"{method!r}")
+    tab = tables if tables is not None else spin1_large_tables(nside, lmax)
+    a_t = jnp.asarray(a_t, jnp.float32)
+    a_p = jnp.asarray(a_p, jnp.float32)
+    if method == "auto":
+        method = "cg" if lmax > 2 * nside else "jacobi"
+    b = _adjoint_spin1_large_impl(a_t, a_p, tab, nside, lmax)
+    if method == "cg" and niter > 0:
+        from jax.scipy.sparse.linalg import cg
+
+        mg = jnp.arange(lmax + 1)[None, :]
+        unhalf = jnp.where(mg == 0, 1.0, 2.0).astype(jnp.float32)
+
+        def mul(t):
+            return tuple(a * unhalf for a in t)
+
+        def matvec(a):
+            return mul(_adjoint_spin1_large_impl(
+                *_synth_spin1_large_impl(*a, tab, nside, lmax), tab,
+                nside, lmax))
+
+        alm, _ = cg(matvec, mul(b), x0=b, maxiter=niter)
+        return alm
+    alm = b
+    for _ in range(niter):
+        st, sp = _synth_spin1_large_impl(*alm, tab, nside, lmax)
+        d = _adjoint_spin1_large_impl(a_t - st, a_p - sp, tab, nside,
+                                      lmax)
+        alm = tuple(a + da for a, da in zip(alm, d))
+    return alm
+
+
+def deflection_from_kappa_alm_large(k_re, k_im, nside: int, lmax: int,
+                                    tables: Optional[Spin1LargeTables]
+                                    = None):
+    """kappa alms -> deflection maps at large lmax (the production-scale
+    counterpart of ops.sht_spin.deflection_from_kappa_alm — ONE
+    convention home: sht_spin.deflection_E_factor)."""
+    from .sht_spin import deflection_E_factor
+
+    inv = deflection_E_factor(lmax)
+    z = jnp.zeros_like(jnp.asarray(k_re, jnp.float32))
+    return synthesize_spin1_large(k_re * inv, k_im * inv, z, z, nside,
+                                  lmax, tables=tables)
