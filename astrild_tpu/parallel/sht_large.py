@@ -32,7 +32,9 @@ from ..ops import sht_large as sl
 from ..ops import sht_spin_large as ssl
 from ..ops.sht import alm2cl
 
-__all__ = ["make_distributed_sht_large", "make_distributed_sht_spin2_large"]
+__all__ = ["make_distributed_sht_large",
+           "make_distributed_sht_spin2_large",
+           "make_distributed_sht_spin1_large"]
 
 
 def make_distributed_sht_large(mesh: Mesh, nside: int, lmax: int,
@@ -170,13 +172,38 @@ def make_distributed_sht_spin2_large(mesh: Mesh, nside: int, lmax: int,
     tail and quadrature head (shared `_synth_from_g` /
     `_spin_quadrature_sums`) run replicated.
     """
+    return _make_distributed_spin_large(
+        mesh, nside, lmax, ax, ssl.spin2_large_tables(nside, lmax),
+        ssl._fold_block, ssl._adjoint_block, lmin=2)
+
+
+def make_distributed_sht_spin1_large(mesh: Mesh, nside: int, lmax: int,
+                                     ax: str = "x"):
+    """m-sharded spin-1 scan-path SHT: deflection (gradient/curl) fields
+    at pod scale — the distributed engine for production lensed-CMB
+    synthesis and curved-sky deflection analysis.
+
+    synthesize(e_re, e_im, b_re, b_im) -> (alpha_theta, alpha_phi);
+    analyze(a_t, a_p, niter, method) -> the spin-1 E/B alms (conventions
+    of ops.sht_spin.synthesize_spin1; E = sqrt(l(l+1)) psi for a pure
+    gradient)."""
+    return _make_distributed_spin_large(
+        mesh, nside, lmax, ax, ssl.spin1_large_tables(nside, lmax),
+        ssl._fold_block_spin1, ssl._adjoint_block_spin1, lmin=1)
+
+
+def _make_distributed_spin_large(mesh: Mesh, nside: int, lmax: int,
+                                 ax: str, tab, fold_block, adjoint_block,
+                                 lmin: int):
+    """Spin-generic m-sharded scan-path factory (the two public
+    factories above differ only in tables, fold/adjoint blocks and the
+    l >= spin mask)."""
     B = ssl._MBLOCK
     Lp1 = lmax + 1
     nb = -(-Lp1 // B)
     nproc = mesh.shape[ax]
     nb_p = -(-nb // nproc) * nproc
     nbl = nb_p // nproc
-    tab = ssl.spin2_large_tables(nside, lmax)
     pad_m = nb_p * B - int(tab.lnc.shape[0])
     if pad_m > 0:
         tab = tab._replace(
@@ -196,7 +223,7 @@ def make_distributed_sht_spin2_large(mesh: Mesh, nside: int, lmax: int,
         for i in range(nbl):
             m0 = (idx * nbl + i) * B
             blk_rows = (er_blk[i], ei_blk[i], br_blk[i], bi_blk[i])
-            for acc, g in zip(gs, ssl._fold_block(m0, t, lmax, blk_rows)):
+            for acc, g in zip(gs, fold_block(m0, t, lmax, blk_rows)):
                 acc.append(g)
         full = jnp.zeros((nb_p * B, nring), jnp.float32)
         g4 = [jax.lax.psum(jax.lax.dynamic_update_slice(
@@ -220,13 +247,13 @@ def make_distributed_sht_spin2_large(mesh: Mesh, nside: int, lmax: int,
             m0 = (idx * nbl + i) * B
             sls = tuple(jax.lax.dynamic_slice_in_dim(d, m0, B, axis=0)
                         for d in dgs)
-            for acc, c in zip(outs, ssl._adjoint_block(m0, t, lmax, sls)):
+            for acc, c in zip(outs, adjoint_block(m0, t, lmax, sls)):
                 acc.append(c)
         full = jnp.zeros((Lp1, nb_p * B), jnp.float32)
         a4 = [jax.lax.psum(jax.lax.dynamic_update_slice(
             full, jnp.concatenate(x, axis=1), (0, idx * nbl * B)),
             ax)[:, :Lp1] for x in outs]
-        vre, vim = ssl._alm_masks(lmax, npix)
+        vre, vim = ssl._alm_masks(lmax, npix, lmin=lmin)
         return a4[0] * vre, a4[1] * vim, a4[2] * vre, a4[3] * vim
 
     adjoint = jax.jit(jax.shard_map(

@@ -662,3 +662,35 @@ def test_distributed_healpix_shells_matches_local(mesh22, rng):
     got_m = fm(pm, vm)
     npt.assert_allclose(np.asarray(got_m), np.asarray(want_m),
                         rtol=1e-3, atol=1e-5)
+
+
+def test_distributed_sht_spin1_large_matches_local(mesh22, rng):
+    """m-sharded spin-1 scan path == single-device ops.sht_spin_large
+    (same spin-generic factory as the spin-2 path)."""
+    from astrild_tpu.ops import sht_spin_large as ssl
+    from astrild_tpu.parallel.sht_large import (
+        make_distributed_sht_spin1_large)
+
+    nside, lmax = 16, 31
+    lg = np.arange(lmax + 1)[:, None]
+    mg = np.arange(lmax + 1)[None, :]
+    valid = ((mg <= lg) & (lg >= 1)).astype(np.float32)
+    alms = [rng.standard_normal((lmax + 1, lmax + 1)
+                                ).astype(np.float32) * valid * 0.1
+            for _ in range(4)]
+    alms[1][:, 0] = 0.0
+    alms[3][:, 0] = 0.0
+    atw, apw = ssl.synthesize_spin1_large(*alms, nside, lmax)
+    synth, analyze = make_distributed_sht_spin1_large(mesh22, nside,
+                                                      lmax)
+    atd, apd = synth(*alms)
+    scale = float(jnp.std(atw))
+    npt.assert_allclose(np.asarray(atd), np.asarray(atw),
+                        atol=2e-6 * scale)
+    npt.assert_allclose(np.asarray(apd), np.asarray(apw),
+                        atol=2e-6 * scale)
+    want = ssl.analyze_spin1_large(atw, apw, nside, lmax, niter=2,
+                                   method="jacobi")
+    got = analyze(atd, apd, niter=2, method="jacobi")
+    for g, w in zip(got, want):
+        npt.assert_allclose(np.asarray(g), np.asarray(w), atol=5e-6)
