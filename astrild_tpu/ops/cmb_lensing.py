@@ -1,0 +1,199 @@
+"""Flat-sky CMB lensing: forward simulation and quadratic-estimator
+reconstruction (Hu & Okamoto 2002, TT), discrete-exact on the DFT grid.
+
+Beyond the reference: its CMB surface stops at ADDING Gaussian CMB
+realizations to lensing maps for the ISW-RS dipole science
+(/root/reference/src/astrild/rays/skys/sky_array.py:742-775). With the
+lensed-CMB forward model now native (full-sky:
+SkyHealpix.lens_cmb_from_kappa; flat patches: lens_cmb_map_flat below),
+this module closes the loop: reconstruct the lensing convergence back
+from the lensed temperature with the standard TT quadratic estimator.
+
+Estimator (flat sky, continuum conventions T(l) = int d^2x T e^{-ilx}):
+
+    phi_hat_un(L) = i L . FFT[ W0(x) G(x) ](L)
+      W0 = IFFT[F_l T(l)],  G_i = IFFT[i l_i C_l F_l T(l)],
+      F_l = 1/(C_l + N_l)  (inverse-variance filter, banded to
+      [lmin, lmax_filter])
+
+which by l1 <-> l2 symmetry equals (1/2) int T_bar(l1) T_bar(l2)
+f(l1,l2) with the standard response f = (L.l1) C_l1 + (L.l2) C_l2.
+The response (= 1/N0) is computed EXACTLY on the same discrete mode
+sums (each f^2 F1 F2 term is a convolution of mode-space filters):
+
+    R(L) = (1/Lbox^2) sum_ij L_i L_j ( conv[l_i l_j C^2 F, F]
+                                       + conv[l_i C F, l_j C F] )
+
+with every convolution (the estimator's T-products included) evaluated
+as a zero-padded LINEAR convolution — the naive same-grid FFT product
+is the CIRCULAR convolution, whose aliased mode pairs carry no lensing
+response and inflate R by up to ~13x at low L (measured against a
+brute-force mode sum). phi_hat = phi_hat_un / R is then unbiased on the
+grid by construction and N0(L) = 1/R(L) is its Gaussian reconstruction
+noise. Returned as convergence: kappa_hat = (L^2/2) phi_hat.
+
+Validated end-to-end in tests/test_cmb_lensing.py: the ensemble-mean
+reconstruction of a pure kappa mode is unit-normalized (keep
+lmax_filter * pixel_scale <~ 1.6 — beyond that the forward remap's
+bilinear gradient transfer damps the response at the 10-25% level, a
+property of any pixelized lensing simulation, not of the estimator),
+the unlensed auto-spectrum matches N0, and the forward remap is
+gradient-exact at first order.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .raytrace import _interp_periodic
+
+__all__ = ["lens_cmb_map_flat", "qe_tt_kappa", "qe_tt_n0_kappa"]
+
+
+def _l_grids(n: int, opening_angle: float):
+    """Full-FFT angular frequency grids (lx, ly, |l|), [rad^-1]."""
+    kf = 2.0 * jnp.pi / opening_angle
+    lx = (jnp.fft.fftfreq(n) * n * kf)[:, None]
+    ly = (jnp.fft.fftfreq(n) * n * kf)[None, :]
+    return lx, ly, jnp.sqrt(lx * lx + ly * ly)
+
+
+@partial(jax.jit, static_argnames=())
+def _deflection_from_kappa_flat(kappa, opening_angle):
+    """(d1, d2) = grad phi with lap phi = 2 kappa (periodic spectral)."""
+    n = kappa.shape[-1]
+    lx, ly, lm = _l_grids(n, opening_angle)
+    l2 = lm * lm
+    kft = jnp.fft.fft2(kappa)
+    phi_ft = jnp.where(l2 == 0.0, 0.0, -2.0 / jnp.where(l2 == 0, 1.0, l2)
+                       ) * kft
+    d1 = jnp.real(jnp.fft.ifft2(1j * lx * phi_ft))
+    d2 = jnp.real(jnp.fft.ifft2(1j * ly * phi_ft))
+    return d1, d2
+
+
+@jax.jit
+def lens_cmb_map_flat(t_map, kappa, opening_angle):
+    """Lens a flat-sky T patch by the deflection of a kappa patch:
+    T_lensed(x) = T(x + grad phi), periodic bilinear resampling (the
+    flat counterpart of SkyHealpix.lens_cmb_from_kappa)."""
+    t_map = jnp.asarray(t_map, jnp.float32)
+    kappa = jnp.asarray(kappa, jnp.float32)
+    n = t_map.shape[-1]
+    pix = opening_angle / n
+    d1, d2 = _deflection_from_kappa_flat(kappa, opening_angle)
+    i0 = jnp.arange(n, dtype=jnp.float32)
+    c1 = i0[:, None] + d1 / pix
+    c2 = i0[None, :] + d2 / pix
+    return _interp_periodic(t_map, c1, c2)
+
+
+def _interp_cl(cl, lm):
+    cl = jnp.asarray(cl, jnp.float32)
+    ells = jnp.arange(cl.shape[0], dtype=jnp.float32)
+    return jnp.interp(lm, ells, cl, left=0.0, right=0.0)
+
+
+def _embed2(A, n: int):
+    """Place an n-grid fftfreq-ordered spectrum at the same INTEGER
+    frequencies of a 2n grid (zero elsewhere)."""
+    As = jnp.fft.fftshift(A)
+    h = n // 2
+    out = jnp.zeros((2 * n, 2 * n), As.dtype)
+    out = jax.lax.dynamic_update_slice(out, As, (n - h, n - h))
+    return jnp.fft.ifftshift(out)
+
+
+def _extract2(B, n: int):
+    """Inverse of _embed2: read the n-grid frequencies off a 2n grid."""
+    Bs = jnp.fft.fftshift(B)
+    h = n // 2
+    return jnp.fft.ifftshift(
+        jax.lax.dynamic_slice(Bs, (n - h, n - h), (n, n)))
+
+
+def _conv2(A, B, n: int):
+    """LINEAR discrete convolution sum_l1 A(l1) B(L - l1) on the n-grid
+    mode set, via zero-padded 2n FFTs. The naive n-grid product form is
+    the CIRCULAR convolution: aliased (wrapped) mode pairs contribute
+    there but carry no lensing response — using it overestimates R by
+    up to ~13x at low L (measured against a brute-force sum)."""
+    a = jnp.fft.ifft2(_embed2(A, n))
+    b = jnp.fft.ifft2(_embed2(B, n))
+    return _extract2(jnp.fft.fft2(a * b), n) * (4.0 * n * n)
+
+
+@partial(jax.jit, static_argnames=("lmin", "lmax_filter"))
+def _qe_tt_impl(t_map, opening_angle, cl_tt, nl_tt, lmin: int,
+                lmax_filter: int):
+    n = t_map.shape[-1]
+    pix2 = (opening_angle / n) ** 2
+    lbox2 = opening_angle ** 2
+    lx, ly, lm = _l_grids(n, opening_angle)
+    C = _interp_cl(cl_tt, lm)
+    N = _interp_cl(nl_tt, lm)
+    band = (lm >= lmin) & (lm <= lmax_filter)
+    F = jnp.where(band & (C + N > 0), 1.0 / jnp.where(C + N > 0, C + N,
+                                                      1.0), 0.0)
+
+    tl = pix2 * jnp.fft.fft2(t_map)          # physical T(l)
+    tb = F * tl
+    # estimator and response use the SAME linear-convolution sums, so
+    # phi_hat = phi_un / R is unbiased on the grid by construction
+    gl1 = _conv2(tb, 1j * lx * C * tb, n)
+    gl2 = _conv2(tb, 1j * ly * C * tb, n)
+    phi_un = 1j * (lx * gl1 + ly * gl2) / lbox2
+
+    R = jnp.real(
+        lx * lx * (_conv2(lx * lx * C * C * F, F, n)
+                   + _conv2(lx * C * F, lx * C * F, n))
+        + 2.0 * lx * ly * (_conv2(lx * ly * C * C * F, F, n)
+                           + _conv2(lx * C * F, ly * C * F, n))
+        + ly * ly * (_conv2(ly * ly * C * C * F, F, n)
+                     + _conv2(ly * C * F, ly * C * F, n))) / lbox2
+    ok = R > (jnp.max(R) * 1e-8)
+    phi_hat = jnp.where(ok, phi_un / jnp.where(ok, R, 1.0), 0.0)
+    kap_l = 0.5 * lm * lm * phi_hat
+    kap_map = jnp.real(jnp.fft.ifft2(kap_l)) / pix2
+    n0_kappa = jnp.where(ok, 0.25 * lm ** 4 / jnp.where(ok, R, 1.0), 0.0)
+    return kap_map, n0_kappa
+
+
+def qe_tt_kappa(t_map, opening_angle, cl_tt, nl_tt=None, lmin: int = 2,
+                lmax_filter: Optional[int] = None
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """TT quadratic-estimator convergence reconstruction.
+
+    Args:
+      t_map: (n, n) observed (lensed [+ noise]) temperature patch.
+      opening_angle: patch side [rad].
+      cl_tt: (lmax+1,) fiducial UNLENSED TT spectrum by integer ell
+        (the gradient weight; using the lensed spectrum is the standard
+        higher-order mitigation and is equally valid here).
+      nl_tt: optional noise spectrum (same layout); None = noiseless.
+      lmin, lmax_filter: multipole band of the inverse-variance filter
+        (default lmax_filter: the end of cl_tt).
+
+    Returns (kappa_hat map (n, n), N0_kappa grid (n, n) — the Gaussian
+    reconstruction-noise power of kappa_hat at each FFT mode, exact on
+    the discrete grid)."""
+    t_map = jnp.asarray(t_map, jnp.float32)
+    cl_tt = jnp.asarray(cl_tt, jnp.float32)
+    if nl_tt is None:
+        nl_tt = jnp.zeros_like(cl_tt)
+    L = int(cl_tt.shape[0] - 1) if lmax_filter is None else lmax_filter
+    return _qe_tt_impl(t_map, float(opening_angle), cl_tt,
+                       jnp.asarray(nl_tt, jnp.float32), int(lmin), L)
+
+
+def qe_tt_n0_kappa(n: int, opening_angle, cl_tt, nl_tt=None,
+                   lmin: int = 2, lmax_filter: Optional[int] = None):
+    """N0 reconstruction-noise grid alone (no data needed)."""
+    z = jnp.zeros((n, n), jnp.float32)
+    _, n0 = qe_tt_kappa(z, opening_angle, cl_tt, nl_tt=nl_tt, lmin=lmin,
+                        lmax_filter=lmax_filter)
+    return n0
