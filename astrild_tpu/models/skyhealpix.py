@@ -397,13 +397,23 @@ class SkyHealpix:
 
         L = 2 * self.nside if lmax is None else lmax
         kappa_map = np.asarray(kappa_map, np.float32)
+        # the plain adjoint (niter=0) is unbiased only at L <= 2*nside;
+        # the super-Nyquist band needs the CG normal-equations solve
+        # (table-path Jacobi overshoots there) or the deflection comes
+        # back silently biased at ell > 2*nside
+        if L <= 2 * self.nside:
+            if L <= _TABLE_LMAX_LIMIT:
+                kr, ki = sht.analyze(kappa_map, self.nside, L, niter=0)
+            else:
+                kr, ki = sht_large.analyze_large(kappa_map, self.nside,
+                                                 L, niter=0)
+        else:
+            kr, ki = sht_large.analyze_large(kappa_map, self.nside, L,
+                                             niter=3, method="auto")
         if L <= _TABLE_LMAX_LIMIT:
-            kr, ki = sht.analyze(kappa_map, self.nside, L, niter=0)
             a_t, a_p = sht_spin.deflection_from_kappa_alm(
                 kr, ki, self.nside, L)
         else:
-            kr, ki = sht_large.analyze_large(kappa_map, self.nside, L,
-                                             niter=0)
             a_t, a_p = sht_spin_large.deflection_from_kappa_alm_large(
                 kr, ki, self.nside, L)
         return self.lens_cmb_by_deflection(cmb_map, np.asarray(a_t),
@@ -427,8 +437,13 @@ class SkyHealpix:
         ts = theta + np.asarray(alpha_theta)
         ps = phi + np.asarray(alpha_phi) / np.maximum(np.sin(theta), 1e-6)
         ts = np.clip(ts, 0.0, np.pi)
-        lensed = np.asarray(hpj.get_interp_val(
-            jnp.asarray(cmb_map, jnp.float32),
+        # the device path is float32: split off the monopole in float64
+        # so absolute-units maps (T ~ 2.7 K + uK fluctuations) keep
+        # their fluctuation precision through the cast
+        cmb_map = np.asarray(cmb_map, np.float64)
+        mono = cmb_map.mean()
+        lensed = mono + np.asarray(hpj.get_interp_val(
+            jnp.asarray(cmb_map - mono, jnp.float32),
             jnp.asarray(ts, jnp.float32), jnp.asarray(ps, jnp.float32)))
         self.data["cmb_lensed"] = lensed
         return lensed

@@ -51,7 +51,8 @@ import numpy as np
 
 from .raytrace import _interp_periodic
 
-__all__ = ["lens_cmb_map_flat", "qe_tt_kappa", "qe_tt_n0_kappa"]
+__all__ = ["lens_cmb_map_flat", "qe_tt_kappa", "qe_tt_n0_kappa",
+           "qe_tt_response"]
 
 
 def _l_grids(n: int, opening_angle: float):
@@ -62,30 +63,20 @@ def _l_grids(n: int, opening_angle: float):
     return lx, ly, jnp.sqrt(lx * lx + ly * ly)
 
 
-@partial(jax.jit, static_argnames=())
-def _deflection_from_kappa_flat(kappa, opening_angle):
-    """(d1, d2) = grad phi with lap phi = 2 kappa (periodic spectral)."""
-    n = kappa.shape[-1]
-    lx, ly, lm = _l_grids(n, opening_angle)
-    l2 = lm * lm
-    kft = jnp.fft.fft2(kappa)
-    phi_ft = jnp.where(l2 == 0.0, 0.0, -2.0 / jnp.where(l2 == 0, 1.0, l2)
-                       ) * kft
-    d1 = jnp.real(jnp.fft.ifft2(1j * lx * phi_ft))
-    d2 = jnp.real(jnp.fft.ifft2(1j * ly * phi_ft))
-    return d1, d2
-
-
 @jax.jit
 def lens_cmb_map_flat(t_map, kappa, opening_angle):
     """Lens a flat-sky T patch by the deflection of a kappa patch:
     T_lensed(x) = T(x + grad phi), periodic bilinear resampling (the
-    flat counterpart of SkyHealpix.lens_cmb_from_kappa)."""
+    flat counterpart of SkyHealpix.lens_cmb_from_kappa). The
+    kappa -> deflection inversion has ONE home:
+    ops.lensing.kappa_to_alpha (padding_factor=1 = the periodic case)."""
+    from .lensing import kappa_to_alpha
+
     t_map = jnp.asarray(t_map, jnp.float32)
     kappa = jnp.asarray(kappa, jnp.float32)
     n = t_map.shape[-1]
     pix = opening_angle / n
-    d1, d2 = _deflection_from_kappa_flat(kappa, opening_angle)
+    d1, d2 = kappa_to_alpha(kappa, opening_angle, padding_factor=1)
     i0 = jnp.arange(n, dtype=jnp.float32)
     c1 = i0[:, None] + d1 / pix
     c2 = i0[None, :] + d2 / pix
@@ -127,18 +118,41 @@ def _conv2(A, B, n: int):
     return _extract2(jnp.fft.fft2(a * b), n) * (4.0 * n * n)
 
 
-@partial(jax.jit, static_argnames=("lmin", "lmax_filter"))
-def _qe_tt_impl(t_map, opening_angle, cl_tt, nl_tt, lmin: int,
-                lmax_filter: int):
-    n = t_map.shape[-1]
-    pix2 = (opening_angle / n) ** 2
-    lbox2 = opening_angle ** 2
+def _filters(n: int, opening_angle, cl_tt, nl_tt, lmin, lmax_filter):
     lx, ly, lm = _l_grids(n, opening_angle)
     C = _interp_cl(cl_tt, lm)
     N = _interp_cl(nl_tt, lm)
     band = (lm >= lmin) & (lm <= lmax_filter)
     F = jnp.where(band & (C + N > 0), 1.0 / jnp.where(C + N > 0, C + N,
                                                       1.0), 0.0)
+    return lx, ly, lm, C, F
+
+
+@partial(jax.jit, static_argnames=("n", "lmin", "lmax_filter"))
+def _qe_response_impl(opening_angle, cl_tt, nl_tt, n: int, lmin: int,
+                      lmax_filter: int):
+    """R(L) = 1/N0: data-independent, ~3/4 of the estimator's FFT work —
+    compute once per filter configuration and pass back in."""
+    lbox2 = opening_angle ** 2
+    lx, ly, lm, C, F = _filters(n, opening_angle, cl_tt, nl_tt, lmin,
+                                lmax_filter)
+    return jnp.real(
+        lx * lx * (_conv2(lx * lx * C * C * F, F, n)
+                   + _conv2(lx * C * F, lx * C * F, n))
+        + 2.0 * lx * ly * (_conv2(lx * ly * C * C * F, F, n)
+                           + _conv2(lx * C * F, ly * C * F, n))
+        + ly * ly * (_conv2(ly * ly * C * C * F, F, n)
+                     + _conv2(ly * C * F, ly * C * F, n))) / lbox2
+
+
+@partial(jax.jit, static_argnames=("lmin", "lmax_filter"))
+def _qe_tt_impl(t_map, opening_angle, cl_tt, nl_tt, R, lmin: int,
+                lmax_filter: int):
+    n = t_map.shape[-1]
+    pix2 = (opening_angle / n) ** 2
+    lbox2 = opening_angle ** 2
+    lx, ly, lm, C, F = _filters(n, opening_angle, cl_tt, nl_tt, lmin,
+                                lmax_filter)
 
     tl = pix2 * jnp.fft.fft2(t_map)          # physical T(l)
     tb = F * tl
@@ -148,13 +162,6 @@ def _qe_tt_impl(t_map, opening_angle, cl_tt, nl_tt, lmin: int,
     gl2 = _conv2(tb, 1j * ly * C * tb, n)
     phi_un = 1j * (lx * gl1 + ly * gl2) / lbox2
 
-    R = jnp.real(
-        lx * lx * (_conv2(lx * lx * C * C * F, F, n)
-                   + _conv2(lx * C * F, lx * C * F, n))
-        + 2.0 * lx * ly * (_conv2(lx * ly * C * C * F, F, n)
-                           + _conv2(lx * C * F, ly * C * F, n))
-        + ly * ly * (_conv2(ly * ly * C * C * F, F, n)
-                     + _conv2(ly * C * F, ly * C * F, n))) / lbox2
     ok = R > (jnp.max(R) * 1e-8)
     phi_hat = jnp.where(ok, phi_un / jnp.where(ok, R, 1.0), 0.0)
     kap_l = 0.5 * lm * lm * phi_hat
@@ -163,8 +170,23 @@ def _qe_tt_impl(t_map, opening_angle, cl_tt, nl_tt, lmin: int,
     return kap_map, n0_kappa
 
 
+def qe_tt_response(n: int, opening_angle, cl_tt, nl_tt=None,
+                   lmin: int = 2, lmax_filter: Optional[int] = None):
+    """The (data-independent) QE response grid R(L) = 1/N0_phi — compute
+    once and pass to qe_tt_kappa(response=...) in Monte-Carlo loops
+    (N0 / mean-field / RDN0 ensembles): R is ~3/4 of a single call's
+    FFT work."""
+    cl_tt = jnp.asarray(cl_tt, jnp.float32)
+    if nl_tt is None:
+        nl_tt = jnp.zeros_like(cl_tt)
+    L = int(cl_tt.shape[0] - 1) if lmax_filter is None else lmax_filter
+    return _qe_response_impl(float(opening_angle), cl_tt,
+                             jnp.asarray(nl_tt, jnp.float32), int(n),
+                             int(lmin), L)
+
+
 def qe_tt_kappa(t_map, opening_angle, cl_tt, nl_tt=None, lmin: int = 2,
-                lmax_filter: Optional[int] = None
+                lmax_filter: Optional[int] = None, response=None
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """TT quadratic-estimator convergence reconstruction.
 
@@ -177,6 +199,8 @@ def qe_tt_kappa(t_map, opening_angle, cl_tt, nl_tt=None, lmin: int = 2,
       nl_tt: optional noise spectrum (same layout); None = noiseless.
       lmin, lmax_filter: multipole band of the inverse-variance filter
         (default lmax_filter: the end of cl_tt).
+      response: optional precomputed qe_tt_response grid for the SAME
+        filter configuration (skips recomputing it per call).
 
     Returns (kappa_hat map (n, n), N0_kappa grid (n, n) — the Gaussian
     reconstruction-noise power of kappa_hat at each FFT mode, exact on
@@ -185,15 +209,20 @@ def qe_tt_kappa(t_map, opening_angle, cl_tt, nl_tt=None, lmin: int = 2,
     cl_tt = jnp.asarray(cl_tt, jnp.float32)
     if nl_tt is None:
         nl_tt = jnp.zeros_like(cl_tt)
+    nl_tt = jnp.asarray(nl_tt, jnp.float32)
     L = int(cl_tt.shape[0] - 1) if lmax_filter is None else lmax_filter
-    return _qe_tt_impl(t_map, float(opening_angle), cl_tt,
-                       jnp.asarray(nl_tt, jnp.float32), int(lmin), L)
+    if response is None:
+        response = _qe_response_impl(float(opening_angle), cl_tt, nl_tt,
+                                     int(t_map.shape[-1]), int(lmin), L)
+    return _qe_tt_impl(t_map, float(opening_angle), cl_tt, nl_tt,
+                       response, int(lmin), L)
 
 
 def qe_tt_n0_kappa(n: int, opening_angle, cl_tt, nl_tt=None,
                    lmin: int = 2, lmax_filter: Optional[int] = None):
     """N0 reconstruction-noise grid alone (no data needed)."""
-    z = jnp.zeros((n, n), jnp.float32)
-    _, n0 = qe_tt_kappa(z, opening_angle, cl_tt, nl_tt=nl_tt, lmin=lmin,
-                        lmax_filter=lmax_filter)
-    return n0
+    R = qe_tt_response(n, opening_angle, cl_tt, nl_tt=nl_tt, lmin=lmin,
+                       lmax_filter=lmax_filter)
+    lm = _l_grids(n, float(opening_angle))[2]
+    ok = R > (jnp.max(R) * 1e-8)
+    return jnp.where(ok, 0.25 * lm ** 4 / jnp.where(ok, R, 1.0), 0.0)

@@ -234,13 +234,13 @@ def _fold_block(m0, tab: Spin2LargeTables, lmax: int, blk_rows):
     return gp_re, gp_im, gm_re, gm_im
 
 
-def _fold_coeffs(tab: Spin2LargeTables, lmax: int, e_re, e_im, b_re,
-                 b_im):
+def _fold_coeffs_generic(tab, lmax: int, e_re, e_im, b_re, b_im,
+                         fold_block):
     """(gp_re, gp_im, gm_re, gm_im) ring coefficients, (lmax+1, nring).
 
     gp_m multiplies e^{+im phi}, gm_m multiplies e^{-im phi} (m > 0);
     the (-1)^m reality factors cancel exactly as in ops/sht_spin.py.
-    """
+    Spin enters only through `fold_block` (and the tables)."""
     nb = -(-(lmax + 1) // _MBLOCK)
     pad = nb * _MBLOCK - (lmax + 1)
     rows = tuple(jnp.pad(a, ((0, 0), (0, pad)))
@@ -249,10 +249,16 @@ def _fold_coeffs(tab: Spin2LargeTables, lmax: int, e_re, e_im, b_re,
     for blk in range(nb):
         blk_rows = tuple(r[:, blk * _MBLOCK:(blk + 1) * _MBLOCK]
                          for r in rows)
-        for acc, g in zip(gs, _fold_block(blk * _MBLOCK, tab, lmax,
-                                          blk_rows)):
+        for acc, g in zip(gs, fold_block(blk * _MBLOCK, tab, lmax,
+                                         blk_rows)):
             acc.append(g)
     return tuple(jnp.concatenate(x)[: lmax + 1] for x in gs)
+
+
+def _fold_coeffs(tab: Spin2LargeTables, lmax: int, e_re, e_im, b_re,
+                 b_im):
+    return _fold_coeffs_generic(tab, lmax, e_re, e_im, b_re, b_im,
+                                _fold_block)
 
 
 def _cap_complex_apply(qc, qs, tab: Spin2LargeTables, lmax: int,
@@ -400,11 +406,11 @@ def _alm_masks(lmax: int, npix: int, lmin: int = 2):
     return vre, vim
 
 
-@partial(jax.jit, static_argnames=("nside", "lmax"))
-def _adjoint_spin2_large_impl(q, u, tab: Spin2LargeTables, nside: int,
-                              lmax: int):
+def _adjoint_generic(q, u, tab, nside: int, lmax: int, adjoint_block,
+                     lmin: int):
     """Quadrature adjoint (the exact transpose with 4pi/npix + m>0 halves
-    folded in, the same normalization as sht_spin._adjoint_spin2)."""
+    folded in, the same normalization as sht_spin._adjoint_spin2).
+    Spin enters only through `adjoint_block`, the tables and lmin."""
     npix = q.shape[0]
     dgs = _spin_quadrature_sums(q, u, tab, nside, lmax)
 
@@ -414,14 +420,21 @@ def _adjoint_spin2_large_impl(q, u, tab: Spin2LargeTables, nside: int,
     outs = [[], [], [], []]
     for blk in range(nb):
         sl = slice(blk * _MBLOCK, (blk + 1) * _MBLOCK)
-        chunk = _adjoint_block(blk * _MBLOCK, tab, lmax,
-                               tuple(pp[sl] for pp in pads))
+        chunk = adjoint_block(blk * _MBLOCK, tab, lmax,
+                              tuple(pp[sl] for pp in pads))
         for acc, c in zip(outs, chunk):
             acc.append(c)
     der, dei, dbr, dbi = (jnp.concatenate(x, axis=1)[:, : lmax + 1]
                           for x in outs)
-    vre, vim = _alm_masks(lmax, npix)
+    vre, vim = _alm_masks(lmax, npix, lmin=lmin)
     return der * vre, dei * vim, dbr * vre, dbi * vim
+
+
+@partial(jax.jit, static_argnames=("nside", "lmax"))
+def _adjoint_spin2_large_impl(q, u, tab: Spin2LargeTables, nside: int,
+                              lmax: int):
+    return _adjoint_generic(q, u, tab, nside, lmax, _adjoint_block,
+                            lmin=2)
 
 
 def synthesize_spin2_large(e_re, e_im, b_re, b_im, nside: int, lmax: int,
@@ -435,10 +448,10 @@ def synthesize_spin2_large(e_re, e_im, b_re, b_im, nside: int, lmax: int,
         tab, nside, lmax)
 
 
-def analyze_spin2_large(q, u, nside: int, lmax: int, niter: int = 3,
-                        tables: Optional[Spin2LargeTables] = None,
-                        method: str = "auto"):
-    """(Q, U) maps -> (E_re, E_im, B_re, B_im) at large lmax.
+def _analyze_spin_generic(q, u, nside: int, lmax: int, niter: int,
+                          method: str, tab, synth_impl, adjoint_impl):
+    """Shared jacobi/cg analysis driver (spin enters only through the
+    impl pair and tables).
 
     method as in sht_large.analyze_large: 'jacobi' residual iterations,
     'cg' the symmetrized normal-equations solve (the adjoint's m>0
@@ -451,12 +464,11 @@ def analyze_spin2_large(q, u, nside: int, lmax: int, niter: int = 3,
         raise ValueError(f"method must be 'auto', 'cg' or 'jacobi', got "
                          f"{method!r}")  # typos must not silently run
     # jacobi in the super-Nyquist band where it is badly biased
-    tab = tables if tables is not None else spin2_large_tables(nside, lmax)
     q = jnp.asarray(q, jnp.float32)
     u = jnp.asarray(u, jnp.float32)
     if method == "auto":
         method = "cg" if lmax > 2 * nside else "jacobi"
-    b = _adjoint_spin2_large_impl(q, u, tab, nside, lmax)
+    b = adjoint_impl(q, u, tab, nside, lmax)
     if method == "cg" and niter > 0:
         from jax.scipy.sparse.linalg import cg
 
@@ -467,18 +479,28 @@ def analyze_spin2_large(q, u, nside: int, lmax: int, niter: int = 3,
             return tuple(a * unhalf for a in t)
 
         def matvec(a):
-            return mul(_adjoint_spin2_large_impl(
-                *_synth_spin2_large_impl(*a, tab, nside, lmax), tab,
-                nside, lmax))
+            return mul(adjoint_impl(
+                *synth_impl(*a, tab, nside, lmax), tab, nside, lmax))
 
         alm, _ = cg(matvec, mul(b), x0=b, maxiter=niter)
         return alm
     alm = b
     for _ in range(niter):
-        sq, su = _synth_spin2_large_impl(*alm, tab, nside, lmax)
-        d = _adjoint_spin2_large_impl(q - sq, u - su, tab, nside, lmax)
+        sq, su = synth_impl(*alm, tab, nside, lmax)
+        d = adjoint_impl(q - sq, u - su, tab, nside, lmax)
         alm = tuple(a + da for a, da in zip(alm, d))
     return alm
+
+
+def analyze_spin2_large(q, u, nside: int, lmax: int, niter: int = 3,
+                        tables: Optional[Spin2LargeTables] = None,
+                        method: str = "auto"):
+    """(Q, U) maps -> (E_re, E_im, B_re, B_im) at large lmax
+    (see _analyze_spin_generic for the method semantics)."""
+    tab = tables if tables is not None else spin2_large_tables(nside, lmax)
+    return _analyze_spin_generic(q, u, nside, lmax, niter, method, tab,
+                                 _synth_spin2_large_impl,
+                                 _adjoint_spin2_large_impl)
 
 
 def anafast_spin2_large(q, u, lmax: int, niter: int = 3,
@@ -573,18 +595,8 @@ def _fold_block_spin1(m0, tab: Spin1LargeTables, lmax: int, blk_rows):
 
 def _fold_coeffs_spin1(tab: Spin1LargeTables, lmax: int, e_re, e_im,
                        b_re, b_im):
-    nb = -(-(lmax + 1) // _MBLOCK)
-    pad = nb * _MBLOCK - (lmax + 1)
-    rows = tuple(jnp.pad(a, ((0, 0), (0, pad)))
-                 for a in (e_re, e_im, b_re, b_im))
-    gs = [[], [], [], []]
-    for blk in range(nb):
-        blk_rows = tuple(r[:, blk * _MBLOCK:(blk + 1) * _MBLOCK]
-                         for r in rows)
-        for acc, g in zip(gs, _fold_block_spin1(blk * _MBLOCK, tab,
-                                                lmax, blk_rows)):
-            acc.append(g)
-    return tuple(jnp.concatenate(x)[: lmax + 1] for x in gs)
+    return _fold_coeffs_generic(tab, lmax, e_re, e_im, b_re, b_im,
+                                _fold_block_spin1)
 
 
 @partial(jax.jit, static_argnames=("nside", "lmax"))
@@ -614,22 +626,8 @@ def _adjoint_block_spin1(m0, tab: Spin1LargeTables, lmax: int,
 @partial(jax.jit, static_argnames=("nside", "lmax"))
 def _adjoint_spin1_large_impl(a_t, a_p, tab: Spin1LargeTables,
                               nside: int, lmax: int):
-    npix = a_t.shape[0]
-    dgs = _spin_quadrature_sums(a_t, a_p, tab, nside, lmax)
-    nb = -(-(lmax + 1) // _MBLOCK)
-    pad_m = nb * _MBLOCK - (lmax + 1)
-    pads = tuple(jnp.pad(a, ((0, pad_m), (0, 0))) for a in dgs)
-    outs = [[], [], [], []]
-    for blk in range(nb):
-        sl = slice(blk * _MBLOCK, (blk + 1) * _MBLOCK)
-        chunk = _adjoint_block_spin1(blk * _MBLOCK, tab, lmax,
-                                     tuple(pp[sl] for pp in pads))
-        for acc, c in zip(outs, chunk):
-            acc.append(c)
-    der, dei, dbr, dbi = (jnp.concatenate(x, axis=1)[:, : lmax + 1]
-                          for x in outs)
-    vre, vim = _alm_masks(lmax, npix, lmin=1)
-    return der * vre, dei * vim, dbr * vre, dbi * vim
+    return _adjoint_generic(a_t, a_p, tab, nside, lmax,
+                            _adjoint_block_spin1, lmin=1)
 
 
 def synthesize_spin1_large(e_re, e_im, b_re, b_im, nside: int, lmax: int,
@@ -649,38 +647,10 @@ def analyze_spin1_large(a_t, a_p, nside: int, lmax: int, niter: int = 3,
                         method: str = "auto"):
     """(alpha_theta, alpha_phi) maps -> (E_re, E_im, B_re, B_im) at
     large lmax (method semantics as analyze_spin2_large)."""
-    if method not in ("auto", "cg", "jacobi"):
-        raise ValueError(f"method must be 'auto', 'cg' or 'jacobi', got "
-                         f"{method!r}")
     tab = tables if tables is not None else spin1_large_tables(nside, lmax)
-    a_t = jnp.asarray(a_t, jnp.float32)
-    a_p = jnp.asarray(a_p, jnp.float32)
-    if method == "auto":
-        method = "cg" if lmax > 2 * nside else "jacobi"
-    b = _adjoint_spin1_large_impl(a_t, a_p, tab, nside, lmax)
-    if method == "cg" and niter > 0:
-        from jax.scipy.sparse.linalg import cg
-
-        mg = jnp.arange(lmax + 1)[None, :]
-        unhalf = jnp.where(mg == 0, 1.0, 2.0).astype(jnp.float32)
-
-        def mul(t):
-            return tuple(a * unhalf for a in t)
-
-        def matvec(a):
-            return mul(_adjoint_spin1_large_impl(
-                *_synth_spin1_large_impl(*a, tab, nside, lmax), tab,
-                nside, lmax))
-
-        alm, _ = cg(matvec, mul(b), x0=b, maxiter=niter)
-        return alm
-    alm = b
-    for _ in range(niter):
-        st, sp = _synth_spin1_large_impl(*alm, tab, nside, lmax)
-        d = _adjoint_spin1_large_impl(a_t - st, a_p - sp, tab, nside,
-                                      lmax)
-        alm = tuple(a + da for a, da in zip(alm, d))
-    return alm
+    return _analyze_spin_generic(a_t, a_p, nside, lmax, niter, method,
+                                 tab, _synth_spin1_large_impl,
+                                 _adjoint_spin1_large_impl)
 
 
 def deflection_from_kappa_alm_large(k_re, k_im, nside: int, lmax: int,

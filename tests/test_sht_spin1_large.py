@@ -161,3 +161,22 @@ def test_lens_cmb_from_kappa_facade(rng):
     finally:
         shp._TABLE_LMAX_LIMIT = old
     npt.assert_allclose(lensed_large, lensed_tab, atol=2e-4)
+
+
+def test_lens_cmb_from_kappa_super_nyquist_routing(rng):
+    """lmax > 2*nside routes the kappa analysis through the CG solve
+    (plain adjoint is documented-biased there) — mixed routing runs and
+    stays finite/sane."""
+    from astrild_tpu.models.skyhealpix import SkyHealpix
+
+    nside = 16
+    npix = hpx.nside2npix(nside)
+    theta, _ = hpx.pix2ang_ring(nside, np.arange(npix))
+    cmb = np.cos(3 * theta).astype(np.float32)
+    kap = (0.01 * np.cos(theta)).astype(np.float32)
+    sky = SkyHealpix.from_array(np.zeros(npix, np.float32))
+    out = sky.lens_cmb_from_kappa(cmb, kap, lmax=3 * nside)
+    ref = sky.lens_cmb_from_kappa(cmb, kap, lmax=8)
+    assert np.all(np.isfinite(out))
+    # the kappa is pure l=1: both band limits must agree closely
+    npt.assert_allclose(out, ref, atol=2e-3)
