@@ -1,5 +1,6 @@
 """Flat-sky CMB lensing: forward simulation and quadratic-estimator
-reconstruction (Hu & Okamoto 2002, TT), discrete-exact on the DFT grid.
+reconstruction (Hu & Okamoto 2002, TT and EB), discrete-exact on the
+DFT grid.
 
 Beyond the reference: its CMB surface stops at ADDING Gaussian CMB
 realizations to lensing maps for the ISW-RS dipole science
@@ -52,7 +53,7 @@ import numpy as np
 from .raytrace import _interp_periodic
 
 __all__ = ["lens_cmb_map_flat", "qe_tt_kappa", "qe_tt_n0_kappa",
-           "qe_tt_response"]
+           "qe_tt_response", "qe_eb_kappa"]
 
 
 def _l_grids(n: int, opening_angle: float):
@@ -226,3 +227,127 @@ def qe_tt_n0_kappa(n: int, opening_angle, cl_tt, nl_tt=None,
     lm = _l_grids(n, float(opening_angle))[2]
     ok = R > (jnp.max(R) * 1e-8)
     return jnp.where(ok, 0.25 * lm ** 4 / jnp.where(ok, R, 1.0), 0.0)
+
+
+# --------------------------------------------------------------------
+# EB polarization estimator
+# --------------------------------------------------------------------
+
+def _trig2(n: int):
+    """(cos 2phi_l, sin 2phi_l) grids (same rotation home as
+    ops.angular_power.shear_eb_maps)."""
+    f = jnp.fft.fftfreq(n) * n
+    l1 = f[:, None]
+    l2 = f[None, :]
+    l2mag = l1 ** 2 + l2 ** 2
+    safe = jnp.where(l2mag == 0.0, 1.0, l2mag)
+    cos2 = jnp.where(l2mag == 0.0, 1.0, (l1 ** 2 - l2 ** 2) / safe)
+    sin2 = jnp.where(l2mag == 0.0, 0.0, 2.0 * l1 * l2 / safe)
+    return cos2, sin2
+
+
+def _eb_quad_sum(n, lx, ly, C, wE, wB, cos2, sin2):
+    """sum_l1 (L.l1)^2 C_l1^2 sin^2(2 dphi) wE(l1) wB(l2) via linear
+    convolutions: sin^2 = 1/2 - (cos4 cos4 + sin4 sin4)/2 with
+    cos4 = 2 cos2^2 - 1, sin4 = 2 sin2 cos2."""
+    cos4 = 2.0 * cos2 * cos2 - 1.0
+    sin4 = 2.0 * sin2 * cos2
+    out = 0.0
+    for Li, Lj, wij in ((lx, lx, lx * lx), (lx, ly, 2.0 * lx * ly),
+                        (ly, ly, ly * ly)):
+        base = Li * Lj * C * C * wE
+        out = out + wij * jnp.real(
+            0.5 * _conv2(base, wB, n)
+            - 0.5 * _conv2(base * cos4, wB * cos4, n)
+            - 0.5 * _conv2(base * sin4, wB * sin4, n))
+    return out
+
+
+@partial(jax.jit, static_argnames=("lmin", "lmax_filter"))
+def _qe_eb_impl(q_map, u_map, opening_angle, cl_ee, nl_ee, nl_bb,
+                lmin: int, lmax_filter: int):
+    n = q_map.shape[-1]
+    pix2 = (opening_angle / n) ** 2
+    lbox2 = opening_angle ** 2
+    lx, ly, lm = _l_grids(n, opening_angle)
+    cos2, sin2 = _trig2(n)
+    C = _interp_cl(cl_ee, lm)
+    NE = _interp_cl(nl_ee, lm)
+    NB = _interp_cl(nl_bb, lm)
+    band = (lm >= lmin) & (lm <= lmax_filter)
+    FE = jnp.where(band & (C + NE > 0),
+                   1.0 / jnp.where(C + NE > 0, C + NE, 1.0), 0.0)
+    # fiducial C_BB = 0: the B filter is 1/N_BB (inverse-variance); a
+    # zero noise spectrum degrades to a white band filter — still an
+    # unbiased estimator (the response uses the same weights), just not
+    # minimum-variance, and N0 below is computed for the ACTUAL filters
+    FB = jnp.where(band, jnp.where(NB > 0, 1.0 / jnp.where(NB > 0, NB,
+                                                           1.0), 1.0),
+                   0.0)
+
+    ql = pix2 * jnp.fft.fft2(q_map)
+    ul = pix2 * jnp.fft.fft2(u_map)
+    El = cos2 * ql + sin2 * ul
+    Bl = -sin2 * ql + cos2 * ul
+    Eb = FE * El
+    Bb = FB * Bl
+
+    # phi_un(L) = (1/Lbox^2) sum_l1 (L.l1) C_l1 sin(2(phi1-phi2))
+    #             Ebar(l1) Bbar(l2)
+    phi_un = 0.0
+    for Li, wi in ((lx, lx), (ly, ly)):
+        phi_un = phi_un + wi * (
+            _conv2(Li * C * sin2 * Eb, cos2 * Bb, n)
+            - _conv2(Li * C * cos2 * Eb, sin2 * Bb, n))
+    phi_un = -phi_un / lbox2   # sign pinned by the MC cross-correlation
+
+    R = _eb_quad_sum(n, lx, ly, C, FE, FB, cos2, sin2) / lbox2
+    # Gaussian noise of the NORMALIZED estimator for the actual
+    # (possibly suboptimal) filters:
+    # N0 = sum f^2 FE^2 FB^2 C^tot_E C^tot_B / R^2
+    # analytically >= 0 (a sum of f^2 with positive weights); clamp the
+    # f32 convolution roundoff negatives at unsupported modes
+    var_un = jnp.maximum(_eb_quad_sum(n, lx, ly, C, FE * FE * (C + NE),
+                                      FB * FB * NB, cos2, sin2),
+                         0.0) / lbox2
+    ok = R > (jnp.max(R) * 1e-8)
+    Rsafe = jnp.where(ok, R, 1.0)
+    phi_hat = jnp.where(ok, phi_un / Rsafe, 0.0)
+    kap_l = 0.5 * lm * lm * phi_hat
+    kap_map = jnp.real(jnp.fft.ifft2(kap_l)) / pix2
+    n0_kappa = jnp.where(ok, 0.25 * lm ** 4 * var_un / (Rsafe * Rsafe),
+                         0.0)
+    return kap_map, n0_kappa
+
+
+def qe_eb_kappa(q_map, u_map, opening_angle, cl_ee, nl_ee=None,
+                nl_bb=None, lmin: int = 2,
+                lmax_filter: Optional[int] = None
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """EB quadratic-estimator convergence reconstruction (the
+    highest-S/N polarization channel; Hu & Okamoto 2002 with fiducial
+    C_BB = 0, same discrete-exact linear-convolution normalization as
+    qe_tt_kappa).
+
+    Args:
+      q_map, u_map: (n, n) observed Stokes patches (gamma1/gamma2
+        layout of ops.angular_power.shear_eb_maps).
+      cl_ee: fiducial EE spectrum by integer ell (gradient weight).
+      nl_ee, nl_bb: noise spectra; the B filter is 1/nl_bb
+        (inverse-variance). nl_bb=None degrades to a white band filter
+        — unbiased but not minimum-variance; the returned N0 then
+        accounts for the actual filters ONLY through the noise term
+        (pass the lensing-B power as part of nl_bb for a complete N0).
+
+    Returns (kappa_hat map, N0_kappa grid)."""
+    q_map = jnp.asarray(q_map, jnp.float32)
+    u_map = jnp.asarray(u_map, jnp.float32)
+    cl_ee = jnp.asarray(cl_ee, jnp.float32)
+    if nl_ee is None:
+        nl_ee = jnp.zeros_like(cl_ee)
+    if nl_bb is None:
+        nl_bb = jnp.zeros_like(cl_ee)
+    L = int(cl_ee.shape[0] - 1) if lmax_filter is None else lmax_filter
+    return _qe_eb_impl(q_map, u_map, float(opening_angle), cl_ee,
+                       jnp.asarray(nl_ee, jnp.float32),
+                       jnp.asarray(nl_bb, jnp.float32), int(lmin), L)

@@ -151,3 +151,89 @@ def test_qe_noise_spectrum_raises_n0():
     assert ok.sum() > 100
     assert np.all(n0b[ok] >= n0a[ok] * 0.999)
     assert np.mean(n0b[ok] / n0a[ok]) > 1.5
+
+
+def _qu_from_e(key, cl_ee):
+    """Pure-E Stokes maps (B identically zero)."""
+    rng = np.random.default_rng(key)
+    w = rng.standard_normal((N, N))
+    lx = np.fft.fftfreq(N)[:, None] * N * LF
+    ly = np.fft.fftfreq(N)[None, :] * N * LF
+    lm = np.hypot(lx, ly)
+    l2 = lx ** 2 + ly ** 2
+    safe = np.where(l2 == 0, 1, l2)
+    cos2 = np.where(l2 == 0, 1, (lx ** 2 - ly ** 2) / safe)
+    sin2 = np.where(l2 == 0, 0, 2 * lx * ly / safe)
+    c = np.interp(lm, np.arange(len(cl_ee)), cl_ee, left=0, right=0)
+    ek = np.fft.fft2(w) * np.sqrt(c) / PIX
+    q = np.real(np.fft.ifft2(cos2 * ek)).astype(np.float32)
+    u = np.real(np.fft.ifft2(sin2 * ek)).astype(np.float32)
+    return q, u
+
+
+def _cl_ee():
+    ell = np.arange(LMAX + 1, dtype=np.float64)
+    cl = np.zeros(LMAX + 1)
+    cl[2:] = 4e-11 / (ell[2:] * (ell[2:] + 1.0)) \
+        * np.exp(-(ell[2:] / 2000.0) ** 2)
+    return cl
+
+
+def test_qe_eb_unlensed_null():
+    """Pure-E unlensed sky: B is zero up to float32 roundoff, so the EB
+    reconstruction is at the numerical-noise floor — orders of magnitude
+    below a lensed reconstruction of the same sky (the systematics-free
+    null channel)."""
+    cl = _cl_ee()
+    q, u = _qu_from_e(5, cl)
+    null, _ = cml.qe_eb_kappa(q, u, FOV, cl, lmin=40, lmax_filter=600)
+    x = np.arange(N) * PIX
+    kap = (3e-3 * np.cos(6 * LF * x)[:, None] * np.ones((1, N))
+           ).astype(np.float32)
+    ql = np.asarray(cml.lens_cmb_map_flat(q, kap, FOV))
+    ul = np.asarray(cml.lens_cmb_map_flat(u, kap, FOV))
+    lensed, _ = cml.qe_eb_kappa(ql, ul, FOV, cl, lmin=40,
+                                lmax_filter=600)
+    assert np.std(np.asarray(null)) < 0.05 * np.std(np.asarray(lensed))
+
+
+def test_qe_eb_pure_mode_response_unit():
+    """Ensemble-mean EB reconstruction of a pure kappa mode is
+    unit-normalized. The forward remap's bilinear transfer damps the
+    generated B modes a few percent (measured 4-9% growing with
+    lmax_filter*pix) — a forward-model property, so the band is kept
+    conservative and the tolerance reflects it."""
+    cl = _cl_ee()
+    x = np.arange(N) * PIX
+    A = 3e-3
+    L0 = 6 * LF
+    kap = (A * np.cos(L0 * x)[:, None] * np.ones((1, N))
+           ).astype(np.float32)
+    acc = 0.0
+    for r in range(12):
+        q, u = _qu_from_e(700 + r, cl)
+        ql = np.asarray(cml.lens_cmb_map_flat(q, kap, FOV))
+        ul = np.asarray(cml.lens_cmb_map_flat(u, kap, FOV))
+        k1 = np.asarray(cml.qe_eb_kappa(ql, ul, FOV, cl, lmin=40,
+                                        lmax_filter=600)[0])
+        k0 = np.asarray(cml.qe_eb_kappa(q, u, FOV, cl, lmin=40,
+                                        lmax_filter=600)[0])
+        acc = acc + (k1 - k0)
+    acc /= 12
+    proj = 2 * np.mean(acc * np.cos(L0 * x)[:, None]) / A
+    assert abs(proj - 1.0) < 0.12, proj
+
+
+def test_qe_eb_n0_zero_without_noise_and_positive_with():
+    """Gaussian N0 of the EB estimator vanishes for noiseless pure-E
+    skies (no Gaussian B power) and is positive with a B noise floor."""
+    cl = _cl_ee()
+    q, u = _qu_from_e(6, cl)
+    _, n0a = cml.qe_eb_kappa(q, u, FOV, cl, lmin=40, lmax_filter=600)
+    assert float(np.abs(np.asarray(n0a)).max()) == 0.0
+    nl = np.full(LMAX + 1, 1e-13)
+    _, n0b = cml.qe_eb_kappa(q, u, FOV, cl, nl_bb=nl, lmin=40,
+                             lmax_filter=600)
+    n0b = np.asarray(n0b)
+    assert n0b.max() > 0
+    assert np.all(n0b >= 0)
