@@ -53,7 +53,7 @@ import numpy as np
 from .raytrace import _interp_periodic
 
 __all__ = ["lens_cmb_map_flat", "qe_tt_kappa", "qe_tt_n0_kappa",
-           "qe_tt_response", "qe_eb_kappa"]
+           "qe_tt_response", "qe_eb_kappa", "qe_tt_kappa_healpix"]
 
 
 def _l_grids(n: int, opening_angle: float):
@@ -351,3 +351,117 @@ def qe_eb_kappa(q_map, u_map, opening_angle, cl_ee, nl_ee=None,
     return _qe_eb_impl(q_map, u_map, float(opening_angle), cl_ee,
                        jnp.asarray(nl_ee, jnp.float32),
                        jnp.asarray(nl_bb, jnp.float32), int(lmin), L)
+
+
+# --------------------------------------------------------------------
+# curved-sky (HEALPix) TT estimator
+# --------------------------------------------------------------------
+
+def _flat_response_radial(L_values, cl_tt, nl_tt, lmin, lmax_filter,
+                          n_l1: int = 512, n_th: int = 256):
+    """Isotropic flat-sky TT response R(L) = (1/2) int d^2 l1/(2pi)^2
+    f^2 F1 F2 by polar quadrature — the standard flat-sky N0
+    approximation for curved-sky normalization (percent-level for
+    L >> 10)."""
+    cl = np.asarray(cl_tt, np.float64)
+    nl = np.asarray(nl_tt, np.float64)
+    ells = np.arange(cl.size)
+
+    def CF(l):
+        C = np.interp(l, ells, cl, left=0, right=0)
+        Nn = np.interp(l, ells, nl, left=0, right=0)
+        band = (l >= lmin) & (l <= lmax_filter)
+        F = np.where(band & (C + Nn > 0), 1.0 /
+                     np.where(C + Nn > 0, C + Nn, 1.0), 0.0)
+        return C, F
+
+    l1 = np.linspace(max(lmin, 1), lmax_filter, n_l1)
+    th = np.linspace(0, 2 * np.pi, n_th, endpoint=False)
+    ct = np.cos(th)[None, :]
+    C1, F1 = CF(l1)
+    out = np.zeros(len(L_values))
+    for i, L in enumerate(np.asarray(L_values, np.float64)):
+        l1g = l1[:, None]
+        l2x = L - l1g * ct
+        l2y = -l1g * np.sin(th)[None, :]
+        l2 = np.hypot(l2x, l2y)
+        C2, F2 = CF(l2)
+        f = (L * l1g * ct) * C1[:, None] + (L * l2x) * C2
+        integ = f * f * F1[:, None] * F2
+        out[i] = 0.5 * np.trapezoid(
+            np.sum(integ, axis=1) * (2 * np.pi / n_th) * l1,
+            l1) / (2 * np.pi) ** 2
+    return out
+
+
+def qe_tt_kappa_healpix(t_map, cl_tt, nl_tt=None, lmin: int = 2,
+                        lmax_filter: Optional[int] = None,
+                        lmax_out: Optional[int] = None):
+    """Curved-sky TT quadratic estimator: kappa_hat alms from a lensed
+    HEALPix temperature map.
+
+    Machinery is fully native SHT: inverse-variance filtered T-bar map,
+    Wiener-gradient field via the spin-1 synthesis, divergence of their
+    product via the spin-1 analysis ((div V)_lm = -g_l E^V_lm), then the
+    standard isotropic flat-sky response normalizes. The flat
+    approximation is the one approximation in the chain: measured +13%
+    response at (L=20, lmax_filter=120) — a deliberately narrow toy
+    band where multipole discreteness is maximal — shrinking toward the
+    usual percent level for production bands (L >> 10, lmax_filter in
+    the thousands). For precision low-L work calibrate with a
+    Monte-Carlo response (the standard practice), exactly as
+    tests/test_cmb_lensing.py measures it.
+
+    Returns (k_re, k_im, n0_kappa): kappa alms [l, m] layout and the
+    1D N0_kappa(L) of phi_hat/normalization used.
+    """
+    from ..utils import healpix as hpx
+    from . import sht as _sht
+    from . import sht_spin as _ss
+
+    t_map = np.asarray(t_map, np.float32)
+    nside = hpx.npix2nside(t_map.shape[0])
+    cl_tt = np.asarray(cl_tt, np.float64)
+    if nl_tt is None:
+        nl_tt = np.zeros_like(cl_tt)
+    Lf = int(cl_tt.size - 1) if lmax_filter is None else int(lmax_filter)
+    Lo = Lf if lmax_out is None else int(lmax_out)
+    niter = 0 if Lf <= 2 * nside else 3
+    tlm_re, tlm_im = _sht.analyze(t_map, nside, Lf, niter=niter)
+
+    ell = np.arange(Lf + 1, dtype=np.float64)
+    C = np.interp(ell, np.arange(cl_tt.size), cl_tt, left=0, right=0)
+    Nn = np.interp(ell, np.arange(cl_tt.size), np.asarray(nl_tt),
+                   left=0, right=0)
+    band = (ell >= lmin) & (ell <= Lf)
+    F = np.where(band & (C + Nn > 0),
+                 1.0 / np.where(C + Nn > 0, C + Nn, 1.0), 0.0)
+    W = C * F
+    Fj = jnp.asarray(F, jnp.float32)[:, None]
+    Wj = jnp.asarray(W, jnp.float32)[:, None]
+    g = _ss._g_ell(Lf)[:, None]
+
+    tbar = _sht.synthesize(tlm_re * Fj, tlm_im * Fj, nside, Lf)
+    z = jnp.zeros_like(tlm_re)
+    g_t, g_p = _ss.synthesize_spin1(tlm_re * Wj * g, tlm_im * Wj * g,
+                                    z, z, nside, Lf)
+    er, ei, _, _ = _ss.analyze_spin1(tbar * g_t, tbar * g_p, nside, Lo,
+                                     niter=3)
+    # (div V)_lm = -g_l E_lm; flat phi_un(L) = FT[div(W0 G)](L)
+    gout = _ss._g_ell(Lo)[:, None]
+    phi_re = -gout * er
+    phi_im = -gout * ei
+
+    ells_out = np.arange(Lo + 1, dtype=np.float64)
+    R = _flat_response_radial(np.maximum(ells_out, 1.0), cl_tt,
+                              np.asarray(nl_tt), lmin, Lf)
+    ok = R > (R.max() * 1e-8)
+    Rj = jnp.asarray(np.where(ok, R, 1.0), jnp.float32)[:, None]
+    okj = jnp.asarray(ok, jnp.float32)[:, None]
+    kfac = 0.5 * jnp.asarray(ells_out * (ells_out + 1.0),
+                             jnp.float32)[:, None]
+    k_re = okj * kfac * phi_re / Rj
+    k_im = okj * kfac * phi_im / Rj
+    n0_kappa = np.where(ok, 0.25 * (ells_out * (ells_out + 1.0)) ** 2
+                        / np.where(ok, R, 1.0), 0.0)
+    return k_re, k_im, jnp.asarray(n0_kappa, jnp.float32)

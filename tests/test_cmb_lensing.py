@@ -237,3 +237,40 @@ def test_qe_eb_n0_zero_without_noise_and_positive_with():
     n0b = np.asarray(n0b)
     assert n0b.max() > 0
     assert np.all(n0b >= 0)
+
+
+def test_qe_tt_healpix_pure_mode_response():
+    """Curved-sky TT estimator: ensemble-mean reconstruction of a pure
+    kappa alm lands on the input with the flat-normalization envelope
+    (measured +13% at this deliberately narrow toy band — the docstring
+    documents it; the estimator machinery itself is exact)."""
+    import jax
+    from astrild_tpu.models.skyhealpix import SkyHealpix
+    from astrild_tpu.ops import sht
+    from astrild_tpu.utils import healpix as hpx
+
+    nside, Lf = 64, 120
+    ell = np.arange(Lf + 1, dtype=np.float64)
+    cl_tt = np.zeros(Lf + 1)
+    cl_tt[2:] = 1e-10 / (ell[2:] * (ell[2:] + 1.0))
+    npix = hpx.nside2npix(nside)
+    sky = SkyHealpix.from_array(np.zeros(npix, np.float32))
+    L0, A = 20, 2e-2
+    kre = np.zeros((Lf + 1, Lf + 1), np.float32)
+    kre[L0, 0] = A
+    kap = np.asarray(sht.synthesize(kre, np.zeros_like(kre), nside, Lf))
+    acc = 0.0
+    for r in range(10):
+        cmb = np.asarray(sht.synfast(jax.random.PRNGKey(50 + r), cl_tt,
+                                     nside, lmax=Lf))
+        lensed = sky.lens_cmb_from_kappa(cmb, kap, lmax=Lf)
+        k1 = cml.qe_tt_kappa_healpix(lensed.astype(np.float32), cl_tt,
+                                     lmin=10, lmax_filter=Lf,
+                                     lmax_out=40)
+        k0 = cml.qe_tt_kappa_healpix(cmb.astype(np.float32), cl_tt,
+                                     lmin=10, lmax_filter=Lf,
+                                     lmax_out=40)
+        acc = acc + (np.asarray(k1[0]) - np.asarray(k0[0]))
+    acc /= 10
+    ratio = acc[L0, 0] / A
+    assert 0.85 < ratio < 1.4, ratio
