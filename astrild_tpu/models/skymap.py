@@ -254,6 +254,35 @@ class SkyArray:
         centers, counts = peak_ops.peak_counts(img, lo, hi, nbins=nbins)
         return {"kappa": np.asarray(centers), "counts": np.asarray(counts)}
 
+    def minkowski_functionals(self, nbins: int = 32, of: str = "orig",
+                              limits: Optional[tuple] = None) -> dict:
+        """Morphology of excursion sets (area/boundary/genus); the
+        companion statistic to pdf() and wl_peak_counts(). Thresholds in
+        map units, derivatives per radian (see ops/minkowski.py)."""
+        from ..ops import minkowski as mf_ops
+        return mf_ops.minkowski_functionals(
+            self.data[of], nbins=nbins, limits=limits,
+            opening_angle_deg=self._opening_angle)
+
+    def aperture_mass(self, theta_ap_arcmin: float, of: str = "orig",
+                      rtn: bool = True):
+        """Map(theta0) field with the Schneider+98 compensated filter
+        (ops/aperture_mass.py); rtn=False stores it as a 'map_<scale>'
+        layer like filter()."""
+        from ..ops import aperture_mass as map_ops
+        out = map_ops.aperture_mass_map(self.data[of], self._opening_angle,
+                                        theta_ap_arcmin)
+        if rtn:
+            return out
+        self.data[f"{of}_map{theta_ap_arcmin:g}"] = out
+
+    def aperture_mass_moments(self, scales_arcmin, of: str = "orig") -> dict:
+        """<Map^2>, <Map^3>, skewness over aperture scales."""
+        from ..ops import aperture_mass as map_ops
+        return map_ops.aperture_mass_moments(self.data[of],
+                                             self._opening_angle,
+                                             scales_arcmin)
+
     # ------------------------------------------------------------ transforms
     def resize(self, npix: int, of: str = "orig", rtn: bool = False):
         out = jax.image.resize(self.data[of], (npix, npix), method="linear")
