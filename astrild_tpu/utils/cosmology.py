@@ -31,6 +31,16 @@ _N_TABLE = 1024
 _Z_MAX_TABLE = 40.0
 
 
+def _concrete_zero(x) -> bool:
+    """True iff x is a compile-time-known zero. Traced values (Fisher
+    derivatives through Cosmology(**params)) always take the general
+    path — the zero fast paths are trace-unsafe shortcuts only."""
+    try:
+        return bool(x == 0.0)
+    except jax.errors.TracerBoolConversionError:
+        return False
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class Cosmology:
@@ -84,27 +94,33 @@ class Cosmology:
 
     # ---------------------------------------------------------------- pytree
     def tree_flatten(self):
+        # Numeric parameters are LEAVES (not aux metadata) so a Cosmology
+        # built from traced values — jax.jacfwd through Cosmology(**p) for
+        # Fisher forecasts (ops/forecast.py), vmap over parameter grids —
+        # can cross jit boundaries. Only genuinely-static model switches
+        # stay aux. Bonus: one compilation now serves every parameter
+        # value instead of re-tracing per (Om0, sigma8, ...) tuple.
         leaves = (
+            self.Om0, self.Ob0, self.h, self.ns, self.sigma8, self.w0,
+            self.wa, self.Tcmb, self.mu0, self.fR0, self.fR_n,
             self._z_tab,
             self._chi_tab,
             self._lna_tab,
             self._lnD_tab,
             self._f_tab,
         )
-        aux = (self.Om0, self.Ob0, self.h, self.ns, self.sigma8, self.w0,
-               self.wa, self.Tcmb, self.mu0, self.mu_model, self.fR0,
-               self.fR_n)
+        aux = (self.mu_model,)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        (Om0, Ob0, h, ns, sigma8, w0, wa, Tcmb, mu0, mu_model, fR0,
-         fR_n) = aux
+        (Om0, Ob0, h, ns, sigma8, w0, wa, Tcmb, mu0, fR0, fR_n,
+         z_tab, chi_tab, lna_tab, lnD_tab, f_tab) = leaves
         return cls(Om0=Om0, Ob0=Ob0, h=h, ns=ns, sigma8=sigma8, w0=w0,
-                   wa=wa, Tcmb=Tcmb, mu0=mu0, mu_model=mu_model, fR0=fR0,
+                   wa=wa, Tcmb=Tcmb, mu0=mu0, mu_model=aux[0], fR0=fR0,
                    fR_n=fR_n,
-                   _z_tab=leaves[0], _chi_tab=leaves[1],
-                   _lna_tab=leaves[2], _lnD_tab=leaves[3], _f_tab=leaves[4])
+                   _z_tab=z_tab, _chi_tab=chi_tab,
+                   _lna_tab=lna_tab, _lnD_tab=lnD_tab, _f_tab=f_tab)
 
     # ----------------------------------------------------------- background
     @property
@@ -215,7 +231,7 @@ class Cosmology:
         the analytic derivative of the integral expression. With mu0 != 0
         the ODE path (_build_growth_table_ode) is used instead.
         """
-        if self.mu0 != 0.0:
+        if not _concrete_zero(self.mu0):
             return self._build_growth_table_ode()
         lna = jnp.linspace(jnp.log(_A_MIN), 0.0, _N_TABLE)
         a = jnp.exp(lna)
@@ -267,7 +283,7 @@ class Cosmology:
         reference post-processes are for); this is the theory anchor for
         their fifth-force P(k) ratios.
         """
-        if self.fR0 == 0.0:
+        if _concrete_zero(self.fR0):
             return jnp.zeros(jnp.broadcast_shapes(jnp.shape(a),
                                                   jnp.shape(k)))
         k2 = jnp.asarray(k) ** 2.0

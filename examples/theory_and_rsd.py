@@ -86,4 +86,13 @@ with stage("multi-plane ray tracing"):
              float(born.data["orig"].std()), dk,
              float(rt.data["omega"].std()))
 
+# ------------------------------- 5. autodiff Fisher survey forecast
+with stage("tomographic shear Fisher (autodiff)"):
+    from astrild_tpu.ops.forecast import shear_fisher
+    res = shear_fisher(np.geomspace(100, 2000, 10),
+                       {"Om0": cosmo.Om0, "sigma8": cosmo.sigma8},
+                       z_sources=[0.6, 1.0, 1.6], fsky=0.36, nchi=128)
+    log.info("1-sigma marginalized: %s",
+             dict(zip(res["names"], np.round(res["marginalized"], 5))))
+
 log.info("theory_and_rsd example complete")
