@@ -1,0 +1,59 @@
+"""HMC sampling: exact-target recovery and Fisher consistency."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from astrild_tpu.ops.forecast import shear_fisher, tomographic_shear_cls
+from astrild_tpu.ops.inference import hmc_sample, shear_log_posterior
+from astrild_tpu.utils.cosmology import Cosmology
+
+
+def test_hmc_recovers_correlated_gaussian():
+    cov = jnp.asarray([[1.0, 0.6], [0.6, 1.0]])
+    icov = jnp.linalg.inv(cov)
+
+    def logp(x):
+        return -0.5 * x @ icov @ x
+
+    res = hmc_sample(jax.random.PRNGKey(0), logp, jnp.zeros(2),
+                     n_samples=2000, n_warmup=500, n_leapfrog=12,
+                     step_size=0.3)
+    s = np.asarray(res.samples)
+    assert 0.6 < float(res.accept_rate) <= 1.0
+    np.testing.assert_allclose(s.mean(0), 0.0, atol=0.1)
+    np.testing.assert_allclose(np.cov(s.T), np.asarray(cov), atol=0.12)
+
+
+def test_hmc_adapts_step_size():
+    def logp(x):
+        return -0.5 * jnp.sum(x * x) * 1e4  # tiny scale: eps must shrink
+
+    res = hmc_sample(jax.random.PRNGKey(1), logp, jnp.zeros(1) + 0.01,
+                     n_samples=200, n_warmup=300, n_leapfrog=8,
+                     step_size=0.5)
+    assert float(res.step_size) < 0.1
+    assert float(res.accept_rate) > 0.5
+
+
+def test_shear_posterior_centers_on_truth_and_matches_fisher():
+    ells = jnp.asarray(np.geomspace(100, 800, 5), jnp.float32)
+    truth = {"Om0": 0.3089, "sigma8": 0.8159}
+    stack = tomographic_shear_cls(ells, Cosmology(**truth), [1.0], nchi=48)
+    logp, names = shear_log_posterior(
+        ells, stack, [1.0], ["sigma8"], fsky=0.3, nchi=48,
+        prior_bounds={"sigma8": (0.6, 1.0)})
+    assert names == ["sigma8"]
+    # likelihood peaks at the truth (data generated there, zero scatter)
+    assert float(logp(jnp.array([0.8159]))) > float(logp(jnp.array([0.9])))
+
+    fish = shear_fisher(ells, {"sigma8": 0.8159}, [1.0], fsky=0.3, nchi=48,
+                        fixed={"Om0": 0.3089})
+    sigma_fisher = float(fish["marginalized"][0])
+    res = hmc_sample(jax.random.PRNGKey(2), logp, jnp.array([0.79]),
+                     n_samples=400, n_warmup=150, n_leapfrog=8,
+                     step_size=0.01,
+                     inv_mass=jnp.array([sigma_fisher ** 2]))
+    s = np.asarray(res.samples)[:, 0]
+    assert abs(s.mean() - 0.8159) < 3.0 * sigma_fisher
+    # posterior width consistent with the Fisher forecast
+    assert 0.5 < s.std() / sigma_fisher < 2.0
