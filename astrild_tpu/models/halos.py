@@ -329,6 +329,43 @@ class Halos:
             columnar_h5.write_table(
                 os.path.join(out_dir, f"{halofinder}_{stat_name}.h5"), cols)
 
+    # ------------------------------------------------------------- HOD mocks
+    def populate_hod(self, boxsize, params=None, key=0, max_sat: int = 16,
+                     rvir_unit: float = 1e-3):
+        """HOD galaxy mock from this (Rockstar-schema) catalog.
+
+        Closes the workflow the reference outsourced: its void/TPCF stacks
+        read external per-HOD catalogs (rays/void.py:83-105). Columns used:
+        m200c [Msun/h], x/y/z [Mpc/h], vx/vy/vz [km/s], r200c (Rockstar
+        kpc/h -> Mpc/h via rvir_unit), rs (concentration = r200c/rs).
+        Returns the compacted host catalog dict (ops.hod.compact_catalog).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import hod as hod_ops
+
+        d = self.data
+        if params is None:
+            params = hod_ops.HODParams()
+        if isinstance(key, int):
+            key = jax.random.PRNGKey(key)
+        rs_col = d["rs"] if "rs" in d else d["Rs"]
+        r200 = np.asarray(d["r200c"], np.float32) * rvir_unit
+        conc = r200 / np.maximum(
+            np.asarray(rs_col, np.float32) * rvir_unit, 1e-12)
+        cat = hod_ops.hod_populate(
+            key, jnp.asarray(np.asarray(d["m200c"], np.float32)),
+            jnp.asarray(np.asarray(d["x"], np.float32)),
+            jnp.asarray(np.asarray(d["y"], np.float32)),
+            jnp.asarray(np.asarray(d["z"], np.float32)),
+            jnp.asarray(np.asarray(d["vx"], np.float32)),
+            jnp.asarray(np.asarray(d["vy"], np.float32)),
+            jnp.asarray(np.asarray(d["vz"], np.float32)),
+            jnp.asarray(r200), jnp.asarray(conc), float(boxsize),
+            params=params, max_sat=max_sat)
+        return hod_ops.compact_catalog(cat)
+
     # --------------------------------------------------------------- queries
     def nearest_neighbours(self, pos_keys=("x", "y", "z"), k: int = 2):
         """k-NN distances within the catalog (replaces sklearn BallTree,
