@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..utils.geometry import angular_coordinate_in_lc, convert_vec_sph_to_cart
 
 __all__ = ["mean_pairwise_velocity", "mean_pv_from_tv", "make_rsep",
-           "pairwise_velocity_pdf"]
+           "pairwise_velocity_pdf", "pairwise_ksz_momentum"]
 
 
 def make_rsep(binnr: int, binwidth: float):
@@ -273,6 +273,86 @@ def pairwise_velocity_pdf(pos, vel, dist_bin: int, vel_bin: int,
     counts, _ = jax.lax.scan(tile, jnp.zeros((nbinstot,)),
                              (ab[:, 0], ab[:, 1]))
     return counts.reshape(dist_bin, vel_bin)
+
+
+@partial(jax.jit, static_argnames=("binnr", "block"))
+def _ksz_accumulate(pos, dT, n_valid, binnr: int, binwidth,
+                    block: int = 512):
+    """Accumulate the kSZ pairwise estimator numerator/denominator."""
+    posp, nb = _pad_blocks(pos.astype(jnp.float32), block)
+    dTp, _ = _pad_blocks(dT.astype(jnp.float32)[:, None], block)
+    pnorm = jnp.linalg.norm(posp, axis=1, keepdims=True)
+    phat = posp / jnp.maximum(pnorm, 1e-12)
+
+    def tile(carry, ab):
+        nom, den = carry
+        a, b = ab
+        ia = a * block + jnp.arange(block)
+        jb = b * block + jnp.arange(block)
+        pi = jax.lax.dynamic_slice(posp, (a * block, 0), (block, 3))
+        pj = jax.lax.dynamic_slice(posp, (b * block, 0), (block, 3))
+        ti = jax.lax.dynamic_slice(dTp, (a * block, 0), (block, 1))[:, 0]
+        tj = jax.lax.dynamic_slice(dTp, (b * block, 0), (block, 1))[:, 0]
+        hi = jax.lax.dynamic_slice(phat, (a * block, 0), (block, 3))
+        hj = jax.lax.dynamic_slice(phat, (b * block, 0), (block, 3))
+        rij = pi[:, None, :] - pj[None, :, :]
+        rnorm = jnp.linalg.norm(rij, axis=-1)
+        rhat = rij / jnp.maximum(rnorm, 1e-12)[..., None]
+        # c_ij = rhat_ij . (phat_i + phat_j) / 2   (Hand+12 Eq. 2 weight)
+        cij = 0.5 * (jnp.einsum("abk,ak->ab", rhat, hi)
+                     + jnp.einsum("abk,bk->ab", rhat, hj))
+        tij = ti[:, None] - tj[None, :]
+        mask = ((ia[:, None] < jb[None, :])
+                & (ia[:, None] < n_valid) & (jb[None, :] < n_valid))
+        binidx = jnp.clip((rnorm / binwidth).astype(jnp.int32), 0, binnr)
+        binidx = jnp.where(rnorm / binwidth < binnr, binidx, binnr)
+        w = mask.astype(jnp.float32).reshape(-1)
+        bflat = jnp.where(mask, binidx, binnr).reshape(-1)
+        nom = nom + jax.ops.segment_sum(w * (tij * cij).reshape(-1), bflat,
+                                        num_segments=binnr + 1)[:binnr]
+        den = den + jax.ops.segment_sum(w * (cij * cij).reshape(-1), bflat,
+                                        num_segments=binnr + 1)[:binnr]
+        return (nom, den), None
+
+    pairs = [(a, b) for a in range(nb) for b in range(nb) if a <= b]
+    ab = jnp.array(pairs, jnp.int32)
+    (nom, den), _ = jax.lax.scan(tile,
+                                 (jnp.zeros((binnr,)), jnp.zeros((binnr,))),
+                                 (ab[:, 0], ab[:, 1]))
+    return nom, den
+
+
+def pairwise_ksz_momentum(pos_cart, dT, bins, n_valid=None,
+                          block: int = 512):
+    """kSZ pairwise momentum estimator (Hand et al. 2012, arXiv:1203.4219
+    Eq. 2; Ferreira et al. 1999):
+
+        p_hat(r) = sum_pairs (dT_i - dT_j) c_ij / sum_pairs c_ij^2
+        c_ij     = rhat_ij . (rhat_i + rhat_j) / 2
+
+    With kSZ temperatures dT_i = -T0 v_i.rhat_i (tau assumed uniform),
+    p_hat(r) -> -T0 v12(r): gravitational infall (v12 < 0) gives
+    p_hat > 0. The estimator is the temperature-space sibling of the
+    Yasini transverse-velocity estimator above
+    (mean_pairwise_velocity.py:122-173) — the reference stack had only
+    the velocity-space forms.
+
+    Args:
+      pos_cart: (n, 3) comoving positions, observer at the origin.
+      dT: (n,) temperature offsets at the cluster positions [any unit].
+      bins: distance bin edges starting at 0 with uniform width.
+
+    Returns (rsep, p_hat): bin centers and the estimate (NaN empty bins).
+    """
+    binnr = int(bins.shape[0])
+    binwidth = float(bins[1] - bins[0])
+    pos_cart = jnp.asarray(pos_cart)
+    dT = jnp.asarray(dT)
+    n = pos_cart.shape[0] if n_valid is None else n_valid
+    nom, den = _ksz_accumulate(pos_cart, dT, n, binnr, binwidth,
+                               block=block)
+    p = jnp.where(den > 0, nom / jnp.maximum(den, 1e-30), jnp.nan)
+    return make_rsep(binnr, binwidth), p
 
 
 def mean_pv_from_tv(pos_cart, vel_ang, bins, theta1=None, theta2=None,
