@@ -1,0 +1,169 @@
+"""Density-split statistics and counts-in-cells.
+
+Quantile-split clustering (Gruen+16 troughs generalized to 3D; the
+DSC estimator of Paillas+ 2023, arXiv:2309.16541 in spirit): smooth the
+density field, rank query points by their local smoothed density, split
+into quantiles, and measure the stacked tracer profile around each
+quantile. The lowest quantile reproduces void-like profiles without a
+void finder; the highest traces superclusters. The reference's closest
+surface is the 2D trough machinery (rays/utils/troughs.py:32-112) — the
+3D, field-level version did not exist there.
+
+Also: counts-in-cells PDFs and their first moments (the 3D sibling of
+SkyArray.pdf, sky_array.py:428).
+
+All estimators are jit-compiled; smoothing is spectral (one rfftn +
+one irfftn), quantile assignment is a sort-free searchsorted on the
+sorted per-point densities, and profiles delegate to
+ops.profiles3d.radial_density_profiles (single home).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .voids3d import _kmag_r, _tophat
+
+__all__ = ["smooth_density", "lattice_query_points", "density_at_points",
+           "density_quantile_labels", "density_split_profiles",
+           "counts_in_cells", "counts_in_cells_moments"]
+
+
+@partial(jax.jit, static_argnames=("kind",))
+def smooth_density(delta, boxsize, radius, kind: str = "tophat"):
+    """Spectrally smoothed density contrast (periodic).
+
+    kind='tophat': spherical top-hat of radius R (the DSC convention);
+    kind='gauss': Gaussian of width R.
+    """
+    ngrid = delta.shape[-1]
+    dk = jnp.fft.rfftn(delta)
+    kf = 2.0 * jnp.pi / boxsize
+    kr = _kmag_r(ngrid) * kf * radius
+    w = _tophat(kr) if kind == "tophat" else jnp.exp(-0.5 * kr ** 2)
+    return jnp.fft.irfftn(dk * w, (ngrid,) * 3)
+
+
+def lattice_query_points(n_side: int, boxsize):
+    """(n_side^3, 3) cell-centered query lattice (DSC uses randoms or a
+    lattice; a lattice is deterministic and XLA-friendly)."""
+    cell = boxsize / n_side
+    x = (jnp.arange(n_side, dtype=jnp.float32) + 0.5) * cell
+    g = jnp.meshgrid(x, x, x, indexing="ij")
+    return jnp.stack([c.reshape(-1) for c in g], axis=-1)
+
+
+@jax.jit
+def density_at_points(field, boxsize, points):
+    """Trilinear (CIC) interpolation of a periodic grid at points."""
+    ngrid = field.shape[-1]
+    cell = boxsize / ngrid
+    u = points / cell - 0.5
+    i0 = jnp.floor(u).astype(jnp.int32)
+    f = u - i0
+    out = jnp.zeros(points.shape[0], field.dtype)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (jnp.where(dx, f[:, 0], 1 - f[:, 0])
+                     * jnp.where(dy, f[:, 1], 1 - f[:, 1])
+                     * jnp.where(dz, f[:, 2], 1 - f[:, 2]))
+                idx = ((i0[:, 0] + dx) % ngrid,
+                       (i0[:, 1] + dy) % ngrid,
+                       (i0[:, 2] + dz) % ngrid)
+                out = out + w * field[idx]
+    return out
+
+
+@partial(jax.jit, static_argnames=("n_quantiles",))
+def density_quantile_labels(values, n_quantiles: int = 5):
+    """Quantile label (0 = least dense) per point, equal-count split.
+
+    Ties are broken by position in the sorted order, so counts per
+    quantile differ by at most 1 even for heavily tied inputs.
+    """
+    n = values.shape[0]
+    order = jnp.argsort(values)
+    ranks = jnp.zeros(n, jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return (ranks * n_quantiles // n).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("n_quantiles", "nbins", "n_query"))
+def density_split_profiles(delta, boxsize, tracer_pos, smooth_radius,
+                           n_quantiles: int = 5, n_query: int = 16,
+                           r_min=None, r_max=None, nbins: int = 12):
+    """Stacked tracer overdensity profiles around density quantiles.
+
+    Args:
+      delta: (n, n, n) density contrast used for the environment split
+        (typically painted from the same tracers, or from matter).
+      tracer_pos: (nt, 3) tracer positions for the profile measurement.
+      smooth_radius: top-hat smoothing radius [Mpc/h] of the split field.
+      n_query: query lattice side (n_query^3 points, equal-count split).
+
+    Returns (r_centers (nbins,), profiles (n_quantiles, nbins)): stacked
+    delta_tracer(r | quantile).
+    """
+    from .profiles3d import radial_density_profiles
+
+    ngrid = delta.shape[-1]
+    sm = smooth_density(delta, boxsize, smooth_radius)
+    q = lattice_query_points(n_query, boxsize)
+    d_q = density_at_points(sm, boxsize, q)
+    labels = density_quantile_labels(d_q, n_quantiles)
+
+    r_lo = boxsize / ngrid if r_min is None else r_min
+    r_hi = boxsize / 4.0 if r_max is None else r_max
+    # profiles around EVERY query point once, then segment-mean by label
+    r, rho = radial_density_profiles(tracer_pos,
+                                     jnp.ones(tracer_pos.shape[0]), q,
+                                     r_lo, r_hi, nbins=nbins,
+                                     boxsize=boxsize)
+    nbar = tracer_pos.shape[0] / boxsize ** 3
+    prof = rho / nbar - 1.0
+    sums = jax.ops.segment_sum(prof, labels, num_segments=n_quantiles)
+    cnts = jax.ops.segment_sum(jnp.ones_like(labels, jnp.float32), labels,
+                               num_segments=n_quantiles)
+    return r, sums / jnp.maximum(cnts[:, None], 1.0)
+
+
+@partial(jax.jit, static_argnames=("n_cells", "max_count"))
+def counts_in_cells(pos, boxsize, n_cells: int, max_count: int = 64):
+    """P(N) histogram of tracer counts in a cubic-cell partition.
+
+    pos: (n, 3) or flat-component tuple. Returns (pdf (max_count+1,),
+    counts_grid (n_cells^3,)): the normalized count PDF (last entry
+    accumulates overflow) and the per-cell counts.
+    """
+    if isinstance(pos, (tuple, list)):
+        x, y, z = (jnp.asarray(c).reshape(-1) for c in pos)
+    else:
+        pos = jnp.asarray(pos)
+        x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
+    cell = boxsize / n_cells
+    ix = jnp.clip((x / cell).astype(jnp.int32), 0, n_cells - 1)
+    iy = jnp.clip((y / cell).astype(jnp.int32), 0, n_cells - 1)
+    iz = jnp.clip((z / cell).astype(jnp.int32), 0, n_cells - 1)
+    flat = (ix * n_cells + iy) * n_cells + iz
+    counts = jax.ops.segment_sum(jnp.ones_like(flat, jnp.float32), flat,
+                                 num_segments=n_cells ** 3)
+    c = jnp.clip(counts.astype(jnp.int32), 0, max_count)
+    pdf = jax.ops.segment_sum(
+        jnp.ones_like(c, jnp.float32), c,
+        num_segments=max_count + 1) / float(n_cells ** 3)
+    return pdf, counts
+
+
+def counts_in_cells_moments(counts):
+    """(mean, variance, skewness) of per-cell counts; for a Poisson
+    sample variance == mean and the reduced skewness ~ 1/sqrt(mean)."""
+    c = jnp.asarray(counts, jnp.float32)
+    mu = jnp.mean(c)
+    var = jnp.var(c)
+    m3 = jnp.mean((c - mu) ** 3)
+    skew = m3 / jnp.maximum(var, 1e-30) ** 1.5
+    return mu, var, skew

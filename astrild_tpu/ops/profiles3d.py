@@ -19,7 +19,7 @@ __all__ = ["radial_density_profiles", "radial_velocity_profiles",
 
 @partial(jax.jit, static_argnames=("nbins",))
 def radial_density_profiles(pos, mass, centers, r_min, r_max,
-                            nbins: int = 20):
+                            nbins: int = 20, boxsize=None):
     """rho(r) in log-spaced shells around each center.
 
     Args:
@@ -27,6 +27,10 @@ def radial_density_profiles(pos, mass, centers, r_min, r_max,
       mass: (np,) particle masses.
       centers: (nh, 3) halo centers.
       r_min, r_max: radial range (same units as pos).
+      boxsize: optional periodic wrap. Without it, shells that cross a
+        box boundary lose the wrapped volume and rho biases low at large
+        r for centers near an edge (lightcone frames want None; periodic
+        snapshot stacking wants the box).
 
     Returns (r_centers (nbins,), rho (nh, nbins)).
     """
@@ -35,7 +39,10 @@ def radial_density_profiles(pos, mass, centers, r_min, r_max,
     vol = 4.0 / 3.0 * jnp.pi * (edges[1:] ** 3 - edges[:-1] ** 3)
 
     def one(center):
-        d = jnp.sqrt(jnp.sum((pos - center) ** 2, axis=-1))
+        d_vec = pos - center
+        if boxsize is not None:
+            d_vec = d_vec - boxsize * jnp.round(d_vec / boxsize)
+        d = jnp.sqrt(jnp.sum(d_vec ** 2, axis=-1))
         b = jnp.clip(jnp.searchsorted(edges, d, side="right") - 1, 0, nbins)
         inside = (d >= edges[0]) & (d < edges[-1])
         w = jnp.where(inside, mass, 0.0)

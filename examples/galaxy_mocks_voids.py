@@ -99,7 +99,7 @@ def main():
         centers = svf.pos[:nv]
         r, rho = profiles3d.radial_density_profiles(
             jnp.asarray(gpos), jnp.ones(gpos.shape[0]), centers,
-            2.0, 60.0, nbins=12)
+            2.0, 60.0, nbins=12, boxsize=BOX)
         nbar = gpos.shape[0] / BOX ** 3
         rv, vr, cntv = profiles3d.radial_velocity_profiles(
             jnp.asarray(gpos), jnp.asarray(gvel), centers, 2.0, 60.0,
