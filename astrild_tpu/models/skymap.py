@@ -170,6 +170,15 @@ class SkyArray:
                 npix=npix, extent=extent, directions=tuple(direction),
                 suppress=suppress, suppression_r=suppression_R)
             quantity = "alpha"
+        elif to == "ksz":
+            from ..ops import sz as sz_ops
+
+            r200_mpc = float(np.tan(np.deg2rad(get("r200_deg")))
+                             * get("Dc"))
+            arr = sz_ops.ksz_patch_from_halo(
+                get("m200"), get("c_NFW"), r200_mpc, get("v_los"),
+                npix=npix, extent=extent)
+            return cls(arr, 2 * get("r200_deg") * extent, "ksz")
         else:
             raise ValueError(f"unknown signal {to}")
         if 0 in direction and 1 not in direction:
@@ -201,6 +210,14 @@ class SkyArray:
                     get("Dc")[i], npix=patch_npix, extent=extent,
                     directions=tuple(direction), suppress=suppress,
                     suppression_r=suppression_R)
+            if to == "ksz":
+                from ..ops import sz as sz_ops
+
+                r200_mpc = float(np.tan(np.deg2rad(get("r200_deg")[i]))
+                                 * get("Dc")[i])
+                return sz_ops.ksz_patch_from_halo(
+                    get("m200")[i], get("c_NFW")[i], r200_mpc,
+                    get("v_los")[i], npix=patch_npix, extent=extent)
             return lensing.nfw_deflection_angle_map(
                 get("r200_deg")[i], get("m200")[i], get("c_NFW")[i],
                 get("Dc")[i], npix=patch_npix, extent=extent,
@@ -220,7 +237,8 @@ class SkyArray:
                        / max(float(np.asarray(halo_cat["r200_pix"])[0]), 1))
         else:
             oa = opening_angle
-        return cls(out, oa, "rs" if to == "dT" else "alpha")
+        quantity = {"dT": "rs", "ksz": "ksz"}.get(to, "alpha")
+        return cls(out, oa, quantity)
 
     @classmethod
     def from_halo_catalogue_to_temperature_perturbation_map(

@@ -1,0 +1,168 @@
+"""Sunyaev-Zel'dovich observables from halos: NFW optical depth, kSZ
+temperature patches, GNFW (Arnaud+10) Compton-y.
+
+The reference's temperature-map pipeline stopped at the moving-lens
+(Birkinshaw-Gull) dipole signal (sky_utils.py:176-211); the kSZ
+monopole — the observable its pairwise-velocity science ultimately
+targets (Yasini+18 context) — and tSZ were absent. Both are closed-form
+or one-quadrature patches, built on the same patch-painting machinery
+(ops.lensing.add_patch_to_map / paint_halo_patches).
+
+Conventions: masses Msun/h, lengths Mpc (physical at the lens unless
+noted), velocities km/s, temperatures Kelvin.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.constants import (C_LIGHT_KMS, M_PROTON_MSUN, SIGMA_T_MPC2,
+                               T_CMB)
+
+__all__ = ["nfw_sigma_map", "nfw_tau_map", "ksz_patch", "ksz_patch_from_halo",
+           "gnfw_pressure", "compton_y_patch", "GNFW_ARNAUD10"]
+
+# Arnaud et al. 2010 (arXiv:0910.1234) universal pressure profile,
+# Eq. 12 best-fit parameters (h70 = 1): [P0, c500, gamma, alpha, beta]
+GNFW_ARNAUD10 = (8.403, 1.177, 0.3081, 1.0510, 5.4905)
+
+
+def _nfw_sigma_f(x):
+    """Wright & Brainerd 2000 projected-NFW shape: Sigma = 2 rho_s r_s f(x).
+
+    f(x<1) = (1 - 2 artanh(sqrt((1-x)/(1+x)))/sqrt(1-x^2)) / (x^2-1)
+    f(1)   = 1/3
+    f(x>1) = (1 - 2 arctan(sqrt((x-1)/(x+1)))/sqrt(x^2-1)) / (x^2-1)
+
+    Branches are clipped before evaluation so no NaN leaks through
+    jnp.where (same pattern as ops.lensing._nfw_f).
+    """
+    x = jnp.abs(x)
+    xs = jnp.clip(x, 1e-8, None)
+    lo = x < 0.999
+    hi = x > 1.001
+    x_lo = jnp.clip(xs, None, 0.999)
+    s_lo = jnp.sqrt((1.0 - x_lo) * (1.0 + x_lo))
+    f_lo = (1.0 - 2.0 * jnp.arctanh(
+        jnp.sqrt((1.0 - x_lo) / (1.0 + x_lo))) / s_lo) / (x_lo ** 2 - 1.0)
+    x_hi = jnp.clip(xs, 1.001, None)
+    s_hi = jnp.sqrt((x_hi - 1.0) * (x_hi + 1.0))
+    f_hi = (1.0 - 2.0 * jnp.arctan(
+        jnp.sqrt((x_hi - 1.0) / (x_hi + 1.0))) / s_hi) / (x_hi ** 2 - 1.0)
+    return jnp.where(lo, f_lo, jnp.where(hi, f_hi, 1.0 / 3.0))
+
+
+@partial(jax.jit, static_argnames=("npix",))
+def nfw_sigma_map(m200c, c200c, r200c, npix: int = 128,
+                  extent: float = 1.0):
+    """Projected NFW surface mass density patch [Msun/Mpc^2].
+
+    The patch spans +-extent*r200c; the central pixel's log divergence is
+    clipped to the value one tenth of a pixel off center.
+
+    Args:
+      m200c: mass [Msun/h] (returned Sigma then carries the same h
+        convention: (Msun/h)/(Mpc/h)^2 if r200c is Mpc/h).
+      c200c: concentration; r200c: radius [Mpc].
+    """
+    r_s = r200c / c200c
+    rho_s = m200c * c200c ** 3 / (
+        4.0 * jnp.pi * r200c ** 3
+        * (jnp.log(1.0 + c200c) - c200c / (1.0 + c200c)))
+    edges = jnp.linspace(-extent * r200c, extent * r200c, npix)
+    tx, ty = jnp.meshgrid(edges, edges)
+    r = jnp.sqrt(tx ** 2 + ty ** 2)
+    pix = 2.0 * extent * r200c / npix
+    x = jnp.maximum(r, 0.1 * pix) / r_s
+    return 2.0 * rho_s * r_s * _nfw_sigma_f(x)
+
+
+@partial(jax.jit, static_argnames=("npix",))
+def nfw_tau_map(m200c, c200c, r200c, npix: int = 128, extent: float = 1.0,
+                f_gas: float = 0.156, mu_e: float = 1.14,
+                h: float = 0.6774):
+    """Thomson optical depth patch tau(theta) of an NFW gas halo.
+
+    tau = sigma_T * f_gas * Sigma / (mu_e m_p): the gas follows the NFW
+    mass profile with a cosmic baryon fraction f_gas = Omega_b/Omega_m
+    and mu_e m_p mass per electron. Sigma carries (Msun/h)/(Mpc/h)^2, so
+    one factor of h converts to physical surface density.
+    """
+    sigma = nfw_sigma_map(m200c, c200c, r200c, npix=npix, extent=extent)
+    # sigma_T and m_p individually underflow float32 (1e-74 / 1e-58 in
+    # Mpc^2 / Msun); their ratio (~8.3e-17) is representable — combine in
+    # python float64 BEFORE any array math
+    sigma_t_over_mp = SIGMA_T_MPC2 / M_PROTON_MSUN
+    return (sigma_t_over_mp / mu_e) * f_gas * h * sigma
+
+
+def ksz_patch(tau_map, v_los):
+    """Kinetic SZ temperature patch [K]: dT = -T_cmb tau v_los/c.
+
+    Positive v_los = receding (away from the observer) gives a CMB
+    decrement — the standard kSZ sign (e.g. Hand+12).
+    """
+    return -T_CMB * tau_map * v_los / C_LIGHT_KMS
+
+
+@partial(jax.jit, static_argnames=("npix",))
+def ksz_patch_from_halo(m200c, c200c, r200c, v_los, npix: int = 128,
+                        extent: float = 1.0, f_gas: float = 0.156,
+                        mu_e: float = 1.14, h: float = 0.6774):
+    """kSZ patch directly from halo parameters (tau from nfw_tau_map)."""
+    tau = nfw_tau_map(m200c, c200c, r200c, npix=npix, extent=extent,
+                      f_gas=f_gas, mu_e=mu_e, h=h)
+    return ksz_patch(tau, v_los)
+
+
+def gnfw_pressure(x, params: Tuple[float, ...] = GNFW_ARNAUD10):
+    """Dimensionless GNFW pressure shape P(x), x = r/R500 (Arnaud+10
+    Eq. 11)."""
+    p0, c500, gamma, alpha, beta = params
+    cx = jnp.maximum(c500 * x, 1e-8)
+    return p0 / (cx ** gamma * (1.0 + cx ** alpha) ** ((beta - gamma)
+                                                       / alpha))
+
+
+@partial(jax.jit, static_argnames=("npix", "n_los"))
+def compton_y_patch(m500, r500, e_z, npix: int = 128, extent: float = 2.0,
+                    n_los: int = 128, los_extent: float = 5.0,
+                    h70: float = 0.968,
+                    params: Tuple[float, ...] = GNFW_ARNAUD10):
+    """Thermal SZ Compton-y patch from the Arnaud+10 universal profile.
+
+    P_e(r) = 1.65e-3 E(z)^(8/3) [M500/(3e14/h70 Msun)]^(2/3) P(x) h70^2
+             keV cm^-3                                  (Arnaud+10 Eq. 13)
+    y(R)   = sigma_T/(m_e c^2) * integral P_e dl  (trapezoid over
+             +-los_extent*R500, n_los points; the profile core is
+             resolved because x = sqrt(R^2+l^2)/R500 >= R/R500 > 0).
+
+    Args:
+      m500: mass [Msun] (PHYSICAL, no h — divide an Msun/h mass by h).
+      r500: radius [Mpc] (physical).
+      e_z: E(z) = H(z)/H0.
+      extent: patch half-width in units of R500.
+    Returns (npix, npix) dimensionless y.
+    """
+    # sigma_T/(m_e c^2) with P_e in keV/cm^3 and path length in Mpc:
+    # 6.6524587e-25 cm^2 / 511 keV * 3.0857e24 cm/Mpc
+    prefac = 6.6524587158e-25 / 511.0 * 3.0856775814913673e24
+    p500_amp = (1.65e-3 * e_z ** (8.0 / 3.0)
+                * (m500 / (3.0e14 / h70)) ** (2.0 / 3.0) * h70 ** 2)
+    edges = jnp.linspace(-extent * r500, extent * r500, npix)
+    tx, ty = jnp.meshgrid(edges, edges)
+    rperp = jnp.sqrt(tx ** 2 + ty ** 2)
+    l = jnp.linspace(-los_extent * r500, los_extent * r500, n_los)
+    dl = l[1] - l[0]
+
+    def body(carry, li):
+        r3d = jnp.sqrt(rperp ** 2 + li ** 2)
+        return carry + gnfw_pressure(r3d / r500, params), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((npix, npix)), l)
+    # trapezoid correction: endpoints at +-5 R500 contribute ~0; the
+    # plain Riemann sum differs from trapezoid by half an endpoint
+    return prefac * p500_amp * acc * dl

@@ -37,3 +37,13 @@ T_CMB = 2.7255
 
 # Megaparsec in km
 MPC_KM = 3.085677581491367e19
+
+# Thomson cross-section [Mpc^2] (6.6524587158e-29 m^2)
+SIGMA_T_MPC2 = 6.6524587158e-29 / MPC_KM ** 2 * 1.0e-6  # m^2 -> km^2 -> Mpc^2
+
+# Proton mass [Msun]
+M_PROTON_MSUN = 1.67262192369e-27 / 1.98892e30
+
+# Electron rest energy [keV] and m_e c^2 in (Msun km^2/s^2)-free form:
+# sigma_T / (m_e c^2) in Mpc^2 / (Msun (km/s)^2) for Compton-y integrals
+M_ELECTRON_MSUN = 9.1093837015e-31 / 1.98892e30

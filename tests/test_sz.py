@@ -1,0 +1,114 @@
+"""SZ observables (ops/sz.py): projected NFW mass closure, tau/kSZ scales
+and signs, GNFW Compton-y against a float64 oracle."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from astrild_tpu.ops import sz
+
+
+def _cyl_mass_analytic(m200, c, r200, x):
+    """Wright & Brainerd cylindrical NFW mass M_2D(< x*r_s)."""
+    rs = r200 / c
+    rho_s = m200 * c ** 3 / (4 * np.pi * r200 ** 3
+                             * (np.log(1 + c) - c / (1 + c)))
+    if x < 1:
+        g = np.log(x / 2) + np.arccosh(1 / x) / np.sqrt(1 - x ** 2)
+    else:
+        g = np.log(x / 2) + np.arccos(1 / x) / np.sqrt(x ** 2 - 1)
+    return 4 * np.pi * rho_s * rs ** 3 * g
+
+
+def test_nfw_sigma_cylindrical_mass_closure():
+    m200, c, r200 = 1e15, 5.0, 2.0
+    npix, extent = 512, 1.0
+    sig = np.asarray(sz.nfw_sigma_map(m200, c, r200, npix=npix,
+                                      extent=extent))
+    pix = 2.0 * extent * r200 / npix
+    edges = np.linspace(-extent * r200, extent * r200, npix)
+    tx, ty = np.meshgrid(edges, edges)
+    r = np.sqrt(tx ** 2 + ty ** 2)
+    for rcut in (0.5 * r200, 0.9 * r200):
+        m_map = sig[r < rcut].sum() * pix ** 2
+        m_true = _cyl_mass_analytic(m200, c, r200, rcut / (r200 / c))
+        assert abs(m_map / m_true - 1.0) < 0.02
+
+
+def test_tau_scale_and_shape():
+    tau = np.asarray(sz.nfw_tau_map(1e15, 5.0, 2.0, npix=128))
+    assert np.isfinite(tau).all() and (tau > 0).all()
+    center = tau[64, 64]
+    assert 1e-4 < center < 3e-2          # cluster-scale optical depth
+    assert center == tau.max()
+    assert tau[0, 0] < 0.1 * center      # falls off toward corners
+
+
+def test_ksz_sign_and_linearity():
+    tau = sz.nfw_tau_map(3e14, 6.0, 1.2, npix=64)
+    dt_away = np.asarray(sz.ksz_patch(tau, +300.0))
+    dt_toward = np.asarray(sz.ksz_patch(tau, -300.0))
+    assert (dt_away < 0).all()           # receding -> decrement
+    np.testing.assert_allclose(dt_away, -dt_toward, rtol=1e-6)
+    dt2 = np.asarray(sz.ksz_patch(tau, +600.0))
+    np.testing.assert_allclose(dt2, 2 * dt_away, rtol=1e-6)
+    # cluster kSZ ~ tens of microK at the center
+    assert 1e-6 < -dt_away.min() < 1e-3
+    d = np.asarray(sz.ksz_patch_from_halo(3e14, 6.0, 1.2, 300.0, npix=64))
+    np.testing.assert_allclose(d, dt_away, rtol=1e-6)
+
+
+def test_compton_y_oracle_and_scale():
+    m500, r500, ez = 5e14, 1.3, 1.0
+    npix, n_los = 64, 128
+    y = np.asarray(sz.compton_y_patch(m500, r500, ez, npix=npix,
+                                      extent=2.0, n_los=n_los))
+    # float64 oracle at a few pixels
+    p0, c500, gam, alp, bet = sz.GNFW_ARNAUD10
+    h70 = 0.968
+    prefac = 6.6524587158e-25 / 511.0 * 3.0856775814913673e24
+    amp = 1.65e-3 * (m500 / (3e14 / h70)) ** (2 / 3) * h70 ** 2
+    edges = np.linspace(-2.0 * r500, 2.0 * r500, npix)
+    l = np.linspace(-5.0 * r500, 5.0 * r500, n_los)
+    dl = l[1] - l[0]
+    for (i, j) in ((npix // 2, npix // 2), (10, 40), (0, 0)):
+        rperp = np.sqrt(edges[j] ** 2 + edges[i] ** 2)
+        x = np.sqrt(rperp ** 2 + l ** 2) / r500
+        cx = np.maximum(c500 * x, 1e-8)
+        p = p0 / (cx ** gam * (1 + cx ** alp) ** ((bet - gam) / alp))
+        y_o = prefac * amp * p.sum() * dl
+        np.testing.assert_allclose(y[i, j], y_o, rtol=2e-3)
+    # magnitude: massive cluster central y ~ 1e-4
+    yc = y[npix // 2, npix // 2]
+    assert 3e-5 < yc < 1e-3
+    # quadrature convergence: doubling n_los moves y by < 0.5%
+    y2 = np.asarray(sz.compton_y_patch(m500, r500, ez, npix=npix,
+                                       extent=2.0, n_los=2 * n_los))
+    np.testing.assert_allclose(y2[npix // 2], y[npix // 2], rtol=5e-3)
+
+
+def test_skyarray_ksz_facade():
+    from astrild_tpu.models.skymap import SkyArray
+
+    halo = {"r200_deg": 0.1, "m200": 5e14, "c_NFW": 6.0, "Dc": 1200.0,
+            "v_los": 400.0}
+    sky = SkyArray.from_halo_series(halo, npix=64, extent=1.0,
+                                    direction=(0,), suppress=False,
+                                    suppression_R=1.0, to="ksz")
+    arr = np.asarray(sky.data["orig"])
+    assert (arr < 0).all() and np.isfinite(arr).all()
+
+    cat = {"r200_deg": np.array([0.1, 0.08]), "m200": np.array([5e14, 2e14]),
+           "c_NFW": np.array([6.0, 7.0]), "Dc": np.array([1200.0, 1500.0]),
+           "v_los": np.array([400.0, -300.0]),
+           "theta1_pix": np.array([100, 400]),
+           "theta2_pix": np.array([150, 420]),
+           "r200_pix": np.array([25.0, 20.0])}
+    sky2 = SkyArray.from_halo_dataframe(cat, npix=512, extent=1.0,
+                                        direction=(0,), suppress=False,
+                                        suppression_R=1.0, to="ksz",
+                                        opening_angle=2.0, patch_npix=51)
+    m = np.asarray(sky2.data["orig"])
+    # receding halo paints a decrement at its center, approaching an
+    # increment at the other
+    assert m[150, 100] < 0 < m[420, 400]
