@@ -43,8 +43,16 @@ def _pairwise_accumulate_tiles(pos_i, vel_i, hat_i, pos_j, vel_j, hat_j,
                                block: int = 256, n_valid_global=None,
                                valid_i=None, valid_j=None,
                                dedup: bool = True,
-                               triangular: bool = False):
-    """Yasini accumulation over all pairs between two chunks.
+                               triangular: bool = False,
+                               kind: str = "yasini"):
+    """Yasini (or kSZ) accumulation over all pairs between two chunks.
+
+    kind='yasini': v12 numerator/denominator (Eq. 6 weights).
+    kind='ksz': the Hand+12 temperature estimator — vel_* column 0
+    carries dT, nom = (dT_i - dT_j) c_ij, den = c_ij^2 with
+    c_ij = rhat_ij.(hat_i + hat_j)/2. Both kinds are i<->j symmetric
+    (all pair factors flip sign together), so the half-ring schedule's
+    dedup=False full-cross steps stay legal.
 
     ia0/jb0 are the GLOBAL index offsets of the chunks; with dedup=True a
     pair counts only when its global i < global j (so ring-rotation
@@ -85,11 +93,16 @@ def _pairwise_accumulate_tiles(pos_i, vel_i, hat_i, pos_j, vel_j, hat_j,
         rhat = rij / jnp.maximum(rnorm, 1e-12)[..., None]
         di = jnp.einsum("abk,ak->ab", rhat, hi)
         dj = jnp.einsum("abk,bk->ab", rhat, hj)
-        q = (2.0 * rhat - hi[:, None, :] * di[..., None]
-             - hj[None, :, :] * dj[..., None]) * 0.5
-        vij = vi[:, None, :] - vj[None, :, :]
-        nom_ij = jnp.einsum("abk,abk->ab", vij, q)
-        den_ij = jnp.einsum("abk,abk->ab", q, q)
+        if kind == "ksz":
+            cij = 0.5 * (di + dj)
+            nom_ij = (vi[:, 0][:, None] - vj[:, 0][None, :]) * cij
+            den_ij = cij * cij
+        else:
+            q = (2.0 * rhat - hi[:, None, :] * di[..., None]
+                 - hj[None, :, :] * dj[..., None]) * 0.5
+            vij = vi[:, None, :] - vj[None, :, :]
+            nom_ij = jnp.einsum("abk,abk->ab", vij, q)
+            den_ij = jnp.einsum("abk,abk->ab", q, q)
         if dedup:
             mask = (ia[:, None] < jb[None, :])
         else:

@@ -19,13 +19,14 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.pairwise import _pairwise_accumulate_tiles
 
-__all__ = ["make_distributed_pairwise"]
+__all__ = ["make_distributed_pairwise", "make_distributed_ksz"]
 
 
 def make_distributed_pairwise(mesh: Mesh, nbins: int, binwidth: float,
                               axis: str = "sim", block: int = 256,
                               n_valid: int | None = None,
-                              with_valid_mask: bool = False):
+                              with_valid_mask: bool = False,
+                              kind: str = "yasini"):
     """Build fn(pos, vel[, valid]) -> (nom, den) over all global pairs.
 
     pos/vel sharded P((axis,), None) on the leading dimension (equal chunk
@@ -66,7 +67,7 @@ def make_distributed_pairwise(mesh: Mesh, nbins: int, binwidth: float,
                 pos, vel, hat, vpos, vvel, vhat, me * nloc,
                 vowner * nloc, nbins, binwidth, block,
                 n_valid_global=n_valid, valid_i=valid, valid_j=vvalid,
-                dedup=dedup, triangular=triangular)
+                dedup=dedup, triangular=triangular, kind=kind)
 
         nom, den = count(resident, dedup=True, triangular=True)
 
@@ -106,3 +107,29 @@ def make_distributed_pairwise(mesh: Mesh, nbins: int, binwidth: float,
             out_specs=(P(), P()),
         )
     return jax.jit(fn)
+
+
+def make_distributed_ksz(mesh: Mesh, nbins: int, binwidth: float,
+                         axis: str = "sim", block: int = 256,
+                         n_valid: int | None = None,
+                         with_valid_mask: bool = False):
+    """Distributed kSZ pairwise momentum estimator (Hand+12).
+
+    Built fn(pos, dT[, valid]) -> (nom, den); p_hat = nom/den. dT is a
+    flat (n,) vector sharded like pos; it rides the ring embedded in
+    column 0 of the velocity slot so the Yasini schedule (half-ring,
+    per-shard validity) is reused verbatim (ops.pairwise tile kind='ksz').
+    """
+    inner = make_distributed_pairwise(
+        mesh, nbins, binwidth, axis=axis, block=block, n_valid=n_valid,
+        with_valid_mask=with_valid_mask, kind="ksz")
+
+    def fn(pos, dT, valid=None):
+        vel = jnp.concatenate(
+            [jnp.asarray(dT)[:, None],
+             jnp.zeros((dT.shape[0], 2), jnp.float32)], axis=1)
+        if valid is None:
+            return inner(pos, vel)
+        return inner(pos, vel, valid)
+
+    return fn

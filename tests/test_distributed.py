@@ -694,3 +694,27 @@ def test_distributed_sht_spin1_large_matches_local(mesh22, rng):
     got = analyze(atd, apd, niter=2, method="jacobi")
     for g, w in zip(got, want):
         npt.assert_allclose(np.asarray(g), np.asarray(w), atol=5e-6)
+
+
+def test_distributed_ksz_matches_local(rng):
+    from astrild_tpu.ops import pairwise as PW
+    from astrild_tpu.parallel.pairwise import make_distributed_ksz
+
+    mesh = make_mesh(n_sim=4, n_x=1, n_y=1)
+    n = 1024
+    pos = (rng.uniform(-60, 60, (n, 3)) + np.array([0, 0, 900.0])
+           ).astype(np.float32)
+    dT = rng.normal(0, 1, n).astype(np.float32)
+    nbins, binw = 12, 12.0
+    fn = make_distributed_ksz(mesh, nbins, binw, axis="sim", block=256)
+    pos_sh = jax.device_put(jnp.asarray(pos),
+                            NamedSharding(mesh, P("sim", None)))
+    dT_sh = jax.device_put(jnp.asarray(dT), NamedSharding(mesh, P("sim")))
+    nom_d, den_d = fn(pos_sh, dT_sh)
+    bins = jnp.asarray(np.arange(nbins, dtype=np.float64) * binw)
+    rsep, p_local = PW.pairwise_ksz_momentum(jnp.asarray(pos),
+                                             jnp.asarray(dT), bins)
+    p_d = np.asarray(nom_d) / np.maximum(np.asarray(den_d), 1e-30)
+    good = np.isfinite(np.asarray(p_local))
+    npt.assert_allclose(p_d[good], np.asarray(p_local)[good],
+                        rtol=2e-3, atol=1e-4)
