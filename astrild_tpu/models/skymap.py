@@ -218,6 +218,13 @@ class SkyArray:
                 return sz_ops.ksz_patch_from_halo(
                     get("m200")[i], get("c_NFW")[i], r200_mpc,
                     get("v_los")[i], npix=patch_npix, extent=extent)
+            if to == "y":
+                from ..ops import sz as sz_ops
+
+                # columns: m500 [Msun, physical], r500 [Mpc], e_z
+                return sz_ops.compton_y_patch(
+                    get("m500")[i], get("r500")[i], get("e_z")[i],
+                    npix=patch_npix, extent=extent)
             return lensing.nfw_deflection_angle_map(
                 get("r200_deg")[i], get("m200")[i], get("c_NFW")[i],
                 get("Dc")[i], npix=patch_npix, extent=extent,
@@ -237,7 +244,7 @@ class SkyArray:
                        / max(float(np.asarray(halo_cat["r200_pix"])[0]), 1))
         else:
             oa = opening_angle
-        quantity = {"dT": "rs", "ksz": "ksz"}.get(to, "alpha")
+        quantity = {"dT": "rs", "ksz": "ksz", "y": "y"}.get(to, "alpha")
         return cls(out, oa, quantity)
 
     @classmethod

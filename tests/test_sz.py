@@ -112,3 +112,22 @@ def test_skyarray_ksz_facade():
     # receding halo paints a decrement at its center, approaching an
     # increment at the other
     assert m[150, 100] < 0 < m[420, 400]
+
+
+def test_skyarray_tsz_y_facade():
+    from astrild_tpu.models.skymap import SkyArray
+
+    cat = {"r200_deg": np.array([0.1]), "m200": np.array([5e14]),
+           "c_NFW": np.array([6.0]), "Dc": np.array([1200.0]),
+           "m500": np.array([4e14]), "r500": np.array([1.2]),
+           "e_z": np.array([1.2]),
+           "theta1_pix": np.array([128]), "theta2_pix": np.array([128]),
+           "r200_pix": np.array([25.0])}
+    sky = SkyArray.from_halo_dataframe(cat, npix=256, extent=2.0,
+                                       direction=(0,), suppress=False,
+                                       suppression_R=1.0, to="y",
+                                       opening_angle=2.0, patch_npix=51)
+    m = np.asarray(sky.data["orig"])
+    assert sky.quantity == "y"
+    assert m.max() > 1e-5 and (m >= 0).all()
+    assert abs(m.argmax() // 256 - 128) <= 1
