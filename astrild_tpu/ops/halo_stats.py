@@ -16,7 +16,8 @@ import jax.numpy as jnp
 __all__ = [
     "halo_mass_function", "binned_mean", "histogram_density",
     "concentration_mass_rockstar", "concentration_prada",
-    "concentration_mass_prada", "theory_hmf",
+    "concentration_mass_prada", "theory_hmf", "svdw_multiplicity",
+    "theory_vsf",
 ]
 
 
@@ -202,3 +203,76 @@ def theory_hmf(m_msun_h, cosmo, z: float = 0.0, model: str = "st",
     dlns_dlnm = jax.vmap(jax.grad(ln_sigma))(lnm)
     f = _multiplicity(sig, model, z=z)
     return f * rho_mean / jnp.exp(lnm) * jnp.abs(dlns_dlnm)
+
+
+# ----------------------------------------------------------- void abundance
+_DELTA_V = -2.717  # linear underdensity of shell crossing (EdS)
+
+
+def svdw_multiplicity(sigma, delta_v: float = _DELTA_V,
+                      delta_c: float = 1.686, n_terms: int = 6):
+    """Sheth & van de Weygaert 2004 two-barrier void multiplicity f(sigma).
+
+    Jennings+13 (arXiv:1304.6087 Eq. 8) hybrid evaluation: the exact
+    series  f = 2 sum_j (j pi x^2) sin(j pi D) exp(-(j pi x)^2 / 2),
+    x = D sigma/|delta_v|, D = |delta_v|/(delta_c + |delta_v|), converges
+    in a few terms for x > 0.276; below, the single-barrier limit
+    sqrt(2/pi) (|delta_v|/sigma) exp(-delta_v^2/2 sigma^2) is exact to
+    better than 0.2%.
+    """
+    sigma = jnp.asarray(sigma, jnp.float32)
+    av = abs(delta_v)
+    D = av / (delta_c + av)
+    x = D * sigma / av
+    j = jnp.arange(1, n_terms + 1, dtype=jnp.float32)
+    series = jnp.sum(
+        2.0 * (j * jnp.pi) * x[..., None] ** 2
+        * jnp.sin(j * jnp.pi * D)
+        * jnp.exp(-0.5 * (j * jnp.pi * x[..., None]) ** 2), axis=-1)
+    small = (jnp.sqrt(2.0 / jnp.pi) * (av / sigma)
+             * jnp.exp(-0.5 * av ** 2 / sigma ** 2))
+    return jnp.where(x > 0.276, series, small)
+
+
+def theory_vsf(r_void_hmpc, cosmo, z: float = 0.0, model: str = "vdn",
+               delta_v: float = _DELTA_V, delta_c: float = 1.686,
+               delta_v_nl: float = -0.8, amplitude=None):
+    """Theory void size function dn/dlnR_v [h^3/Mpc^3].
+
+    The theory counterpart of the measured catalogs
+    (Voids.get_void_size_fct / ops.voids3d.svf_voids) — the reference had
+    no void abundance theory at all. Models (Jennings+13):
+
+      'svdw' : dn/dlnR = f(sigma)/V(R) dln sigma^-1/dlnR at the
+               LAGRANGIAN radius (no expansion).
+      'vdn'  : voids expand by a_v = (1 + delta_v_nl)^(-1/3) (1.717 for
+               the shell-crossing delta_v_nl = -0.8) and the model
+               conserves the VOLUME fraction: V(r_v) dn/dlnr_v =
+               V(R_L) dn/dlnR_L with r_v = a_v R_L.
+
+    delta_v is the LINEAR underdensity barrier matching delta_v_nl.
+    """
+    from ..utils.constants import RHO_CRIT0  # noqa: F401  (units note)
+    from .linear_power import normalization, sigma_r
+
+    amp = normalization(cosmo) if amplitude is None else amplitude
+    growth = cosmo.growth_factor(z)
+    a_v = (1.0 + delta_v_nl) ** (-1.0 / 3.0)
+    r_v = jnp.asarray(r_void_hmpc, jnp.float32)
+    r_lag = r_v / a_v if model == "vdn" else r_v
+
+    def ln_sigma(lnr):
+        return jnp.log(sigma_r(jnp.exp(lnr), cosmo, amplitude=amp)
+                       * growth)
+
+    lnr = jnp.log(r_lag)
+    sig = jnp.exp(jax.vmap(ln_sigma)(lnr))
+    dlns_dlnr = jax.vmap(jax.grad(ln_sigma))(lnr)
+    f = svdw_multiplicity(sig, delta_v=delta_v, delta_c=delta_c)
+    v_lag = 4.0 / 3.0 * jnp.pi * r_lag ** 3
+    dn_dlnr_lag = f / v_lag * jnp.abs(dlns_dlnr)
+    if model == "svdw":
+        return dn_dlnr_lag
+    # volume-conserving mapping to the expanded (void) radius: number
+    # density scales by V_L/V_v = a_v^-3; dlnr_v == dlnR_L
+    return dn_dlnr_lag / a_v ** 3

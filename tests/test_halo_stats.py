@@ -219,3 +219,46 @@ def test_theory_hmf_models():
     hi_z = float(np.asarray(theory_hmf(m15, c, z=1.0, model="st"))[0])
     lo_z = float(np.asarray(theory_hmf(m15, c, z=0.0, model="st"))[0])
     assert hi_z < 0.2 * lo_z
+
+
+def test_svdw_multiplicity_hybrid_continuity():
+    """The series and single-barrier forms must agree near the x=0.276
+    switch point (Jennings+13 states <0.2% there)."""
+    from astrild_tpu.ops.halo_stats import svdw_multiplicity
+
+    av, dc = 2.717, 1.686
+    D = av / (dc + av)
+    # the jitted form must be finite and positive across the switch
+    sigmas = jnp.asarray([0.25, 0.276, 0.3]) * av / D
+    vals = np.asarray(svdw_multiplicity(sigmas))
+    assert (vals > 0).all() and np.isfinite(vals).all()
+    # evaluate both branches explicitly at the switch point
+    sigma = 0.276 * av / D
+    j = np.arange(1, 7)
+    x = 0.276
+    series = (2 * (j * np.pi) * x ** 2 * np.sin(j * np.pi * D)
+              * np.exp(-0.5 * (j * np.pi * x) ** 2)).sum()
+    small = np.sqrt(2 / np.pi) * (av / sigma) * np.exp(
+        -0.5 * av ** 2 / sigma ** 2)
+    assert abs(series / small - 1.0) < 5e-3
+
+
+def test_theory_vsf_vdn_volume_relation_and_scale():
+    from astrild_tpu.ops.halo_stats import theory_vsf
+    from astrild_tpu.utils.cosmology import Cosmology
+
+    cosmo = Cosmology()
+    r = jnp.asarray(np.geomspace(2.0, 30.0, 12))
+    a_v = (1.0 + (-0.8)) ** (-1.0 / 3.0)
+    vdn = np.asarray(theory_vsf(r, cosmo, model="vdn"))
+    svdw = np.asarray(theory_vsf(r / a_v, cosmo, model="svdw"))
+    # V(r_v) dn_vdn(r_v) == V(R_L) dn_svdw(R_L) at r_v = a_v R_L:
+    # with V ~ r^3 and r_v^3 = a_v^3 R_L^3 this is dn_vdn = dn_svdw/a_v^3
+    np.testing.assert_allclose(vdn, svdw / a_v ** 3, rtol=1e-5)
+    assert (vdn > 0).all()
+    # abundance scale at z=0: dn/dlnR at R~8 Mpc/h within the broad
+    # literature band
+    mid = vdn[np.argmin(np.abs(np.asarray(r) - 8.0))]
+    assert 1e-7 < mid < 1e-2
+    # exponential cutoff toward large radii
+    assert vdn[-1] < vdn[0]
