@@ -131,3 +131,37 @@ def test_skyarray_tsz_y_facade():
     assert sky.quantity == "y"
     assert m.max() > 1e-5 and (m >= 0).all()
     assert abs(m.argmax() // 256 - 128) <= 1
+
+
+def test_stacked_aperture_photometry():
+    """AP on a uniform disk recovers the known disk/ring geometry and is
+    exactly invariant to a constant background."""
+    n, fov = 512, 2.0  # deg
+    pix_per_deg = n / fov
+    alpha_arcmin = 4.0
+    alpha_pix = alpha_arcmin / 60.0 * pix_per_deg
+    r0_pix = 0.5 * alpha_pix
+    img = np.zeros((n, n), np.float32)
+    yy, xx = np.mgrid[0:n, 0:n]
+    centers = [(150, 150), (380, 300)]
+    A = -3e-6
+    for (r, c) in centers:
+        img[(yy - r) ** 2 + (xx - c) ** 2 <= r0_pix ** 2] = A
+    ap, stack = sz.stacked_aperture_photometry(
+        jnp.asarray(img), np.array(centers), fov, alpha_arcmin,
+        patch_half=40)
+    ap = np.asarray(ap)
+    # disk mean = A * (r0/alpha)^2 (ring empty)
+    expect = A * (r0_pix / alpha_pix) ** 2
+    np.testing.assert_allclose(ap, expect, rtol=0.05)
+    # constant offset nulls out exactly
+    ap2, _ = sz.stacked_aperture_photometry(
+        jnp.asarray(img + 1.7e-4), np.array(centers), fov, alpha_arcmin,
+        patch_half=40)
+    np.testing.assert_allclose(np.asarray(ap2), ap, atol=2e-9)
+    # weighted stack
+    _, st = sz.stacked_aperture_photometry(
+        jnp.asarray(img), np.array(centers), fov, alpha_arcmin,
+        patch_half=40, weights=np.array([1.0, 3.0]))
+    np.testing.assert_allclose(float(st), (ap[0] + 3 * ap[1]) / 4.0,
+                               rtol=1e-5)
