@@ -165,3 +165,77 @@ def test_stacked_aperture_photometry():
         patch_half=40, weights=np.array([1.0, 3.0]))
     np.testing.assert_allclose(float(st), (ap[0] + 3 * ap[1]) / 4.0,
                                rtol=1e-5)
+
+
+def test_ksz_closed_loop_map_to_pairwise_momentum():
+    """Closed loop: halo catalog with a known pairwise flow -> painted
+    kSZ map -> aperture photometry at halo pixels -> Hand+12 pairwise
+    momentum -> recover v12(r).
+
+    With v = H x the mean pairwise velocity is exactly v12(r) = H r, and
+    the kSZ estimator must return p(r) = -T_cmb tau_AP v12(r)/c where
+    tau_AP is the aperture-filtered optical depth of the (identical)
+    cluster profile — measured here from a single painted cluster, so
+    the test pins signs, units and the full map pipeline at once.
+    """
+    from astrild_tpu.ops import lensing, pairwise
+    from astrild_tpu.utils.constants import C_LIGHT_KMS, T_CMB
+
+    rng = np.random.default_rng(7)
+    nh, L, H = 600, 400.0, 0.4
+    pos = rng.uniform(40.0, L - 40.0, (nh, 3))
+    vz = H * pos[:, 2]
+
+    npix = 2048
+    pix_mpc = L / npix
+    m200, c200, r200 = 3e14, 6.0, 1.0
+    extent = 2.0
+    patch_npix = int(round(2 * extent * r200 / pix_mpc)) | 1
+    tau = sz.nfw_tau_map(m200, c200, r200, npix=patch_npix, extent=extent)
+    patches = jnp.asarray(tau)[None, :, :] * (
+        -T_CMB * jnp.asarray(vz, jnp.float32)[:, None, None] / C_LIGHT_KMS)
+    # paint_halo_patches takes (x=col, y=row); the AP cutouts take
+    # (row, col)
+    cols = jnp.asarray(pos[:, 0] / pix_mpc, jnp.int32)
+    rows = jnp.asarray(pos[:, 1] / pix_mpc, jnp.int32)
+    paint_centers = jnp.stack([cols, rows], axis=-1)
+    read_centers = np.stack([np.asarray(rows), np.asarray(cols)], axis=-1)
+    canvas = jnp.zeros((npix, npix))
+    kmap = lensing.paint_halo_patches(canvas, patches, paint_centers)
+
+    # aperture radius = r200 on the distant plane
+    Dc = 50000.0
+    fov_deg = np.degrees(L / Dc)
+    alpha_arcmin = np.degrees(r200 / Dc) * 60.0
+    ph = patch_npix // 2 + 4
+    ap, _ = sz.stacked_aperture_photometry(kmap, read_centers,
+                                           fov_deg, alpha_arcmin,
+                                           patch_half=ph)
+    # tau_AP from a single isolated cluster
+    solo = lensing.paint_halo_patches(
+        jnp.zeros((npix, npix)), jnp.asarray(tau)[None],
+        jnp.asarray([[npix // 2, npix // 2]], jnp.int32))
+    tau_ap, _ = sz.stacked_aperture_photometry(
+        solo, np.array([[npix // 2, npix // 2]]), fov_deg, alpha_arcmin,
+        patch_half=ph)
+    tau_ap = float(tau_ap[0])
+    assert tau_ap > 0
+
+    # pairwise momentum from the MAP-measured temperatures at 3D positions
+    pos_lc = pos - L / 2 + np.array([0.0, 0.0, Dc])
+    bins = (np.arange(8) + 1.0) * 12.0
+    rsep, p = pairwise.pairwise_ksz_momentum(
+        jnp.asarray(pos_lc), jnp.asarray(ap), jnp.asarray(bins))
+    p = np.asarray(p)
+    # expected: p(r) = -T tau_AP H <r|bin> / c
+    d = np.linalg.norm(pos[:, None, :] - pos[None, :, :], axis=-1)
+    iu = np.triu_indices(nh, k=1)
+    d = d[iu]
+    b = (d / 12.0).astype(int)
+    mean_r = np.array([d[b == k].mean() if (b == k).sum() > 30 else np.nan
+                       for k in range(8)])
+    expect = -T_CMB * tau_ap * H * mean_r / C_LIGHT_KMS
+    good = ~np.isnan(expect) & ~np.isnan(p)
+    good[0] = False  # first bin is pair-starved at nh=600 (noise-dominated)
+    assert good.sum() >= 5
+    np.testing.assert_allclose(p[good], expect[good], rtol=0.1)
