@@ -118,11 +118,25 @@ def density_split_profiles(delta, boxsize, tracer_pos, smooth_radius,
 
     r_lo = boxsize / ngrid if r_min is None else r_min
     r_hi = boxsize / 4.0 if r_max is None else r_max
-    # profiles around EVERY query point once, then segment-mean by label
-    r, rho = radial_density_profiles(tracer_pos,
-                                     jnp.ones(tracer_pos.shape[0]), q,
-                                     r_lo, r_hi, nbins=nbins,
-                                     boxsize=boxsize)
+    # profiles around EVERY query point, then segment-mean by label.
+    # radial_density_profiles vmaps over centers, materializing
+    # (centers, nt, 3) — chunk the query lattice so the intermediate
+    # stays ~<= 1 GB at production tracer counts
+    nt = tracer_pos.shape[0]
+    nq3 = q.shape[0]
+    block = max(1, min(nq3, (1 << 28) // max(3 * nt, 1)))
+    nblk = -(-nq3 // block)
+    qp = jnp.pad(q, ((0, nblk * block - nq3), (0, 0)))
+    ones = jnp.ones(nt)
+
+    def one_block(qb):
+        return radial_density_profiles(tracer_pos, ones, qb, r_lo, r_hi,
+                                       nbins=nbins, boxsize=boxsize)[1]
+
+    rho = jax.lax.map(one_block, qp.reshape(nblk, block, 3))
+    rho = rho.reshape(nblk * block, nbins)[:nq3]
+    r = radial_density_profiles(tracer_pos[:1], ones[:1], q[:1], r_lo,
+                                r_hi, nbins=nbins, boxsize=boxsize)[0]
     nbar = tracer_pos.shape[0] / boxsize ** 3
     prof = rho / nbar - 1.0
     sums = jax.ops.segment_sum(prof, labels, num_segments=n_quantiles)
@@ -145,9 +159,11 @@ def counts_in_cells(pos, boxsize, n_cells: int, max_count: int = 64):
         pos = jnp.asarray(pos)
         x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
     cell = boxsize / n_cells
-    ix = jnp.clip((x / cell).astype(jnp.int32), 0, n_cells - 1)
-    iy = jnp.clip((y / cell).astype(jnp.int32), 0, n_cells - 1)
-    iz = jnp.clip((z / cell).astype(jnp.int32), 0, n_cells - 1)
+    # periodic wrap (matches ops.paint): a coordinate at exactly L (the
+    # f32 `% L` hazard) must land in cell 0, not pile onto the last cell
+    ix = jnp.floor(x / cell).astype(jnp.int32) % n_cells
+    iy = jnp.floor(y / cell).astype(jnp.int32) % n_cells
+    iz = jnp.floor(z / cell).astype(jnp.int32) % n_cells
     flat = (ix * n_cells + iy) * n_cells + iz
     counts = jax.ops.segment_sum(jnp.ones_like(flat, jnp.float32), flat,
                                  num_segments=n_cells ** 3)

@@ -255,6 +255,8 @@ def theory_vsf(r_void_hmpc, cosmo, z: float = 0.0, model: str = "vdn",
     from ..utils.constants import RHO_CRIT0  # noqa: F401  (units note)
     from .linear_power import normalization, sigma_r
 
+    if model not in ("svdw", "vdn"):
+        raise ValueError(f"unknown vsf model {model!r} (svdw|vdn)")
     amp = normalization(cosmo) if amplitude is None else amplitude
     growth = cosmo.growth_factor(z)
     a_v = (1.0 + delta_v_nl) ** (-1.0 / 3.0)

@@ -291,48 +291,19 @@ def pairwise_velocity_pdf(pos, vel, dist_bin: int, vel_bin: int,
 @partial(jax.jit, static_argnames=("binnr", "block"))
 def _ksz_accumulate(pos, dT, n_valid, binnr: int, binwidth,
                     block: int = 512):
-    """Accumulate the kSZ pairwise estimator numerator/denominator."""
-    posp, nb = _pad_blocks(pos.astype(jnp.float32), block)
-    dTp, _ = _pad_blocks(dT.astype(jnp.float32)[:, None], block)
+    """kSZ numerator/denominator via the SHARED tile accumulator
+    (kind='ksz' — one home for the Hand+12 weights, used verbatim by the
+    distributed half-ring path in parallel/pairwise.py). dT rides column
+    0 of the velocity slot."""
+    posp, _ = _pad_blocks(pos.astype(jnp.float32), block)
+    npad = posp.shape[0]
+    dTp = jnp.zeros((npad, 3), jnp.float32).at[:, 0].set(
+        jnp.pad(dT.astype(jnp.float32), (0, npad - dT.shape[0])))
     pnorm = jnp.linalg.norm(posp, axis=1, keepdims=True)
     phat = posp / jnp.maximum(pnorm, 1e-12)
-
-    def tile(carry, ab):
-        nom, den = carry
-        a, b = ab
-        ia = a * block + jnp.arange(block)
-        jb = b * block + jnp.arange(block)
-        pi = jax.lax.dynamic_slice(posp, (a * block, 0), (block, 3))
-        pj = jax.lax.dynamic_slice(posp, (b * block, 0), (block, 3))
-        ti = jax.lax.dynamic_slice(dTp, (a * block, 0), (block, 1))[:, 0]
-        tj = jax.lax.dynamic_slice(dTp, (b * block, 0), (block, 1))[:, 0]
-        hi = jax.lax.dynamic_slice(phat, (a * block, 0), (block, 3))
-        hj = jax.lax.dynamic_slice(phat, (b * block, 0), (block, 3))
-        rij = pi[:, None, :] - pj[None, :, :]
-        rnorm = jnp.linalg.norm(rij, axis=-1)
-        rhat = rij / jnp.maximum(rnorm, 1e-12)[..., None]
-        # c_ij = rhat_ij . (phat_i + phat_j) / 2   (Hand+12 Eq. 2 weight)
-        cij = 0.5 * (jnp.einsum("abk,ak->ab", rhat, hi)
-                     + jnp.einsum("abk,bk->ab", rhat, hj))
-        tij = ti[:, None] - tj[None, :]
-        mask = ((ia[:, None] < jb[None, :])
-                & (ia[:, None] < n_valid) & (jb[None, :] < n_valid))
-        binidx = jnp.clip((rnorm / binwidth).astype(jnp.int32), 0, binnr)
-        binidx = jnp.where(rnorm / binwidth < binnr, binidx, binnr)
-        w = mask.astype(jnp.float32).reshape(-1)
-        bflat = jnp.where(mask, binidx, binnr).reshape(-1)
-        nom = nom + jax.ops.segment_sum(w * (tij * cij).reshape(-1), bflat,
-                                        num_segments=binnr + 1)[:binnr]
-        den = den + jax.ops.segment_sum(w * (cij * cij).reshape(-1), bflat,
-                                        num_segments=binnr + 1)[:binnr]
-        return (nom, den), None
-
-    pairs = [(a, b) for a in range(nb) for b in range(nb) if a <= b]
-    ab = jnp.array(pairs, jnp.int32)
-    (nom, den), _ = jax.lax.scan(tile,
-                                 (jnp.zeros((binnr,)), jnp.zeros((binnr,))),
-                                 (ab[:, 0], ab[:, 1]))
-    return nom, den
+    return _pairwise_accumulate_tiles(
+        posp, dTp, phat, posp, dTp, phat, 0, 0, binnr, binwidth, block,
+        n_valid_global=n_valid, triangular=True, kind="ksz")
 
 
 def pairwise_ksz_momentum(pos_cart, dT, bins, n_valid=None,

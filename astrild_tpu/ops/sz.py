@@ -8,8 +8,9 @@ targets (Yasini+18 context) — and tSZ were absent. Both are closed-form
 or one-quadrature patches, built on the same patch-painting machinery
 (ops.lensing.add_patch_to_map / paint_halo_patches).
 
-Conventions: masses Msun/h, lengths Mpc (physical at the lens unless
-noted), velocities km/s, temperatures Kelvin.
+Conventions: masses Msun and lengths Mpc PHYSICAL (divide h-unit
+catalog columns by h first — the SkyArray facade passes physical values),
+velocities km/s, temperatures Kelvin.
 """
 from __future__ import annotations
 
@@ -65,9 +66,10 @@ def nfw_sigma_map(m200c, c200c, r200c, npix: int = 128,
     clipped to the value one tenth of a pixel off center.
 
     Args:
-      m200c: mass [Msun/h] (returned Sigma then carries the same h
-        convention: (Msun/h)/(Mpc/h)^2 if r200c is Mpc/h).
-      c200c: concentration; r200c: radius [Mpc].
+      m200c: mass [Msun, physical].
+      c200c: concentration; r200c: radius [Mpc, physical].
+    Returns Sigma [Msun/Mpc^2] (h-unit inputs give (Msun h)/(Mpc)^2-
+    scaled output — convert inputs first).
     """
     r_s = r200c / c200c
     rho_s = m200c * c200c ** 3 / (
@@ -83,21 +85,21 @@ def nfw_sigma_map(m200c, c200c, r200c, npix: int = 128,
 
 @partial(jax.jit, static_argnames=("npix",))
 def nfw_tau_map(m200c, c200c, r200c, npix: int = 128, extent: float = 1.0,
-                f_gas: float = 0.156, mu_e: float = 1.14,
-                h: float = 0.6774):
+                f_gas: float = 0.156, mu_e: float = 1.14):
     """Thomson optical depth patch tau(theta) of an NFW gas halo.
 
     tau = sigma_T * f_gas * Sigma / (mu_e m_p): the gas follows the NFW
     mass profile with a cosmic baryon fraction f_gas = Omega_b/Omega_m
-    and mu_e m_p mass per electron. Sigma carries (Msun/h)/(Mpc/h)^2, so
-    one factor of h converts to physical surface density.
+    and mu_e m_p mass per electron. Inputs are PHYSICAL (Msun, Mpc) like
+    the rest of this module — an h-unit (Msun/h, Mpc/h) pair fed here
+    directly would bias tau by h (divide both by h first).
     """
     sigma = nfw_sigma_map(m200c, c200c, r200c, npix=npix, extent=extent)
     # sigma_T and m_p individually underflow float32 (1e-74 / 1e-58 in
     # Mpc^2 / Msun); their ratio (~8.3e-17) is representable — combine in
     # python float64 BEFORE any array math
     sigma_t_over_mp = SIGMA_T_MPC2 / M_PROTON_MSUN
-    return (sigma_t_over_mp / mu_e) * f_gas * h * sigma
+    return (sigma_t_over_mp / mu_e) * f_gas * sigma
 
 
 def ksz_patch(tau_map, v_los):
@@ -112,10 +114,11 @@ def ksz_patch(tau_map, v_los):
 @partial(jax.jit, static_argnames=("npix",))
 def ksz_patch_from_halo(m200c, c200c, r200c, v_los, npix: int = 128,
                         extent: float = 1.0, f_gas: float = 0.156,
-                        mu_e: float = 1.14, h: float = 0.6774):
-    """kSZ patch directly from halo parameters (tau from nfw_tau_map)."""
+                        mu_e: float = 1.14):
+    """kSZ patch directly from halo parameters (tau from nfw_tau_map);
+    physical units (Msun, Mpc) as in nfw_tau_map."""
     tau = nfw_tau_map(m200c, c200c, r200c, npix=npix, extent=extent,
-                      f_gas=f_gas, mu_e=mu_e, h=h)
+                      f_gas=f_gas, mu_e=mu_e)
     return ksz_patch(tau, v_los)
 
 

@@ -1,5 +1,5 @@
-"""Velocity-field statistics: volume-weighted velocity grids, divergence
-theta = div v, and the P_thetatheta / P_deltatheta spectra.
+"""Velocity-field statistics: counts-normalized velocity grids,
+divergence theta = div v, and the P_thetatheta / P_deltatheta spectra.
 
 The reference produced velocity and velocity-divergence grids through the
 external DTFE binary (particles/hutils/dtfe.py fields 'velocity',
@@ -29,11 +29,14 @@ __all__ = ["velocity_field", "velocity_divergence",
 
 @partial(jax.jit, static_argnames=("ngrid", "window"))
 def velocity_field(pos, vel, ngrid: int, boxsize, window: str = "cic"):
-    """Volume-weighted velocity grids: v_i(cell) = sum(w v_i)/sum(w).
+    """Counts-normalized velocity grids: v_i(cell) = sum(w v_i)/sum(w).
 
-    Empty cells read 0 (the painted-counts normalization of the DTFE
-    velocity grids; choose ngrid at or below the mean interparticle
-    spacing so empties are rare).
+    This is the MASS-weighted velocity estimator (momentum/density); it
+    approximates the volume-weighted field of the DTFE literature only
+    where cells are well sampled — the two diverge toward small scales
+    (density-velocity correlation bias), so compare like with like.
+    Empty cells read 0; choose ngrid at or below the mean interparticle
+    spacing so empties are rare.
 
     Args:
       pos: (n, 3) or flat-component tuple; vel: (n, 3) or tuple [km/s].
@@ -103,8 +106,9 @@ def delta_theta_cross_power(pos, vel, ngrid: int, boxsize, nbins: int = 0,
 
     Linear check: P_deltatheta -> -a H f P_delta (theta = -aHf delta).
     """
-    counts = paint(pos, ngrid, boxsize, window=window)
-    vgrids, _ = velocity_field(pos, vel, ngrid, boxsize, window=window)
+    # velocity_field already paints the counts grid — reuse it (a deposit
+    # is the dominant cost at large n)
+    vgrids, counts = velocity_field(pos, vel, ngrid, boxsize, window=window)
     theta = velocity_divergence(vgrids, boxsize)
     n = counts.shape[-1]
     nbins = nbins or (n // 2)

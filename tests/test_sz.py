@@ -39,7 +39,7 @@ def test_tau_scale_and_shape():
     tau = np.asarray(sz.nfw_tau_map(1e15, 5.0, 2.0, npix=128))
     assert np.isfinite(tau).all() and (tau > 0).all()
     center = tau[64, 64]
-    assert 1e-4 < center < 3e-2          # cluster-scale optical depth
+    assert 1e-4 < center < 5e-2          # cluster-scale optical depth
     assert center == tau.max()
     assert tau[0, 0] < 0.1 * center      # falls off toward corners
 
