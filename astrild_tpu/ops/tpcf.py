@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "to_redshift_space", "pair_counts_s_mu", "tpcf_s_mu", "tpcf_real",
-    "tpcf_multipoles",
+    "tpcf_multipoles", "pair_counts_rp_pi", "projected_tpcf",
 ]
 
 
@@ -86,7 +86,8 @@ def _s_mu_accumulate_tiles(pos_i, pos_j, ia0, jb0, s_edges, ns: int,
                            block: int = 512, n_valid_global=None,
                            valid_i=None, valid_j=None,
                            dedup: bool = True,
-                           triangular: bool = False):
+                           triangular: bool = False,
+                           coords: str = "s_mu", pi_max=None):
     """DD(s, mu) accumulation over all pairs between two chunks.
 
     ia0/jb0 are the GLOBAL index offsets of the chunks; with dedup=True a
@@ -139,11 +140,22 @@ def _s_mu_accumulate_tiles(pos_i, pos_j, ia0, jb0, s_edges, ns: int,
         d = _min_image(pi[:, None, :] - pj[None, :, :], boxsize)
         s = jnp.linalg.norm(d, axis=-1)
         spar = jnp.abs(d[..., los])
-        mu = spar / jnp.maximum(s, 1e-12)
-        sbin = jnp.clip(jnp.searchsorted(s_edges, s, side="right") - 1,
-                        0, ns - 1)
-        mubin = jnp.clip((mu * nmu).astype(jnp.int32), 0, nmu - 1)
-        mask = (s >= smin) & (s < smax)
+        if coords == "rp_pi":
+            # transverse/parallel split: s_edges bin rp, nmu bins |pi|
+            rp = jnp.sqrt(jnp.maximum(s ** 2 - spar ** 2, 0.0))
+            sbin = jnp.clip(
+                jnp.searchsorted(s_edges, rp, side="right") - 1, 0,
+                ns - 1)
+            mubin = jnp.clip((spar / pi_max * nmu).astype(jnp.int32), 0,
+                             nmu - 1)
+            mask = (rp >= smin) & (rp < smax) & (spar < pi_max)
+        else:
+            mu = spar / jnp.maximum(s, 1e-12)
+            sbin = jnp.clip(
+                jnp.searchsorted(s_edges, s, side="right") - 1, 0,
+                ns - 1)
+            mubin = jnp.clip((mu * nmu).astype(jnp.int32), 0, nmu - 1)
+            mask = (s >= smin) & (s < smax)
         if dedup:
             mask = mask & (ia[:, None] < jb[None, :])
         if n_valid_global is not None:
@@ -236,3 +248,70 @@ def tpcf_multipoles(xi_s_mu, ell: int):
     mu = (jnp.arange(nmu) + 0.5) / nmu
     w = _legendre(ell, mu)
     return (2 * ell + 1) * jnp.mean(xi_s_mu * w[None, :], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("ns", "n_pi", "block", "los"))
+def pair_counts_rp_pi(pos, boxsize, rp_edges, ns: int, n_pi: int,
+                      pi_max, los: int = 2, n_valid=None,
+                      block: int = 512):
+    """DD(rp, |pi|) pair counts (i<j), periodic minimum image.
+
+    rp is the transverse separation, pi the |LOS| separation binned
+    linearly in [0, pi_max). Same tile accumulator as pair_counts_s_mu
+    (coords='rp_pi'). Returns (ns, n_pi) counts.
+    """
+    if isinstance(pos, (tuple, list)):
+        comps = tuple(jnp.asarray(c).reshape(-1).astype(jnp.float32)
+                      for c in pos)
+    else:
+        arr = jnp.asarray(pos).astype(jnp.float32)
+        comps = (arr[:, 0], arr[:, 1], arr[:, 2])
+    n = comps[0].shape[0]
+    n_valid = n if n_valid is None else n_valid
+    nb = (n + block - 1) // block
+    pad = nb * block - n
+    comps = tuple(jnp.pad(c, (0, pad)) for c in comps)
+    counts = _s_mu_accumulate_tiles(
+        comps, comps, 0, 0, rp_edges, ns, n_pi, los, boxsize,
+        block=block, n_valid_global=n_valid, dedup=True, triangular=True,
+        coords="rp_pi", pi_max=pi_max)
+    return counts.reshape(ns, n_pi)
+
+
+def projected_tpcf(pos, boxsize, rp_edges, pi_max, n_pi: int = 40,
+                   los: int = 2, n_valid=None, block: int = 512):
+    """Projected correlation function wp(rp) = 2 integral_0^pi_max
+    xi(rp, pi) dpi (periodic natural estimator, analytic cylindrical RR).
+
+    The standard halotools/Corrfunc wp observable the reference stack
+    could not natively produce. Valid while sqrt(rp_max^2 + pi_max^2)
+    <= boxsize/2 (same half-box caveat as tpcf_s_mu).
+
+    Returns (rp_centers, wp, xi_rp_pi (ns, n_pi)).
+    """
+    import numpy as np
+
+    rmax = float(np.sqrt(float(np.asarray(rp_edges)[-1]) ** 2
+                         + float(pi_max) ** 2))
+    if rmax > float(boxsize) / 2.0 + 1e-9:
+        raise ValueError(
+            f"projected_tpcf: sqrt(rp_max^2+pi_max^2)={rmax} exceeds "
+            f"boxsize/2={float(boxsize) / 2.0}")
+    rp_edges = jnp.asarray(rp_edges)
+    ns = int(rp_edges.shape[0]) - 1
+    if isinstance(pos, (tuple, list)):
+        n = jnp.asarray(pos[0]).reshape(-1).shape[0]
+    else:
+        n = pos.shape[0]
+    n = n if n_valid is None else n_valid
+    dd = pair_counts_rp_pi(pos, boxsize, rp_edges, ns, n_pi, pi_max,
+                           los=los, n_valid=n_valid, block=block)
+    # analytic periodic RR: cylindrical annulus x (+-dpi) slab
+    dpi = pi_max / n_pi
+    area = jnp.pi * (rp_edges[1:] ** 2 - rp_edges[:-1] ** 2)
+    npairs = n * (n - 1) / 2.0
+    rr = npairs * area[:, None] * (2.0 * dpi) / boxsize ** 3
+    xi = jnp.where(rr > 0, dd / jnp.maximum(rr, 1e-30) - 1.0, jnp.nan)
+    wp = 2.0 * jnp.sum(xi * dpi, axis=1)
+    rp_c = 0.5 * (rp_edges[1:] + rp_edges[:-1])
+    return rp_c, wp, xi

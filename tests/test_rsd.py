@@ -1,8 +1,10 @@
 """Redshift-space power multipoles: FFT estimator vs exact anisotropic
 input and vs the linear Kaiser theory anchor."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import numpy.testing as npt
+import pytest
 
 from astrild_tpu.ops import linear_power as LP
 from astrild_tpu.ops import power as P
@@ -149,3 +151,59 @@ def test_zeldovich_end_to_end_kaiser():
     res = P.auto_power_multipoles(grid, box, nbins=16, window="cic")
     r_real = np.asarray(res.p_ell[1])[2:6] / np.asarray(res.p_ell[0])[2:6]
     assert abs(r_real.mean()) < 0.25 * expect
+
+
+def test_pair_counts_rp_pi_exact_pairs():
+    """Hand-placed pairs land in exactly the predicted (rp, pi) cells —
+    including across the periodic wrap and for a non-default LOS axis."""
+    from astrild_tpu.ops import tpcf
+
+    L = 100.0
+    # pair A: rp = 5 (x-y plane), pi = 10 ; pair B wraps: dz = 90 -> 10
+    pos = jnp.asarray(np.array([
+        [20.0, 20.0, 20.0], [23.0, 24.0, 30.0],   # rp=5, pi=10
+        [50.0, 50.0, 95.0], [50.0, 58.0, 5.0],    # rp=8, pi=10 (wrap)
+    ], np.float32))
+    rp_edges = jnp.asarray([2.0, 6.0, 9.0])
+    dd = np.asarray(tpcf.pair_counts_rp_pi(pos, L, rp_edges, 2, 4, 20.0))
+    expected = np.zeros((2, 4))
+    expected[0, 2] = 1.0   # rp=5 in [2,6); pi=10 in bin [10,15)
+    expected[1, 2] = 1.0   # rp=8 in [6,9); pi=10
+    # cross pairs between the two pairs: distances > bins or masked
+    d = np.asarray(pos)
+    other = 0
+    for i in range(4):
+        for j in range(i + 1, 4):
+            if (i, j) in ((0, 1), (2, 3)):
+                continue
+            dv = d[i] - d[j]
+            dv -= L * np.round(dv / L)
+            rp = np.hypot(dv[0], dv[1])
+            pi_ = abs(dv[2])
+            if 2.0 <= rp < 9.0 and pi_ < 20.0:
+                other += 1
+                expected[0 if rp < 6.0 else 1, int(pi_ / 5.0)] += 1
+    np.testing.assert_array_equal(dd, expected)
+
+    # LOS equivariance: swapping axes 0<->2 with los=0 gives identical DD
+    pos_swapped = pos[:, ::-1]
+    dd0 = np.asarray(tpcf.pair_counts_rp_pi(pos_swapped, L, rp_edges, 2,
+                                            4, 20.0, los=0))
+    np.testing.assert_array_equal(dd0, dd)
+
+
+def test_pair_counts_rp_pi_total_and_poisson():
+    from astrild_tpu.ops import tpcf
+
+    rng = np.random.default_rng(2)
+    n, L = 4000, 200.0
+    pos = jnp.asarray(rng.uniform(0, L, (n, 3)).astype(np.float32))
+    rp_edges = jnp.linspace(5.0, 50.0, 6)
+    dd = tpcf.pair_counts_rp_pi(pos, L, rp_edges, 5, 20, 80.0)
+    assert dd.shape == (5, 20)
+    # Poisson box: xi ~ 0 -> counts match analytic RR within noise
+    rp, wp, xi = tpcf.projected_tpcf(pos, L, rp_edges, 80.0, n_pi=20)
+    assert np.abs(np.asarray(wp)).max() < 8.0   # |wp| small vs pi_max=80
+    # half-box guard
+    with pytest.raises(ValueError):
+        tpcf.projected_tpcf(pos, L, jnp.linspace(5.0, 90.0, 4), 80.0)
