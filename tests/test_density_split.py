@@ -85,3 +85,36 @@ def test_counts_in_cells_poisson():
     k = np.arange(pdf.shape[0])
     np.testing.assert_allclose(float(np.sum(k * np.asarray(pdf))), exp,
                                rtol=0.01)
+
+
+def test_marked_power_p0_equals_plain():
+    from astrild_tpu.ops import mocks, paint, power
+
+    pos = mocks.zeldovich_catalog(
+        jax.random.PRNGKey(2), 24, 200.0,
+        lambda k: 5e4 * k / (1 + (k / 0.04) ** 2) ** 2)
+    res_m, marks = ds.marked_power(pos, 24, 200.0, smooth_radius=15.0,
+                                   mark_p=0.0, nbins=8)
+    np.testing.assert_allclose(np.asarray(marks), 1.0, atol=1e-6)
+    grid = paint.paint(pos, 24, 200.0, window="cic")
+    shot = 200.0 ** 3 / pos.shape[0]
+    res_p = power.auto_power(grid, 200.0, nbins=8, window="cic",
+                             shotnoise=shot)
+    np.testing.assert_allclose(np.asarray(res_m.power),
+                               np.asarray(res_p.power), rtol=1e-5)
+
+
+def test_marked_power_downweights_dense_regions():
+    from astrild_tpu.ops import mocks
+
+    pos = mocks.zeldovich_catalog(
+        jax.random.PRNGKey(3), 32, 200.0,
+        lambda k: 3e5 * k / (1 + (k / 0.04) ** 2) ** 2)
+    res, marks = ds.marked_power(pos, 32, 200.0, smooth_radius=10.0,
+                                 mark_p=2.0, mark_delta_s=0.25, nbins=8)
+    marks = np.asarray(marks)
+    assert marks.min() > 0
+    # marks anti-correlate with local density by construction:
+    # particles in dense cells carry smaller marks
+    assert marks.std() > 0.05
+    assert np.isfinite(np.asarray(res.power)).all()
