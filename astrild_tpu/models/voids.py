@@ -24,7 +24,8 @@ from ..ops import peaks as peak_ops
 from ..ops import profiles as prof_ops
 from ..ops import voids as void_ops
 
-__all__ = ["TunnelsFinder", "WatershedFinder", "Voids"]
+__all__ = ["TunnelsFinder", "WatershedFinder", "SphericalVoidFinder3D",
+           "WatershedFinder3D", "Voids"]
 
 
 class TunnelsFinder:
@@ -197,6 +198,72 @@ class WatershedFinder:
         return self.voids
 
 
+class SphericalVoidFinder3D:
+    """3D spherical void finder (SVF) on a density grid — the native
+    producer of the catalogs the reference only READ from external SVF
+    binaries (rays/void.py:83-104). Mirrors the TunnelsFinder API:
+    construct, find_voids, feed Voids.from_finder."""
+
+    def __init__(self, delta, boxsize):
+        self.delta = jnp.asarray(delta)
+        self.boxsize = float(boxsize)
+        self.voids: Optional[dict] = None
+
+    @classmethod
+    def from_particles(cls, pos, ngrid: int, boxsize,
+                       window: str = "cic") -> "SphericalVoidFinder3D":
+        from ..ops import paint as paint_ops
+
+        grid = paint_ops.paint(pos, ngrid, boxsize, window=window)
+        delta = grid / jnp.mean(grid) - 1.0
+        return cls(delta, boxsize)
+
+    def find_voids(self, delta_threshold: float = -0.8,
+                   overlap: float = 0.5, max_voids: int = 512,
+                   n_radii: int = 24, r_min=None, r_max=None) -> dict:
+        from ..ops import voids3d
+
+        cat = voids3d.svf_voids(self.delta, self.boxsize,
+                                delta_threshold=delta_threshold,
+                                overlap=overlap, max_voids=max_voids,
+                                n_radii=n_radii, r_min=r_min, r_max=r_max)
+        self.voids = voids3d.svf_catalog_dict(cat, overlap=overlap)
+        self.catalog = cat
+        return self.voids
+
+
+class WatershedFinder3D:
+    """ZOBOV-style 3D watershed finder on a density grid (the reference
+    only read external ZOBOV catalogs, rays/void.py:105-127)."""
+
+    def __init__(self, delta, boxsize):
+        self.delta = jnp.asarray(delta)
+        self.boxsize = float(boxsize)
+        self.voids: Optional[dict] = None
+
+    def find_voids(self, core_delta: float = -0.5,
+                   smooth_cells: float = 2.0, max_voids: int = 512
+                   ) -> dict:
+        from ..ops import voids3d
+
+        cat = voids3d.watershed_voids_3d(self.delta, self.boxsize,
+                                         max_voids=max_voids,
+                                         core_delta=core_delta,
+                                         smooth_cells=smooth_cells)
+        n = int(cat.n)
+        pos = np.asarray(cat.pos)[:n]
+        self.voids = {
+            "x": pos[:, 0], "y": pos[:, 1], "z": pos[:, 2],
+            "radius": np.asarray(cat.radius)[:n],
+            "min_delta": np.asarray(cat.min_delta)[:n],
+            # the reference's zobov catalogs threshold on this column
+            # (void.py:105-127, FINDER_SIGMA_NAMES['zobov'])
+            "halo_den": np.asarray(cat.min_delta)[:n],
+        }
+        self.catalog = cat
+        return self.voids
+
+
 class Voids:
     """Void-catalog manager for finders {tunnels, svf, zobov, wvf}
     (rays/void.py:23-545)."""
@@ -222,7 +289,14 @@ class Voids:
     @classmethod
     def from_finder(cls, finder_obj, skymap_dsc: Optional[dict] = None
                     ) -> "Voids":
-        name = ("tunnels" if isinstance(finder_obj, TunnelsFinder) else "wvf")
+        if isinstance(finder_obj, TunnelsFinder):
+            name = "tunnels"
+        elif isinstance(finder_obj, SphericalVoidFinder3D):
+            name = "svf"
+        elif isinstance(finder_obj, WatershedFinder3D):
+            name = "zobov"
+        else:
+            name = "wvf"
         return cls(dict(finder_obj.voids), name, skymap_dsc)
 
     # -------------------------------------------------------------- selection

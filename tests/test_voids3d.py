@@ -127,3 +127,34 @@ def test_svf_catalog_dict_feeds_voids_model():
     sel = voids.filter_sigma(0.5)
     assert sel["x"].shape[0] == int(cat.n)
     assert (sel["radius"] > 0).all()
+
+
+def test_model_facades_svf_and_watershed3d():
+    from astrild_tpu.models.voids import (SphericalVoidFinder3D, Voids,
+                                          WatershedFinder3D)
+
+    ngrid, L = 48, 48.0
+    delta, _ = _spherical_void(ngrid, L, np.array([24.0, 24.0, 24.0]), 9.0)
+
+    svf = SphericalVoidFinder3D(delta, L)
+    cat = svf.find_voids(delta_threshold=-0.5, max_voids=16)
+    assert cat["x"].shape[0] == int(svf.catalog.n) >= 1
+    voids = Voids.from_finder(svf)
+    assert voids.finder == "svf"
+    assert (voids.filter_sigma(0.5)["radius"] > 0).all()
+
+    wvf = WatershedFinder3D(delta, L)
+    catw = wvf.find_voids(core_delta=-0.3)
+    assert catw["halo_den"].shape == catw["radius"].shape
+    voids_w = Voids.from_finder(wvf)
+    assert voids_w.finder == "zobov"
+
+    # particle-path constructor
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(0, L, (20000, 3)).astype(np.float32)
+    r = np.linalg.norm((pos - 24.0 + L / 2) % L - L / 2, axis=1)
+    pos = pos[r > 9.0]  # carve the void out of the tracers
+    svf2 = SphericalVoidFinder3D.from_particles(jnp.asarray(pos), ngrid, L)
+    cat2 = svf2.find_voids(delta_threshold=-0.5, max_voids=16)
+    found = np.array([cat2["x"][0], cat2["y"][0], cat2["z"][0]])
+    assert np.linalg.norm(found - 24.0) < 4.0
