@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["sph_bessel_transform", "xi_multipoles_from_pk",
+__all__ = ["sph_bessel_transform", "xi_multipoles_from_pk", "wp_from_pk",
            "correlation_from_power"]
 
 
@@ -136,3 +136,32 @@ def correlation_from_power(k, pk, q: float = 1.5):
     s, xi = xi_multipoles_from_pk(k, jnp.asarray(pk)[None, :], ells=(0,),
                                   q=q)
     return s, xi[0]
+
+
+def wp_from_pk(k, pk, rp, pi_max, q: float = 1.5, n_pi: int = 256):
+    """Theory projected correlation wp(rp) = 2 int_0^pi_max
+    xi(sqrt(rp^2 + pi^2)) dpi from a tabulated P(k).
+
+    The theory counterpart of ops.tpcf.projected_tpcf (same finite
+    pi_max convention — as pi_max -> inf this approaches the J0-Hankel
+    identity wp = int k P(k) J0(k rp) dk / 2pi). xi comes from the
+    FFTLog transform above; the pi integral is a trapezoid over the
+    interpolated xi.
+
+    Args:
+      k, pk: log-spaced P(k) table (h/Mpc, (Mpc/h)^3).
+      rp: (nrp,) projected radii.
+      pi_max: LOS integration bound [Mpc/h].
+    Returns (nrp,) wp.
+    """
+    s, xi = correlation_from_power(k, pk, q=q)
+    lns = jnp.log(s)
+    pi_grid = jnp.linspace(0.0, pi_max, n_pi + 1)
+    rp = jnp.asarray(rp)
+
+    def one(rpv):
+        r = jnp.sqrt(rpv ** 2 + pi_grid ** 2)
+        xi_r = jnp.interp(jnp.log(jnp.maximum(r, s[0])), lns, xi)
+        return 2.0 * jnp.trapezoid(xi_r, pi_grid)
+
+    return jax.vmap(one)(rp)

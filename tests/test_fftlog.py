@@ -1,5 +1,6 @@
 """FFTLog spherical-Bessel transforms vs analytic forms and brute-force
 quadrature."""
+import jax.numpy as jnp
 import numpy as np
 import numpy.testing as npt
 import pytest
@@ -101,3 +102,22 @@ def test_bao_peak_in_configuration_space():
     assert 95 < peak_s < 110
     assert v[sel].max() > at(75.0) > 0
     assert v[sel].max() > at(130.0)
+
+
+def test_wp_from_pk_matches_j0_hankel():
+    """At large pi_max, wp(rp) -> int k P(k) J0(k rp) dk / (2 pi) —
+    cross-checked against a float64 scipy quadrature."""
+    from scipy.special import j0
+
+    from astrild_tpu.ops.fftlog import wp_from_pk
+
+    k = np.geomspace(1e-3, 50.0, 512)
+    pk = 2.0e4 * k / (1.0 + (k / 0.05) ** 2) ** 2
+    rp = np.array([5.0, 10.0, 20.0, 40.0])
+    wp = np.asarray(wp_from_pk(jnp.asarray(k), jnp.asarray(pk),
+                               jnp.asarray(rp), pi_max=250.0, n_pi=1024))
+    kk = np.geomspace(1e-4, 80.0, 40000)
+    pkk = 2.0e4 * kk / (1.0 + (kk / 0.05) ** 2) ** 2
+    oracle = np.array([np.trapezoid(kk * pkk * j0(kk * r), kk)
+                       / (2 * np.pi) for r in rp])
+    np.testing.assert_allclose(wp, oracle, rtol=0.05)
