@@ -35,7 +35,7 @@ from ..utils.cosmology import Cosmology
 from .halo_stats import DELTA_C  # same threshold as the mass function
 
 __all__ = ["nfw_u", "sheth_tormen_bias", "duffy_concentration",
-           "halo_model_power"]
+           "halo_model_power", "hod_galaxy_power"]
 
 
 def duffy_concentration(m200m, z: float = 0.0):
@@ -122,3 +122,60 @@ def halo_model_power(k_hmpc, cosmo: Cosmology, z: float = 0.0,
     p_lin = linear_power(k, cosmo, z=z, amplitude=amplitude)
     p_2h = (i_2h + a_corr) ** 2 * p_lin
     return p_1h, p_2h, p_1h + p_2h
+
+
+def hod_galaxy_power(k_hmpc, cosmo: Cosmology, hod_params=None,
+                     z: float = 0.0, mmin: float = 1e10,
+                     mmax: float = 1e16, nm: int = 64, model: str = "st",
+                     amplitude=None):
+    """Halo-model GALAXY power spectrum for a Zheng+07 HOD.
+
+    The theory counterpart of ops.hod.hod_populate — the same HODParams
+    predict the mock's clustering:
+
+      n_g      = Int dlnM n (N_cen + N_sat)
+      P_1h(k)  = (1/n_g^2) Int dlnM n [2 N_cen N_sat u + N_sat^2 u^2]
+      P_2h(k)  = b_eff(k)^2 P_lin,
+      b_eff(k) = (1/n_g) Int dlnM n b(M) (N_cen + N_sat u(k|M))
+
+    (Poisson satellites; centrals at the halo center so u_cen = 1.)
+
+    Returns (p_1h, p_2h, p_total, n_g, b_g) with b_g the k->0 effective
+    bias.
+    """
+    from .hod import HODParams, zheng07_mean_occupation
+    from .halo_stats import theory_hmf
+    from .linear_power import linear_power, normalization, sigma_r
+
+    if hod_params is None:
+        hod_params = HODParams()
+    k = jnp.asarray(k_hmpc)
+    if amplitude is None:
+        amplitude = normalization(cosmo)
+    rho_m = cosmo.Om0 * RHO_CRIT0
+    lnm = jnp.linspace(jnp.log(mmin), jnp.log(mmax), nm)
+    m = jnp.exp(lnm)
+    dlnm = lnm[1] - lnm[0]
+    n_lnm = theory_hmf(m, cosmo, z=z, model=model, amplitude=amplitude)
+    r_lag = (3.0 * m / (4.0 * jnp.pi * rho_m)) ** (1.0 / 3.0)
+    growth = cosmo.growth_factor(z)
+    sig = jax.vmap(lambda r: sigma_r(r, cosmo, amplitude=amplitude))(
+        r_lag) * growth
+    bias = sheth_tormen_bias(DELTA_C / sig)
+    r_vir = (3.0 * m / (4.0 * jnp.pi * 200.0 * rho_m)) ** (1.0 / 3.0)
+    conc = duffy_concentration(m, z=z)
+    u = nfw_u(k, conc, r_vir)  # (nm, nk)
+
+    n_cen, n_sat = zheng07_mean_occupation(m, hod_params)
+    w = n_lnm * dlnm
+    n_g = jnp.sum(w * (n_cen + n_sat))
+    p_1h = jnp.sum(w[:, None] * (2.0 * (n_cen * n_sat)[:, None] * u
+                                 + (n_sat ** 2)[:, None] * u ** 2),
+                   axis=0) / n_g ** 2
+    b_eff = jnp.sum((w * bias)[:, None]
+                    * (n_cen[:, None] + n_sat[:, None] * u),
+                    axis=0) / n_g
+    p_lin = linear_power(k, cosmo, z=z, amplitude=amplitude)
+    p_2h = b_eff ** 2 * p_lin
+    b_g = jnp.sum(w * bias * (n_cen + n_sat)) / n_g
+    return p_1h, p_2h, p_1h + p_2h, n_g, b_g

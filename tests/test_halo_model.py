@@ -78,3 +78,51 @@ def test_model_layer_nonlinear_dispatch():
 
     with pytest.raises(ValueError):
         lin.P_nl(k, method="nope")
+
+
+def test_hod_galaxy_power_limits():
+    from astrild_tpu.ops.halo_model import hod_galaxy_power
+    from astrild_tpu.ops.hod import HODParams, zheng07_mean_occupation
+    from astrild_tpu.ops.halo_stats import theory_hmf
+    from astrild_tpu.ops.linear_power import linear_power, normalization
+    from astrild_tpu.utils.cosmology import Cosmology
+
+    cosmo = Cosmology()
+    k = jnp.asarray(np.geomspace(1e-3, 10.0, 24))
+    params = HODParams(log_mmin=12.5, sigma_logm=0.3, log_m0=12.0,
+                       log_m1=13.5, alpha=1.0)
+    p1h, p2h, ptot, n_g, b_g = hod_galaxy_power(k, cosmo, params)
+    p1h = np.asarray(p1h); p2h = np.asarray(p2h)
+    assert float(n_g) > 0 and np.isfinite(float(b_g))
+    assert float(b_g) > 1.0     # Mmin ~ 3e12 galaxies are biased tracers
+    # k->0: u->1, so P_2h -> b_g^2 P_lin
+    amp = normalization(cosmo)
+    plin0 = float(linear_power(k[:1], cosmo, amplitude=amp)[0])
+    np.testing.assert_allclose(p2h[0], float(b_g) ** 2 * plin0, rtol=1e-3)
+    # 1-halo term dominates at high k, 2-halo at low k
+    assert p1h[0] < p2h[0]
+    assert p1h[-1] > p2h[-1]
+    # n_g against a float64 brute-force of the same integrand
+    lnm = np.linspace(np.log(1e10), np.log(1e16), 64)
+    m = np.exp(lnm)
+    n_lnm = np.asarray(theory_hmf(jnp.asarray(m), cosmo))
+    nc, ns = zheng07_mean_occupation(jnp.asarray(m), params)
+    ng_ref = np.sum(n_lnm * (np.asarray(nc) + np.asarray(ns))) \
+        * (lnm[1] - lnm[0])
+    np.testing.assert_allclose(float(n_g), ng_ref, rtol=1e-4)
+
+
+def test_hod_galaxy_bias_decreases_with_mmin():
+    from astrild_tpu.ops.halo_model import hod_galaxy_power
+    from astrild_tpu.ops.hod import HODParams
+    from astrild_tpu.utils.cosmology import Cosmology
+
+    cosmo = Cosmology()
+    k = jnp.asarray([0.01])
+    biases = []
+    for lm in (12.0, 12.8, 13.5):
+        p = HODParams(log_mmin=lm, sigma_logm=0.3, log_m0=lm - 0.5,
+                      log_m1=lm + 1.0, alpha=1.0)
+        *_, b_g = hod_galaxy_power(k, cosmo, p)
+        biases.append(float(b_g))
+    assert biases[0] < biases[1] < biases[2]
