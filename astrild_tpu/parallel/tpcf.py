@@ -22,7 +22,76 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.tpcf import _check_halfbox, _s_mu_accumulate_tiles
 
-__all__ = ["make_distributed_tpcf_s_mu"]
+__all__ = ["make_distributed_tpcf_s_mu",
+           "make_distributed_projected_tpcf"]
+
+
+def _make_counts_fn(mesh, boxsize, s_edges, ns, nmu, los, axis, block,
+                    n_valid, with_valid_mask, coords="s_mu",
+                    pi_max=None):
+    """Half-ring pair-count closure shared by the s-mu and (rp, pi)
+    factories. Returns fn(cx, cy, cz[, valid]) -> (counts, n_real)."""
+    nshards = mesh.shape[axis]
+    perm_back = [((i + 1) % nshards, i) for i in range(nshards)]
+
+    def body(cx, cy, cz, valid=None):
+        me = jax.lax.axis_index(axis)
+        nloc = cx.shape[0]
+        comps = (cx.astype(jnp.float32), cy.astype(jnp.float32),
+                 cz.astype(jnp.float32))
+
+        def count(visit, dedup, triangular=False):
+            vcomps = visit[:3]
+            vowner = visit[3]
+            vvalid = visit[4] if valid is not None else None
+            return _s_mu_accumulate_tiles(
+                comps, vcomps, me * nloc, vowner * nloc, s_edges, ns,
+                nmu, los, boxsize, block=block,
+                n_valid_global=n_valid, valid_i=valid, valid_j=vvalid,
+                dedup=dedup, triangular=triangular, coords=coords,
+                pi_max=pi_max)
+
+        resident = comps + (jnp.asarray(me),) + (
+            (valid,) if valid is not None else ())
+        counts = count(resident, dedup=True, triangular=True)
+
+        n_full = (nshards - 1) // 2
+
+        def step(carry, _):
+            acc, visit = carry
+            visit = jax.tree_util.tree_map(
+                lambda x: jax.lax.ppermute(x, axis, perm_back), visit)
+            return (acc + count(visit, dedup=False), visit), None
+
+        if n_full > 0:
+            (counts, visit), _ = jax.lax.scan(
+                step, (counts, resident), None, length=n_full)
+        else:
+            visit = resident
+        if nshards % 2 == 0 and nshards > 1:
+            visit = jax.tree_util.tree_map(
+                lambda x: jax.lax.ppermute(x, axis, perm_back), visit)
+            counts = counts + count(visit, dedup=True)
+
+        counts = jax.lax.psum(counts, axis)
+        if valid is not None:
+            n_real = jax.lax.psum(jnp.sum(valid > 0), axis)
+        elif n_valid is not None:
+            n_real = jnp.asarray(n_valid)
+        else:
+            n_real = jax.lax.psum(jnp.asarray(nloc), axis)
+        return counts, n_real
+
+    row = P(axis)
+    if with_valid_mask:
+        fn = jax.shard_map(body, mesh=mesh,
+                           in_specs=(row, row, row, row),
+                           out_specs=(P(), P()))
+    else:
+        fn = jax.shard_map(lambda cx, cy, cz: body(cx, cy, cz),
+                           mesh=mesh, in_specs=(row, row, row),
+                           out_specs=(P(), P()))
+    return jax.jit(fn)
 
 
 def make_distributed_tpcf_s_mu(mesh: Mesh, boxsize, s_edges, nmu: int = 20,
@@ -50,70 +119,8 @@ def make_distributed_tpcf_s_mu(mesh: Mesh, boxsize, s_edges, nmu: int = 20,
     _check_halfbox(s_edges, boxsize)
     s_edges = jnp.asarray(s_edges, jnp.float32)
     ns = int(s_edges.shape[0]) - 1
-    nshards = mesh.shape[axis]
-    # visitors flow so that after k hops the chunk at `me` originated at
-    # (me + k) mod P
-    perm_back = [((i + 1) % nshards, i) for i in range(nshards)]
-
-    def body(cx, cy, cz, valid=None):
-        me = jax.lax.axis_index(axis)
-        nloc = cx.shape[0]
-        comps = (cx.astype(jnp.float32), cy.astype(jnp.float32),
-                 cz.astype(jnp.float32))
-
-        def count(visit, dedup, triangular=False):
-            vcomps = visit[:3]
-            vowner = visit[3]
-            vvalid = visit[4] if valid is not None else None
-            return _s_mu_accumulate_tiles(
-                comps, vcomps, me * nloc, vowner * nloc, s_edges, ns,
-                nmu, los, boxsize, block=block,
-                n_valid_global=n_valid, valid_i=valid, valid_j=vvalid,
-                dedup=dedup, triangular=triangular)
-
-        resident = comps + (jnp.asarray(me),) + (
-            (valid,) if valid is not None else ())
-        # self pairs (i < j within the chunk; a <= b tiles suffice)
-        counts = count(resident, dedup=True, triangular=True)
-
-        n_full = (nshards - 1) // 2
-
-        def step(carry, _):
-            acc, visit = carry
-            visit = jax.tree_util.tree_map(
-                lambda x: jax.lax.ppermute(x, axis, perm_back), visit)
-            return (acc + count(visit, dedup=False), visit), None
-
-        if n_full > 0:
-            (counts, visit), _ = jax.lax.scan(
-                step, (counts, resident), None, length=n_full)
-        else:
-            visit = resident
-        if nshards % 2 == 0 and nshards > 1:
-            # k = P/2: both pair members see each other -> global dedup
-            visit = jax.tree_util.tree_map(
-                lambda x: jax.lax.ppermute(x, axis, perm_back), visit)
-            counts = counts + count(visit, dedup=True)
-
-        counts = jax.lax.psum(counts, axis)
-        if valid is not None:
-            n_real = jax.lax.psum(jnp.sum(valid > 0), axis)
-        elif n_valid is not None:
-            n_real = jnp.asarray(n_valid)
-        else:
-            n_real = jax.lax.psum(jnp.asarray(nloc), axis)
-        return counts, n_real
-
-    row = P(axis)
-    if with_valid_mask:
-        fn = jax.shard_map(body, mesh=mesh,
-                           in_specs=(row, row, row, row),
-                           out_specs=(P(), P()))
-    else:
-        fn = jax.shard_map(lambda cx, cy, cz: body(cx, cy, cz),
-                           mesh=mesh, in_specs=(row, row, row),
-                           out_specs=(P(), P()))
-    fn = jax.jit(fn)
+    fn = _make_counts_fn(mesh, boxsize, s_edges, ns, nmu, los, axis,
+                         block, n_valid, with_valid_mask)
 
     def tpcf(pos, valid=None):
         if (valid is not None) != with_valid_mask:
@@ -142,3 +149,51 @@ def make_distributed_tpcf_s_mu(mesh: Mesh, boxsize, s_edges, nmu: int = 20,
         return s_centers, mu_centers, xi
 
     return tpcf
+
+
+def make_distributed_projected_tpcf(mesh: Mesh, boxsize, rp_edges,
+                                    pi_max, n_pi: int = 40, los: int = 2,
+                                    axis: str = "sim", block: int = 256,
+                                    n_valid: int | None = None,
+                                    with_valid_mask: bool = False):
+    """Distributed wp(rp): the half-ring schedule in (rp, |pi|) bins.
+
+    Same contract as make_distributed_tpcf_s_mu; returns fn(pos[, valid])
+    -> (rp_centers, wp, xi_rp_pi), matching ops.tpcf.projected_tpcf.
+    """
+    rmax = float(np.sqrt(float(np.asarray(rp_edges)[-1]) ** 2
+                         + float(pi_max) ** 2))
+    if rmax > float(boxsize) / 2.0 + 1e-9:
+        raise ValueError(
+            f"projected_tpcf: sqrt(rp_max^2+pi_max^2)={rmax} exceeds "
+            f"boxsize/2={float(boxsize) / 2.0}")
+    rp_edges = jnp.asarray(rp_edges, jnp.float32)
+    ns = int(rp_edges.shape[0]) - 1
+    fn = _make_counts_fn(mesh, boxsize, rp_edges, ns, n_pi, los, axis,
+                         block, n_valid, with_valid_mask,
+                         coords="rp_pi", pi_max=pi_max)
+
+    def wp_fn(pos, valid=None):
+        if (valid is not None) != with_valid_mask:
+            raise ValueError(
+                "valid mask mismatch: build the factory with "
+                f"with_valid_mask={valid is not None}")
+        if isinstance(pos, (tuple, list)):
+            cx, cy, cz = pos
+        else:
+            cx, cy, cz = pos[:, 0], pos[:, 1], pos[:, 2]
+        counts, n_real = (fn(cx, cy, cz, valid) if with_valid_mask
+                          else fn(cx, cy, cz))
+        dd = counts.reshape(ns, n_pi)
+        n = n_real.astype(jnp.float32)
+        dpi = pi_max / n_pi
+        area = jnp.pi * (rp_edges[1:] ** 2 - rp_edges[:-1] ** 2)
+        npairs = n * (n - 1.0) / 2.0
+        rr = npairs * area[:, None] * (2.0 * dpi) / boxsize ** 3
+        xi = jnp.where(rr > 0, dd / jnp.maximum(rr, 1e-30) - 1.0,
+                       jnp.nan)
+        wp = 2.0 * jnp.sum(xi * dpi, axis=1)
+        rp_c = 0.5 * (rp_edges[1:] + rp_edges[:-1])
+        return rp_c, wp, xi
+
+    return wp_fn

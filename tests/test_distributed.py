@@ -718,3 +718,29 @@ def test_distributed_ksz_matches_local(rng):
     good = np.isfinite(np.asarray(p_local))
     npt.assert_allclose(p_d[good], np.asarray(p_local)[good],
                         rtol=2e-3, atol=1e-4)
+
+
+def test_distributed_projected_tpcf_matches_local(rng):
+    from astrild_tpu.ops import tpcf as T
+    from astrild_tpu.parallel.tpcf import make_distributed_projected_tpcf
+
+    mesh = make_mesh(n_sim=4, n_x=1, n_y=1)
+    n, L = 1024, 150.0
+    pos = rng.uniform(0, L, (n, 3)).astype(np.float32)
+    # add some clustered companions so wp is nonzero
+    pos[: n // 4] = (pos[n // 4: n // 2]
+                     + rng.normal(0, 3.0, (n // 4, 3))) % L
+    rp_edges = jnp.linspace(2.0, 30.0, 6)
+    pi_max, n_pi = 40.0, 10
+    fn = make_distributed_projected_tpcf(mesh, L, rp_edges, pi_max,
+                                         n_pi=n_pi, block=256)
+    comps = tuple(jax.device_put(jnp.asarray(pos[:, i]),
+                                 NamedSharding(mesh, P("sim")))
+                  for i in range(3))
+    rp_d, wp_d, xi_d = fn(comps)
+    rp_l, wp_l, xi_l = T.projected_tpcf(jnp.asarray(pos), L, rp_edges,
+                                        pi_max, n_pi=n_pi)
+    npt.assert_allclose(np.asarray(xi_d), np.asarray(xi_l), rtol=1e-5,
+                        atol=1e-5)
+    npt.assert_allclose(np.asarray(wp_d), np.asarray(wp_l), rtol=1e-5,
+                        atol=1e-5)
