@@ -25,7 +25,8 @@ from ..utils.constants import (C_LIGHT_KMS, M_PROTON_MSUN, SIGMA_T_MPC2,
 
 __all__ = ["nfw_sigma_map", "nfw_tau_map", "ksz_patch", "ksz_patch_from_halo",
            "gnfw_pressure", "compton_y_patch", "GNFW_ARNAUD10",
-           "stacked_aperture_photometry"]
+           "stacked_aperture_photometry", "m500c_from_m200m", "y_ell",
+           "cl_yy"]
 
 # Arnaud et al. 2010 (arXiv:0910.1234) universal pressure profile,
 # Eq. 12 best-fit parameters (h70 = 1): [P0, c500, gamma, alpha, beta]
@@ -221,3 +222,115 @@ def stacked_aperture_photometry(img, centers_pix, opening_angle_deg,
         w = jnp.asarray(weights, jnp.float32)
         stack = jnp.sum(ap * w) / jnp.maximum(jnp.sum(w), 1e-30)
     return ap, stack
+
+
+# -------------------------------------------------------- tSZ angular power
+def m500c_from_m200m(m200m, z, cosmo, conc=None, n_iter: int = 60):
+    """NFW rescaling M200m -> (M500c, r500c_physical).
+
+    m200m in Msun/h (the theory_hmf convention, 200 x mean COMOVING
+    density); returns m500c [Msun/h] and the PHYSICAL r500c [Mpc/h].
+    Solves mu(r/rs)/mu(c) M200m = (4/3) pi 500 rho_crit(z) r^3 by
+    bisection (mu(x) = ln(1+x) - x/(1+x)).
+    """
+    from ..utils.constants import RHO_CRIT0
+    from .halo_model import duffy_concentration
+
+    m200m = jnp.asarray(m200m, jnp.float32)
+    c = duffy_concentration(m200m, z=z) if conc is None else conc
+    rho_m0 = cosmo.Om0 * RHO_CRIT0
+    r200m_phys = ((3.0 * m200m / (4.0 * jnp.pi * 200.0 * rho_m0))
+                  ** (1.0 / 3.0)) / (1.0 + z)
+    rs = r200m_phys / c
+    mu = lambda x: jnp.log1p(x) - x / (1.0 + x)
+    rho_c = cosmo.rho_crit(z)
+
+    def excess(r):
+        # M(<r) - (4/3) pi 500 rho_c r^3 : positive while NFW wins
+        return (m200m * mu(r / rs) / mu(c)
+                - 4.0 / 3.0 * jnp.pi * 500.0 * rho_c * r ** 3)
+
+    lo = 0.01 * r200m_phys
+    hi = 3.0 * r200m_phys
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        pos = excess(mid) > 0
+        return jnp.where(pos, mid, lo), jnp.where(pos, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
+    r500 = 0.5 * (lo + hi)
+    m500 = m200m * mu(r500 / rs) / mu(c)
+    return m500, r500
+
+
+def y_ell(ells, m500_phys, r500_phys_mpc, e_z, d_a_mpc,
+          params: Tuple[float, ...] = GNFW_ARNAUD10, h70: float = 0.968,
+          x_max: float = 5.0, n_x: int = 256):
+    """2D Fourier (Limber) profile y_ell of one cluster (Komatsu-Seljak
+    2002 Eq. 2 form, scaled by R500):
+
+        y_ell = (sigma_T/m_e c^2) P500 (4 pi r500 / l500^2)
+                Int dx x^2 P(x) sinc(ell x / l500),   l500 = d_A/r500.
+
+    m500_phys [Msun], r500/d_A [Mpc] PHYSICAL (no h).
+    """
+    prefac = 6.6524587158e-25 / 511.0 * 3.0856775814913673e24
+    m500_phys = jnp.atleast_1d(jnp.asarray(m500_phys, jnp.float32))
+    r500 = jnp.atleast_1d(jnp.asarray(r500_phys_mpc, jnp.float32))
+    scalar_halo = m500_phys.shape[0] == 1
+    p500_amp = (1.65e-3 * e_z ** (8.0 / 3.0)
+                * (m500_phys / (3.0e14 / h70)) ** (2.0 / 3.0) * h70 ** 2)
+    l500 = d_a_mpc / r500                                # (nm,)
+    x = jnp.linspace(1e-3, x_max, n_x)
+    px = gnfw_pressure(x, params)
+    ells = jnp.asarray(ells, jnp.float32)
+    arg = ((ells[:, None, None] + 0.5) * x[None, None, :]
+           / l500[None, :, None])                        # (nl, nm, nx)
+    sinc = jnp.where(arg < 1e-4, 1.0 - arg ** 2 / 6.0,
+                     jnp.sin(arg) / jnp.maximum(arg, 1e-12))
+    integ = jnp.trapezoid(
+        x[None, None, :] ** 2 * px[None, None, :] * sinc, x, axis=-1)
+    out = (prefac * p500_amp[None, :]
+           * (4.0 * jnp.pi * r500 / l500 ** 2)[None, :] * integ)
+    return out[:, 0] if scalar_halo else out
+
+
+def cl_yy(ells, cosmo, z_min: float = 0.01, z_max: float = 3.0,
+          nz: int = 24, mmin: float = 1e13, mmax: float = 5e15,
+          nm: int = 40, model: str = "st", h70=None,
+          params: Tuple[float, ...] = GNFW_ARNAUD10):
+    """Halo-model (1-halo) tSZ angular power spectrum Cl_yy.
+
+        Cl = Int dz dV/dz/dOmega Int dlnM n(M, z) |y_ell(M, z)|^2
+
+    with the Arnaud+10 pressure profile, theory_hmf mass function
+    (M200m), and the NFW M200m -> M500c rescaling above. The 2-halo term
+    (correlated clusters) is sub-dominant except at ell <~ 100 and is
+    omitted. Returns (nell,) Cl in y^2 units.
+    """
+    from ..utils.constants import C_LIGHT_KMS
+    from .halo_stats import theory_hmf
+
+    if h70 is None:
+        h70 = cosmo.h / 0.7
+    ells = jnp.asarray(ells, jnp.float32)
+    z_grid = jnp.linspace(z_min, z_max, nz)
+    lnm = jnp.linspace(jnp.log(mmin), jnp.log(mmax), nm)
+    m = jnp.exp(lnm)
+    dlnm = lnm[1] - lnm[0]
+    dz = z_grid[1] - z_grid[0]
+
+    def per_z(z):
+        chi = cosmo.comoving_distance(z)           # Mpc/h comoving
+        d_a = chi / (1.0 + z) / cosmo.h            # Mpc physical
+        dvol = (C_LIGHT_KMS / (100.0 * cosmo.efunc(z))) * chi ** 2
+        n_lnm = theory_hmf(m, cosmo, z=z)          # (nm,) h^3/Mpc^3
+        m500, r500 = m500c_from_m200m(m, z, cosmo)
+        yl = y_ell(ells, m500 / cosmo.h, r500 / cosmo.h,
+                   cosmo.efunc(z), d_a, params=params, h70=h70)  # (nl, nm)
+        return dvol * jnp.sum(n_lnm[None, :] * yl ** 2, axis=1) * dlnm
+
+    cls = jax.vmap(per_z)(z_grid)                  # (nz, nell)
+    return jnp.sum(cls, axis=0) * dz

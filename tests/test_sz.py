@@ -239,3 +239,55 @@ def test_ksz_closed_loop_map_to_pairwise_momentum():
     good[0] = False  # first bin is pair-starved at nh=600 (noise-dominated)
     assert good.sum() >= 5
     np.testing.assert_allclose(p[good], expect[good], rtol=0.1)
+
+
+def test_m500c_from_m200m_sane():
+    from astrild_tpu.ops.sz import m500c_from_m200m
+    from astrild_tpu.utils.cosmology import Cosmology
+
+    cosmo = Cosmology()
+    m200m = jnp.asarray([1e13, 1e14, 1e15])
+    m500, r500 = m500c_from_m200m(m200m, 0.0, cosmo)
+    m500 = np.asarray(m500); r500 = np.asarray(r500)
+    # M500c < M200m; ~0.45-0.55 for Duffy 200m concentrations (checked
+    # against the closed-form mu-ratio algebra)
+    assert (m500 < np.asarray(m200m)).all()
+    assert (m500 / np.asarray(m200m) > 0.4).all()
+    assert (np.diff(r500) > 0).all()
+    # definition closes: M500 == (4/3) pi 500 rho_c r500^3
+    rho_c = float(cosmo.rho_crit(0.0))
+    m_def = 4 / 3 * np.pi * 500 * rho_c * r500 ** 3
+    np.testing.assert_allclose(m500, m_def, rtol=1e-3)
+
+
+def test_y_ell_low_ell_limit_matches_patch_integral():
+    """y_{ell->0} must equal the spherical Y / d_A^2 — cross-checked
+    against the independently-coded compton_y_patch LOS quadrature."""
+    from astrild_tpu.ops.sz import compton_y_patch, y_ell
+
+    m500, r500, ez, d_a = 5e14, 1.3, 1.0, 1000.0
+    yl = float(np.asarray(y_ell(jnp.asarray([0.1]), m500, r500, ez, d_a,
+                                x_max=5.0, n_x=1024))[0])
+    # patch integral: extent 5 R500 transverse, +-5 R500 LOS
+    npix = 256
+    y = np.asarray(compton_y_patch(m500, r500, ez, npix=npix, extent=5.0,
+                                   n_los=512))
+    pix = (2 * 5.0 * r500 / npix) ** 2
+    y_int = y.sum() * pix / d_a ** 2
+    # transverse square vs spherical truncation differ at the few-% level
+    np.testing.assert_allclose(yl, y_int, rtol=0.06)
+
+
+def test_cl_yy_magnitude_and_shape():
+    from astrild_tpu.ops.sz import cl_yy
+    from astrild_tpu.utils.cosmology import Cosmology
+
+    cosmo = Cosmology()
+    ells = jnp.asarray([200.0, 1000.0, 3000.0, 8000.0])
+    cl = np.asarray(cl_yy(ells, cosmo, nz=16, nm=24))
+    assert (cl > 0).all()
+    dl = np.asarray(ells) * (np.asarray(ells) + 1) * cl / (2 * np.pi)
+    # Planck-era tSZ band: l(l+1)Cl/2pi ~ 1e-13..1e-11 (y^2) over these ells
+    assert 1e-14 < dl[1] < 1e-10
+    # 1-halo spectrum falls toward very high ell faster than l^2
+    assert cl[-1] < cl[1]
