@@ -58,22 +58,31 @@ def lattice_query_points(n_side: int, boxsize):
 
 @jax.jit
 def density_at_points(field, boxsize, points):
-    """Trilinear (CIC) interpolation of a periodic grid at points."""
+    """Trilinear (CIC) interpolation of a periodic grid at points.
+
+    points: (n, 3) array or a tuple of flat (x, y, z) buffers — prefer
+    the tuple at large n (a resident (n, 3) array pads its 3-wide minor
+    dim to 128 lanes, CLAUDE.md).
+    """
     ngrid = field.shape[-1]
     cell = boxsize / ngrid
-    u = points / cell - 0.5
-    i0 = jnp.floor(u).astype(jnp.int32)
-    f = u - i0
-    out = jnp.zeros(points.shape[0], field.dtype)
+    if isinstance(points, (tuple, list)):
+        comps = tuple(jnp.asarray(c).reshape(-1) for c in points)
+    else:
+        comps = (points[:, 0], points[:, 1], points[:, 2])
+    u = [c / cell - 0.5 for c in comps]
+    i0 = [jnp.floor(c).astype(jnp.int32) for c in u]
+    f = [u[a] - i0[a] for a in range(3)]
+    out = jnp.zeros(comps[0].shape[0], field.dtype)
     for dx in (0, 1):
         for dy in (0, 1):
             for dz in (0, 1):
-                w = (jnp.where(dx, f[:, 0], 1 - f[:, 0])
-                     * jnp.where(dy, f[:, 1], 1 - f[:, 1])
-                     * jnp.where(dz, f[:, 2], 1 - f[:, 2]))
-                idx = ((i0[:, 0] + dx) % ngrid,
-                       (i0[:, 1] + dy) % ngrid,
-                       (i0[:, 2] + dz) % ngrid)
+                w = (jnp.where(dx, f[0], 1 - f[0])
+                     * jnp.where(dy, f[1], 1 - f[1])
+                     * jnp.where(dz, f[2], 1 - f[2]))
+                idx = ((i0[0] + dx) % ngrid,
+                       (i0[1] + dy) % ngrid,
+                       (i0[2] + dz) % ngrid)
                 out = out + w * field[idx]
     return out
 
@@ -209,12 +218,10 @@ def marked_power(pos, ngrid: int, boxsize, smooth_radius,
     else:
         arr = jnp.asarray(pos)
         comps = (arr[:, 0], arr[:, 1], arr[:, 2])
-    n = comps[0].shape[0]
     counts = _paint(comps, ngrid, boxsize, window=window)
     delta = counts / jnp.mean(counts) - 1.0
     sm = smooth_density(delta, boxsize, smooth_radius, kind=kind)
-    d_r = density_at_points(sm, boxsize,
-                            jnp.stack(comps, axis=-1))
+    d_r = density_at_points(sm, boxsize, comps)  # flat comps: no (N,3)
     marks = ((1.0 + mark_delta_s)
              / (1.0 + mark_delta_s + jnp.maximum(
                  d_r, -mark_delta_s - 0.999))) ** mark_p

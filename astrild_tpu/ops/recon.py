@@ -20,7 +20,6 @@ b the tracer bias and f the growth rate (f=0 for real space).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -111,9 +110,13 @@ def reconstruct_catalog(pos, randoms, ngrid: int, boxsize, smooth=15.0,
     """Standard BAO reconstruction: returns (pos_displaced,
     randoms_displaced), both (n, 3), periodic-wrapped.
 
-    Data get the extra -f (psi.zhat) zhat RSD removal; randoms get only
-    -psi (Padmanabhan+12 'rec-sym' convention uses -psi for both; pass
-    f_growth=0 to reproduce it).
+    Convention: this is the 'RecIso' scheme (Padmanabhan+12; Seo+16
+    naming) — data get the extra -f (psi.zhat) zhat RSD-removal term,
+    randoms only -psi, which isotropizes the large-scale clustering.
+    For 'RecSym' (randoms receive the SAME shift as the data, leaving
+    the Kaiser anisotropy in place), shift the randoms with the data
+    branch: shift(randoms, True). With f_growth=0 (real-space input)
+    the two schemes coincide.
     """
     psi = displacement_field(pos, ngrid, boxsize, smooth=smooth,
                              bias=bias, f_growth=f_growth, window=window,

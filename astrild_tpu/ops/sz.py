@@ -32,6 +32,11 @@ __all__ = ["nfw_sigma_map", "nfw_tau_map", "ksz_patch", "ksz_patch_from_halo",
 # Eq. 12 best-fit parameters (h70 = 1): [P0, c500, gamma, alpha, beta]
 GNFW_ARNAUD10 = (8.403, 1.177, 0.3081, 1.0510, 5.4905)
 
+# sigma_T/(m_e c^2) with P_e in keV/cm^3 and path length in Mpc:
+# 6.6524587e-25 cm^2 / 511 keV * 3.0857e24 cm/Mpc — ONE home; the
+# y_ell <-> compton_y_patch cross-check test relies on bit-identity
+_Y_PREFAC = 6.6524587158e-25 / 511.0 * 3.0856775814913673e24
+
 
 def _nfw_sigma_f(x):
     """Wright & Brainerd 2000 projected-NFW shape: Sigma = 2 rho_s r_s f(x).
@@ -152,9 +157,7 @@ def compton_y_patch(m500, r500, e_z, npix: int = 128, extent: float = 2.0,
       extent: patch half-width in units of R500.
     Returns (npix, npix) dimensionless y.
     """
-    # sigma_T/(m_e c^2) with P_e in keV/cm^3 and path length in Mpc:
-    # 6.6524587e-25 cm^2 / 511 keV * 3.0857e24 cm/Mpc
-    prefac = 6.6524587158e-25 / 511.0 * 3.0856775814913673e24
+    prefac = _Y_PREFAC
     p500_amp = (1.65e-3 * e_z ** (8.0 / 3.0)
                 * (m500 / (3.0e14 / h70)) ** (2.0 / 3.0) * h70 ** 2)
     edges = jnp.linspace(-extent * r500, extent * r500, npix)
@@ -235,6 +238,7 @@ def m500c_from_m200m(m200m, z, cosmo, conc=None, n_iter: int = 60):
     """
     from ..utils.constants import RHO_CRIT0
     from .halo_model import duffy_concentration
+    from .hod import _nfw_mu as mu  # single home for the NFW mass shape
 
     m200m = jnp.asarray(m200m, jnp.float32)
     c = duffy_concentration(m200m, z=z) if conc is None else conc
@@ -242,7 +246,6 @@ def m500c_from_m200m(m200m, z, cosmo, conc=None, n_iter: int = 60):
     r200m_phys = ((3.0 * m200m / (4.0 * jnp.pi * 200.0 * rho_m0))
                   ** (1.0 / 3.0)) / (1.0 + z)
     rs = r200m_phys / c
-    mu = lambda x: jnp.log1p(x) - x / (1.0 + x)
     rho_c = cosmo.rho_crit(z)
 
     def excess(r):
@@ -276,7 +279,7 @@ def y_ell(ells, m500_phys, r500_phys_mpc, e_z, d_a_mpc,
 
     m500_phys [Msun], r500/d_A [Mpc] PHYSICAL (no h).
     """
-    prefac = 6.6524587158e-25 / 511.0 * 3.0856775814913673e24
+    prefac = _Y_PREFAC
     m500_phys = jnp.atleast_1d(jnp.asarray(m500_phys, jnp.float32))
     r500 = jnp.atleast_1d(jnp.asarray(r500_phys_mpc, jnp.float32))
     scalar_halo = m500_phys.shape[0] == 1
@@ -326,7 +329,8 @@ def cl_yy(ells, cosmo, z_min: float = 0.01, z_max: float = 3.0,
         chi = cosmo.comoving_distance(z)           # Mpc/h comoving
         d_a = chi / (1.0 + z) / cosmo.h            # Mpc physical
         dvol = (C_LIGHT_KMS / (100.0 * cosmo.efunc(z))) * chi ** 2
-        n_lnm = theory_hmf(m, cosmo, z=z)          # (nm,) h^3/Mpc^3
+        n_lnm = theory_hmf(m, cosmo, z=z,
+                           model=model)            # (nm,) h^3/Mpc^3
         m500, r500 = m500c_from_m200m(m, z, cosmo)
         yl = y_ell(ells, m500 / cosmo.h, r500 / cosmo.h,
                    cosmo.efunc(z), d_a, params=params, h70=h70)  # (nl, nm)

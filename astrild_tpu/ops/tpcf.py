@@ -278,6 +278,31 @@ def pair_counts_rp_pi(pos, boxsize, rp_edges, ns: int, n_pi: int,
     return counts.reshape(ns, n_pi)
 
 
+def _wp_from_counts(dd, n, rp_edges, pi_max, n_pi, boxsize):
+    """Analytic cylindrical RR -> xi(rp, pi) -> wp. ONE home shared by
+    the local estimator and parallel/tpcf.py (duplicated binning paths
+    have bitten this repo before — CLAUDE.md)."""
+    dpi = pi_max / n_pi
+    area = jnp.pi * (rp_edges[1:] ** 2 - rp_edges[:-1] ** 2)
+    npairs = n * (n - 1.0) / 2.0
+    rr = npairs * area[:, None] * (2.0 * dpi) / boxsize ** 3
+    xi = jnp.where(rr > 0, dd / jnp.maximum(rr, 1e-30) - 1.0, jnp.nan)
+    wp = 2.0 * jnp.sum(xi * dpi, axis=1)
+    rp_c = 0.5 * (rp_edges[1:] + rp_edges[:-1])
+    return rp_c, wp, xi
+
+
+def _check_halfbox_projected(rp_edges, pi_max, boxsize):
+    import numpy as np
+
+    rmax = float(np.sqrt(float(np.asarray(rp_edges)[-1]) ** 2
+                         + float(pi_max) ** 2))
+    if rmax > float(boxsize) / 2.0 + 1e-9:
+        raise ValueError(
+            f"projected_tpcf: sqrt(rp_max^2+pi_max^2)={rmax} exceeds "
+            f"boxsize/2={float(boxsize) / 2.0}")
+
+
 def projected_tpcf(pos, boxsize, rp_edges, pi_max, n_pi: int = 40,
                    los: int = 2, n_valid=None, block: int = 512):
     """Projected correlation function wp(rp) = 2 integral_0^pi_max
@@ -289,14 +314,7 @@ def projected_tpcf(pos, boxsize, rp_edges, pi_max, n_pi: int = 40,
 
     Returns (rp_centers, wp, xi_rp_pi (ns, n_pi)).
     """
-    import numpy as np
-
-    rmax = float(np.sqrt(float(np.asarray(rp_edges)[-1]) ** 2
-                         + float(pi_max) ** 2))
-    if rmax > float(boxsize) / 2.0 + 1e-9:
-        raise ValueError(
-            f"projected_tpcf: sqrt(rp_max^2+pi_max^2)={rmax} exceeds "
-            f"boxsize/2={float(boxsize) / 2.0}")
+    _check_halfbox_projected(rp_edges, pi_max, boxsize)
     rp_edges = jnp.asarray(rp_edges)
     ns = int(rp_edges.shape[0]) - 1
     if isinstance(pos, (tuple, list)):
@@ -306,12 +324,4 @@ def projected_tpcf(pos, boxsize, rp_edges, pi_max, n_pi: int = 40,
     n = n if n_valid is None else n_valid
     dd = pair_counts_rp_pi(pos, boxsize, rp_edges, ns, n_pi, pi_max,
                            los=los, n_valid=n_valid, block=block)
-    # analytic periodic RR: cylindrical annulus x (+-dpi) slab
-    dpi = pi_max / n_pi
-    area = jnp.pi * (rp_edges[1:] ** 2 - rp_edges[:-1] ** 2)
-    npairs = n * (n - 1) / 2.0
-    rr = npairs * area[:, None] * (2.0 * dpi) / boxsize ** 3
-    xi = jnp.where(rr > 0, dd / jnp.maximum(rr, 1e-30) - 1.0, jnp.nan)
-    wp = 2.0 * jnp.sum(xi * dpi, axis=1)
-    rp_c = 0.5 * (rp_edges[1:] + rp_edges[:-1])
-    return rp_c, wp, xi
+    return _wp_from_counts(dd, n, rp_edges, pi_max, n_pi, boxsize)

@@ -17,10 +17,10 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.tpcf import _check_halfbox, _s_mu_accumulate_tiles
+from ..ops.tpcf import (_check_halfbox, _check_halfbox_projected,
+                        _s_mu_accumulate_tiles, _wp_from_counts)
 
 __all__ = ["make_distributed_tpcf_s_mu",
            "make_distributed_projected_tpcf"]
@@ -161,12 +161,7 @@ def make_distributed_projected_tpcf(mesh: Mesh, boxsize, rp_edges,
     Same contract as make_distributed_tpcf_s_mu; returns fn(pos[, valid])
     -> (rp_centers, wp, xi_rp_pi), matching ops.tpcf.projected_tpcf.
     """
-    rmax = float(np.sqrt(float(np.asarray(rp_edges)[-1]) ** 2
-                         + float(pi_max) ** 2))
-    if rmax > float(boxsize) / 2.0 + 1e-9:
-        raise ValueError(
-            f"projected_tpcf: sqrt(rp_max^2+pi_max^2)={rmax} exceeds "
-            f"boxsize/2={float(boxsize) / 2.0}")
+    _check_halfbox_projected(rp_edges, pi_max, boxsize)
     rp_edges = jnp.asarray(rp_edges, jnp.float32)
     ns = int(rp_edges.shape[0]) - 1
     fn = _make_counts_fn(mesh, boxsize, rp_edges, ns, n_pi, los, axis,
@@ -185,15 +180,7 @@ def make_distributed_projected_tpcf(mesh: Mesh, boxsize, rp_edges,
         counts, n_real = (fn(cx, cy, cz, valid) if with_valid_mask
                           else fn(cx, cy, cz))
         dd = counts.reshape(ns, n_pi)
-        n = n_real.astype(jnp.float32)
-        dpi = pi_max / n_pi
-        area = jnp.pi * (rp_edges[1:] ** 2 - rp_edges[:-1] ** 2)
-        npairs = n * (n - 1.0) / 2.0
-        rr = npairs * area[:, None] * (2.0 * dpi) / boxsize ** 3
-        xi = jnp.where(rr > 0, dd / jnp.maximum(rr, 1e-30) - 1.0,
-                       jnp.nan)
-        wp = 2.0 * jnp.sum(xi * dpi, axis=1)
-        rp_c = 0.5 * (rp_edges[1:] + rp_edges[:-1])
-        return rp_c, wp, xi
+        return _wp_from_counts(dd, n_real.astype(jnp.float32), rp_edges,
+                               pi_max, n_pi, boxsize)
 
     return wp_fn
