@@ -16,8 +16,10 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+
 __all__ = ["gaussian_pk_covariance", "gaussian_cl_covariance",
-           "gaussian_multipole_covariance"]
+           "gaussian_multipole_covariance", "spatial_jackknife_regions",
+           "spatial_jackknife"]
 
 
 def gaussian_pk_covariance(pk, nmodes, shotnoise: float = 0.0):
@@ -87,3 +89,71 @@ def gaussian_multipole_covariance(ngrid: int, boxsize: float, nbins: int,
             out = out.at[i, j].set(c)
             out = out.at[j, i].set(c)
     return kmean * kf, out, nm
+
+
+def spatial_jackknife_regions(pos, boxsize, n_side: int):
+    """Cubic-subvolume jackknife region label (0..n_side^3-1) per row.
+
+    Host-side numpy (labels drive host-side resampling loops).
+    pos: (n, 3) array or flat-component tuple.
+    """
+    import numpy as np
+
+    if isinstance(pos, (tuple, list)):
+        comps = [np.asarray(c).reshape(-1) for c in pos]
+    else:
+        arr = np.asarray(pos)
+        comps = [arr[:, 0], arr[:, 1], arr[:, 2]]
+    cell = float(boxsize) / n_side
+    idx = [np.clip((c / cell).astype(np.int64), 0, n_side - 1)
+           for c in comps]
+    return (idx[0] * n_side + idx[1]) * n_side + idx[2]
+
+
+def spatial_jackknife(est_fn, pos, boxsize, n_side: int = 3,
+                      extra_cols=()):
+    """Delete-one spatial jackknife covariance of a catalog statistic.
+
+    est_fn(pos_padded, n_valid, *cols_padded) -> (nstat,) vector; it
+    must honor `n_valid` (rows [n_valid:] are zero padding) — the
+    contract of this package's pair estimators (pair_counts_*,
+    pairwise_*). All leave-one-out samples are padded to ONE static
+    shape so est_fn compiles once.
+
+    Returns (theta_full, theta_jk (nreg, nstat), cov (nstat, nstat))
+    with the standard delete-one factor (nreg-1)/nreg * sum of outer
+    products around the jackknife mean.
+    """
+    import numpy as np
+
+    labels = spatial_jackknife_regions(pos, boxsize, n_side)
+    nreg = n_side ** 3
+    if isinstance(pos, (tuple, list)):
+        arr = np.stack([np.asarray(c).reshape(-1) for c in pos], axis=-1)
+    else:
+        arr = np.asarray(pos)
+    cols = [np.asarray(c) for c in extra_cols]
+    n = arr.shape[0]
+    counts = np.bincount(labels, minlength=nreg)
+    n_pad = int(n - counts.min())
+
+    theta_full = np.asarray(est_fn(jnp.asarray(arr), n,
+                                   *[jnp.asarray(c) for c in cols]))
+    samples = []
+    for r in range(nreg):
+        keep = labels != r
+        nk = int(keep.sum())
+        sub = np.zeros((n_pad, arr.shape[1]), arr.dtype)
+        sub[:nk] = arr[keep]
+        sub_cols = []
+        for c in cols:
+            cc = np.zeros((n_pad,) + c.shape[1:], c.dtype)
+            cc[:nk] = c[keep]
+            sub_cols.append(jnp.asarray(cc))
+        samples.append(np.asarray(est_fn(jnp.asarray(sub), nk,
+                                         *sub_cols)))
+    theta_jk = np.stack(samples)
+    mean = theta_jk.mean(axis=0)
+    d = theta_jk - mean
+    cov = (nreg - 1) / nreg * np.einsum("ri,rj->ij", d, d)
+    return theta_full, theta_jk, cov

@@ -91,3 +91,58 @@ def test_flat_sky_cl_variance_matches_realizations():
     # factor-2 regression guard: with the full hermitian-weighted count
     # the ratio sits near 1; returning nm/2 would push it to ~0.5
     assert np.all(ratio > 0.55) and np.all(ratio < 1.7), ratio
+
+
+def test_spatial_jackknife_exact_for_linear_statistic():
+    """For the (padded-aware) sample SUM, the delete-one jackknife
+    variance has the closed form (n-1)/n * sum (s_r - mean)^2 computed
+    over region sums — check the machinery exactly."""
+    import jax.numpy as jnp
+
+    from astrild_tpu.ops.covariance import (spatial_jackknife,
+                                            spatial_jackknife_regions)
+
+    rng = np.random.default_rng(0)
+    n, L, nside = 3000, 100.0, 2
+    pos = rng.uniform(0, L, (n, 3))
+    w = rng.normal(1.0, 0.3, n)
+
+    def est(p, n_valid, wcol):
+        mask = jnp.arange(p.shape[0]) < n_valid
+        return jnp.array([jnp.sum(jnp.where(mask, wcol, 0.0))])
+
+    full, jk, cov = spatial_jackknife(est, pos, L, n_side=nside,
+                                      extra_cols=(w,))
+    labels = spatial_jackknife_regions(pos, L, nside)
+    region_sums = np.array([w[labels == r].sum() for r in range(8)])
+    np.testing.assert_allclose(float(full[0]), w.sum(), rtol=1e-6)
+    # delete-one sample r = total - region_r
+    np.testing.assert_allclose(jk[:, 0], w.sum() - region_sums,
+                               rtol=1e-5)
+    d = jk[:, 0] - jk[:, 0].mean()
+    cov_ref = 7.0 / 8.0 * np.sum(d * d)
+    np.testing.assert_allclose(cov[0, 0], cov_ref, rtol=1e-6)
+
+
+def test_spatial_jackknife_wp_smoke():
+    """Jackknife over the wp estimator: positive variances, sane scale
+    (Poisson box: wp ~ 0 within a few jackknife sigmas)."""
+    import jax.numpy as jnp
+
+    from astrild_tpu.ops.covariance import spatial_jackknife
+    from astrild_tpu.ops.tpcf import projected_tpcf
+
+    rng = np.random.default_rng(1)
+    n, L = 2000, 120.0
+    pos = rng.uniform(0, L, (n, 3)).astype(np.float32)
+    rp_edges = jnp.linspace(4.0, 30.0, 5)
+
+    def est(p, n_valid, *unused):
+        _, wp, _ = projected_tpcf(p, L, rp_edges, pi_max=40.0, n_pi=8,
+                                  n_valid=n_valid, block=256)
+        return wp
+
+    full, jk, cov = spatial_jackknife(est, pos, L, n_side=2)
+    sig = np.sqrt(np.diag(cov))
+    assert (sig > 0).all()
+    assert (np.abs(np.asarray(full)) < 5 * sig).all()
