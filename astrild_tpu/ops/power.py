@@ -27,6 +27,7 @@ __all__ = [
     "delta_k", "delta_k_parts", "shell_average", "auto_power",
     "auto_power_fast",
     "auto_power_multipoles", "cross_power",
+    "position_dependent_power",
 ]
 
 
@@ -551,3 +552,55 @@ def cross_power(grid1, grid2, boxsize: float, nbins: int = 0,
     pk3d = jnp.real(dk1 * jnp.conj(dk2)) * (boxsize ** 3)
     k, p, nm = shell_average(pk3d, n, boxsize, nbins, kmin, kmax)
     return PowerResult(k, p, nm)
+
+
+@partial(jax.jit, static_argnames=("n_sub", "nbins"))
+def position_dependent_power(delta, boxsize, n_sub: int = 4,
+                             nbins: int = 8):
+    """Position-dependent power spectrum and integrated bispectrum
+    (Chiang et al. 2014, arXiv:1403.3411).
+
+    The box splits into n_sub^3 subvolumes; each measures its local
+    mean overdensity delta_b and local P(k | subvolume) (FFT of the
+    windowed subvolume, periodic within the SUBVOLUME — the standard
+    estimator treats each cube as its own box). The integrated
+    bispectrum is the correlation
+
+        iB(k) = < P_sub(k) delta_b > ,
+
+    whose normalized form d ln P/d delta_b is the separate-universe
+    power response. For a Gaussian field iB = 0.
+
+    Args:
+      delta: (n, n, n) density contrast; n must be divisible by n_sub.
+    Returns (k, ib (nbins,), response (nbins,), p_mean (nbins,),
+    delta_b (n_sub^3,)).
+    """
+    n = delta.shape[-1]
+    ns = n // n_sub
+    assert ns * n_sub == n, "ngrid must divide by n_sub"
+    sub_box = boxsize / n_sub
+    # (n_sub^3, ns, ns, ns) subvolumes
+    d = delta.reshape(n_sub, ns, n_sub, ns, n_sub, ns)
+    d = jnp.transpose(d, (0, 2, 4, 1, 3, 5)).reshape(-1, ns, ns, ns)
+    delta_b = jnp.mean(d, axis=(1, 2, 3))
+
+    def one(sub):
+        # subvolume fluctuation about ITS OWN mean, measured in the
+        # subvolume's periodic FFT basis
+        local = sub - jnp.mean(sub)
+        dk = jnp.fft.rfftn(local) / float(ns) ** 3
+        pk3d = (jnp.abs(dk) ** 2) * (sub_box ** 3)
+        k, p, nm = shell_average(pk3d, ns, sub_box, nbins)
+        return k, p
+
+    k, p_sub = jax.vmap(one)(d)
+    k = k[0]
+    p_mean = jnp.mean(p_sub, axis=0)
+    db = delta_b - jnp.mean(delta_b)
+    ib = jnp.mean(p_sub * db[:, None], axis=0)
+    var_b = jnp.mean(db ** 2)
+    response = jnp.where(p_mean * var_b > 0,
+                         ib / jnp.maximum(p_mean * var_b, 1e-30),
+                         jnp.nan)
+    return k, ib, response, p_mean, delta_b

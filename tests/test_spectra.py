@@ -240,3 +240,33 @@ def test_cl_kappa_nonlinear_boost():
                                       nonlinear=True))
     assert abs(cl_n[0] / cl_l[0] - 1.0) < 0.1     # linear regime
     assert cl_n[1] / cl_l[1] > 2.0                # deeply nonlinear
+
+
+def test_position_dependent_power_gaussian_null_and_response():
+    """iB vanishes for a Gaussian field; a quadratic (chi-squared-like)
+    field delta + a*(delta^2 - <delta^2>) has a POSITIVE response at all
+    k (local power grows where delta_b is high)."""
+    import jax
+
+    from astrild_tpu.ops import mocks
+    from astrild_tpu.ops.power import position_dependent_power
+
+    L, ng = 400.0, 64
+    pk = lambda kk: 2.0e4 * kk / (1.0 + (kk / 0.04) ** 2) ** 2
+    keys = jax.random.split(jax.random.PRNGKey(0), 6)
+    resp_g, resp_q = [], []
+    for key in keys:
+        g = mocks.gaussian_field(key, ng, L, pk)
+        k, ib_g, r_g, _, _ = position_dependent_power(g, L, n_sub=4,
+                                                      nbins=6)
+        q = g + 1.5 * (g ** 2 - jnp.mean(g ** 2))
+        k, ib_q, r_q, _, _ = position_dependent_power(q, L, n_sub=4,
+                                                      nbins=6)
+        resp_g.append(np.asarray(r_g))
+        resp_q.append(np.asarray(r_q))
+    resp_g = np.nanmean(resp_g, axis=0)
+    resp_q = np.nanmean(resp_q, axis=0)
+    # quadratic coupling: strong positive response; Gaussian: consistent
+    # with zero at the ensemble level (|resp| << the coupled case)
+    assert (resp_q[1:] > 3.0).all()
+    assert np.abs(resp_g[1:]).max() < 0.5 * resp_q[1:].min()
