@@ -110,3 +110,31 @@ def test_cosmology_vmap_parameter_grid():
     out = jax.vmap(f)(jnp.linspace(0.25, 0.35, 5))
     assert out.shape == (5, 2)
     assert bool(jnp.all(jnp.diff(out[:, 0]) > 0))  # more matter, more Cl
+
+
+def test_hod_wp_fisher_autodiff():
+    """Exact HOD-parameter derivatives through halo model + FFTLog:
+    Fisher is symmetric PSD, and dwp/dlog_m1 < 0 (raising M1 removes
+    satellites and lowers clustering)."""
+    import jax
+
+    from astrild_tpu.ops.forecast import hod_wp_fisher, hod_wp_theory
+    from astrild_tpu.utils.cosmology import Cosmology
+
+    cosmo = Cosmology()
+    rp = jnp.asarray([5.0, 10.0, 20.0])
+    fid = {"log_mmin": 12.5, "sigma_logm": 0.3, "log_m0": 12.0,
+           "log_m1": 13.5, "alpha": 1.0}
+    wp0 = np.asarray(hod_wp_theory(rp, cosmo, fid, pi_max=80.0))
+    assert (wp0 > 0).all()
+    # directional derivative wrt log_m1
+    g = jax.jacfwd(lambda x: hod_wp_theory(
+        rp, cosmo, {**fid, "log_m1": x}, pi_max=80.0))(13.5)
+    assert (np.asarray(g) < 0).all()
+    cov = np.diag((0.05 * wp0) ** 2)
+    F, names = hod_wp_fisher(rp, cosmo, fid, cov, pi_max=80.0)
+    F = np.asarray(F)
+    np.testing.assert_allclose(F, F.T, rtol=1e-5)
+    evals = np.linalg.eigvalsh(F)
+    assert (evals > -1e-6 * evals.max()).all()
+    assert F[names.index("log_mmin"), names.index("log_mmin")] > 0
