@@ -129,3 +129,16 @@ def test_determinism_and_compact():
     com = hod.compact_catalog(a)
     assert com["gx"].shape[0] == int(a["n_gal"])
     assert com["valid"].all()
+
+
+def test_overflow_reported_when_max_sat_too_small():
+    nh = 200
+    args = _uniform_halos(jax.random.PRNGKey(8), nh, logm=14.8)
+    p = HODParams(log_mmin=12.0, sigma_logm=0.2, log_m0=12.0,
+                  log_m1=12.8, alpha=1.1)   # <N_sat> ~ 100 at 10^14.8
+    cat = hod.hod_populate(jax.random.PRNGKey(9), *args, 100.0,
+                           params=p, max_sat=4)
+    assert int(cat["overflow"]) > 0
+    # valid counts still capped at max_sat per halo
+    sat_valid = np.asarray(cat["valid"][nh:]).reshape(nh, 4)
+    assert sat_valid.sum(axis=1).max() <= 4

@@ -158,3 +158,20 @@ def test_model_facades_svf_and_watershed3d():
     cat2 = svf2.find_voids(delta_threshold=-0.5, max_voids=16)
     found = np.array([cat2["x"][0], cat2["y"][0], cat2["z"][0]])
     assert np.linalg.norm(found - 24.0) < 4.0
+
+
+def test_svf_capacity_reports_candidates():
+    """n_candidates reports the pre-truncation count so a too-small
+    max_voids is visible (same contract as find_tunnels)."""
+    rng = np.random.default_rng(5)
+    ngrid, L = 32, 32.0
+    # white-noise field with many shallow dips
+    delta = jnp.asarray(rng.normal(0, 0.5, (ngrid,) * 3).astype(np.float32))
+    delta = delta - jnp.mean(delta)
+    cat_small = voids3d.svf_voids(delta, L, delta_threshold=-0.2,
+                                  max_voids=4)
+    cat_big = voids3d.svf_voids(delta, L, delta_threshold=-0.2,
+                                max_voids=64)
+    assert int(cat_small.n_candidates) == int(cat_big.n_candidates)
+    assert int(cat_small.n_candidates) > 4  # truncation visible
+    assert int(cat_small.n) <= 4
