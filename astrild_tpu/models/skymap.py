@@ -464,6 +464,41 @@ class SkyArray:
         self.data["sheary"] = g2
         return g1, g2
 
+    def shear_xi_pm(self, nbins: int = 20, theta_min_arcmin=None,
+                    theta_max_arcmin=None,
+                    on: Tuple[str, str] = ("shearx", "sheary")):
+        """Shear correlation functions xi_pm(theta) of the stored shear
+        layers (ops.shear_2pt.xi_pm_flat_sky; the survey observable the
+        reference's lenstools stack never measured).
+
+        Returns (theta_arcmin, xi_plus, xi_minus, npairs)."""
+        from ..ops import shear_2pt
+        return shear_2pt.xi_pm_flat_sky(
+            self.data[on[0]], self.data[on[1]], self._opening_angle,
+            nbins=nbins, theta_min_arcmin=theta_min_arcmin,
+            theta_max_arcmin=theta_max_arcmin)
+
+    def cosebis(self, nmax: int, theta_min_arcmin: float,
+                theta_max_arcmin: float, nbins: int = 64,
+                on: Tuple[str, str] = ("shearx", "sheary")):
+        """COSEBIs E/B modes of the stored shear layers: xi_pm measured
+        on [theta_min, theta_max] (log bins), then the linear-COSEBIs
+        filter integrals (ops.shear_2pt). B_n is the standard B-mode
+        null. Returns (E (nmax,), B (nmax,))."""
+        from ..ops import shear_2pt
+        # measure past both ends so the BIN CENTERS straddle the COSEBIs
+        # interval (cosebis_from_xipm interpolates, never extrapolates),
+        # and drop empty annuli (they report theta = 0)
+        th, xp, xm, cnt = self.shear_xi_pm(
+            nbins=nbins, theta_min_arcmin=theta_min_arcmin * 0.7,
+            theta_max_arcmin=min(theta_max_arcmin * 1.3,
+                                 self._opening_angle * 30.0), on=on)
+        keep = np.asarray(cnt) > 0
+        return shear_2pt.cosebis_from_xipm(
+            np.asarray(th)[keep], jnp.asarray(xp)[keep],
+            jnp.asarray(xm)[keep], nmax, theta_min_arcmin,
+            theta_max_arcmin)
+
     def to_file(self, dir_out: str, on: str = "orig",
                 extension: str = "npy") -> str:
         os.makedirs(dir_out, exist_ok=True)

@@ -19,7 +19,8 @@ from ..utils.cosmology import Cosmology
 from .linear_power import normalization, p_dpdp
 
 __all__ = ["cl_flat_sky", "cl_to_flat_map", "cl_isw_limber",
-           "shear_eb_maps", "cl_shear_eb", "cl_kappa_cross_limber",
+           "shear_eb_maps", "kappa_to_shear_maps", "cl_shear_eb",
+           "cl_kappa_cross_limber",
            "cl_flat_sky_cross", "flat_sky_mode_counts",
            "cl_kappa_limber", "cl_flat_sky_masked",
            "flat_sky_coupling_matrix", "cl_flat_sky_master",
@@ -198,6 +199,44 @@ def shear_eb_maps(gamma1, gamma2, opening_angle_deg=None):
     ke = jnp.real(jnp.fft.ifft2(cos2 * g1 + sin2 * g2))
     kb = jnp.real(jnp.fft.ifft2(-sin2 * g1 + cos2 * g2))
     return ke, kb
+
+
+@jax.jit
+def kappa_to_shear_maps(kappa):
+    """Periodic (flat-sky, spin-2) shear from convergence:
+    gamma_hat(l) = e^{2 i phi_l} kappa_hat(l) — the exact inverse of
+    shear_eb_maps for a pure-E field.
+
+    This is the right way to build mock shear from PERIODIC kappa maps
+    (ray-traced boxes): the kappa_to_alpha -> alpha_to_gamma chain is
+    zero-padded (non-periodic), which attenuates shear near the map
+    edges and measurably suppresses periodic xi_pm estimators at large
+    theta. Returns (gamma1, gamma2).
+
+    For even n the unpaired Nyquist row/column is zeroed: those modes
+    are their own l -> -l partner, where the spin-2 phase cannot be
+    applied consistently (sin 2phi_l flips sign across the row) — kept,
+    they would contaminate the roundtrip with spurious B-modes. Band-
+    limited kappa (any physical map) has no power there anyway."""
+    n = kappa.shape[-1]
+    f = jnp.fft.fftfreq(n) * n
+    l1 = f[:, None]
+    l2 = f[None, :]
+    l2mag = l1 ** 2 + l2 ** 2
+    safe = jnp.where(l2mag == 0.0, 1.0, l2mag)
+    cos2 = jnp.where(l2mag == 0.0, 1.0, (l1 ** 2 - l2 ** 2) / safe)
+    sin2 = jnp.where(l2mag == 0.0, 0.0, 2.0 * l1 * l2 / safe)
+    kh = jnp.fft.fft2(kappa)
+    if n % 2 == 0:
+        nyq = -(n // 2)
+        keep = (l1 != nyq) & (l2 != nyq)
+        kh = jnp.where(keep, kh, 0.0)
+    # gamma_hat = (cos2 + i sin2) kappa_hat; cos2/sin2 are even under
+    # l -> -l, so each product inverts to a REAL map and gamma1/gamma2
+    # separate without a complex intermediate
+    g1 = jnp.real(jnp.fft.ifft2(cos2 * kh))
+    g2 = jnp.real(jnp.fft.ifft2(sin2 * kh))
+    return g1, g2
 
 
 def cl_shear_eb(gamma1, gamma2, opening_angle_deg, nbins: int = 50,

@@ -23,7 +23,8 @@ from ..ops.tpcf import (_check_halfbox, _check_halfbox_projected,
                         _s_mu_accumulate_tiles, _wp_from_counts)
 
 __all__ = ["make_distributed_tpcf_s_mu",
-           "make_distributed_projected_tpcf"]
+           "make_distributed_projected_tpcf",
+           "make_distributed_shear_xi"]
 
 
 def _make_counts_fn(mesh, boxsize, s_edges, ns, nmu, los, axis, block,
@@ -184,3 +185,73 @@ def make_distributed_projected_tpcf(mesh: Mesh, boxsize, rp_edges,
                                pi_max, n_pi, boxsize)
 
     return wp_fn
+
+
+def make_distributed_shear_xi(mesh: Mesh, theta_edges, axis: str = "sim",
+                              block: int = 256, boxsize=None):
+    """Distributed catalog shear-shear correlation (ops.shear_2pt
+    .xi_pm_catalog) on the half-ring schedule.
+
+    Returns fn(x, y, e1, e2, w) -> (xi_plus, xi_minus, npairs) over ALL
+    global pairs; every input is a flat per-component buffer sharded
+    P(axis) with equal chunks (multiples of `block`). Padding rows carry
+    w = 0 (zero-weight pairs are excluded from all channels including
+    npairs). boxsize enables the periodic minimum image (catalogs drawn
+    from periodic shear maps).
+    """
+    from ..ops.shear_2pt import _shear_pair_tiles
+
+    edges = jnp.asarray(theta_edges, jnp.float32)
+    nbins = int(edges.shape[0]) - 1
+    nshards = mesh.shape[axis]
+    perm_back = [((i + 1) % nshards, i) for i in range(nshards)]
+
+    def body(x, y, e1, e2, w):
+        me = jax.lax.axis_index(axis)
+        nloc = x.shape[0]
+        mine = (x, y, e1, e2, w)
+
+        def count(visit, dedup, triangular=False):
+            vx, vy, ve1, ve2, vw, vowner = visit
+            return _shear_pair_tiles(
+                x, y, e1, e2, w, vx, vy, ve1, ve2, vw, edges, nbins,
+                boxsize, block, dedup, triangular=triangular,
+                ia0=me * nloc, jb0=vowner * nloc)
+
+        resident = mine + (jnp.asarray(me),)
+        sums = count(resident, dedup=True, triangular=True)
+
+        n_full = (nshards - 1) // 2
+
+        def step(carry, _):
+            acc, visit = carry
+            visit = jax.tree_util.tree_map(
+                lambda v: jax.lax.ppermute(v, axis, perm_back), visit)
+            return (acc + count(visit, dedup=False), visit), None
+
+        if n_full > 0:
+            (sums, visit), _ = jax.lax.scan(
+                step, (sums, resident), None, length=n_full)
+        else:
+            visit = resident
+        if nshards % 2 == 0 and nshards > 1:
+            visit = jax.tree_util.tree_map(
+                lambda v: jax.lax.ppermute(v, axis, perm_back), visit)
+            sums = sums + count(visit, dedup=True)
+        return jax.lax.psum(sums, axis)
+
+    row = P(axis)
+    fn = jax.jit(jax.shard_map(body, mesh=mesh,
+                               in_specs=(row,) * 5, out_specs=P()))
+
+    def shear_xi(x, y, e1, e2, weights=None):
+        x = jnp.asarray(x, jnp.float32)
+        w = (jnp.ones_like(x) if weights is None
+             else jnp.asarray(weights, jnp.float32))
+        sums = fn(x, jnp.asarray(y, jnp.float32),
+                  jnp.asarray(e1, jnp.float32),
+                  jnp.asarray(e2, jnp.float32), w)
+        ww = jnp.maximum(sums[4], 1e-30)
+        return sums[0] / ww, sums[1] / ww, sums[5]
+
+    return shear_xi

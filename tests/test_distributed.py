@@ -744,3 +744,26 @@ def test_distributed_projected_tpcf_matches_local(rng):
                         atol=1e-5)
     npt.assert_allclose(np.asarray(wp_d), np.asarray(wp_l), rtol=1e-5,
                         atol=1e-5)
+
+
+def test_distributed_shear_xi_matches_local(rng):
+    from astrild_tpu.ops.shear_2pt import xi_pm_catalog
+    from astrild_tpu.parallel.tpcf import make_distributed_shear_xi
+
+    mesh = make_mesh(n_sim=8, n_x=1, n_y=1)
+    n = 2048
+    x = rng.uniform(0, 100, n).astype(np.float32)
+    y = rng.uniform(0, 100, n).astype(np.float32)
+    e1 = rng.normal(0, 0.2, n).astype(np.float32)
+    e2 = rng.normal(0, 0.2, n).astype(np.float32)
+    w = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    edges = np.geomspace(2.0, 40.0, 9)
+    fn = make_distributed_shear_xi(mesh, edges, block=128)
+    sh = NamedSharding(mesh, P("sim"))
+    args = [jax.device_put(jnp.asarray(v), sh) for v in (x, y, e1, e2, w)]
+    xp_d, xm_d, c_d = fn(*args[:4], weights=args[4])
+    xp_l, xm_l, c_l = xi_pm_catalog(x, y, e1, e2, edges, weights=w,
+                                    block=128)
+    npt.assert_allclose(np.asarray(c_d), np.asarray(c_l))
+    npt.assert_allclose(np.asarray(xp_d), np.asarray(xp_l), atol=1e-6)
+    npt.assert_allclose(np.asarray(xm_d), np.asarray(xm_l), atol=1e-6)

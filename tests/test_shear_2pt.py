@@ -1,0 +1,413 @@
+"""Real-space shear statistics: xi_pm, tangential stacking, Delta Sigma,
+COSEBIs.
+
+Oracles: scipy Bessel quadrature for the FFTLog transforms, an O(N^2)
+brute-force pair sum for the map estimator, the exact Gaussian-blob
+gamma_t identity for stacking, and the pure-B antisymmetry of xi_minus
+for the spin-rotation conventions.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from astrild_tpu.ops import shear_2pt as s2
+from astrild_tpu.ops.fftlog import bessel_transform
+
+ARCMIN = np.pi / 180.0 / 60.0
+
+
+def _smooth_cl(ells, amp=1e-8, l0=300.0):
+    return amp / (1.0 + (np.asarray(ells, float) / l0) ** 2) ** 1.5
+
+
+def _shear_from_kappa_fourier(kappa, b_mode=False):
+    """gamma_hat = e^{2 i phi_l} kappa_hat (the alpha_to_gamma/
+    shear_eb_maps convention, phi from axis 0); b_mode rotates by i."""
+    n = kappa.shape[-1]
+    f = np.fft.fftfreq(n) * n
+    l1, l2 = f[:, None], f[None, :]
+    l2m = l1 ** 2 + l2 ** 2
+    safe = np.where(l2m == 0, 1.0, l2m)
+    ph = ((l1 ** 2 - l2 ** 2) + 2j * l1 * l2) / safe
+    if b_mode:
+        ph = 1j * ph
+    kh = np.fft.fft2(np.asarray(kappa))
+    gh = ph * kh
+    g = np.fft.ifft2(gh)
+    return g.real.astype(np.float32), g.imag.astype(np.float32)
+
+
+def test_bessel_transform_matches_quadrature():
+    from scipy.special import jv
+    from scipy.integrate import quad
+
+    a = 1e-4
+    k = np.geomspace(1e-2, 1e5, 1024)
+    f = jnp.asarray(np.exp(-a * k ** 2), jnp.float32)
+    # closed form for J0: Int l e^{-a l^2} J0(l t) dl = e^{-t^2/4a}/(2a)
+    r, out = bessel_transform(k, f, 0, q=1.0)
+    r, out = np.asarray(r), np.asarray(out)
+    sel = (r > 1e-3) & (r < 0.05)
+    exact = np.exp(-r[sel] ** 2 / (4 * a)) / (2 * a)
+    assert np.max(np.abs(out[sel] / exact - 1.0)) < 1e-4
+    for mu in (2, 4):
+        r, out = bessel_transform(k, f, mu, q=1.0)
+        r, out = np.asarray(r), np.asarray(out)
+        for rv in (3e-3, 0.02, 0.2):
+            j = int(np.argmin(np.abs(r - rv)))
+            ex = quad(lambda x: x * np.exp(-a * x * x) * jv(mu, x * r[j]),
+                      0, np.inf, limit=400)[0]
+            assert abs(float(out[j]) / ex - 1.0) < 1e-3
+
+
+def test_bessel_transform_bias_strip_guard():
+    k = np.geomspace(1e-2, 1e2, 64)
+    with pytest.raises(ValueError):
+        bessel_transform(k, jnp.ones(64), 0, q=-0.5)  # outside (-0, 1.5)
+
+
+def test_xi_plus_from_cl_vs_direct_quadrature():
+    from scipy.special import jv
+
+    ells = np.arange(2.0, 20000.0)
+    cl = _smooth_cl(ells)
+    th, xp, xm = s2.xi_pm_from_cl(ells, cl)
+    th = np.asarray(th)
+    for tv in (2.0, 10.0, 30.0):  # arcmin
+        j = int(np.argmin(np.abs(th - tv * ARCMIN)))
+        # direct sum over integer ells (the flat-sky continuum integrand
+        # is smooth; trapezoid over unit-spaced ells is exact enough)
+        ex_p = np.sum(ells * cl * jv(0, ells * th[j])) / (2 * np.pi)
+        ex_m = np.sum(ells * cl * jv(4, ells * th[j])) / (2 * np.pi)
+        assert abs(float(xp[j]) / ex_p - 1.0) < 2e-3
+        assert abs(float(xm[j]) / ex_m - 1.0) < 2e-3
+
+
+def test_xi_pm_flat_sky_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    n = 16
+    g1 = rng.normal(size=(n, n)).astype(np.float32)
+    g2 = rng.normal(size=(n, n)).astype(np.float32)
+    th, xp, xm, cnt = s2.xi_pm_flat_sky(g1, g2, opening_angle_deg=n / 60.0,
+                                        nbins=6)
+    gam = g1 + 1j * g2
+    cp = np.zeros((n, n), complex)
+    cm = np.zeros((n, n), complex)
+    for dr in range(n):
+        for dc in range(n):
+            sh = np.roll(gam, (-dr, -dc), (0, 1))  # gamma(x + r)
+            cp[dr, dc] = np.mean(sh * np.conj(gam))
+            cm[dr, dc] = np.mean(sh * gam)
+    f = np.fft.fftfreq(n) * n
+    dx, dy = np.meshgrid(f, f, indexing="ij")
+    r2 = dx ** 2 + dy ** 2
+    safe = np.where(r2 == 0, 1, r2)
+    z2x, z2y = dx * dx - dy * dy, 2 * dx * dy
+    cos4 = (z2x * z2x - z2y * z2y) / (safe * safe)
+    sin4 = 2 * z2x * z2y / (safe * safe)
+    xim_g = cm.real * cos4 + cm.imag * sin4
+    edges2 = np.geomspace(1.0, n / 2.0, 7) ** 2
+    idx = np.clip(np.searchsorted(edges2, r2.ravel(), side="right") - 1,
+                  0, 5)
+    ins = (r2.ravel() >= edges2[0]) & (r2.ravel() <= edges2[-1])
+    nmb = np.maximum(np.bincount(idx, weights=ins, minlength=6), 1)
+    bp = np.bincount(idx, weights=ins * cp.real.ravel(), minlength=6) / nmb
+    bm = np.bincount(idx, weights=ins * xim_g.ravel(), minlength=6) / nmb
+    cnt_np = np.bincount(idx, weights=ins, minlength=6)
+    occ = cnt_np > 0
+    assert np.allclose(np.asarray(xp)[occ], bp[occ], atol=1e-6)
+    assert np.allclose(np.asarray(xm)[occ], bm[occ], atol=1e-6)
+    assert np.all(np.isnan(np.asarray(xp)[~occ]))  # empty bins are NaN
+    assert np.allclose(np.asarray(cnt), cnt_np)
+
+
+def test_xi_pm_pure_E_matches_theory_and_pure_B_flips():
+    from astrild_tpu.ops.angular_power import cl_to_flat_map
+
+    n = 512
+    oa = 5.0  # deg
+    # band-limit the table EXPLICITLY: cl_to_flat_map clamps jnp.interp
+    # beyond the last table point, so without the zero tail the map
+    # carries power out to the grid corner (ell ~ 26000) that a theory
+    # curve built from the same table would not see
+    ells = np.concatenate([np.arange(2.0, 1400.0), [1410.0, 40000.0]])
+    cl_tab = _smooth_cl(ells, amp=1e-8, l0=800.0)
+    cl_tab[-2:] = 0.0
+    kappa = np.asarray(cl_to_flat_map(
+        jax.random.PRNGKey(3), jnp.asarray(ells, jnp.float32),
+        jnp.asarray(cl_tab, jnp.float32), n, oa))
+    g1e, g2e = _shear_from_kappa_fourier(kappa)
+    th, xpe, xme, _ = s2.xi_pm_flat_sky(g1e, g2e, oa, nbins=14,
+                                        theta_min_arcmin=1.0,
+                                        theta_max_arcmin=60.0)
+    # same-realization theory: xi from the input Cl
+    tt, xp_t, xm_t = s2.xi_pm_from_cl(ells, cl_tab)
+    tt = np.asarray(tt) / ARCMIN
+    th = np.asarray(th)
+    xp_i = np.interp(np.log(th), np.log(tt), np.asarray(xp_t))
+    xm_i = np.interp(np.log(th), np.log(tt), np.asarray(xm_t))
+    sel = (th > 2.0) & (th < 25.0)
+    assert np.allclose(np.asarray(xpe)[sel], xp_i[sel],
+                       rtol=0.15, atol=2e-8)
+    # xi_minus is J4-suppressed ~3 decades below its peak at theta < 4';
+    # there the few-pixel cos(4phi) annulus discreteness dominates, so
+    # compare only where the signal lives
+    sel_m = (th > 4.0) & (th < 25.0)
+    assert np.allclose(np.asarray(xme)[sel_m], xm_i[sel_m],
+                       rtol=0.25, atol=2e-8)
+    # pure-B: xi_plus identical, xi_minus exactly negated (gamma -> i gamma)
+    g1b, g2b = _shear_from_kappa_fourier(kappa, b_mode=True)
+    _, xpb, xmb, _ = s2.xi_pm_flat_sky(g1b, g2b, oa, nbins=14,
+                                       theta_min_arcmin=1.0,
+                                       theta_max_arcmin=60.0)
+    assert np.allclose(np.asarray(xpb), np.asarray(xpe), rtol=1e-5,
+                       atol=1e-12)
+    assert np.allclose(np.asarray(xmb), -np.asarray(xme), rtol=1e-4,
+                       atol=1e-11)
+
+
+def test_tangential_stack_gaussian_blob():
+    n = 256
+    s = 12.0
+    amp = 0.08
+    f = np.fft.fftfreq(n) * n
+    dx, dy = np.meshgrid(f, f, indexing="ij")
+    r2 = dx ** 2 + dy ** 2
+    kappa = amp * np.exp(-r2 / (2 * s * s))
+    g1, g2 = _shear_from_kappa_fourier(kappa)
+    edges = jnp.asarray(np.linspace(2.0, 40.0, 13), jnp.float32)
+    centers = jnp.asarray([[0, 0]], jnp.int32)
+    r, gt, gx, cnt = s2.tangential_shear_stack(
+        jnp.asarray(g1), jnp.asarray(g2), centers, edges,
+        patch_half=48, nbins=12)
+    r = np.asarray(r)
+    # gamma_t(r) = kbar(<r) - kappa(r) for the axisymmetric lens:
+    # kbar(<r) = (2 A s^2 / r^2)(1 - e^{-r^2/2s^2})
+    kbar = 2 * amp * s * s / r ** 2 * (1 - np.exp(-r ** 2 / (2 * s * s)))
+    expect = kbar - amp * np.exp(-r ** 2 / (2 * s * s))
+    assert np.allclose(np.asarray(gt), expect, rtol=0.05, atol=5e-5)
+    assert np.max(np.abs(np.asarray(gx))) < 2e-4  # parity-odd null
+
+
+def test_cosebis_filters_constraints_and_orthonormality():
+    tmin, tmax = 1.0, 100.0
+    tg, Tp, Tm = s2.linear_cosebis_filters(6, tmin, tmax)
+    w = s2._trap_weights(tg)
+    scale1 = np.sum(w * tg * np.abs(Tp), axis=1)
+    scale3 = np.sum(w * tg ** 3 * np.abs(Tp), axis=1)
+    for i in range(6):
+        assert abs(np.sum(w * tg * Tp[i])) < 1e-4 * scale1[i]
+        assert abs(np.sum(w * tg ** 3 * Tp[i])) < 1e-4 * scale3[i]
+    G = (Tp * w) @ Tp.T
+    dt = 0.5 * (tmax - tmin)
+    assert np.allclose(np.diag(G), dt, rtol=1e-4)
+    off = G - np.diag(np.diag(G))
+    assert np.max(np.abs(off)) < 1e-4 * dt
+
+
+def test_cosebis_bmode_null_and_route_consistency():
+    ells = np.arange(2.0, 20000.0)
+    cl = _smooth_cl(ells)
+    th, xp, xm = s2.xi_pm_from_cl(ells, cl)
+    th_am = np.asarray(th) / ARCMIN
+    sel = (th_am > 0.3) & (th_am < 300.0)
+    E, B = s2.cosebis_from_xipm(th_am[sel], np.asarray(xp)[sel],
+                                np.asarray(xm)[sel], 5, 1.0, 100.0)
+    E, B = np.asarray(E), np.asarray(B)
+    assert np.max(np.abs(B)) < 1e-4 * np.max(np.abs(E))
+    # Cl route, filters built in radians: E_rad = E_arcmin * ARCMIN^2
+    E2, B2 = s2.cosebis_from_cl(ells, cl, 5, 1.0 * ARCMIN, 100.0 * ARCMIN)
+    assert np.allclose(E * ARCMIN ** 2, E2, rtol=0.01)
+    assert np.allclose(B2, 0.0)
+    # pure-B input: E and B swap roles
+    Eb, Bb = s2.cosebis_from_xipm(th_am[sel], np.asarray(xp)[sel],
+                                  -np.asarray(xm)[sel], 5, 1.0, 100.0)
+    assert np.allclose(np.asarray(Bb), E, rtol=1e-5, atol=1e-12)
+    assert np.max(np.abs(np.asarray(Eb))) < 1e-4 * np.max(np.abs(E))
+
+
+def test_cosebis_interval_guard():
+    with pytest.raises(ValueError):
+        s2.cosebis_from_xipm(np.array([2.0, 3.0]), np.zeros(2), np.zeros(2),
+                             3, 1.0, 100.0)
+    with pytest.raises(ValueError):
+        s2.linear_cosebis_filters(20, 1.0, 10.0)  # beyond f64 envelope
+
+
+def test_delta_sigma_j2_equals_wgm_route():
+    # P(k) with realistic shape
+    k = np.geomspace(1e-3, 1e3, 1024)
+    pk = 2e4 * (k / 0.02) / (1 + (k / 0.1) ** 3.2)
+    om = 0.3
+    rp = np.array([0.5, 1.0, 3.0, 8.0], np.float64)
+    ds = np.asarray(s2.delta_sigma_from_pk(k, pk, rp, om))
+    # oracle: w(R) = Int dk k P J0 / 2pi;  DS = rho (2/R^2 Int_0^R R'w dR' - w)
+    r0, w0 = bessel_transform(k, jnp.asarray(pk, jnp.float32), 0, q=1.0)
+    r0, w0 = np.asarray(r0, np.float64), np.asarray(w0, np.float64) / (
+        2 * np.pi)
+    rho = om * s2.RHO_CRIT0_H2 * 1e-12
+    # cumulative Int_0^R R' w(R') dR' on the log grid (trapezoid)
+    integ = np.concatenate([[0.0], np.cumsum(
+        0.5 * (r0[1:] * w0[1:] + r0[:-1] * w0[:-1]) * np.diff(r0))])
+    # small-R head below the table start: w ~ w0[0] constant
+    head = 0.5 * r0[0] ** 2 * w0[0]
+    for i, rv in enumerate(rp):
+        j = int(np.argmin(np.abs(r0 - rv)))
+        ds_oracle = rho * (2.0 / r0[j] ** 2 * (head + integ[j])
+                           - w0[j])
+        ds_j2 = float(np.interp(np.log(r0[j]), np.log(rp), np.log(
+            np.maximum(ds, 1e-30))))
+        assert abs(np.exp(ds_j2) / ds_oracle - 1.0) < 0.03
+
+
+def test_kappa_to_shear_roundtrip():
+    from astrild_tpu.ops.angular_power import (kappa_to_shear_maps,
+                                               shear_eb_maps)
+
+    rng = np.random.default_rng(0)
+    for n in (64, 65):
+        kap = rng.normal(size=(n, n)).astype(np.float32)
+        kap -= kap.mean()
+        g1, g2 = kappa_to_shear_maps(jnp.asarray(kap))
+        ke, kb = shear_eb_maps(g1, g2)
+        # expectation: kappa minus its (zeroed) Nyquist band
+        kh = np.fft.fft2(kap)
+        f = np.fft.fftfreq(n) * n
+        if n % 2 == 0:
+            nyq = -(n // 2)
+            keep = (f[:, None] != nyq) & (f[None, :] != nyq)
+            kh = np.where(keep, kh, 0)
+        kap_band = np.real(np.fft.ifft2(kh))
+        assert float(jnp.max(jnp.abs(ke - kap_band))) < 1e-5
+        assert float(jnp.max(jnp.abs(kb))) < 1e-5
+
+
+def test_xi_pm_catalog_matches_bruteforce():
+    rng = np.random.default_rng(5)
+    n = 300
+    x = rng.uniform(0, 100, n).astype(np.float32)
+    y = rng.uniform(0, 100, n).astype(np.float32)
+    e1 = rng.normal(0, 0.2, n).astype(np.float32)
+    e2 = rng.normal(0, 0.2, n).astype(np.float32)
+    w = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    edges = np.geomspace(2.0, 50.0, 7)
+    xip, xim, cnt = s2.xi_pm_catalog(x, y, e1, e2, edges, weights=w,
+                                     block=128)
+    # numpy oracle over unordered pairs
+    nb = 6
+    num_p = np.zeros(nb)
+    num_m = np.zeros(nb)
+    den = np.zeros(nb)
+    npr = np.zeros(nb)
+    for i in range(n):
+        dx = x[i] - x[i + 1:]
+        dy = y[i] - y[i + 1:]
+        r = np.hypot(dx, dy)
+        phi = np.arctan2(dy, dx)
+        sel = (r >= edges[0]) & (r < edges[-1])
+        b = np.clip(np.searchsorted(edges, r, side="right") - 1, 0, nb - 1)
+        ww = w[i] * w[i + 1:]
+        ei = e1[i] + 1j * e2[i]
+        ej = e1[i + 1:] + 1j * e2[i + 1:]
+        pp = np.real(ei * np.conj(ej))
+        mm = np.real(ei * ej * np.exp(-4j * phi))
+        for t in np.nonzero(sel)[0]:
+            num_p[b[t]] += ww[t] * pp[t]
+            num_m[b[t]] += ww[t] * mm[t]
+            den[b[t]] += ww[t]
+            npr[b[t]] += 1
+    assert np.allclose(np.asarray(xip), num_p / np.maximum(den, 1e-30),
+                       atol=2e-6)
+    assert np.allclose(np.asarray(xim), num_m / np.maximum(den, 1e-30),
+                       atol=2e-6)
+    assert np.allclose(np.asarray(cnt), npr)
+
+
+def test_xi_pm_catalog_agrees_with_map_estimator():
+    # a full pixel-grid "catalog" with periodic minimum image reproduces
+    # the FFT map estimator (same pairs, same weights)
+    rng = np.random.default_rng(1)
+    n = 24
+    g1 = rng.normal(size=(n, n)).astype(np.float32)
+    g2 = rng.normal(size=(n, n)).astype(np.float32)
+    # top edge strictly below n/2: the map convention is INCLUSIVE at
+    # theta_max (to keep Nyquist offsets) while the catalog bins are
+    # standard right-exclusive — avoid the boundary so both see the
+    # same pair set
+    nbins = 5
+    pixscale = 1.0  # oa_deg * 60 / n = 1 arcmin/pixel
+    th, xp_map, xm_map, _ = s2.xi_pm_flat_sky(
+        g1, g2, opening_angle_deg=n / 60.0, nbins=nbins,
+        theta_min_arcmin=1.0, theta_max_arcmin=11.5)
+    rr, cc = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    edges = np.geomspace(1.0, 11.5, nbins + 1)
+    xp_cat, xm_cat, _ = s2.xi_pm_catalog(
+        rr.ravel().astype(np.float32), cc.ravel().astype(np.float32),
+        g1.ravel(), g2.ravel(), edges, boxsize=float(n), block=192)
+    assert np.allclose(np.asarray(xp_cat), np.asarray(xp_map), atol=1e-5)
+    assert np.allclose(np.asarray(xm_cat), np.asarray(xm_map), atol=1e-5)
+
+
+def test_gamma_t_catalog_gaussian_blob():
+    n, s, amp = 128, 8.0, 0.05
+    f = np.fft.fftfreq(n) * n
+    dx, dy = np.meshgrid(f, f, indexing="ij")
+    kappa = amp * np.exp(-(dx ** 2 + dy ** 2) / (2 * s * s))
+    g1, g2 = _shear_from_kappa_fourier(kappa)
+    rr, cc = np.meshgrid(f, f, indexing="ij")  # signed coords around 0
+    edges = np.linspace(3.0, 30.0, 10)
+    gt, gx, cnt = s2.gamma_t_catalog(
+        np.zeros(1, np.float32), np.zeros(1, np.float32),
+        rr.ravel().astype(np.float32), cc.ravel().astype(np.float32),
+        g1.ravel(), g2.ravel(), edges, boxsize=float(n), block=256)
+    gt, gx = np.asarray(gt), np.asarray(gx)
+    # bin-averaged analytic gamma_t; compare at the pair-weighted radius
+    rmid = []
+    for i in range(9):
+        r = np.hypot(rr, cc).ravel()
+        m = (r >= edges[i]) & (r < edges[i + 1])
+        rmid.append(np.mean(r[m]))
+    rmid = np.asarray(rmid)
+    kbar = 2 * amp * s * s / rmid ** 2 * (
+        1 - np.exp(-rmid ** 2 / (2 * s * s)))
+    expect = kbar - amp * np.exp(-rmid ** 2 / (2 * s * s))
+    assert np.allclose(gt, expect, rtol=0.06, atol=2e-5)
+    assert np.max(np.abs(gx)) < 2e-4
+
+
+def test_skyarray_facade_xi_and_cosebis():
+    from astrild_tpu.models.skymap import SkyArray
+    from astrild_tpu.ops.angular_power import cl_to_flat_map
+
+    n, oa = 256, 5.0
+    ells = np.concatenate([np.arange(2.0, 1000.0), [1010.0, 40000.0]])
+    cl = _smooth_cl(ells, l0=500.0)
+    cl[-2:] = 0.0
+    kap = cl_to_flat_map(jax.random.PRNGKey(0),
+                         jnp.asarray(ells, jnp.float32),
+                         jnp.asarray(cl, jnp.float32), n, oa)
+    sa = SkyArray.from_array(np.asarray(kap), oa, "kappa_2")
+    sa.convert_convergence_to_deflection()
+    sa.convert_deflection_to_shear()
+    th, xp, xm, npair = sa.shear_xi_pm(nbins=10, theta_min_arcmin=2,
+                                       theta_max_arcmin=100)
+    assert np.all(np.asarray(xp)[:4] > 0)  # positive correlation
+    E, B = sa.cosebis(4, 3.0, 90.0)
+    E, B = np.asarray(E), np.asarray(B)
+    # the kappa->alpha solve is zero-padded (non-periodic), so a small
+    # B-mode leaks at the map edges; the E channel must still dominate
+    assert np.max(np.abs(B)) < 0.05 * np.max(np.abs(E))
+    assert E[0] > 0
+
+
+def test_gamma_t_from_cl_is_j2():
+    from scipy.special import jv
+
+    ells = np.arange(2.0, 20000.0)
+    cl = _smooth_cl(ells, amp=3e-9, l0=500.0)
+    th, gt = s2.gamma_t_from_cl(ells, cl)
+    th = np.asarray(th)
+    j = int(np.argmin(np.abs(th - 10.0 * ARCMIN)))
+    ex = np.sum(ells * cl * jv(2, ells * th[j])) / (2 * np.pi)
+    assert abs(float(gt[j]) / ex - 1.0) < 2e-3
