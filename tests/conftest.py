@@ -19,7 +19,11 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache makes repeated test runs much faster.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# CPU-only cache, SEPARATE from the TPU cache bench/drive scripts use:
+# concurrent writers (a bench run on the chip while tests run here) plus
+# tunnel-outage kills have produced truncated entries that segfault
+# jax's cache reader (compilation_cache.get_executable_and_time)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
@@ -29,6 +33,24 @@ import pytest  # noqa: E402
 def pytest_configure(config):
     config.addinivalue_line("markers",
                             "slow: long-running test (subprocesses etc.)")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_jax_executables():
+    """Drop compiled executables after every test module.
+
+    The full suite compiles thousands of XLA:CPU executables; their
+    memory mappings accumulate until the process hits the kernel's
+    vm.max_map_count (default 65530) and LLVM segfaults inside a later
+    compile — measured: the suite died at ~92% with maps at 65322/65530,
+    at a location that wandered between runs. Per-module clearing keeps
+    the map count bounded; the persistent compilation cache makes the
+    re-compiles cheap.
+    """
+    yield
+    import gc
+    jax.clear_caches()
+    gc.collect()
 
 
 @pytest.fixture(scope="session")
