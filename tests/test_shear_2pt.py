@@ -401,6 +401,74 @@ def test_skyarray_facade_xi_and_cosebis():
     assert E[0] > 0
 
 
+def test_xi_pm_gaussian_covariance_matches_monte_carlo():
+    npix, oa, nbins = 64, 2.0, 6
+    ells = np.arange(2.0, 6000.0)
+    cl = 2e-8 / (1 + (ells / 1500.0) ** 2) ** 1.2
+    th_a, cov_a = s2.xi_pm_gaussian_covariance(npix, oa, ells, cl, nbins)
+    assert cov_a.shape == (12, 12)
+    assert np.allclose(cov_a, cov_a.T)
+    assert np.all(np.linalg.eigvalsh(cov_a) > -1e-25)
+    _, _, cov_m, _ = s2.xi_pm_sample_covariance(
+        jax.random.PRNGKey(0), ells, cl, npix, oa, nbins, n_real=900)
+    ratio = np.sqrt(np.diag(np.asarray(cov_m)) / np.diag(cov_a))
+    # MC stderr of a std at 900 realizations is ~2.4%; allow 4 sigma
+    assert np.all(np.abs(ratio - 1.0) < 0.10), ratio
+    # off-diagonal structure: xi+/xi- cross-correlation signs agree
+    ca = cov_a / np.sqrt(np.outer(np.diag(cov_a), np.diag(cov_a)))
+    cm = np.asarray(cov_m)
+    cm = cm / np.sqrt(np.outer(np.diag(cm), np.diag(cm)))
+    strong = np.abs(ca) > 0.3
+    assert np.allclose(ca[strong], cm[strong], atol=0.15)
+
+
+def test_xi_pm_covariance_with_shape_noise():
+    npix, oa, nbins = 64, 2.0, 6
+    ells = np.arange(2.0, 6000.0)
+    cl = 2e-8 / (1 + (ells / 1500.0) ** 2) ** 1.2
+    ns = 3e-3
+    # white shear noise per component: C_n = sigma^2 * Omega_pix
+    ncl = ns ** 2 * (oa * np.pi / 180) ** 2 / npix ** 2
+    _, cov_a = s2.xi_pm_gaussian_covariance(npix, oa, ells, cl, nbins,
+                                            noise_cl=ncl)
+    _, _, cov_m, _ = s2.xi_pm_sample_covariance(
+        jax.random.PRNGKey(1), ells, cl, npix, oa, nbins, n_real=900,
+        noise_std=ns)
+    ratio = np.sqrt(np.diag(np.asarray(cov_m)) / np.diag(cov_a))
+    assert np.all(np.abs(ratio - 1.0) < 0.10), ratio
+    # noise must increase every variance
+    _, cov_0 = s2.xi_pm_gaussian_covariance(npix, oa, ells, cl, nbins)
+    assert np.all(np.diag(cov_a) > np.diag(cov_0))
+
+
+def test_cosebis_covariance_propagation():
+    npix, oa, nbins = 64, 2.0, 10
+    ells = np.arange(2.0, 6000.0)
+    cl = 2e-8 / (1 + (ells / 1500.0) ** 2) ** 1.2
+    th, cov = s2.xi_pm_gaussian_covariance(npix, oa, ells, cl, nbins,
+                                           theta_min_arcmin=2.0,
+                                           theta_max_arcmin=65.0)
+    cov_e, cov_b = s2.cosebis_covariance(th, cov, 4, 3.0, 50.0)
+    assert cov_e.shape == (4, 4) and cov_b.shape == (4, 4)
+    for c in (cov_e, cov_b):
+        assert np.allclose(c, c.T, atol=1e-20)
+        assert np.all(np.linalg.eigvalsh(c) > -1e-22)
+    assert np.all(np.diag(cov_e) > 0)
+    # consistency with direct MC propagation through the same transform
+    _, _, cov_m, samples = s2.xi_pm_sample_covariance(
+        jax.random.PRNGKey(2), ells, cl, npix, oa, nbins, n_real=400,
+        theta_min_arcmin=2.0, theta_max_arcmin=65.0)
+    es = []
+    for srow in np.asarray(samples)[:200]:
+        e, b = s2.cosebis_from_xipm(th, srow[:nbins], srow[nbins:], 4,
+                                    3.0, 50.0)
+        es.append(np.asarray(e))
+    var_mc = np.var(np.asarray(es), axis=0, ddof=1)
+    ratio = var_mc / np.diag(cov_e)
+    # 200 realizations: ~10% stderr on a variance; allow 4 sigma
+    assert np.all((ratio > 0.6) & (ratio < 1.6)), ratio
+
+
 def test_gamma_t_from_cl_is_j2():
     from scipy.special import jv
 
