@@ -25,10 +25,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.cosmology import Cosmology
-from .angular_power import cl_kappa_cross_limber
+from .angular_power import cl_kappa_cross_limber, cl_kappa_limber
 
 __all__ = ["tomographic_shear_cls", "shear_cl_data_covariance",
-           "fisher_matrix", "shear_fisher", "hod_wp_theory", "hod_wp_fisher"]
+           "fisher_matrix", "shear_fisher", "hod_wp_theory", "hod_wp_fisher",
+           "xipm_survey_fisher"]
 
 
 def tomographic_shear_cls(ells, cosmo: Cosmology, z_sources: Sequence[float],
@@ -204,3 +205,80 @@ def hod_wp_fisher(rp, cosmo, hod_param_dict: Dict[str, float], cov,
     return fisher_matrix(
         lambda p: hod_wp_theory(rp, cosmo, p, pi_max),
         hod_param_dict, cov)
+
+
+def xipm_survey_fisher(params: Dict[str, float], npix: int,
+                       opening_angle_deg: float, nbins: int = 12,
+                       theta_min_arcmin: float = 1.0,
+                       theta_max_arcmin=None, z_source: float = 1.0,
+                       sigma_eps: float = 0.26,
+                       ngal_per_arcmin2: float = 30.0, nell: int = 512,
+                       nchi: int = 96, nonlinear: bool = True,
+                       fixed: Dict[str, float] = None,
+                       n_fields: int = 1) -> dict:
+    """Cosmology Fisher forecast from the REAL-SPACE shear data vector
+    [xi_+(theta); xi_-(theta)] of a flat-sky survey field.
+
+    The mean model is the fully differentiable chain Cosmology ->
+    Limber C_EE (angular_power.cl_kappa_limber) -> cylindrical FFTLog
+    (shear_2pt.xi_pm_from_cl_grid) -> the estimator's own bin centers;
+    the data covariance is shear_2pt.xi_pm_gaussian_covariance — the
+    EXACT discrete Gaussian covariance of xi_pm_flat_sky on an
+    (npix, npix) field of opening_angle_deg, including the xi+/xi-
+    cross block and per-component shape noise
+    C_n = sigma_eps^2 / (2 nbar) (sigma_eps = total ellipticity
+    dispersion over both components). n_fields independent fields
+    scale the covariance by 1/n_fields.
+
+    Returns dict with 'fisher', 'names', 'covariance', 'marginalized',
+    'theta_arcmin'.
+    """
+    from .shear_2pt import (xi_pm_from_cl_grid, xi_pm_gaussian_covariance,
+                            _xi_pm_bins)
+
+    fixed = dict(fixed or {})
+    pixscale = opening_angle_deg * 60.0 / npix
+    if theta_max_arcmin is None:
+        theta_max_arcmin = pixscale * npix / 2.0
+    lf = 2.0 * np.pi / np.deg2rad(opening_angle_deg)
+    ell_grid = np.geomspace(2.0, 1.45 * lf * (npix / 2.0), nell)
+    _, _, cnt, theta_pix = _xi_pm_bins(
+        npix, nbins, float(theta_min_arcmin / pixscale),
+        float(theta_max_arcmin / pixscale))
+    keep = cnt > 0
+    theta_arcmin = theta_pix[keep] * pixscale
+    ltheta = jnp.asarray(np.log(theta_arcmin * np.pi / 180.0 / 60.0),
+                         jnp.float32)
+
+    def mean_fn(p):
+        cosmo = Cosmology(**{**fixed, **p})
+        cl = cl_kappa_limber(jnp.asarray(ell_grid, jnp.float32), cosmo,
+                             z_source=z_source, nchi=nchi,
+                             nonlinear=nonlinear)
+        th, xp, xm = xi_pm_from_cl_grid(ell_grid, cl)
+        lth = jnp.log(th)
+        return jnp.concatenate([jnp.interp(ltheta, lth, xp),
+                                jnp.interp(ltheta, lth, xm)])
+
+    cosmo0 = Cosmology(**{**fixed, **params})
+    cl0 = np.asarray(cl_kappa_limber(jnp.asarray(ell_grid, jnp.float32),
+                                     cosmo0, z_source=z_source, nchi=nchi,
+                                     nonlinear=nonlinear))
+    # zero-tail the table so the covariance band-limits like the model
+    ell_tab = np.concatenate([ell_grid, [ell_grid[-1] * 1.01,
+                                         ell_grid[-1] * 100.0]])
+    cl_tab = np.concatenate([cl0, [0.0, 0.0]])
+    nbar_sr = ngal_per_arcmin2 / (np.deg2rad(1.0 / 60.0) ** 2)
+    noise_cl = sigma_eps ** 2 / (2.0 * nbar_sr)
+    _, cov = xi_pm_gaussian_covariance(
+        npix, opening_angle_deg, ell_tab, cl_tab, nbins,
+        theta_min_arcmin=theta_min_arcmin,
+        theta_max_arcmin=theta_max_arcmin, noise_cl=noise_cl)
+    sel = np.concatenate([keep, keep])
+    cov = cov[np.ix_(sel, sel)] / float(n_fields)
+    F, names = fisher_matrix(mean_fn, params, jnp.asarray(cov, jnp.float32))
+    pcov = jnp.linalg.inv(F)
+    return {"fisher": np.asarray(F), "names": names,
+            "covariance": np.asarray(pcov),
+            "marginalized": np.sqrt(np.abs(np.diag(np.asarray(pcov)))),
+            "theta_arcmin": np.asarray(theta_arcmin)}

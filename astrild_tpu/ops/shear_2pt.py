@@ -38,7 +38,8 @@ import numpy as np
 from .fftlog import bessel_transform
 
 __all__ = [
-    "xi_pm_from_cl", "gamma_t_from_cl", "delta_sigma_from_pk",
+    "xi_pm_from_cl", "xi_pm_from_cl_grid", "gamma_t_from_cl",
+    "delta_sigma_from_pk",
     "xi_pm_flat_sky", "tangential_shear_stack",
     "xi_pm_catalog", "gamma_t_catalog",
     "xi_pm_gaussian_covariance", "xi_pm_sample_covariance",
@@ -63,6 +64,23 @@ def _log_ell_table(ells, cl, n: int, pad: float):
     vals = np.interp(grid, ells, np.asarray(cl, np.float64),
                      left=0.0, right=0.0)
     return grid, jnp.asarray(vals, jnp.float32)
+
+
+def xi_pm_from_cl_grid(ell_grid, cl_e, cl_b=None, q: float = 1.0):
+    """Differentiable xi_pm theory: C_EE (and optionally C_BB) VALUES on
+    a log-uniform ell grid -> (theta_rad, xi_plus, xi_minus).
+
+    Unlike xi_pm_from_cl there is no host-side table interpolation of
+    the values, so cl_e may be a traced array — jax.grad/jacfwd flow
+    through the FFTLog transform (host Mellin kernels are constants).
+    The grid itself must be a concrete log-uniform numpy array.
+    """
+    cl_e = jnp.asarray(cl_e)
+    tot_p = cl_e if cl_b is None else cl_e + jnp.asarray(cl_b)
+    tot_m = cl_e if cl_b is None else cl_e - jnp.asarray(cl_b)
+    th, xp = bessel_transform(ell_grid, tot_p, 0, q=q)
+    _, xm = bessel_transform(ell_grid, tot_m, 4, q=q)
+    return th, xp / (2.0 * jnp.pi), xm / (2.0 * jnp.pi)
 
 
 def xi_pm_from_cl(ells, cl_e, cl_b=None, n: int = 2048, pad: float = 2.0,

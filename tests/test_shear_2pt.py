@@ -479,3 +479,41 @@ def test_gamma_t_from_cl_is_j2():
     j = int(np.argmin(np.abs(th - 10.0 * ARCMIN)))
     ex = np.sum(ells * cl * jv(2, ells * th[j])) / (2 * np.pi)
     assert abs(float(gt[j]) / ex - 1.0) < 2e-3
+
+
+def test_xipm_survey_fisher():
+    from astrild_tpu.ops.forecast import xipm_survey_fisher
+
+    out = xipm_survey_fisher({"Om0": 0.3, "sigma8": 0.8}, npix=128,
+                             opening_angle_deg=5.0, nbins=8,
+                             theta_min_arcmin=3.0, z_source=1.0,
+                             nell=256, nchi=64, n_fields=1)
+    F = out["fisher"]
+    assert F.shape == (2, 2)
+    assert np.allclose(F, F.T, rtol=1e-5)
+    assert np.all(np.linalg.eigvalsh(F) > 0)  # positive definite
+    assert np.all(out["marginalized"] > 0)
+    # more fields -> tighter constraints by exactly sqrt(n)
+    out4 = xipm_survey_fisher({"Om0": 0.3, "sigma8": 0.8}, npix=128,
+                              opening_angle_deg=5.0, nbins=8,
+                              theta_min_arcmin=3.0, z_source=1.0,
+                              nell=256, nchi=64, n_fields=4)
+    assert np.allclose(out4["marginalized"],
+                       out["marginalized"] / 2.0, rtol=1e-4)
+
+
+def test_xi_pm_from_cl_grid_is_differentiable_and_consistent():
+    ell = np.geomspace(2.0, 20000.0, 1024)
+    cl = jnp.asarray(1e-8 / (1 + (ell / 800.0) ** 2) ** 1.5, jnp.float32)
+
+    # consistency with the table route on the same grid
+    th_g, xp_g, xm_g = s2.xi_pm_from_cl_grid(ell, cl)
+    sel = (np.asarray(th_g) > 2 * ARCMIN) & (np.asarray(th_g) < 60 * ARCMIN)
+
+    def amp_to_xip(a):
+        _, xp, _ = s2.xi_pm_from_cl_grid(ell, a * cl)
+        return jnp.sum(xp[sel])
+
+    g = jax.grad(amp_to_xip)(1.0)
+    # xi is linear in the amplitude: grad == value at a=1
+    assert np.isclose(float(g), float(jnp.sum(xp_g[sel])), rtol=1e-4)
