@@ -356,6 +356,21 @@ class SkyHealpix:
         return tuple(np.asarray(c) for c in fn(
             self.data[g1], self.data[g2], L, niter=niter))
 
+    def shear_xi_pm(self, theta_arcmin, lmax: Optional[int] = None,
+                    niter: int = 3, g1: str = "gamma1",
+                    g2: str = "gamma2"):
+        """Curved-sky xi_pm(theta) of stored shear layers: spin-2
+        analysis to (C_EE, C_BB), then the exact Wigner-d transform
+        (ops.shear_2pt.xi_pm_from_cl_curved) — the full-sky route to
+        the survey observable (flat-sky fields: SkyArray.shear_xi_pm).
+        Returns (xi_plus, xi_minus) at theta_arcmin."""
+        from ..ops.shear_2pt import xi_pm_from_cl_curved
+
+        ce, cb, _ = self.shear_eb_spectra(lmax=lmax, g1=g1, g2=g2,
+                                          niter=niter)
+        th = np.asarray(theta_arcmin, np.float64) * np.pi / 180.0 / 60.0
+        return xi_pm_from_cl_curved(ce, th, cl_b=cb)
+
     def sum_of_maps(self, map1: str, map2: str) -> None:
         """(sky_healpix.py:310-312)"""
         self.data[f"{map1}_{map2}"] = self.data[map1] + self.data[map2]

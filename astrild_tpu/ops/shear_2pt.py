@@ -39,6 +39,7 @@ from .fftlog import bessel_transform
 
 __all__ = [
     "xi_pm_from_cl", "xi_pm_from_cl_grid", "gamma_t_from_cl",
+    "xi_pm_from_cl_curved", "gamma_t_from_cl_curved",
     "delta_sigma_from_pk",
     "xi_pm_flat_sky", "tangential_shear_stack",
     "xi_pm_catalog", "gamma_t_catalog",
@@ -113,6 +114,63 @@ def gamma_t_from_cl(ells, cl_cross, n: int = 2048, pad: float = 2.0,
     grid, cx = _log_ell_table(ells, cl_cross, n, pad)
     th, gt = bessel_transform(grid, cx, 2, q=q)
     return th, gt / (2.0 * jnp.pi)
+
+
+def xi_pm_from_cl_curved(cl_e, theta_rad, cl_b=None):
+    """EXACT curved-sky shear correlation functions via Wigner d sums:
+
+        xi_+(theta) = sum_l (2l+1)/(4pi) [C_EE + C_BB] d^l_{2, 2},
+        xi_-(theta) = sum_l (2l+1)/(4pi) [C_EE - C_BB] d^l_{2,-2},
+
+    the full-sky completion of xi_pm_from_cl (whose flat-sky J0/J4
+    Hankels are the small-angle limits of the d-functions). Reuses the
+    MASTER machinery's m=2-column Wigner recursion
+    (ops.sht_spin._wigner_d_l_rows). Host float64; cl arrays indexed by
+    l = 0..lmax. Returns (xi_plus, xi_minus) at theta_rad (any shape).
+    """
+    from .sht_spin import _wigner_d_l_rows
+
+    cl_e = np.asarray(cl_e, np.float64)
+    lmax = cl_e.shape[0] - 1
+    cb = (np.zeros_like(cl_e) if cl_b is None
+          else np.asarray(cl_b, np.float64))
+    th = np.atleast_1d(np.asarray(theta_rad, np.float64))
+    x = np.cos(th.ravel())
+    d22 = _wigner_d_l_rows(lmax, x, 2, 2)     # (lmax+1, nth)
+    d2m2 = _wigner_d_l_rows(lmax, x, -2, 2)
+    fac = (2.0 * np.arange(lmax + 1) + 1.0) / (4.0 * np.pi)
+    xip = (fac * (cl_e + cb)) @ d22
+    xim = (fac * (cl_e - cb)) @ d2m2
+    return xip.reshape(th.shape), xim.reshape(th.shape)
+
+
+def gamma_t_from_cl_curved(cl_cross, theta_rad, cross_with: str = "E"):
+    """Curved-sky mean tangential shear around tracers:
+
+        gamma_t(theta) = sum_l (2l+1)/(4pi) C_l^{gE} d^l_{2,0}(theta)
+
+    (d^l_{2,0} = d^l_{0,2} -> J2 in the flat limit). cross_with="kappa"
+    accepts C_l^{g kappa} instead and applies the exact spin-raising
+    factor sqrt((l+2)(l-1)/(l(l+1))) of kappa_alm_to_shear_alm. Host
+    float64. Returns gamma_t at theta_rad.
+    """
+    from .sht_spin import _wigner_d_l_rows
+
+    cl = np.asarray(cl_cross, np.float64).copy()
+    lmax = cl.shape[0] - 1
+    ell = np.arange(lmax + 1, dtype=np.float64)
+    if cross_with == "kappa":
+        with np.errstate(divide="ignore", invalid="ignore"):
+            f = np.sqrt((ell + 2.0) * (ell - 1.0)
+                        / np.maximum(ell * (ell + 1.0), 1.0))
+        f[:2] = 0.0
+        cl = cl * f
+    elif cross_with != "E":
+        raise ValueError("cross_with must be 'E' or 'kappa'")
+    th = np.atleast_1d(np.asarray(theta_rad, np.float64))
+    d20 = _wigner_d_l_rows(lmax, np.cos(th.ravel()), 0, 2)
+    fac = (2.0 * ell + 1.0) / (4.0 * np.pi)
+    return ((fac * cl) @ d20).reshape(th.shape)
 
 
 def delta_sigma_from_pk(k, p_gm, rp, omega_m: float, q: float = 1.0):

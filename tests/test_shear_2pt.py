@@ -517,3 +517,73 @@ def test_xi_pm_from_cl_grid_is_differentiable_and_consistent():
     g = jax.grad(amp_to_xip)(1.0)
     # xi is linear in the amplitude: grad == value at a=1
     assert np.isclose(float(g), float(jnp.sum(xp_g[sel])), rtol=1e-4)
+
+
+def test_xi_pm_curved_roundtrip_and_flat_limit():
+    from astrild_tpu.ops.shear_2pt import (xi_pm_from_cl_curved,
+                                           gamma_t_from_cl_curved)
+    from astrild_tpu.ops.sht_spin import _wigner_d_l_rows
+
+    lmax = 256
+    ell = np.arange(lmax + 1, dtype=np.float64)
+    cl_e = np.where(ell >= 2, 1e-8 / (1 + (ell / 60.0) ** 2) ** 1.2, 0.0)
+    cl_b = 0.3 * cl_e
+
+    # exact Gauss-Legendre roundtrip: recover C_E + C_B from xi_plus
+    # through d^l_{22} orthogonality (Int d22 d22' dx = 2 delta / (2l+1))
+    ngl = 2 * lmax + 4
+    x, w = np.polynomial.legendre.leggauss(ngl)
+    theta = np.arccos(x)
+    xip, xim = xi_pm_from_cl_curved(cl_e, theta, cl_b=cl_b)
+    d22 = _wigner_d_l_rows(lmax, x, 2, 2)
+    rec = 2.0 * np.pi * (d22 * w[None, :]) @ xip
+    tot = cl_e + cl_b
+    sel = ell >= 2
+    assert np.allclose(rec[sel], tot[sel], rtol=1e-8, atol=1e-18)
+
+    # pure-B sign: xi_minus flips, xi_plus unchanged
+    xp2, xm2 = xi_pm_from_cl_curved(cl_b, theta, cl_b=cl_e)
+    assert np.allclose(xp2, xip, rtol=1e-10)
+
+    # flat-sky limit at small theta for a high-ell spectrum
+    ells_f = np.arange(2.0, 4000.0)
+    cl_f = 1e-8 * np.exp(-((ells_f - 1200.0) / 300.0) ** 2)
+    cl_full = np.zeros(4000)
+    cl_full[2:] = cl_f
+    th_am = np.array([3.0, 6.0, 12.0]) * ARCMIN
+    xp_c, xm_c = xi_pm_from_cl_curved(cl_full, th_am)
+    tt, xp_fl, xm_fl = s2.xi_pm_from_cl(ells_f, cl_f)
+    xp_i = np.interp(th_am, np.asarray(tt), np.asarray(xp_fl))
+    xm_i = np.interp(th_am, np.asarray(tt), np.asarray(xm_fl))
+    assert np.allclose(xp_c, xp_i, rtol=5e-3)
+    assert np.allclose(xm_c, xm_i, rtol=5e-3)
+
+    # gamma_t: curved vs flat J2, and the kappa-variant factor
+    gt_c = gamma_t_from_cl_curved(cl_full, th_am)
+    _, gt_f = s2.gamma_t_from_cl(ells_f, cl_f)
+    gt_i = np.interp(th_am, np.asarray(tt), np.asarray(gt_f))
+    assert np.allclose(gt_c, gt_i, rtol=5e-3)
+    gt_k = gamma_t_from_cl_curved(cl_full, th_am, cross_with="kappa")
+    # at ell ~ 1200 the spin factor is ~1 - 3/l^2: within 0.3%
+    assert np.allclose(gt_k, gt_c, rtol=5e-3)
+
+
+def test_skyhealpix_shear_xi_pm_facade():
+    from astrild_tpu.models.skyhealpix import SkyHealpix
+    from astrild_tpu.ops.shear_2pt import xi_pm_from_cl_curved
+
+    nside, lmax = 64, 128
+    ell = np.arange(lmax + 1, dtype=np.float64)
+    cl = np.where(ell >= 2, 1e-6 / (1 + (ell / 40.0) ** 2) ** 1.5, 0.0)
+    sky = SkyHealpix.from_Cl_array(cl, "kappa_2", nside, lmax=lmax,
+                                   rnd_seed=7)
+    sky.shear_from_kappa(lmax=lmax)
+    th_am = np.array([30.0, 60.0, 120.0, 240.0])
+    xp, xm = sky.shear_xi_pm(th_am, lmax=lmax)
+    # same-realization truth: the map's own E-spectrum transformed
+    ce, cb, _ = sky.shear_eb_spectra(lmax=lmax)
+    xp_t, xm_t = xi_pm_from_cl_curved(ce, th_am * ARCMIN, cl_b=cb)
+    assert np.allclose(xp, xp_t, rtol=1e-6)
+    # and within sample variance of the input-Cl prediction
+    xp_in, _ = xi_pm_from_cl_curved(cl, th_am * ARCMIN)
+    assert np.all(np.abs(xp - xp_in) < 0.5 * np.abs(xp_in) + 1e-9)
