@@ -22,7 +22,8 @@ __all__ = ["cl_flat_sky", "cl_to_flat_map", "cl_isw_limber",
            "shear_eb_maps", "kappa_to_shear_maps", "cl_shear_eb",
            "cl_kappa_cross_limber",
            "cl_flat_sky_cross", "flat_sky_mode_counts",
-           "cl_kappa_limber", "cl_flat_sky_masked",
+           "cl_kappa_limber", "cl_kappa_limber_nz", "smail_nz",
+           "cl_flat_sky_masked",
            "flat_sky_coupling_matrix", "cl_flat_sky_master",
            "flat_sky_spin2_coupling_matrices", "cl_flat_sky_shear_master"]
 
@@ -533,6 +534,73 @@ def cl_kappa_limber(ells, cosmo: Cosmology, z_source: float = 1.0,
     return cl_kappa_cross_limber(ells, cosmo, z_source, z_source,
                                  nchi=nchi, amplitude=amplitude,
                                  nonlinear=nonlinear)
+
+
+def smail_nz(z, z0: float = 0.9, alpha: float = 2.0, beta: float = 1.5):
+    """Smail et al. source redshift distribution n(z) ~ z^alpha
+    exp(-(z/z0)^beta) (unnormalized — the Limber kernels normalize)."""
+    z = jnp.asarray(z)
+    return z ** alpha * jnp.exp(-((z / jnp.asarray(z0)) ** beta))
+
+
+def cl_kappa_limber_nz(ells, cosmo: Cosmology, z_tab, nz_tab,
+                       z_tab2=None, nz_tab2=None, nchi: int = 256,
+                       nz_quad: int = 256, amplitude=None,
+                       nonlinear: bool = False):
+    """Convergence (cross-)power for EXTENDED source distributions:
+
+        W_i(chi) = 1.5 Om0 (H0/c)^2 (1+z) chi g_i(chi),
+        g_i(chi) = Int dz n_i(z) (chi_s(z) - chi)_+ / chi_s(z),
+
+    the production-survey generalization of cl_kappa_limber's single
+    source plane (delta n(z) recovers it exactly; tested). n(z) tables
+    are normalized internally, so only the shape matters. Pass a second
+    (z_tab2, nz_tab2) for a tomographic cross bin. Fully differentiable
+    for Fisher/inference use.
+    """
+    from .linear_power import linear_power, nonlinear_power
+
+    if amplitude is None:
+        amplitude = normalization(cosmo)
+
+    def efficiency(zt, nt, zq_hi):
+        zt = jnp.asarray(zt, jnp.float32)
+        nt = jnp.asarray(nt, jnp.float32)
+        zq = jnp.linspace(zt[0], zt[-1], nz_quad)
+        nq = jnp.interp(zq, zt, nt)
+        nq = nq / jnp.trapezoid(nq, zq)
+        chi_s = cosmo.comoving_distance(zq)
+        return zq, nq, chi_s
+
+    zq1, nq1, chis1 = efficiency(z_tab, nz_tab, None)
+    if z_tab2 is None:
+        zq2, nq2, chis2 = zq1, nq1, chis1
+    else:
+        zq2, nq2, chis2 = efficiency(z_tab2, nz_tab2, None)
+    chi_max = jnp.maximum(chis1[-1], chis2[-1])
+    chi = jnp.linspace(1e-3 * chi_max, chi_max, nchi)
+    z = cosmo.redshift_at_comoving_distance(chi)
+
+    def g_of(zq, nq, chis):
+        frac = jnp.clip(chis[None, :] - chi[:, None], 0.0, None) / chis
+        return jnp.trapezoid(nq[None, :] * frac, zq, axis=1)
+
+    pref = 1.5 * cosmo.Om0 * H0_OVER_C_HMPC ** 2 * (1.0 + z) * chi
+    WW = (pref * g_of(zq1, nq1, chis1)) * (pref * g_of(zq2, nq2, chis2))
+    if nonlinear:
+        def pk_of(kv, zv):
+            return nonlinear_power(kv[None], cosmo, z=zv,
+                                   amplitude=amplitude)[0]
+    else:
+        def pk_of(kv, zv):
+            return linear_power(kv, cosmo, z=zv, amplitude=amplitude)
+
+    def one(ell):
+        k = (ell + 0.5) / chi
+        pk = jax.vmap(pk_of)(k, z)
+        return jnp.trapezoid(WW / chi ** 2 * pk, chi)
+
+    return jax.vmap(one)(jnp.asarray(ells, jnp.float32))
 
 
 @partial(jax.jit, static_argnames=("nchi", "nonlinear"))

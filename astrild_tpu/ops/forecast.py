@@ -215,7 +215,7 @@ def xipm_survey_fisher(params: Dict[str, float], npix: int,
                        ngal_per_arcmin2: float = 30.0, nell: int = 512,
                        nchi: int = 96, nonlinear: bool = True,
                        fixed: Dict[str, float] = None,
-                       n_fields: int = 1) -> dict:
+                       n_fields: int = 1, nz=None) -> dict:
     """Cosmology Fisher forecast from the REAL-SPACE shear data vector
     [xi_+(theta); xi_-(theta)] of a flat-sky survey field.
 
@@ -228,7 +228,9 @@ def xipm_survey_fisher(params: Dict[str, float], npix: int,
     cross block and per-component shape noise
     C_n = sigma_eps^2 / (2 nbar) (sigma_eps = total ellipticity
     dispersion over both components). n_fields independent fields
-    scale the covariance by 1/n_fields.
+    scale the covariance by 1/n_fields. nz=(z_tab, nz_tab) replaces the
+    z_source delta plane with an extended source distribution
+    (angular_power.cl_kappa_limber_nz; e.g. angular_power.smail_nz).
 
     Returns dict with 'fisher', 'names', 'covariance', 'marginalized',
     'theta_arcmin'.
@@ -250,20 +252,26 @@ def xipm_survey_fisher(params: Dict[str, float], npix: int,
     ltheta = jnp.asarray(np.log(theta_arcmin * np.pi / 180.0 / 60.0),
                          jnp.float32)
 
+    def cl_of(cosmo):
+        if nz is not None:
+            from .angular_power import cl_kappa_limber_nz
+            return cl_kappa_limber_nz(jnp.asarray(ell_grid, jnp.float32),
+                                      cosmo, nz[0], nz[1], nchi=nchi,
+                                      nonlinear=nonlinear)
+        return cl_kappa_limber(jnp.asarray(ell_grid, jnp.float32), cosmo,
+                               z_source=z_source, nchi=nchi,
+                               nonlinear=nonlinear)
+
     def mean_fn(p):
         cosmo = Cosmology(**{**fixed, **p})
-        cl = cl_kappa_limber(jnp.asarray(ell_grid, jnp.float32), cosmo,
-                             z_source=z_source, nchi=nchi,
-                             nonlinear=nonlinear)
+        cl = cl_of(cosmo)
         th, xp, xm = xi_pm_from_cl_grid(ell_grid, cl)
         lth = jnp.log(th)
         return jnp.concatenate([jnp.interp(ltheta, lth, xp),
                                 jnp.interp(ltheta, lth, xm)])
 
     cosmo0 = Cosmology(**{**fixed, **params})
-    cl0 = np.asarray(cl_kappa_limber(jnp.asarray(ell_grid, jnp.float32),
-                                     cosmo0, z_source=z_source, nchi=nchi,
-                                     nonlinear=nonlinear))
+    cl0 = np.asarray(cl_of(cosmo0))
     # zero-tail the table so the covariance band-limits like the model
     ell_tab = np.concatenate([ell_grid, [ell_grid[-1] * 1.01,
                                          ell_grid[-1] * 100.0]])

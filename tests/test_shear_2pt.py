@@ -587,3 +587,60 @@ def test_skyhealpix_shear_xi_pm_facade():
     # and within sample variance of the input-Cl prediction
     xp_in, _ = xi_pm_from_cl_curved(cl, th_am * ARCMIN)
     assert np.all(np.abs(xp - xp_in) < 0.5 * np.abs(xp_in) + 1e-9)
+
+
+def test_cl_kappa_limber_nz():
+    from astrild_tpu.utils.cosmology import Cosmology
+    from astrild_tpu.ops.angular_power import (cl_kappa_limber,
+                                               cl_kappa_limber_nz,
+                                               smail_nz)
+
+    cosmo = Cosmology()
+    ells = jnp.asarray([50.0, 200.0, 800.0])
+    # near-delta n(z) recovers the single source plane
+    zt = np.linspace(0.99, 1.01, 51)
+    nz = np.exp(-(((zt - 1.0) / 0.002) ** 2))
+    c_nz = np.asarray(cl_kappa_limber_nz(ells, cosmo, zt, nz))
+    c_sp = np.asarray(cl_kappa_limber(ells, cosmo, z_source=1.0))
+    assert np.allclose(c_nz, c_sp, rtol=1e-4)
+    # broad Smail: normalization-invariant and bracketed by the
+    # min/max source-plane spectra
+    zt2 = np.linspace(0.01, 3.0, 200)
+    nz2 = np.asarray(smail_nz(zt2, z0=0.64))
+    cb = np.asarray(cl_kappa_limber_nz(ells, cosmo, zt2, nz2))
+    cb2 = np.asarray(cl_kappa_limber_nz(ells, cosmo, zt2, 7.3 * nz2))
+    assert np.allclose(cb, cb2, rtol=1e-6)
+    lo = np.asarray(cl_kappa_limber(ells, cosmo, z_source=0.5))
+    hi = np.asarray(cl_kappa_limber(ells, cosmo, z_source=2.0))
+    assert np.all((cb > lo) & (cb < hi))
+    # cross bin: symmetric in the two distributions, auto when equal
+    zt3 = np.linspace(0.01, 2.0, 150)
+    nz3 = np.asarray(smail_nz(zt3, z0=0.4))
+    cx = np.asarray(cl_kappa_limber_nz(ells, cosmo, zt2, nz2,
+                                       z_tab2=zt3, nz_tab2=nz3))
+    cx2 = np.asarray(cl_kappa_limber_nz(ells, cosmo, zt3, nz3,
+                                        z_tab2=zt2, nz_tab2=nz2))
+    assert np.allclose(cx, cx2, rtol=1e-5)
+    auto = np.asarray(cl_kappa_limber_nz(ells, cosmo, zt2, nz2,
+                                         z_tab2=zt2, nz_tab2=nz2))
+    assert np.allclose(auto, cb, rtol=1e-6)
+    # cross < geometric mean of autos (Cauchy-Schwarz)
+    auto3 = np.asarray(cl_kappa_limber_nz(ells, cosmo, zt3, nz3))
+    assert np.all(cx < np.sqrt(cb * auto3))
+    # differentiable (the Fisher path)
+    g = jax.grad(lambda om: jnp.sum(cl_kappa_limber_nz(
+        ells, Cosmology(Om0=om), zt2, nz2)))(0.3)
+    assert np.isfinite(float(g)) and float(g) > 0
+
+
+def test_xipm_fisher_with_nz():
+    from astrild_tpu.ops.forecast import xipm_survey_fisher
+    from astrild_tpu.ops.angular_power import smail_nz
+
+    zt = np.linspace(0.01, 3.0, 120)
+    out = xipm_survey_fisher({"Om0": 0.3, "sigma8": 0.8}, npix=128,
+                             opening_angle_deg=5.0, nbins=8,
+                             theta_min_arcmin=3.0, nell=192, nchi=48,
+                             nz=(zt, np.asarray(smail_nz(zt, z0=0.64))))
+    assert np.all(np.linalg.eigvalsh(out["fisher"]) > 0)
+    assert np.all(out["marginalized"] > 0)
