@@ -543,10 +543,14 @@ def smail_nz(z, z0: float = 0.9, alpha: float = 2.0, beta: float = 1.5):
     return z ** alpha * jnp.exp(-((z / jnp.asarray(z0)) ** beta))
 
 
+C1_RHO_CR = 0.0134  # NLA normalization C1 rho_cr (Bridle & King 2007)
+
+
 def cl_kappa_limber_nz(ells, cosmo: Cosmology, z_tab, nz_tab,
                        z_tab2=None, nz_tab2=None, nchi: int = 256,
                        nz_quad: int = 256, amplitude=None,
-                       nonlinear: bool = False):
+                       nonlinear: bool = False, a_ia=0.0,
+                       eta_ia=0.0, z0_ia: float = 0.62):
     """Convergence (cross-)power for EXTENDED source distributions:
 
         W_i(chi) = 1.5 Om0 (H0/c)^2 (1+z) chi g_i(chi),
@@ -557,13 +561,23 @@ def cl_kappa_limber_nz(ells, cosmo: Cosmology, z_tab, nz_tab,
     are normalized internally, so only the shape matters. Pass a second
     (z_tab2, nz_tab2) for a tomographic cross bin. Fully differentiable
     for Fisher/inference use.
+
+    a_ia != 0 adds nonlinear-alignment intrinsic alignments (NLA,
+    Bridle & King 2007): the total kernel becomes W_i + W_IA,i with
+
+        W_IA,i = -a_ia C1 rho_cr Om0 / D(z)
+                 ((1+z)/(1+z0_ia))^eta_ia n_i(z) dz/dchi,
+
+    so the returned spectrum is GG + GI + II in one integral — exactly
+    quadratic in a_ia (tested). a_ia/eta_ia may be traced (IA nuisance
+    parameters in Fisher/inference).
     """
     from .linear_power import linear_power, nonlinear_power
 
     if amplitude is None:
         amplitude = normalization(cosmo)
 
-    def efficiency(zt, nt, zq_hi):
+    def efficiency(zt, nt):
         zt = jnp.asarray(zt, jnp.float32)
         nt = jnp.asarray(nt, jnp.float32)
         zq = jnp.linspace(zt[0], zt[-1], nz_quad)
@@ -572,11 +586,11 @@ def cl_kappa_limber_nz(ells, cosmo: Cosmology, z_tab, nz_tab,
         chi_s = cosmo.comoving_distance(zq)
         return zq, nq, chi_s
 
-    zq1, nq1, chis1 = efficiency(z_tab, nz_tab, None)
+    zq1, nq1, chis1 = efficiency(z_tab, nz_tab)
     if z_tab2 is None:
         zq2, nq2, chis2 = zq1, nq1, chis1
     else:
-        zq2, nq2, chis2 = efficiency(z_tab2, nz_tab2, None)
+        zq2, nq2, chis2 = efficiency(z_tab2, nz_tab2)
     chi_max = jnp.maximum(chis1[-1], chis2[-1])
     chi = jnp.linspace(1e-3 * chi_max, chi_max, nchi)
     z = cosmo.redshift_at_comoving_distance(chi)
@@ -586,7 +600,18 @@ def cl_kappa_limber_nz(ells, cosmo: Cosmology, z_tab, nz_tab,
         return jnp.trapezoid(nq[None, :] * frac, zq, axis=1)
 
     pref = 1.5 * cosmo.Om0 * H0_OVER_C_HMPC ** 2 * (1.0 + z) * chi
-    WW = (pref * g_of(zq1, nq1, chis1)) * (pref * g_of(zq2, nq2, chis2))
+    w1 = pref * g_of(zq1, nq1, chis1)
+    w2 = pref * g_of(zq2, nq2, chis2)
+    # NLA kernel (zero when a_ia == 0; kept unconditional so a_ia can be
+    # a traced nuisance parameter)
+    a_ia = jnp.asarray(a_ia, jnp.float32)
+    dz_dchi = H0_OVER_C_HMPC * cosmo.efunc(z)
+    fz = ((1.0 + z) / (1.0 + z0_ia)) ** jnp.asarray(eta_ia, jnp.float32)
+    amp_ia = (-a_ia * C1_RHO_CR * cosmo.Om0
+              / cosmo.growth_factor(z) * fz * dz_dchi)
+    w1 = w1 + amp_ia * jnp.interp(z, zq1, nq1, left=0.0, right=0.0)
+    w2 = w2 + amp_ia * jnp.interp(z, zq2, nq2, left=0.0, right=0.0)
+    WW = w1 * w2
     if nonlinear:
         def pk_of(kv, zv):
             return nonlinear_power(kv[None], cosmo, z=zv,

@@ -252,26 +252,37 @@ def xipm_survey_fisher(params: Dict[str, float], npix: int,
     ltheta = jnp.asarray(np.log(theta_arcmin * np.pi / 180.0 / 60.0),
                          jnp.float32)
 
-    def cl_of(cosmo):
+    def cl_of(cosmo, a_ia=0.0, eta_ia=0.0):
         if nz is not None:
             from .angular_power import cl_kappa_limber_nz
             return cl_kappa_limber_nz(jnp.asarray(ell_grid, jnp.float32),
                                       cosmo, nz[0], nz[1], nchi=nchi,
-                                      nonlinear=nonlinear)
+                                      nonlinear=nonlinear, a_ia=a_ia,
+                                      eta_ia=eta_ia)
         return cl_kappa_limber(jnp.asarray(ell_grid, jnp.float32), cosmo,
                                z_source=z_source, nchi=nchi,
                                nonlinear=nonlinear)
 
     def mean_fn(p):
+        # "A_IA"/"eta_IA" are NLA nuisance parameters (need nz), not
+        # Cosmology kwargs
+        p = dict(p)
+        a_ia = p.pop("A_IA", 0.0)
+        eta_ia = p.pop("eta_IA", 0.0)
         cosmo = Cosmology(**{**fixed, **p})
-        cl = cl_of(cosmo)
+        cl = cl_of(cosmo, a_ia=a_ia, eta_ia=eta_ia)
         th, xp, xm = xi_pm_from_cl_grid(ell_grid, cl)
         lth = jnp.log(th)
         return jnp.concatenate([jnp.interp(ltheta, lth, xp),
                                 jnp.interp(ltheta, lth, xm)])
 
-    cosmo0 = Cosmology(**{**fixed, **params})
-    cl0 = np.asarray(cl_of(cosmo0))
+    p0 = dict(params)
+    a_ia0 = p0.pop("A_IA", 0.0)
+    eta_ia0 = p0.pop("eta_IA", 0.0)
+    if ("A_IA" in params or "eta_IA" in params) and nz is None:
+        raise ValueError("IA nuisance parameters need nz=(z_tab, nz_tab)")
+    cosmo0 = Cosmology(**{**fixed, **p0})
+    cl0 = np.asarray(cl_of(cosmo0, a_ia=a_ia0, eta_ia=eta_ia0))
     # zero-tail the table so the covariance band-limits like the model
     ell_tab = np.concatenate([ell_grid, [ell_grid[-1] * 1.01,
                                          ell_grid[-1] * 100.0]])

@@ -644,3 +644,46 @@ def test_xipm_fisher_with_nz():
                              nz=(zt, np.asarray(smail_nz(zt, z0=0.64))))
     assert np.all(np.linalg.eigvalsh(out["fisher"]) > 0)
     assert np.all(out["marginalized"] > 0)
+
+
+def test_nla_intrinsic_alignments():
+    from astrild_tpu.utils.cosmology import Cosmology
+    from astrild_tpu.ops.angular_power import cl_kappa_limber_nz, smail_nz
+
+    cosmo = Cosmology()
+    ells = jnp.asarray([50.0, 200.0, 800.0])
+    zt = np.linspace(0.01, 3.0, 200)
+    nz = np.asarray(smail_nz(zt, z0=0.64))
+    c0 = np.asarray(cl_kappa_limber_nz(ells, cosmo, zt, nz))
+    c1 = np.asarray(cl_kappa_limber_nz(ells, cosmo, zt, nz, a_ia=1.0))
+    cm1 = np.asarray(cl_kappa_limber_nz(ells, cosmo, zt, nz, a_ia=-1.0))
+    c2 = np.asarray(cl_kappa_limber_nz(ells, cosmo, zt, nz, a_ia=2.0))
+    # exactly quadratic in A_IA: C(A) = GG + A GI + A^2 II
+    gi = (c1 - cm1) / 2
+    ii = (c1 + cm1) / 2 - c0
+    assert np.allclose(c2, c0 + 2 * gi + 4 * ii, rtol=1e-5)
+    assert np.all(gi < 0)   # GI anti-correlates shear and alignment
+    assert np.all(ii > 0)   # II is a positive auto power
+    # realistic magnitude: few-to-ten percent suppression at A = 1
+    assert np.all((c1 / c0 > 0.8) & (c1 / c0 < 0.99))
+
+
+def test_xipm_fisher_with_ia_nuisance():
+    from astrild_tpu.ops.forecast import xipm_survey_fisher
+    from astrild_tpu.ops.angular_power import smail_nz
+
+    zt = np.linspace(0.01, 3.0, 120)
+    nz = (zt, np.asarray(smail_nz(zt, z0=0.64)))
+    kw = dict(npix=128, opening_angle_deg=5.0, nbins=8,
+              theta_min_arcmin=3.0, nell=192, nchi=48, nz=nz)
+    out2 = xipm_survey_fisher({"Om0": 0.3, "sigma8": 0.8, "A_IA": 1.0},
+                              **kw)
+    assert out2["names"] == ["Om0", "sigma8", "A_IA"]
+    assert np.all(np.linalg.eigvalsh(out2["fisher"]) > 0)
+    # marginalizing the IA nuisance degrades the cosmology constraints
+    out0 = xipm_survey_fisher({"Om0": 0.3, "sigma8": 0.8}, **kw)
+    assert out2["marginalized"][0] > out0["marginalized"][0]
+    # IA params without nz raise
+    with pytest.raises(ValueError):
+        xipm_survey_fisher({"Om0": 0.3, "A_IA": 1.0}, npix=64,
+                           opening_angle_deg=5.0, nbins=6)
