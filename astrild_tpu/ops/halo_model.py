@@ -29,13 +29,15 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.constants import RHO_CRIT0
 from ..utils.cosmology import Cosmology
 from .halo_stats import DELTA_C  # same threshold as the mass function
 
 __all__ = ["nfw_u", "sheth_tormen_bias", "duffy_concentration",
-           "halo_model_power", "hod_galaxy_power"]
+           "halo_model_power", "hod_galaxy_power",
+           "hod_galaxy_matter_power", "delta_sigma_hod"]
 
 
 def duffy_concentration(m200m, z: float = 0.0):
@@ -179,3 +181,77 @@ def hod_galaxy_power(k_hmpc, cosmo: Cosmology, hod_params=None,
     p_2h = b_eff ** 2 * p_lin
     b_g = jnp.sum(w * bias * (n_cen + n_sat)) / n_g
     return p_1h, p_2h, p_1h + p_2h, n_g, b_g
+
+
+def hod_galaxy_matter_power(k_hmpc, cosmo: Cosmology, hod_params=None,
+                            z: float = 0.0, mmin: float = 1e10,
+                            mmax: float = 1e16, nm: int = 64,
+                            model: str = "st", amplitude=None):
+    """Halo-model GALAXY-MATTER cross power P_gm(k) for a Zheng+07 HOD —
+    the 3D ingredient of galaxy-galaxy lensing
+    (shear_2pt.delta_sigma_from_pk turns it into Delta Sigma(r_p)):
+
+      P_1h(k) = (1/(n_g rho_m)) Int dlnM n M [N_cen u + N_sat u^2]
+      P_2h(k) = b_g(k) [i_2h(k) + a_corr] P_lin,
+
+    with b_g(k) the occupation-weighted galaxy bias of hod_galaxy_power
+    and (i_2h + a_corr) the mass-consistency-corrected matter factor of
+    halo_model_power (unresolved halos at u -> 1), so the 2-halo term's
+    k -> 0 limit is exactly b_g P_lin (the total also carries the
+    standard constant 1-halo floor). Returns
+    (p_1h, p_2h, p_total, n_g, b_g).
+    """
+    from .hod import HODParams, zheng07_mean_occupation
+    from .halo_stats import theory_hmf
+    from .linear_power import linear_power, normalization, sigma_r
+
+    if hod_params is None:
+        hod_params = HODParams()
+    k = jnp.asarray(k_hmpc)
+    if amplitude is None:
+        amplitude = normalization(cosmo)
+    rho_m = cosmo.Om0 * RHO_CRIT0
+    lnm = jnp.linspace(jnp.log(mmin), jnp.log(mmax), nm)
+    m = jnp.exp(lnm)
+    dlnm = lnm[1] - lnm[0]
+    n_lnm = theory_hmf(m, cosmo, z=z, model=model, amplitude=amplitude)
+    r_lag = (3.0 * m / (4.0 * jnp.pi * rho_m)) ** (1.0 / 3.0)
+    growth = cosmo.growth_factor(z)
+    sig = jax.vmap(lambda r: sigma_r(r, cosmo, amplitude=amplitude))(
+        r_lag) * growth
+    bias = sheth_tormen_bias(DELTA_C / sig)
+    r_vir = (3.0 * m / (4.0 * jnp.pi * 200.0 * rho_m)) ** (1.0 / 3.0)
+    conc = duffy_concentration(m, z=z)
+    u = nfw_u(k, conc, r_vir)  # (nm, nk)
+
+    n_cen, n_sat = zheng07_mean_occupation(m, hod_params)
+    wg = n_lnm * dlnm
+    n_g = jnp.sum(wg * (n_cen + n_sat))
+    wm = n_lnm * m / rho_m * dlnm  # matter mass-fraction weights
+    p_1h = jnp.sum(wm[:, None] * (n_cen[:, None] * u
+                                  + n_sat[:, None] * u ** 2),
+                   axis=0) / n_g
+    b_gal = jnp.sum((wg * bias)[:, None]
+                    * (n_cen[:, None] + n_sat[:, None] * u),
+                    axis=0) / n_g
+    i_2h = jnp.sum((wm * bias)[:, None] * u, axis=0)
+    a_corr = 1.0 - jnp.sum(wm * bias)
+    p_lin = linear_power(k, cosmo, z=z, amplitude=amplitude)
+    p_2h = b_gal * (i_2h + a_corr) * p_lin
+    b_g = jnp.sum(wg * bias * (n_cen + n_sat)) / n_g
+    return p_1h, p_2h, p_1h + p_2h, n_g, b_g
+
+
+def delta_sigma_hod(rp, cosmo: Cosmology, hod_params=None, z: float = 0.0,
+                    nk: int = 512, kmin: float = 1e-3, kmax: float = 1e3,
+                    **hm_kwargs):
+    """Theory galaxy-galaxy-lensing excess surface density for an HOD:
+    halo-model P_gm -> J2 FFTLog (shear_2pt.delta_sigma_from_pk).
+    Differentiable in the HOD parameters (Fisher/fitting). Returns
+    Delta Sigma(rp) in h Msun/pc^2 (comoving)."""
+    from .shear_2pt import delta_sigma_from_pk
+
+    k = np.geomspace(kmin, kmax, nk)
+    _, _, p_gm, _, _ = hod_galaxy_matter_power(
+        jnp.asarray(k, jnp.float32), cosmo, hod_params, z=z, **hm_kwargs)
+    return delta_sigma_from_pk(k, p_gm, rp, cosmo.Om0)

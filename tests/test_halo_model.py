@@ -126,3 +126,44 @@ def test_hod_galaxy_bias_decreases_with_mmin():
         *_, b_g = hod_galaxy_power(k, cosmo, p)
         biases.append(float(b_g))
     assert biases[0] < biases[1] < biases[2]
+
+
+def test_hod_galaxy_matter_power_and_delta_sigma():
+    import jax
+    from astrild_tpu.ops.halo_model import (delta_sigma_hod,
+                                            halo_model_power,
+                                            hod_galaxy_matter_power,
+                                            hod_galaxy_power)
+    from astrild_tpu.ops.hod import HODParams
+    from astrild_tpu.ops.linear_power import linear_power
+    from astrild_tpu.utils.cosmology import Cosmology
+
+    cosmo = Cosmology()
+    k = jnp.asarray(np.geomspace(1e-3, 50.0, 128), jnp.float32)
+    p1, p2, pt, ng, bg = hod_galaxy_matter_power(k, cosmo)
+    pl = linear_power(k, cosmo)
+    # 2h limit: exactly b_g P_lin at k -> 0 (mass-consistency a_corr)
+    assert abs(float(p2[0] / (bg * pl[0])) - 1.0) < 2e-3
+    # bias factorization: P_gm,2h == sqrt(P_gg,2h P_mm,2h) in the 2h
+    # regime (same b_eff/matter factors on both sides)
+    _, pg2, _, _, _ = hod_galaxy_power(k, cosmo)
+    _, pm2, _ = halo_model_power(k, cosmo, mmin=1e10)
+    i = 5  # k ~ 1e-2: compare the 2h TERMS (the total also carries the
+    # constant 1h floor, ~5% here)
+    assert abs(float(p2[i] / jnp.sqrt(pg2[i] * pm2[i])) - 1.0) < 0.02
+    # 1h term positive and dominating at small scales
+    assert float(p1[-1]) > float(p2[-1])
+
+    rp = np.array([0.1, 0.5, 2.0, 10.0])
+    ds = np.asarray(delta_sigma_hod(rp, cosmo))
+    assert np.all(ds > 0)
+    assert ds[0] > ds[1] > ds[2] > ds[3]  # decreasing with rp
+
+    # differentiable in the occupation parameters (GGL fitting)
+    def ds2(log_mmin):
+        p = HODParams(log_mmin=log_mmin)
+        return jnp.sum(delta_sigma_hod(np.array([5.0]), cosmo,
+                                       hod_params=p, nk=128))
+
+    g = jax.grad(ds2)(12.0)
+    assert np.isfinite(float(g)) and float(g) > 0  # heavier hosts -> more lensing
