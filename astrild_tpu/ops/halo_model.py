@@ -37,7 +37,7 @@ from .halo_stats import DELTA_C  # same threshold as the mass function
 
 __all__ = ["nfw_u", "sheth_tormen_bias", "duffy_concentration",
            "halo_model_power", "hod_galaxy_power",
-           "hod_galaxy_matter_power", "delta_sigma_hod"]
+           "hod_galaxy_matter_power", "delta_sigma_hod", "nfw_delta_sigma"]
 
 
 def duffy_concentration(m200m, z: float = 0.0):
@@ -255,3 +255,54 @@ def delta_sigma_hod(rp, cosmo: Cosmology, hod_params=None, z: float = 0.0,
     _, _, p_gm, _, _ = hod_galaxy_matter_power(
         jnp.asarray(k, jnp.float32), cosmo, hod_params, z=z, **hm_kwargs)
     return delta_sigma_from_pk(k, p_gm, rp, cosmo.Om0)
+
+
+def nfw_delta_sigma(r_hmpc, m200m, c, z: float = 0.0,
+                    omega_m: float = 0.3089):
+    """Closed-form NFW excess surface density Delta Sigma(R) (Wright &
+    Brainerd 2000, ApJ 534, 34, eqs. 13-16) — the standard model for
+    stacked cluster/galaxy lensing profiles, the analytic counterpart of
+    the halo-model 1h term of delta_sigma_hod.
+
+    Mass convention matches the rest of this module: m200m is
+    M_200 w.r.t. 200x the COMOVING mean matter density, c = r200/r_s.
+    Untruncated NFW (the WB00 projection integrates to infinity).
+
+    Args:
+      r_hmpc: (n,) projected radii [Mpc/h, comoving].
+      m200m: halo mass [Msun/h] (scalar or broadcastable).
+      c: concentration.
+      z: redshift (enters only through the comoving mean density —
+        none, in comoving units; kept for API symmetry).
+      omega_m: matter density parameter.
+    Returns:
+      Delta Sigma(R) in h Msun / pc^2 (comoving).
+    """
+    r = jnp.asarray(r_hmpc, jnp.float32)
+    rho_m = omega_m * RHO_CRIT0  # (Msun/h)/(Mpc/h)^3 comoving
+    m200m = jnp.asarray(m200m, jnp.float32)
+    c = jnp.asarray(c, jnp.float32)
+    r200 = (3.0 * m200m / (4.0 * jnp.pi * 200.0 * rho_m)) ** (1.0 / 3.0)
+    r_s = r200 / c
+    delta_c = (200.0 / 3.0) * c ** 3 / (jnp.log1p(c) - c / (1.0 + c))
+    x = r / r_s
+    # branch-safe arguments
+    xlt = jnp.clip(x, 1e-6, 1.0 - 1e-6)
+    xgt = jnp.maximum(x, 1.0 + 1e-6)
+    ath = jnp.arctanh(jnp.sqrt((1.0 - xlt) / (1.0 + xlt)))
+    atn = jnp.arctan(jnp.sqrt((xgt - 1.0) / (1.0 + xgt)))
+    s_lt = jnp.sqrt(1.0 - xlt ** 2)
+    s_gt = jnp.sqrt(xgt ** 2 - 1.0)
+    g_lt = (8.0 * ath / (xlt ** 2 * s_lt)
+            + 4.0 / xlt ** 2 * jnp.log(xlt / 2.0)
+            - 2.0 / (xlt ** 2 - 1.0)
+            + 4.0 * ath / ((xlt ** 2 - 1.0) * s_lt))
+    g_gt = (8.0 * atn / (xgt ** 2 * s_gt)
+            + 4.0 / xgt ** 2 * jnp.log(xgt / 2.0)
+            - 2.0 / (xgt ** 2 - 1.0)
+            + 4.0 * atn / (xgt ** 2 - 1.0) ** 1.5)
+    g_eq = 10.0 / 3.0 + 4.0 * jnp.log(0.5)
+    g = jnp.where(x < 1.0 - 1e-4, g_lt,
+                  jnp.where(x > 1.0 + 1e-4, g_gt, g_eq))
+    sigma_fac = r_s * delta_c * rho_m * 1e-12  # -> h Msun / pc^2
+    return sigma_fac * g

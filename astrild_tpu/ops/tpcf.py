@@ -167,9 +167,11 @@ def _s_mu_accumulate_tiles(pos_i, pos_j, ia0, jb0, s_edges, ns: int,
             mask = mask & (vi[:, None] > 0) & (vj[None, :] > 0)
         flat = jnp.where(mask, sbin * nmu + mubin, ns * nmu)
         w = mask.astype(jnp.float32)
-        inc = jax.ops.segment_sum(
-            w.reshape(-1), flat.reshape(-1),
-            num_segments=ns * nmu + 1)[: ns * nmu]
+        # one-hot MXU reduction (ops/binred): 20x the sort-lowered
+        # segment_sum on TPU at identical results
+        from .binred import masked_bin_reduce
+        inc = masked_bin_reduce(w.reshape(1, -1), flat.reshape(-1),
+                                ns * nmu)[0]
         # Kahan step: the per-tile increment is exact (<= block^2 < 2^24)
         y = inc - comp
         t = counts + y

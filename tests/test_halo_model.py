@@ -167,3 +167,36 @@ def test_hod_galaxy_matter_power_and_delta_sigma():
 
     g = jax.grad(ds2)(12.0)
     assert np.isfinite(float(g)) and float(g) > 0  # heavier hosts -> more lensing
+
+
+def test_nfw_delta_sigma_closed_form():
+    from scipy.integrate import quad
+
+    from astrild_tpu.ops.halo_model import nfw_delta_sigma
+    from astrild_tpu.utils.constants import RHO_CRIT0
+
+    om, m200, c = 0.3089, 2e14, 5.0
+    rho_m = om * RHO_CRIT0
+    r200 = (3 * m200 / (4 * np.pi * 200 * rho_m)) ** (1 / 3)
+    rs = r200 / c
+    dc = (200 / 3) * c ** 3 / (np.log(1 + c) - c / (1 + c))
+    rho0 = dc * rho_m
+
+    def rho(rr):
+        return rho0 / ((rr / rs) * (1 + rr / rs) ** 2)
+
+    def sigma(R):
+        return 2 * quad(lambda zz: rho(np.hypot(R, zz)), 0, np.inf,
+                        limit=400)[0]
+
+    def sbar(R):
+        return 2 * quad(lambda rp: rp * sigma(rp), 1e-6, R,
+                        limit=400)[0] / R ** 2
+
+    radii = np.array([0.1, rs, 0.5, 1.5])  # spans x < 1, = 1, > 1
+    ds = np.asarray(nfw_delta_sigma(radii, m200, c, omega_m=om))
+    for i, Rv in enumerate(radii):
+        ds_num = (sbar(Rv) - sigma(Rv)) * 1e-12
+        assert abs(ds[i] / ds_num - 1.0) < 1e-4
+    # decreasing profile, positive everywhere
+    assert np.all(ds > 0) and np.all(np.diff(ds) < 0)
