@@ -489,13 +489,25 @@ class SkyArray:
         # measure past both ends so the BIN CENTERS straddle the COSEBIs
         # interval (cosebis_from_xipm interpolates, never extrapolates),
         # and drop empty annuli (they report theta = 0)
+        half_box = self._opening_angle * 30.0
         th, xp, xm, cnt = self.shear_xi_pm(
             nbins=nbins, theta_min_arcmin=theta_min_arcmin * 0.7,
-            theta_max_arcmin=min(theta_max_arcmin * 1.3,
-                                 self._opening_angle * 30.0), on=on)
+            theta_max_arcmin=min(theta_max_arcmin * 1.3, half_box),
+            on=on)
         keep = np.asarray(cnt) > 0
+        th_k = np.asarray(th)[keep]
+        if th_k[-1] < theta_max_arcmin:
+            # the largest measurable bin CENTER bounds the usable
+            # interval; a theta_max at/near the half-box cannot be
+            # covered — tell the caller the achievable bound instead of
+            # letting the interior coverage guard fire opaquely
+            raise ValueError(
+                f"cosebis: theta_max_arcmin={theta_max_arcmin} is not "
+                f"coverable on this {self._opening_angle} deg field — "
+                f"the largest measurable bin center is {th_k[-1]:.1f} "
+                "arcmin; shrink theta_max_arcmin below that")
         return shear_2pt.cosebis_from_xipm(
-            np.asarray(th)[keep], jnp.asarray(xp)[keep],
+            th_k, jnp.asarray(xp)[keep],
             jnp.asarray(xm)[keep], nmax, theta_min_arcmin,
             theta_max_arcmin)
 

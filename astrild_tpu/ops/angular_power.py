@@ -596,7 +596,11 @@ def cl_kappa_limber_nz(ells, cosmo: Cosmology, z_tab, nz_tab,
     z = cosmo.redshift_at_comoving_distance(chi)
 
     def g_of(zq, nq, chis):
-        frac = jnp.clip(chis[None, :] - chi[:, None], 0.0, None) / chis
+        # chi_s(z=0) = 0 would give 0/0 = NaN here even though n(0) = 0
+        # multiplies it away — a table starting at z = 0 (the natural
+        # Smail grid) must not NaN the whole integral
+        safe = jnp.maximum(chis, 1e-6)
+        frac = jnp.clip(chis[None, :] - chi[:, None], 0.0, None) / safe
         return jnp.trapezoid(nq[None, :] * frac, zq, axis=1)
 
     pref = 1.5 * cosmo.Om0 * H0_OVER_C_HMPC ** 2 * (1.0 + z) * chi

@@ -83,6 +83,35 @@ def nfw_u(k, c, r_vir, nr: int = 256):
     return integral / mass_norm
 
 
+def _halo_ingredients(k, cosmo: Cosmology, z: float, mmin: float,
+                      mmax: float, nm: int, model: str, amplitude):
+    """THE shared halo-model ingredient set: mass grid, dn/dlnM,
+    Sheth-Tormen bias, and NFW u(k|M) — single home so P_mm, P_gg and
+    P_gm stay on the same mass function / bias / concentration
+    conventions (a drift breaks the bias-factorization identity the
+    tests pin). All on the SAME amplitude, or the a_corr consistency
+    relation silently breaks. Returns (m, dlnm, n_lnm, bias, u, rho_m).
+    """
+    from .halo_stats import theory_hmf
+    from .linear_power import sigma_r
+
+    rho_m = cosmo.Om0 * RHO_CRIT0  # comoving (Msun/h)/(Mpc/h)^3
+    lnm = jnp.linspace(jnp.log(mmin), jnp.log(mmax), nm)
+    m = jnp.exp(lnm)
+    dlnm = lnm[1] - lnm[0]
+    n_lnm = theory_hmf(m, cosmo, z=z, model=model,
+                       amplitude=amplitude)  # dn/dlnM
+    r_lag = (3.0 * m / (4.0 * jnp.pi * rho_m)) ** (1.0 / 3.0)
+    growth = cosmo.growth_factor(z)
+    sig = jax.vmap(lambda r: sigma_r(r, cosmo, amplitude=amplitude))(
+        r_lag) * growth
+    bias = sheth_tormen_bias(DELTA_C / sig)
+    r_vir = (3.0 * m / (4.0 * jnp.pi * 200.0 * rho_m)) ** (1.0 / 3.0)
+    conc = duffy_concentration(m, z=z)
+    u = nfw_u(k, conc, r_vir)  # (nm, nk)
+    return m, dlnm, n_lnm, bias, u, rho_m
+
+
 def halo_model_power(k_hmpc, cosmo: Cosmology, z: float = 0.0,
                      mmin: float = 1e8, mmax: float = 1e16, nm: int = 64,
                      model: str = "st", amplitude=None):
@@ -92,30 +121,13 @@ def halo_model_power(k_hmpc, cosmo: Cosmology, z: float = 0.0,
     'ps', see halo_stats.theory_hmf). Bias is Sheth-Tormen (consistency
     correction A absorbs the mismatch at large scales).
     """
-    from .halo_stats import theory_hmf
-    from .linear_power import linear_power, normalization, sigma_r
+    from .linear_power import linear_power, normalization
 
     k = jnp.asarray(k_hmpc)
     if amplitude is None:
         amplitude = normalization(cosmo)
-    rho_m = cosmo.Om0 * RHO_CRIT0  # comoving (Msun/h)/(Mpc/h)^3
-    lnm = jnp.linspace(jnp.log(mmin), jnp.log(mmax), nm)
-    m = jnp.exp(lnm)
-    dlnm = lnm[1] - lnm[0]
-
-    # mass function, sigma(M, z), bias, profiles — all on the SAME
-    # amplitude, or the a_corr consistency relation silently breaks
-    n_lnm = theory_hmf(m, cosmo, z=z, model=model,
-                       amplitude=amplitude)  # dn/dlnM
-    r_lag = (3.0 * m / (4.0 * jnp.pi * rho_m)) ** (1.0 / 3.0)
-    growth = cosmo.growth_factor(z)
-    sig = jax.vmap(lambda r: sigma_r(r, cosmo, amplitude=amplitude))(
-        r_lag) * growth
-    nu = DELTA_C / sig
-    bias = sheth_tormen_bias(nu)
-    r_vir = (3.0 * m / (4.0 * jnp.pi * 200.0 * rho_m)) ** (1.0 / 3.0)
-    conc = duffy_concentration(m, z=z)
-    u = nfw_u(k, conc, r_vir)  # (nm, nk)
+    m, dlnm, n_lnm, bias, u, rho_m = _halo_ingredients(
+        k, cosmo, z, mmin, mmax, nm, model, amplitude)
 
     w = n_lnm * m / rho_m * dlnm  # mass-fraction weights per lnM node
     p_1h = jnp.sum((w * m / rho_m)[:, None] * u ** 2, axis=0)
@@ -146,27 +158,15 @@ def hod_galaxy_power(k_hmpc, cosmo: Cosmology, hod_params=None,
     bias.
     """
     from .hod import HODParams, zheng07_mean_occupation
-    from .halo_stats import theory_hmf
-    from .linear_power import linear_power, normalization, sigma_r
+    from .linear_power import linear_power, normalization
 
     if hod_params is None:
         hod_params = HODParams()
     k = jnp.asarray(k_hmpc)
     if amplitude is None:
         amplitude = normalization(cosmo)
-    rho_m = cosmo.Om0 * RHO_CRIT0
-    lnm = jnp.linspace(jnp.log(mmin), jnp.log(mmax), nm)
-    m = jnp.exp(lnm)
-    dlnm = lnm[1] - lnm[0]
-    n_lnm = theory_hmf(m, cosmo, z=z, model=model, amplitude=amplitude)
-    r_lag = (3.0 * m / (4.0 * jnp.pi * rho_m)) ** (1.0 / 3.0)
-    growth = cosmo.growth_factor(z)
-    sig = jax.vmap(lambda r: sigma_r(r, cosmo, amplitude=amplitude))(
-        r_lag) * growth
-    bias = sheth_tormen_bias(DELTA_C / sig)
-    r_vir = (3.0 * m / (4.0 * jnp.pi * 200.0 * rho_m)) ** (1.0 / 3.0)
-    conc = duffy_concentration(m, z=z)
-    u = nfw_u(k, conc, r_vir)  # (nm, nk)
+    m, dlnm, n_lnm, bias, u, rho_m = _halo_ingredients(
+        k, cosmo, z, mmin, mmax, nm, model, amplitude)
 
     n_cen, n_sat = zheng07_mean_occupation(m, hod_params)
     w = n_lnm * dlnm
@@ -202,27 +202,15 @@ def hod_galaxy_matter_power(k_hmpc, cosmo: Cosmology, hod_params=None,
     (p_1h, p_2h, p_total, n_g, b_g).
     """
     from .hod import HODParams, zheng07_mean_occupation
-    from .halo_stats import theory_hmf
-    from .linear_power import linear_power, normalization, sigma_r
+    from .linear_power import linear_power, normalization
 
     if hod_params is None:
         hod_params = HODParams()
     k = jnp.asarray(k_hmpc)
     if amplitude is None:
         amplitude = normalization(cosmo)
-    rho_m = cosmo.Om0 * RHO_CRIT0
-    lnm = jnp.linspace(jnp.log(mmin), jnp.log(mmax), nm)
-    m = jnp.exp(lnm)
-    dlnm = lnm[1] - lnm[0]
-    n_lnm = theory_hmf(m, cosmo, z=z, model=model, amplitude=amplitude)
-    r_lag = (3.0 * m / (4.0 * jnp.pi * rho_m)) ** (1.0 / 3.0)
-    growth = cosmo.growth_factor(z)
-    sig = jax.vmap(lambda r: sigma_r(r, cosmo, amplitude=amplitude))(
-        r_lag) * growth
-    bias = sheth_tormen_bias(DELTA_C / sig)
-    r_vir = (3.0 * m / (4.0 * jnp.pi * 200.0 * rho_m)) ** (1.0 / 3.0)
-    conc = duffy_concentration(m, z=z)
-    u = nfw_u(k, conc, r_vir)  # (nm, nk)
+    m, dlnm, n_lnm, bias, u, rho_m = _halo_ingredients(
+        k, cosmo, z, mmin, mmax, nm, model, amplitude)
 
     n_cen, n_sat = zheng07_mean_occupation(m, hod_params)
     wg = n_lnm * dlnm

@@ -261,15 +261,21 @@ def _xi_pm_grids(g1, g2, nbins, theta_min_pix, theta_max_pix):
     xip_grid = jnp.real(c_plus)
     binidx_h, inside_h, cnt_h, theta_pix_h = _xi_pm_bins(
         n, nbins, theta_min_pix, theta_max_pix)
-    binidx = jnp.asarray(binidx_h)
+    # route the dropped offsets to the nbins bucket so the one-hot MXU
+    # reduction (ops/binred; 20x the sort-lowered segment_sum) can bin
+    # both channels in one contraction
+    binidx = jnp.asarray(np.where(inside_h > 0, binidx_h, nbins)
+                         .astype(np.int32))
     inside = jnp.asarray(inside_h)
     cnt = jnp.asarray(cnt_h)
     theta_pix = jnp.asarray(theta_pix_h)
     denom = jnp.maximum(cnt, 1.0)
-    xip = jax.ops.segment_sum(inside * xip_grid.reshape(-1), binidx,
-                              num_segments=nbins) / denom
-    xim = jax.ops.segment_sum(inside * xim_grid.reshape(-1), binidx,
-                              num_segments=nbins) / denom
+    from .binred import masked_bin_reduce
+    sums = masked_bin_reduce(
+        jnp.stack([inside * xip_grid.reshape(-1),
+                   inside * xim_grid.reshape(-1)]), binidx, nbins)
+    xip = sums[0] / denom
+    xim = sums[1] / denom
     # empty annuli are NaN, not a silent 0 (npairs==0 says why)
     empty = cnt == 0
     xip = jnp.where(empty, jnp.nan, xip)
@@ -354,6 +360,8 @@ def tangential_shear_stack(gamma1, gamma2, centers_pix, r_edges_pix,
     rows = jnp.arange(p) - patch_half
     g1 = jnp.asarray(gamma1, jnp.float32)
     g2 = jnp.asarray(gamma2, jnp.float32)
+    from .binred import masked_bin_reduce
+    bdrop = jnp.where(inside > 0, binidx, nbins)
 
     def one(center):
         ri = jnp.mod(center[0] + rows, n)
@@ -362,16 +370,16 @@ def tangential_shear_stack(gamma1, gamma2, centers_pix, r_edges_pix,
         p2 = g2[ri[:, None], ci[None, :]]
         gt = -(p1 * cos2 + p2 * sin2)
         gx = -(p2 * cos2 - p1 * sin2)
-        ts = jax.ops.segment_sum(inside * gt.reshape(-1), binidx,
-                                 num_segments=nbins)
-        xs = jax.ops.segment_sum(inside * gx.reshape(-1), binidx,
-                                 num_segments=nbins)
-        return ts, xs
+        sums = masked_bin_reduce(
+            jnp.stack([inside * gt.reshape(-1),
+                       inside * gx.reshape(-1)]), bdrop, nbins)
+        return sums[0], sums[1]
 
     ts, xs = jax.vmap(one)(jnp.asarray(centers_pix))
-    cnt = jax.ops.segment_sum(inside, binidx, num_segments=nbins)
-    rsum = jax.ops.segment_sum(inside * r.reshape(-1), binidx,
-                               num_segments=nbins)
+    csums = masked_bin_reduce(
+        jnp.stack([inside, inside * r.reshape(-1)]), bdrop, nbins)
+    cnt = csums[0]
+    rsum = csums[1]
     tot = jnp.maximum(cnt, 1.0) * centers_pix.shape[0]
     return (rsum / jnp.maximum(cnt, 1.0), jnp.sum(ts, 0) / tot,
             jnp.sum(xs, 0) / tot, cnt * centers_pix.shape[0])
@@ -390,14 +398,14 @@ def _annulus_weights(npix: int, nbins: int, tmin_pix: float,
     rotation. All returned (nbins, npix^2) float32 on host; shares the
     exact integer-r^2 binning of _xi_pm_bins.
     """
+    # SINGLE binning home: the same (idx, inside, cnt) the estimator
+    # bins with (_xi_pm_bins) — a drifting duplicate here would break
+    # the "exact on this estimator's own mode set" guarantee
+    idx, inside_f, cnt, _ = _xi_pm_bins(npix, nbins, tmin_pix, tmax_pix)
+    inside = inside_f > 0
     f = (np.fft.fftfreq(npix) * npix).astype(np.float64)
     dx, dy = np.meshgrid(f, f, indexing="ij")
     r2 = dx ** 2 + dy ** 2
-    edges2 = np.geomspace(tmin_pix, tmax_pix, nbins + 1) ** 2
-    idx = np.clip(np.searchsorted(edges2, r2.ravel(), side="right") - 1,
-                  0, nbins - 1)
-    inside = ((r2.ravel() >= edges2[0]) & (r2.ravel() <= edges2[-1]))
-    cnt = np.bincount(idx, weights=inside, minlength=nbins)
     safe = np.where(r2 == 0.0, 1.0, r2)
     z2x, z2y = dx * dx - dy * dy, 2 * dx * dy
     cos4r = (z2x * z2x - z2y * z2y) / (safe * safe)
@@ -608,6 +616,14 @@ def _shear_pair_tiles(xi_, yi_, e1i, e2i, wi, xj_, yj_, e1j, e2j, wj,
     """
     ni = xi_.shape[0]
     nj = xj_.shape[0]
+    if ni % block or nj % block or ni < block or nj < block:
+        # silent tail-dropping (or an opaque empty-scan IndexError when
+        # n < block) otherwise — the distributed factory feeds shard
+        # sizes straight through
+        raise ValueError(
+            f"_shear_pair_tiles: chunk sizes ({ni}, {nj}) must be "
+            f"nonzero multiples of block={block} (pad with zero-weight "
+            "rows)")
     nbi = ni // block
     nbj = nj // block
     lo = edges[0]
@@ -894,8 +910,14 @@ def cosebis_from_xipm(theta, xip, xim, nmax: int, theta_min: float,
     w = jnp.asarray(_trap_weights(tg) * tg, jnp.float32)
     Tpj = jnp.asarray(Tp, jnp.float32)
     Tmj = jnp.asarray(Tm, jnp.float32)
-    e_n = 0.5 * (Tpj @ (w * xp) + Tmj @ (w * xm))
-    b_n = 0.5 * (Tpj @ (w * xp) - Tmj @ (w * xm))
+    # HIGHEST precision: the B-mode null is a cancellation between the
+    # two terms — the MXU's default bf16 truncation (CLAUDE.md) would
+    # swamp it at ~1e-3 of E on TPU
+    dot = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    tp_int = dot(Tpj, w * xp)
+    tm_int = dot(Tmj, w * xm)
+    e_n = 0.5 * (tp_int + tm_int)
+    b_n = 0.5 * (tp_int - tm_int)
     return e_n, b_n
 
 

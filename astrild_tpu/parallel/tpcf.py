@@ -246,6 +246,13 @@ def make_distributed_shear_xi(mesh: Mesh, theta_edges, axis: str = "sim",
 
     def shear_xi(x, y, e1, e2, weights=None):
         x = jnp.asarray(x, jnp.float32)
+        nloc, rem = divmod(x.shape[0], nshards)
+        if rem or nloc % block or nloc < block:
+            raise ValueError(
+                f"make_distributed_shear_xi: {x.shape[0]} rows over "
+                f"{nshards} shards gives per-shard chunks of {nloc} "
+                f"(+{rem}); chunks must be nonzero multiples of "
+                f"block={block} — pad with zero-weight rows")
         w = (jnp.ones_like(x) if weights is None
              else jnp.asarray(weights, jnp.float32))
         sums = fn(x, jnp.asarray(y, jnp.float32),

@@ -687,3 +687,36 @@ def test_xipm_fisher_with_ia_nuisance():
     with pytest.raises(ValueError):
         xipm_survey_fisher({"Om0": 0.3, "A_IA": 1.0}, npix=64,
                            opening_angle_deg=5.0, nbins=6)
+
+
+def test_review_regressions():
+    """Fixes from the round-3 code review: z=0 n(z) tables, shard-size
+    validation, facade interval guard."""
+    from astrild_tpu.utils.cosmology import Cosmology
+    from astrild_tpu.ops.angular_power import cl_kappa_limber_nz, smail_nz
+
+    # (1) n(z) table starting at z = 0 must not NaN (chi_s(0) = 0)
+    cosmo = Cosmology()
+    zt = np.linspace(0.0, 3.0, 100)
+    cl = np.asarray(cl_kappa_limber_nz(jnp.asarray([100.0, 500.0]),
+                                       cosmo, zt,
+                                       np.asarray(smail_nz(zt))))
+    assert np.all(np.isfinite(cl)) and np.all(cl > 0)
+
+    # (2) pair tiles reject non-multiple / too-small chunks loudly
+    with pytest.raises(ValueError, match="multiples of block"):
+        s2._shear_pair_tiles(*(jnp.zeros(100),) * 10,
+                             jnp.asarray([1.0, 2.0]), 1, None, 64, True)
+
+    # (4) facade cosebis names the achievable theta_max instead of an
+    # opaque interior coverage error
+    from astrild_tpu.models.skymap import SkyArray
+    rng = np.random.default_rng(0)
+    sa = SkyArray.from_array(rng.normal(size=(128, 128)).astype(np.float32),
+                             5.0, "kappa_2")
+    sa.data["shearx"] = jnp.asarray(
+        rng.normal(size=(128, 128)).astype(np.float32))
+    sa.data["sheary"] = jnp.asarray(
+        rng.normal(size=(128, 128)).astype(np.float32))
+    with pytest.raises(ValueError, match="coverable"):
+        sa.cosebis(3, 3.0, 150.0)  # theta_max at the half-box
