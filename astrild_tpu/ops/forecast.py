@@ -29,7 +29,7 @@ from .angular_power import cl_kappa_cross_limber, cl_kappa_limber
 
 __all__ = ["tomographic_shear_cls", "shear_cl_data_covariance",
            "fisher_matrix", "shear_fisher", "hod_wp_theory", "hod_wp_fisher",
-           "xipm_survey_fisher"]
+           "xipm_survey_fisher", "threex2pt_fisher"]
 
 
 def tomographic_shear_cls(ells, cosmo: Cosmology, z_sources: Sequence[float],
@@ -301,3 +301,152 @@ def xipm_survey_fisher(params: Dict[str, float], npix: int,
             "covariance": np.asarray(pcov),
             "marginalized": np.sqrt(np.abs(np.diag(np.asarray(pcov)))),
             "theta_arcmin": np.asarray(theta_arcmin)}
+
+
+HOD_KEYS = ("log_mmin", "sigma_logm", "log_m0", "log_m1", "alpha")
+IA_KEYS = ("A_IA", "eta_IA")
+
+
+def threex2pt_fisher(params: Dict[str, float], rp_wp, rp_ds,
+                     cov_wp, cov_ds, npix: int, opening_angle_deg: float,
+                     nz, pi_max: float = 60.0, nbins_xi: int = 12,
+                     theta_min_arcmin: float = 2.0,
+                     theta_max_arcmin=None, z_lens: float = 0.0,
+                     sigma_eps: float = 0.26,
+                     ngal_per_arcmin2: float = 30.0, nell: int = 384,
+                     nchi: int = 64, nonlinear: bool = True,
+                     fixed: Dict[str, float] = None,
+                     hod_fixed: Dict[str, float] = None,
+                     n_fields: int = 1) -> dict:
+    """Joint 3x2pt Fisher forecast: galaxy clustering wp(rp) +
+    galaxy-galaxy lensing Delta Sigma(rp) + cosmic shear [xi+; xi-],
+    ONE differentiable parameter vector across all three probes —
+    Cosmology keys (Om0, sigma8, ...), Zheng+07 HOD occupation keys
+    (log_mmin, sigma_logm, log_m0, log_m1, alpha), and NLA nuisance
+    keys (A_IA, eta_IA). wp and Delta Sigma share the halo-model
+    ingredients (_halo_ingredients), so occupation parameters move both
+    coherently; xi_pm responds to cosmology and IA only.
+
+    Covariance: block-diagonal across probes. cov_wp/cov_ds must be
+    supplied (measure them with covariance.spatial_jackknife on mocks —
+    the package provides the whole loop); the xi_pm block is the exact
+    discrete Gaussian covariance of the map estimator (+ shape noise),
+    scaled by 1/n_fields. Cross-probe covariance is NEGLECTED — for
+    overlapping survey volumes treat the result as the optimistic
+    bound, or supply a full jackknife covariance to fisher_matrix
+    directly (threex2pt_mean is exposed for exactly that).
+
+    Returns dict with 'fisher', 'names', 'covariance', 'marginalized',
+    'theta_arcmin', and the fiducial 'mean'.
+    """
+    from .shear_2pt import xi_pm_gaussian_covariance, _xi_pm_bins
+
+    fixed = dict(fixed or {})
+    hod_fixed = dict(hod_fixed or {})
+    pixscale = opening_angle_deg * 60.0 / npix
+    if theta_max_arcmin is None:
+        theta_max_arcmin = pixscale * npix / 2.0
+
+    mean_fn, theta_arcmin, cl0_fn = _threex2pt_mean_builder(
+        rp_wp, rp_ds, npix, opening_angle_deg, nz, pi_max, nbins_xi,
+        theta_min_arcmin, theta_max_arcmin, z_lens, nell, nchi,
+        nonlinear, fixed, hod_fixed)
+
+    # fiducial Cl for the xi block covariance
+    ell_tab, cl_tab = cl0_fn(params)
+    nbar_sr = ngal_per_arcmin2 / (np.deg2rad(1.0 / 60.0) ** 2)
+    noise_cl = sigma_eps ** 2 / (2.0 * nbar_sr)
+    _, cov_xi = xi_pm_gaussian_covariance(
+        npix, opening_angle_deg, ell_tab, cl_tab, nbins_xi,
+        theta_min_arcmin=theta_min_arcmin,
+        theta_max_arcmin=theta_max_arcmin, noise_cl=noise_cl)
+    _, _, cnt, _ = _xi_pm_bins(npix, nbins_xi,
+                               float(theta_min_arcmin / pixscale),
+                               float(theta_max_arcmin / pixscale))
+    keep = cnt > 0
+    sel = np.concatenate([keep, keep])
+    cov_xi = cov_xi[np.ix_(sel, sel)] / float(n_fields)
+
+    cov_wp = np.atleast_2d(np.asarray(cov_wp, np.float64))
+    cov_ds = np.atleast_2d(np.asarray(cov_ds, np.float64))
+    nw, nd, nx = cov_wp.shape[0], cov_ds.shape[0], cov_xi.shape[0]
+    cov = np.zeros((nw + nd + nx, nw + nd + nx))
+    cov[:nw, :nw] = cov_wp
+    cov[nw:nw + nd, nw:nw + nd] = cov_ds
+    cov[nw + nd:, nw + nd:] = cov_xi
+
+    mu0 = np.asarray(mean_fn(params))
+    if mu0.shape[0] != cov.shape[0]:
+        raise ValueError(
+            f"3x2pt data vector has {mu0.shape[0]} entries "
+            f"(wp {len(np.atleast_1d(rp_wp))} + ds "
+            f"{len(np.atleast_1d(rp_ds))} + xi {nx}) but the block "
+            f"covariance is {cov.shape[0]}x{cov.shape[0]}")
+    F, names = fisher_matrix(mean_fn, params,
+                             jnp.asarray(cov, jnp.float32))
+    pcov = jnp.linalg.inv(F)
+    return {"fisher": np.asarray(F), "names": names,
+            "covariance": np.asarray(pcov),
+            "marginalized": np.sqrt(np.abs(np.diag(np.asarray(pcov)))),
+            "theta_arcmin": theta_arcmin, "mean": mu0}
+
+
+def _threex2pt_mean_builder(rp_wp, rp_ds, npix, opening_angle_deg, nz,
+                            pi_max, nbins_xi, theta_min_arcmin,
+                            theta_max_arcmin, z_lens, nell, nchi,
+                            nonlinear, fixed, hod_fixed):
+    """Shared 3x2pt mean-model closure; returns (mean_fn, theta_arcmin,
+    cl0_fn). Exposed through threex2pt_fisher; use fisher_matrix with a
+    full cross-probe covariance for the non-block-diagonal case."""
+    from .angular_power import cl_kappa_limber_nz
+    from .halo_model import delta_sigma_hod
+    from .hod import HODParams
+    from .shear_2pt import xi_pm_from_cl_grid, _xi_pm_bins
+
+    pixscale = opening_angle_deg * 60.0 / npix
+    lf = 2.0 * np.pi / np.deg2rad(opening_angle_deg)
+    ell_grid = np.geomspace(2.0, 1.45 * lf * (npix / 2.0), nell)
+    _, _, cnt, theta_pix = _xi_pm_bins(
+        npix, nbins_xi, float(theta_min_arcmin / pixscale),
+        float(theta_max_arcmin / pixscale))
+    keep = cnt > 0
+    theta_arcmin = theta_pix[keep] * pixscale
+    ltheta = jnp.asarray(np.log(theta_arcmin * np.pi / 180.0 / 60.0),
+                         jnp.float32)
+    rp_wp = jnp.asarray(rp_wp, jnp.float32)
+    rp_ds = np.asarray(rp_ds, np.float64)
+
+    def split(p):
+        p = dict(p)
+        a_ia = p.pop("A_IA", 0.0)
+        eta_ia = p.pop("eta_IA", 0.0)
+        hod = {k: p.pop(k) for k in HOD_KEYS if k in p}
+        cosmo = Cosmology(**{**fixed, **p})
+        hod_all = {**hod_fixed, **hod}
+        return cosmo, hod_all, a_ia, eta_ia
+
+    def cl_of(cosmo, a_ia, eta_ia):
+        return cl_kappa_limber_nz(
+            jnp.asarray(ell_grid, jnp.float32), cosmo, nz[0], nz[1],
+            nchi=nchi, nonlinear=nonlinear, a_ia=a_ia, eta_ia=eta_ia)
+
+    def mean_fn(p):
+        cosmo, hod_all, a_ia, eta_ia = split(p)
+        wp = hod_wp_theory(rp_wp, cosmo, hod_all, pi_max)
+        ds = delta_sigma_hod(rp_ds, cosmo,
+                             hod_params=HODParams(**hod_all), z=z_lens)
+        cl = cl_of(cosmo, a_ia, eta_ia)
+        th, xp, xm = xi_pm_from_cl_grid(ell_grid, cl)
+        lth = jnp.log(th)
+        xi = jnp.concatenate([jnp.interp(ltheta, lth, xp),
+                              jnp.interp(ltheta, lth, xm)])
+        return jnp.concatenate([jnp.asarray(wp), jnp.asarray(ds), xi])
+
+    def cl0_fn(p):
+        cosmo, _, a_ia, eta_ia = split(p)
+        cl0 = np.asarray(cl_of(cosmo, a_ia, eta_ia))
+        ell_tab = np.concatenate([ell_grid, [ell_grid[-1] * 1.01,
+                                             ell_grid[-1] * 100.0]])
+        return ell_tab, np.concatenate([cl0, [0.0, 0.0]])
+
+    return mean_fn, theta_arcmin, cl0_fn

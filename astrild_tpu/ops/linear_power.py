@@ -108,7 +108,15 @@ def sigma_r(r_hmpc, cosmo: Cosmology, amplitude=1.0, nk: int = 1024):
     k = jnp.exp(lnk)
     p = amplitude * _unnormalized_power(k, cosmo)
     x = k * r_hmpc
-    w = 3.0 * (jnp.sin(x) - x * jnp.cos(x)) / x ** 3
+    # top-hat window with a series branch: the closed form suffers f32
+    # cancellation at small x whose SECOND-order jvp goes NaN (mixed
+    # d2 sigma/dOm0 dlnM in theory_hmf-through-Fisher chains). The
+    # dangerous branch gets a CLAMPED argument so the unselected side
+    # stays NaN-free under autodiff (the where-grad trap).
+    xs = jnp.maximum(x, 0.1)
+    w_formula = 3.0 * (jnp.sin(xs) - xs * jnp.cos(xs)) / xs ** 3
+    w_series = 1.0 - x ** 2 / 10.0 + x ** 4 / 280.0
+    w = jnp.where(x < 0.1, w_series, w_formula)
     integrand = k ** 3 * p * w ** 2 / (2.0 * jnp.pi ** 2)  # d(lnk) measure
     dlnk = lnk[1] - lnk[0]
     var = jnp.sum(0.5 * (integrand[1:] + integrand[:-1]) * dlnk)
