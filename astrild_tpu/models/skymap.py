@@ -496,16 +496,17 @@ class SkyArray:
             on=on)
         keep = np.asarray(cnt) > 0
         th_k = np.asarray(th)[keep]
-        if th_k[-1] < theta_max_arcmin:
+        if th_k.size == 0 or th_k[-1] < theta_max_arcmin:
             # the largest measurable bin CENTER bounds the usable
             # interval; a theta_max at/near the half-box cannot be
             # covered — tell the caller the achievable bound instead of
             # letting the interior coverage guard fire opaquely
+            hi = f"{th_k[-1]:.1f}" if th_k.size else "none (no bin has pairs)"
             raise ValueError(
-                f"cosebis: theta_max_arcmin={theta_max_arcmin} is not "
-                f"coverable on this {self._opening_angle} deg field — "
-                f"the largest measurable bin center is {th_k[-1]:.1f} "
-                "arcmin; shrink theta_max_arcmin below that")
+                f"cosebis: theta interval [{theta_min_arcmin}, "
+                f"{theta_max_arcmin}] arcmin is not coverable on this "
+                f"{self._opening_angle} deg field — the largest "
+                f"measurable bin center is {hi}")
         return shear_2pt.cosebis_from_xipm(
             th_k, jnp.asarray(xp)[keep],
             jnp.asarray(xm)[keep], nmax, theta_min_arcmin,

@@ -35,6 +35,11 @@ def masked_bin_reduce(chans, binidx, nbins: int, chunk: int = 65536):
     """
     chans = jnp.asarray(chans)
     nch, n = chans.shape
+    # bound the materialized one-hot at ~64 MB regardless of nbins: a
+    # 2D-binned caller (dist_bin x vel_bin PDFs, s-mu grids) can pass
+    # thousands of bins, and chunk * nbins floats is the footprint
+    budget = 1 << 24
+    chunk = max(1024, min(chunk, budget // max(nbins, 1)))
     sel = jnp.arange(nbins, dtype=binidx.dtype)
 
     def dot_chunk(v, b):

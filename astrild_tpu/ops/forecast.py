@@ -29,7 +29,7 @@ from .angular_power import cl_kappa_cross_limber, cl_kappa_limber
 
 __all__ = ["tomographic_shear_cls", "shear_cl_data_covariance",
            "fisher_matrix", "shear_fisher", "hod_wp_theory", "hod_wp_fisher",
-           "xipm_survey_fisher", "threex2pt_fisher"]
+           "xipm_survey_fisher", "threex2pt_fisher", "threex2pt_mean_builder"]
 
 
 def tomographic_shear_cls(ells, cosmo: Cosmology, z_sources: Sequence[float],
@@ -175,7 +175,7 @@ def shear_fisher(ells, params: Dict[str, float],
 
 def hod_wp_theory(rp, cosmo, hod_param_dict: Dict[str, float],
                   pi_max, nk: int = 192, kmin: float = 1e-3,
-                  kmax: float = 20.0):
+                  kmax: float = 20.0, z: float = 0.0):
     """Theory wp(rp) for a Zheng+07 HOD: halo-model P_gg -> FFTLog wp.
 
     hod_param_dict keys are HODParams field names (log_mmin, sigma_logm,
@@ -189,7 +189,7 @@ def hod_wp_theory(rp, cosmo, hod_param_dict: Dict[str, float],
 
     params = HODParams(**hod_param_dict)
     k = jnp.asarray(np.geomspace(kmin, kmax, nk))
-    _, _, ptot, _, _ = hod_galaxy_power(k, cosmo, params)
+    _, _, ptot, _, _ = hod_galaxy_power(k, cosmo, params, z=z)
     return wp_from_pk(k, ptot, jnp.asarray(rp), pi_max)
 
 
@@ -205,6 +205,35 @@ def hod_wp_fisher(rp, cosmo, hod_param_dict: Dict[str, float], cov,
     return fisher_matrix(
         lambda p: hod_wp_theory(rp, cosmo, p, pi_max),
         hod_param_dict, cov)
+
+
+def _xi_block_covariance(npix, opening_angle_deg, nbins,
+                         theta_min_arcmin, theta_max_arcmin, ell_grid,
+                         cl0, sigma_eps, ngal_per_arcmin2, n_fields):
+    """SINGLE home of the xi_pm data-covariance plumbing shared by
+    xipm_survey_fisher and threex2pt_fisher: zero-tailed Cl table (the
+    covariance must band-limit like the model), per-component shape
+    noise C_n = sigma_eps^2/(2 nbar), empty-annulus selection, and the
+    1/n_fields scaling. Returns (cov (2*nkeep, 2*nkeep), keep mask)."""
+    from .shear_2pt import xi_pm_gaussian_covariance, _xi_pm_bins
+
+    pixscale = opening_angle_deg * 60.0 / npix
+    ell_tab = np.concatenate([ell_grid, [ell_grid[-1] * 1.01,
+                                         ell_grid[-1] * 100.0]])
+    cl_tab = np.concatenate([np.asarray(cl0, np.float64), [0.0, 0.0]])
+    nbar_sr = ngal_per_arcmin2 / (np.deg2rad(1.0 / 60.0) ** 2)
+    noise_cl = sigma_eps ** 2 / (2.0 * nbar_sr)
+    _, cov = xi_pm_gaussian_covariance(
+        npix, opening_angle_deg, ell_tab, cl_tab, nbins,
+        theta_min_arcmin=theta_min_arcmin,
+        theta_max_arcmin=theta_max_arcmin, noise_cl=noise_cl)
+    _, _, cnt, _ = _xi_pm_bins(npix, nbins,
+                               float(theta_min_arcmin / pixscale),
+                               float(theta_max_arcmin / pixscale))
+    keep = cnt > 0
+    sel = np.concatenate([keep, keep])
+    return cov[np.ix_(sel, sel)] / float(n_fields), keep
+
 
 
 def xipm_survey_fisher(params: Dict[str, float], npix: int,
@@ -242,8 +271,7 @@ def xipm_survey_fisher(params: Dict[str, float], npix: int,
     pixscale = opening_angle_deg * 60.0 / npix
     if theta_max_arcmin is None:
         theta_max_arcmin = pixscale * npix / 2.0
-    lf = 2.0 * np.pi / np.deg2rad(opening_angle_deg)
-    ell_grid = np.geomspace(2.0, 1.45 * lf * (npix / 2.0), nell)
+    ell_grid = ell_grid_of(npix, opening_angle_deg, nell)
     _, _, cnt, theta_pix = _xi_pm_bins(
         npix, nbins, float(theta_min_arcmin / pixscale),
         float(theta_max_arcmin / pixscale))
@@ -283,18 +311,10 @@ def xipm_survey_fisher(params: Dict[str, float], npix: int,
         raise ValueError("IA nuisance parameters need nz=(z_tab, nz_tab)")
     cosmo0 = Cosmology(**{**fixed, **p0})
     cl0 = np.asarray(cl_of(cosmo0, a_ia=a_ia0, eta_ia=eta_ia0))
-    # zero-tail the table so the covariance band-limits like the model
-    ell_tab = np.concatenate([ell_grid, [ell_grid[-1] * 1.01,
-                                         ell_grid[-1] * 100.0]])
-    cl_tab = np.concatenate([cl0, [0.0, 0.0]])
-    nbar_sr = ngal_per_arcmin2 / (np.deg2rad(1.0 / 60.0) ** 2)
-    noise_cl = sigma_eps ** 2 / (2.0 * nbar_sr)
-    _, cov = xi_pm_gaussian_covariance(
-        npix, opening_angle_deg, ell_tab, cl_tab, nbins,
-        theta_min_arcmin=theta_min_arcmin,
-        theta_max_arcmin=theta_max_arcmin, noise_cl=noise_cl)
-    sel = np.concatenate([keep, keep])
-    cov = cov[np.ix_(sel, sel)] / float(n_fields)
+    cov, _ = _xi_block_covariance(
+        npix, opening_angle_deg, nbins, theta_min_arcmin,
+        theta_max_arcmin, ell_grid, cl0, sigma_eps, ngal_per_arcmin2,
+        n_fields)
     F, names = fisher_matrix(mean_fn, params, jnp.asarray(cov, jnp.float32))
     pcov = jnp.linalg.inv(F)
     return {"fisher": np.asarray(F), "names": names,
@@ -334,7 +354,7 @@ def threex2pt_fisher(params: Dict[str, float], rp_wp, rp_ds,
     scaled by 1/n_fields. Cross-probe covariance is NEGLECTED — for
     overlapping survey volumes treat the result as the optimistic
     bound, or supply a full jackknife covariance to fisher_matrix
-    directly (threex2pt_mean is exposed for exactly that).
+    directly (threex2pt_mean_builder is exposed for exactly that).
 
     Returns dict with 'fisher', 'names', 'covariance', 'marginalized',
     'theta_arcmin', and the fiducial 'mean'.
@@ -347,25 +367,19 @@ def threex2pt_fisher(params: Dict[str, float], rp_wp, rp_ds,
     if theta_max_arcmin is None:
         theta_max_arcmin = pixscale * npix / 2.0
 
-    mean_fn, theta_arcmin, cl0_fn = _threex2pt_mean_builder(
+    mean_fn, theta_arcmin, cl0_fn = threex2pt_mean_builder(
         rp_wp, rp_ds, npix, opening_angle_deg, nz, pi_max, nbins_xi,
         theta_min_arcmin, theta_max_arcmin, z_lens, nell, nchi,
         nonlinear, fixed, hod_fixed)
 
-    # fiducial Cl for the xi block covariance
-    ell_tab, cl_tab = cl0_fn(params)
-    nbar_sr = ngal_per_arcmin2 / (np.deg2rad(1.0 / 60.0) ** 2)
-    noise_cl = sigma_eps ** 2 / (2.0 * nbar_sr)
-    _, cov_xi = xi_pm_gaussian_covariance(
-        npix, opening_angle_deg, ell_tab, cl_tab, nbins_xi,
-        theta_min_arcmin=theta_min_arcmin,
-        theta_max_arcmin=theta_max_arcmin, noise_cl=noise_cl)
-    _, _, cnt, _ = _xi_pm_bins(npix, nbins_xi,
-                               float(theta_min_arcmin / pixscale),
-                               float(theta_max_arcmin / pixscale))
-    keep = cnt > 0
-    sel = np.concatenate([keep, keep])
-    cov_xi = cov_xi[np.ix_(sel, sel)] / float(n_fields)
+    # fiducial Cl for the xi block covariance (cl0_fn already
+    # zero-tails the table; hand the raw grid values to the single
+    # covariance home)
+    _, cl_tab_full = cl0_fn(params)
+    cov_xi, _ = _xi_block_covariance(
+        npix, opening_angle_deg, nbins_xi, theta_min_arcmin,
+        theta_max_arcmin, ell_grid_of(npix, opening_angle_deg, nell),
+        cl_tab_full[:-2], sigma_eps, ngal_per_arcmin2, n_fields)
 
     cov_wp = np.atleast_2d(np.asarray(cov_wp, np.float64))
     cov_ds = np.atleast_2d(np.asarray(cov_ds, np.float64))
@@ -391,21 +405,28 @@ def threex2pt_fisher(params: Dict[str, float], rp_wp, rp_ds,
             "theta_arcmin": theta_arcmin, "mean": mu0}
 
 
-def _threex2pt_mean_builder(rp_wp, rp_ds, npix, opening_angle_deg, nz,
-                            pi_max, nbins_xi, theta_min_arcmin,
-                            theta_max_arcmin, z_lens, nell, nchi,
-                            nonlinear, fixed, hod_fixed):
-    """Shared 3x2pt mean-model closure; returns (mean_fn, theta_arcmin,
-    cl0_fn). Exposed through threex2pt_fisher; use fisher_matrix with a
-    full cross-probe covariance for the non-block-diagonal case."""
+def ell_grid_of(npix: int, opening_angle_deg: float, nell: int):
+    """THE log ell grid of the xi_pm forecast chain (shared by the mean
+    model and the covariance table)."""
+    lf = 2.0 * np.pi / np.deg2rad(opening_angle_deg)
+    return np.geomspace(2.0, 1.45 * lf * (npix / 2.0), nell)
+
+
+def threex2pt_mean_builder(rp_wp, rp_ds, npix, opening_angle_deg, nz,
+                           pi_max, nbins_xi, theta_min_arcmin,
+                           theta_max_arcmin, z_lens, nell, nchi,
+                           nonlinear, fixed, hod_fixed):
+    """PUBLIC 3x2pt mean-model closure; returns (mean_fn, theta_arcmin,
+    cl0_fn). Pair mean_fn with fisher_matrix and a FULL cross-probe
+    covariance (e.g. a joint jackknife) when the block-diagonal
+    approximation of threex2pt_fisher isn't enough."""
     from .angular_power import cl_kappa_limber_nz
     from .halo_model import delta_sigma_hod
     from .hod import HODParams
     from .shear_2pt import xi_pm_from_cl_grid, _xi_pm_bins
 
     pixscale = opening_angle_deg * 60.0 / npix
-    lf = 2.0 * np.pi / np.deg2rad(opening_angle_deg)
-    ell_grid = np.geomspace(2.0, 1.45 * lf * (npix / 2.0), nell)
+    ell_grid = ell_grid_of(npix, opening_angle_deg, nell)
     _, _, cnt, theta_pix = _xi_pm_bins(
         npix, nbins_xi, float(theta_min_arcmin / pixscale),
         float(theta_max_arcmin / pixscale))
@@ -432,7 +453,9 @@ def _threex2pt_mean_builder(rp_wp, rp_ds, npix, opening_angle_deg, nz,
 
     def mean_fn(p):
         cosmo, hod_all, a_ia, eta_ia = split(p)
-        wp = hod_wp_theory(rp_wp, cosmo, hod_all, pi_max)
+        # the SAME z_lens reaches clustering and GGL — different-z halo
+        # ingredients would silently break the coherent-HOD claim
+        wp = hod_wp_theory(rp_wp, cosmo, hod_all, pi_max, z=z_lens)
         ds = delta_sigma_hod(rp_ds, cosmo,
                              hod_params=HODParams(**hod_all), z=z_lens)
         cl = cl_of(cosmo, a_ia, eta_ia)

@@ -274,9 +274,12 @@ def nfw_delta_sigma(r_hmpc, m200m, c, z: float = 0.0,
     r_s = r200 / c
     delta_c = (200.0 / 3.0) * c ** 3 / (jnp.log1p(c) - c / (1.0 + c))
     x = r / r_s
-    # branch-safe arguments
-    xlt = jnp.clip(x, 1e-6, 1.0 - 1e-6)
-    xgt = jnp.maximum(x, 1.0 + 1e-6)
+    # branch-safe arguments: the closed forms suffer f32 catastrophic
+    # cancellation within ~1% of x = 1 (measured up to 44% error at
+    # x = 1.0002 with a narrow window), so a local polynomial
+    # (host-f64 fit, see _WB_NEAR1) serves |x-1| < 0.02
+    xlt = jnp.clip(x, 1e-6, 1.0 - 1e-2)
+    xgt = jnp.maximum(x, 1.0 + 1e-2)
     ath = jnp.arctanh(jnp.sqrt((1.0 - xlt) / (1.0 + xlt)))
     atn = jnp.arctan(jnp.sqrt((xgt - 1.0) / (1.0 + xgt)))
     s_lt = jnp.sqrt(1.0 - xlt ** 2)
@@ -289,8 +292,35 @@ def nfw_delta_sigma(r_hmpc, m200m, c, z: float = 0.0,
             + 4.0 / xgt ** 2 * jnp.log(xgt / 2.0)
             - 2.0 / (xgt ** 2 - 1.0)
             + 4.0 * atn / (xgt ** 2 - 1.0) ** 1.5)
-    g_eq = 10.0 / 3.0 + 4.0 * jnp.log(0.5)
-    g = jnp.where(x < 1.0 - 1e-4, g_lt,
-                  jnp.where(x > 1.0 + 1e-4, g_gt, g_eq))
+    t = jnp.clip(x - 1.0, -0.02, 0.02)
+    g_near = jnp.polyval(jnp.asarray(_WB_NEAR1, jnp.float32), t)
+    g = jnp.where(x < 1.0 - 0.02, g_lt,
+                  jnp.where(x > 1.0 + 0.02, g_gt, g_near))
     sigma_fac = r_s * delta_c * rho_m * 1e-12  # -> h Msun / pc^2
     return sigma_fac * g
+
+
+def _wb_near1_coeffs(deg: int = 6, half: float = 0.06):
+    """Host-f64 polynomial fit of the WB00 g(x) around x = 1 (the f32
+    closed forms cancel catastrophically there). Fit nodes exclude the
+    f64-noisy core |x-1| < 1e-5; interpolation error over |x-1| <= 0.02
+    is < 1e-9 (checked in tests against the f64 closed form)."""
+    t = np.concatenate([np.linspace(-half, -1e-5, 400),
+                        np.linspace(1e-5, half, 400)])
+    xx = 1.0 + t
+    lt = xx < 1.0
+    g = np.empty_like(xx)
+    xl = xx[lt]
+    athl = np.arctanh(np.sqrt((1 - xl) / (1 + xl)))
+    sl = np.sqrt(1 - xl ** 2)
+    g[lt] = (8 * athl / (xl ** 2 * sl) + 4 / xl ** 2 * np.log(xl / 2)
+             - 2 / (xl ** 2 - 1) + 4 * athl / ((xl ** 2 - 1) * sl))
+    xg = xx[~lt]
+    atng = np.arctan(np.sqrt((xg - 1) / (1 + xg)))
+    sg = np.sqrt(xg ** 2 - 1)
+    g[~lt] = (8 * atng / (xg ** 2 * sg) + 4 / xg ** 2 * np.log(xg / 2)
+              - 2 / (xg ** 2 - 1) + 4 * atng / (xg ** 2 - 1) ** 1.5)
+    return np.polyfit(t, g, deg)
+
+
+_WB_NEAR1 = _wb_near1_coeffs()

@@ -200,3 +200,43 @@ def test_nfw_delta_sigma_closed_form():
         assert abs(ds[i] / ds_num - 1.0) < 1e-4
     # decreasing profile, positive everywhere
     assert np.all(ds > 0) and np.all(np.diff(ds) < 0)
+
+
+def test_nfw_delta_sigma_near_rs_band():
+    """Regression: f32 cancellation within ~1% of x = R/r_s = 1 gave up
+    to 44% error with the old 1e-4 branch window."""
+    from astrild_tpu.ops.halo_model import nfw_delta_sigma
+    from astrild_tpu.utils.constants import RHO_CRIT0
+
+    om, m200, c = 0.3089, 2e14, 5.0
+    rho_m = om * RHO_CRIT0
+    r200 = (3 * m200 / (4 * np.pi * 200 * rho_m)) ** (1 / 3)
+    rs = r200 / c
+
+    def g64(x):
+        x = np.asarray(x, np.float64)
+        g = np.empty_like(x)
+        lt = x < 1
+        xl = x[lt]
+        athl = np.arctanh(np.sqrt((1 - xl) / (1 + xl)))
+        sl = np.sqrt(1 - xl ** 2)
+        g[lt] = (8 * athl / (xl ** 2 * sl) + 4 / xl ** 2 * np.log(xl / 2)
+                 - 2 / (xl ** 2 - 1) + 4 * athl / ((xl ** 2 - 1) * sl))
+        xg = x[~lt]
+        atng = np.arctan(np.sqrt((xg - 1) / (1 + xg)))
+        sg = np.sqrt(xg ** 2 - 1)
+        g[~lt] = (8 * atng / (xg ** 2 * sg)
+                  + 4 / xg ** 2 * np.log(xg / 2) - 2 / (xg ** 2 - 1)
+                  + 4 * atng / (xg ** 2 - 1) ** 1.5)
+        return g
+
+    dc = (200 / 3) * c ** 3 / (np.log(1 + c) - c / (1 + c))
+    fac = rs * dc * rho_m * 1e-12
+    xs = np.array([0.985, 0.995, 0.999, 0.9999, 1.0001, 1.0002, 1.001,
+                   1.005, 1.015, 1.03])
+    ds = np.asarray(nfw_delta_sigma(xs * rs, m200, c, omega_m=om))
+    assert np.max(np.abs(ds / (fac * g64(xs)) - 1.0)) < 1e-4
+    # exactly x = 1: the analytic value 10/3 + 4 ln(1/2)
+    v1 = float(np.asarray(nfw_delta_sigma(np.array([rs]), m200, c,
+                                          omega_m=om))[0])
+    assert abs(v1 / (fac * (10 / 3 + 4 * np.log(0.5))) - 1.0) < 1e-5

@@ -720,3 +720,19 @@ def test_review_regressions():
         rng.normal(size=(128, 128)).astype(np.float32))
     with pytest.raises(ValueError, match="coverable"):
         sa.cosebis(3, 3.0, 150.0)  # theta_max at the half-box
+
+
+def test_cosebis_facade_empty_interval_guard():
+    from astrild_tpu.models.skymap import SkyArray
+
+    rng = np.random.default_rng(0)
+    sa = SkyArray.from_array(
+        rng.normal(size=(128, 128)).astype(np.float32), 5.0, "kappa_2")
+    sa.data["shearx"] = jnp.asarray(
+        rng.normal(size=(128, 128)).astype(np.float32))
+    sa.data["sheary"] = jnp.asarray(
+        rng.normal(size=(128, 128)).astype(np.float32))
+    # sub-pixel interval: NO annulus has pairs — must raise the
+    # informative error, not an IndexError on an empty array
+    with pytest.raises(ValueError, match="coverable"):
+        sa.cosebis(3, 0.02, 0.08)
