@@ -50,9 +50,12 @@ def _fftlog_kernel(n: int, dlnk: float, ell: int, q: float):
     mp = m * phase
     # ship as a REAL pair: the axon TPU backend rejects complex
     # host<->device transfers (UNIMPLEMENTED) while on-device complex
-    # arithmetic is fine — recombine with lax.complex at use site
-    return jnp.asarray(np.real(mp), jnp.float32), jnp.asarray(
-        np.imag(mp), jnp.float32)
+    # arithmetic is fine — recombine with lax.complex at use site.
+    # Cache HOST arrays only (jnp constants cached during a caller's
+    # trace leak trace-local tracers to later callers — the
+    # _xi_pm_bins lesson)
+    return (np.real(mp).astype(np.float32),
+            np.imag(mp).astype(np.float32))
 
 
 @lru_cache(maxsize=64)
@@ -76,8 +79,9 @@ def _fftlog_kernel_cyl(n: int, dlnk: float, mu: int, q: float):
     m = np.exp(logm)
     phase = np.exp(1j * eta * (n - 1) * dlnk)
     mp = m * phase
-    return jnp.asarray(np.real(mp), jnp.float32), jnp.asarray(
-        np.imag(mp), jnp.float32)
+    # host arrays only in the cache (see _fftlog_kernel)
+    return (np.real(mp).astype(np.float32),
+            np.imag(mp).astype(np.float32))
 
 
 def bessel_transform(k, fk, mu: int, q: float = 1.0,
@@ -99,6 +103,12 @@ def bessel_transform(k, fk, mu: int, q: float = 1.0,
     Returns:
       (r, I): r (n,) log-spaced in [1/k_max, 1/k_min]; I same shape as fk.
     """
+    import jax.core as _core
+    if isinstance(k, _core.Tracer):
+        raise TypeError(
+            "bessel_transform needs a CONCRETE (host) k grid (see "
+            "sph_bessel_transform's note: under jit, jnp constants are "
+            "lifted to tracers — build the grid with numpy)")
     k = np.asarray(k, np.float64)
     n = k.shape[0]
     dln = float(np.log(k[-1] / k[0]) / (n - 1))
@@ -152,6 +162,14 @@ def sph_bessel_transform(k, fk, ell: int, q: float = 1.5,
     Returns:
       (s, I): s (n,) log-spaced in [1/k_max, 1/k_min]; I same shape as fk.
     """
+    import jax.core as _core
+    if isinstance(k, _core.Tracer):
+        raise TypeError(
+            "sph_bessel_transform needs a CONCRETE (host) k grid — the "
+            "Mellin kernel is a host precompute keyed on the grid. "
+            "Under jit, jnp.asarray(np_array) is lifted to a tracer: "
+            "build the grid with numpy and pass it through unconverted "
+            "(only the integrand values may be traced)")
     k = np.asarray(k, np.float64)
     n = k.shape[0]
     dln = float(np.log(k[-1] / k[0]) / (n - 1))

@@ -188,9 +188,15 @@ def hod_wp_theory(rp, cosmo, hod_param_dict: Dict[str, float],
     from .hod import HODParams
 
     params = HODParams(**hod_param_dict)
-    k = jnp.asarray(np.geomspace(kmin, kmax, nk))
-    _, _, ptot, _, _ = hod_galaxy_power(k, cosmo, params, z=z)
-    return wp_from_pk(k, ptot, jnp.asarray(rp), pi_max)
+    # keep the k grid HOST-side for the FFTLog (its Mellin kernel is a
+    # host precompute): under jit this JAX lifts jnp.asarray(np_array)
+    # to a tracer, which would break sph_bessel_transform's grid check
+    # (grad/jacfwd tracing does NOT lift constants, so Fisher paths
+    # never saw it — HMC's jit did)
+    k_host = np.geomspace(kmin, kmax, nk)
+    _, _, ptot, _, _ = hod_galaxy_power(jnp.asarray(k_host), cosmo,
+                                        params, z=z)
+    return wp_from_pk(k_host, ptot, jnp.asarray(rp), pi_max)
 
 
 def hod_wp_fisher(rp, cosmo, hod_param_dict: Dict[str, float], cov,

@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["hmc_sample", "HMCResult", "shear_log_posterior"]
+__all__ = ["hmc_sample", "HMCResult", "shear_log_posterior",
+           "threex2pt_log_posterior"]
 
 
 class HMCResult(NamedTuple):
@@ -168,6 +169,68 @@ def shear_log_posterior(ells, data_stack, z_sources: Sequence[float],
             if k in bounds:
                 lo, hi = bounds[k]
                 w = 0.005 * (hi - lo)
+                ll = ll - jnp.exp((lo - x[i]) / w) - jnp.exp((x[i] - hi) / w)
+        return ll
+
+    return logp, names
+
+
+def threex2pt_log_posterior(data_vec, cov, param_names: Sequence[str],
+                            rp_wp, rp_ds, npix: int,
+                            opening_angle_deg: float, nz,
+                            pi_max: float = 60.0, nbins_xi: int = 12,
+                            theta_min_arcmin: float = 2.0,
+                            theta_max_arcmin=None, z_lens: float = 0.0,
+                            nell: int = 256, nchi: int = 48,
+                            nonlinear: bool = True,
+                            fixed: Dict[str, float] = None,
+                            hod_fixed: Dict[str, float] = None,
+                            prior_bounds: Dict[str, tuple] = None):
+    """Gaussian log-posterior over the joint 3x2pt data vector
+    [wp(rp); Delta Sigma(rp); xi_+(theta); xi_-(theta)] — the sampling
+    counterpart of forecast.threex2pt_fisher, sharing its mean model
+    (forecast.threex2pt_mean_builder: one differentiable chain over
+    Cosmology + Zheng+07 occupation + NLA nuisance keys).
+
+    Args:
+      data_vec: measured joint vector (wp, DS, xi+ and xi- at the
+        estimator's own bin centers — forecast result['theta_arcmin']).
+      cov: full (ndata, ndata) covariance (e.g. the block assembly of
+        threex2pt_fisher, or a joint jackknife for cross-probe terms).
+      param_names: sampled keys, mixing Cosmology / HOD / IA names.
+      prior_bounds: {name: (lo, hi)} smooth log-barrier box priors.
+    Returns (logp, names) with logp(x) ordered as param_names — feed
+    to hmc_sample (same contract as shear_log_posterior).
+    """
+    from .forecast import threex2pt_mean_builder
+
+    fixed = dict(fixed or {})
+    hod_fixed = dict(hod_fixed or {})
+    if theta_max_arcmin is None:
+        theta_max_arcmin = opening_angle_deg * 30.0
+    mean_fn, theta_arcmin, _ = threex2pt_mean_builder(
+        rp_wp, rp_ds, npix, opening_angle_deg, nz, pi_max, nbins_xi,
+        theta_min_arcmin, theta_max_arcmin, z_lens, nell, nchi,
+        nonlinear, fixed, hod_fixed)
+    names = list(param_names)
+    bounds = dict(prior_bounds or {})
+    data_vec = jnp.asarray(data_vec, jnp.float32)
+    cov_chol = jnp.linalg.cholesky(jnp.asarray(cov, jnp.float32))
+    if data_vec.shape[0] != cov_chol.shape[0]:
+        raise ValueError(
+            f"data vector ({data_vec.shape[0]}) and covariance "
+            f"({cov_chol.shape[0]}) sizes differ")
+
+    def logp(x):
+        p = {k: x[i] for i, k in enumerate(names)}
+        mu = mean_fn(p)
+        r = jax.scipy.linalg.cho_solve((cov_chol, True), mu - data_vec)
+        ll = -0.5 * jnp.sum((mu - data_vec) * r)
+        for i, k in enumerate(names):
+            if k in bounds:
+                lo, hi = bounds[k]
+                w = 0.005 * (hi - lo)
+                # same smooth exp log-barrier as shear_log_posterior
                 ll = ll - jnp.exp((lo - x[i]) / w) - jnp.exp((x[i] - hi) / w)
         return ll
 

@@ -57,3 +57,44 @@ def test_shear_posterior_centers_on_truth_and_matches_fisher():
     assert abs(s.mean() - 0.8159) < 3.0 * sigma_fisher
     # posterior width consistent with the Fisher forecast
     assert 0.5 < s.std() / sigma_fisher < 2.0
+
+
+def test_threex2pt_log_posterior():
+    import jax
+    import jax.numpy as jnp
+    from astrild_tpu.ops.angular_power import smail_nz
+    from astrild_tpu.ops.forecast import threex2pt_mean_builder
+    from astrild_tpu.ops.inference import threex2pt_log_posterior
+
+    zt = np.linspace(0.01, 3.0, 100)
+    nz = (zt, np.asarray(smail_nz(zt, z0=0.64)))
+    rp = np.array([2.0, 5.0, 10.0])
+    hod_fixed = {"sigma_logm": 0.3, "log_m0": 12.0, "log_m1": 13.5,
+                 "alpha": 1.0}
+    mean_fn, th, _ = threex2pt_mean_builder(
+        rp, rp, 128, 5.0, nz, 60.0, 6, 3.0, 100.0, 0.0, 128, 32, True,
+        {}, hod_fixed)
+    truth = {"Om0": 0.3, "sigma8": 0.8, "log_mmin": 12.5}
+    data = np.asarray(mean_fn(truth))
+    cov = np.diag((0.05 * np.abs(data) + 1e-8) ** 2)
+    logp, names = threex2pt_log_posterior(
+        data, cov, list(truth), rp, rp, 128, 5.0, nz, nbins_xi=6,
+        theta_min_arcmin=3.0, theta_max_arcmin=100.0, nell=128, nchi=32,
+        hod_fixed=hod_fixed, prior_bounds={"Om0": (0.1, 0.6)})
+    assert names == ["Om0", "sigma8", "log_mmin"]
+    x0 = jnp.asarray([0.3, 0.8, 12.5])
+    l0 = float(logp(x0))
+    assert abs(l0) < 1e-6  # exact at the truth (data == mean)
+    assert float(logp(jnp.asarray([0.32, 0.8, 12.5]))) < l0 - 1.0
+    g = np.asarray(jax.grad(logp)(jnp.asarray([0.31, 0.81, 12.55])))
+    assert np.all(np.isfinite(g))
+    # box prior barrier dominates outside the bounds
+    assert float(logp(jnp.asarray([0.05, 0.8, 12.5]))) < -1e3
+    # size-mismatch guard
+    import pytest
+    with pytest.raises(ValueError, match="sizes differ"):
+        threex2pt_log_posterior(data[:-1], cov, list(truth), rp, rp,
+                                128, 5.0, nz, nbins_xi=6,
+                                theta_min_arcmin=3.0,
+                                theta_max_arcmin=100.0, nell=128,
+                                nchi=32, hod_fixed=hod_fixed)
