@@ -23,6 +23,7 @@ __all__ = ["cl_flat_sky", "cl_to_flat_map", "cl_isw_limber",
            "cl_kappa_cross_limber",
            "cl_flat_sky_cross", "flat_sky_mode_counts",
            "cl_kappa_limber", "cl_kappa_limber_nz", "smail_nz",
+           "cl_galaxy_limber_nz",
            "cl_flat_sky_masked",
            "flat_sky_coupling_matrix", "cl_flat_sky_master",
            "flat_sky_spin2_coupling_matrices", "cl_flat_sky_shear_master"]
@@ -628,6 +629,77 @@ def cl_kappa_limber_nz(ells, cosmo: Cosmology, z_tab, nz_tab,
         k = (ell + 0.5) / chi
         pk = jax.vmap(pk_of)(k, z)
         return jnp.trapezoid(WW / chi ** 2 * pk, chi)
+
+    return jax.vmap(one)(jnp.asarray(ells, jnp.float32))
+
+
+def cl_galaxy_limber_nz(ells, cosmo: Cosmology, z_tab, nz_tab,
+                        bias: float = 1.0, kappa_nz=None,
+                        z_source=None, nchi: int = 256,
+                        nz_quad: int = 256, amplitude=None,
+                        nonlinear: bool = False):
+    """Angular galaxy-count spectra via Limber: C_gg, or C_g-kappa when
+    a source population is given — the producer for
+    shear_2pt.gamma_t_from_cl(_curved)'s cross input.
+
+        W_g(chi)  = b n(z(chi)) dz/dchi
+        C_gg      = Int dchi W_g^2 / chi^2 P(k, z)
+        C_gkappa  = Int dchi W_g W_kappa / chi^2 P(k, z)
+
+    with W_kappa the n(z)-weighted lensing kernel of cl_kappa_limber_nz
+    (kappa_nz=(z_tab, nz_tab)) or a delta source plane (z_source=zs).
+    `bias` may be traced (a nuisance parameter). Fully differentiable.
+
+    Returns C_ell at `ells`.
+    """
+    from .linear_power import linear_power, nonlinear_power
+
+    if amplitude is None:
+        amplitude = normalization(cosmo)
+    zt = jnp.asarray(z_tab, jnp.float32)
+    nt = jnp.asarray(nz_tab, jnp.float32)
+    zq = jnp.linspace(zt[0], zt[-1], nz_quad)
+    nq = jnp.interp(zq, zt, nt)
+    nq = nq / jnp.trapezoid(nq, zq)
+    chi_l = cosmo.comoving_distance(zq)
+    chi_max = chi_l[-1]
+    if kappa_nz is not None:
+        zs = jnp.asarray(kappa_nz[0], jnp.float32)
+        ns = jnp.asarray(kappa_nz[1], jnp.float32)
+        zsq = jnp.linspace(zs[0], zs[-1], nz_quad)
+        nsq = jnp.interp(zsq, zs, ns)
+        nsq = nsq / jnp.trapezoid(nsq, zsq)
+        chis_s = cosmo.comoving_distance(zsq)
+        chi_max = jnp.maximum(chi_max, chis_s[-1])
+    elif z_source is not None:
+        chi_s1 = cosmo.comoving_distance(z_source)
+        chi_max = jnp.maximum(chi_max, chi_s1)
+    chi = jnp.linspace(1e-3 * chi_max, chi_max, nchi)
+    z = cosmo.redshift_at_comoving_distance(chi)
+    dz_dchi = H0_OVER_C_HMPC * cosmo.efunc(z)
+    w_g = bias * jnp.interp(z, zq, nq, left=0.0, right=0.0) * dz_dchi
+    if kappa_nz is not None:
+        safe = jnp.maximum(chis_s, 1e-6)
+        frac = jnp.clip(chis_s[None, :] - chi[:, None], 0.0, None) / safe
+        g = jnp.trapezoid(nsq[None, :] * frac, zsq, axis=1)
+        w_2 = 1.5 * cosmo.Om0 * H0_OVER_C_HMPC ** 2 * (1.0 + z) * chi * g
+    elif z_source is not None:
+        w_2 = (1.5 * cosmo.Om0 * H0_OVER_C_HMPC ** 2 * (1.0 + z) * chi
+               * jnp.clip(chi_s1 - chi, 0.0, None) / chi_s1)
+    else:
+        w_2 = w_g
+    if nonlinear:
+        def pk_of(kv, zv):
+            return nonlinear_power(kv[None], cosmo, z=zv,
+                                   amplitude=amplitude)[0]
+    else:
+        def pk_of(kv, zv):
+            return linear_power(kv, cosmo, z=zv, amplitude=amplitude)
+
+    def one(ell):
+        k = (ell + 0.5) / chi
+        pk = jax.vmap(pk_of)(k, z)
+        return jnp.trapezoid(w_g * w_2 / chi ** 2 * pk, chi)
 
     return jax.vmap(one)(jnp.asarray(ells, jnp.float32))
 

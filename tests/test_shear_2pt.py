@@ -736,3 +736,53 @@ def test_cosebis_facade_empty_interval_guard():
     # informative error, not an IndexError on an empty array
     with pytest.raises(ValueError, match="coverable"):
         sa.cosebis(3, 0.02, 0.08)
+
+
+def test_cl_galaxy_limber_and_gamma_t_pipeline():
+    from astrild_tpu.utils.cosmology import Cosmology
+    from astrild_tpu.ops.angular_power import (cl_galaxy_limber_nz,
+                                               cl_kappa_limber_nz,
+                                               cl_kappa_limber, smail_nz)
+
+    cosmo = Cosmology()
+    ells = jnp.asarray(np.geomspace(10, 2000, 24), jnp.float32)
+    zl = np.linspace(0.15, 0.45, 80)
+    nl = np.exp(-(((zl - 0.3) / 0.05) ** 2))
+    zs = np.linspace(0.01, 3.0, 150)
+    ns = np.asarray(smail_nz(zs, z0=0.64))
+    cgg = np.asarray(cl_galaxy_limber_nz(ells, cosmo, zl, nl, bias=1.8))
+    cgk = np.asarray(cl_galaxy_limber_nz(ells, cosmo, zl, nl, bias=1.8,
+                                         kappa_nz=(zs, ns)))
+    ckk = np.asarray(cl_kappa_limber_nz(ells, cosmo, zs, ns))
+    assert np.all(cgg > 0) and np.all(cgk > 0)
+    # Cauchy-Schwarz across the shared P(k, z)
+    assert np.all(cgk ** 2 <= cgg * ckk * 1.0001)
+    # bias scalings: gg ~ b^2, g-kappa ~ b
+    assert np.allclose(
+        np.asarray(cl_galaxy_limber_nz(ells, cosmo, zl, nl, bias=3.6)),
+        4 * cgg, rtol=1e-5)
+    assert np.allclose(
+        np.asarray(cl_galaxy_limber_nz(ells, cosmo, zl, nl, bias=3.6,
+                                       kappa_nz=(zs, ns))),
+        2 * cgk, rtol=1e-5)
+    # delta source plane variant consistent with a narrow kappa_nz
+    zsd = np.linspace(0.99, 1.01, 41)
+    nsd = np.exp(-(((zsd - 1.0) / 0.002) ** 2))
+    c1 = np.asarray(cl_galaxy_limber_nz(ells, cosmo, zl, nl, bias=1.8,
+                                        kappa_nz=(zsd, nsd)))
+    c2 = np.asarray(cl_galaxy_limber_nz(ells, cosmo, zl, nl, bias=1.8,
+                                        z_source=1.0))
+    assert np.allclose(c1, c2, rtol=1e-3)
+    # gamma_t theory end to end: positive tangential shear around lenses
+    ell_full = np.geomspace(2, 20000, 512)
+    cgk_f = np.asarray(cl_galaxy_limber_nz(
+        jnp.asarray(ell_full, jnp.float32), cosmo, zl, nl, bias=1.8,
+        kappa_nz=(zs, ns)))
+    th, gt = s2.gamma_t_from_cl(ell_full, cgk_f)
+    th_am = np.asarray(th) / ARCMIN
+    sel = (th_am > 1) & (th_am < 100)
+    assert np.all(np.asarray(gt)[sel] > 0)
+    # differentiable in the bias nuisance
+    g = jax.grad(lambda b: jnp.sum(cl_galaxy_limber_nz(
+        ells, cosmo, zl, nl, bias=b, kappa_nz=(zs, ns))))(1.8)
+    assert float(g) > 0
