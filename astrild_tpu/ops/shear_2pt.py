@@ -40,6 +40,7 @@ from .fftlog import bessel_transform
 __all__ = [
     "xi_pm_from_cl", "xi_pm_from_cl_grid", "gamma_t_from_cl",
     "xi_pm_from_cl_curved", "gamma_t_from_cl_curved",
+    "w_theta_from_cl", "w_theta_from_cl_curved",
     "delta_sigma_from_pk",
     "xi_pm_flat_sky", "tangential_shear_stack",
     "xi_pm_catalog", "gamma_t_catalog",
@@ -114,6 +115,35 @@ def gamma_t_from_cl(ells, cl_cross, n: int = 2048, pad: float = 2.0,
     grid, cx = _log_ell_table(ells, cl_cross, n, pad)
     th, gt = bessel_transform(grid, cx, 2, q=q)
     return th, gt / (2.0 * jnp.pi)
+
+
+def w_theta_from_cl(ells, cl_gg, n: int = 2048, pad: float = 2.0,
+                    q: float = 1.0):
+    """Angular clustering correlation w(theta) from C_gg (flat sky):
+    the J0 Hankel, w = (1/2pi) Int dl l C_gg J0(l theta) — the
+    third angular 3x2pt observable next to gamma_t (J2 of C_gkappa)
+    and xi_pm. Returns (theta_rad, w)."""
+    grid, cg = _log_ell_table(ells, cl_gg, n, pad)
+    th, w = bessel_transform(grid, cg, 0, q=q)
+    return th, w / (2.0 * jnp.pi)
+
+
+def w_theta_from_cl_curved(cl_gg, theta_rad):
+    """Exact curved-sky w(theta) = sum_l (2l+1)/(4pi) C_gg P_l(cos
+    theta) (d^l_{00} = P_l). Host float64; cl indexed l = 0..lmax."""
+    cl = np.asarray(cl_gg, np.float64)
+    lmax = cl.shape[0] - 1
+    th = np.atleast_1d(np.asarray(theta_rad, np.float64))
+    x = np.cos(th.ravel())
+    P = np.zeros((lmax + 1, x.size))
+    P[0] = 1.0
+    if lmax >= 1:
+        P[1] = x
+    for ell in range(2, lmax + 1):
+        P[ell] = ((2 * ell - 1) * x * P[ell - 1]
+                  - (ell - 1) * P[ell - 2]) / ell
+    fac = (2.0 * np.arange(lmax + 1) + 1.0) / (4.0 * np.pi)
+    return ((fac * cl) @ P).reshape(th.shape)
 
 
 def xi_pm_from_cl_curved(cl_e, theta_rad, cl_b=None):

@@ -786,3 +786,34 @@ def test_cl_galaxy_limber_and_gamma_t_pipeline():
     g = jax.grad(lambda b: jnp.sum(cl_galaxy_limber_nz(
         ells, cosmo, zl, nl, bias=b, kappa_nz=(zs, ns))))(1.8)
     assert float(g) > 0
+
+
+def test_w_theta_flat_and_curved():
+    from astrild_tpu.ops.shear_2pt import (w_theta_from_cl,
+                                           w_theta_from_cl_curved)
+
+    # curved roundtrip: Legendre orthogonality recovers C_gg exactly
+    lmax = 256
+    ell = np.arange(lmax + 1, dtype=np.float64)
+    cl = np.where(ell >= 2, 1e-5 / (1 + (ell / 50.0) ** 2) ** 1.3, 0.0)
+    ngl = 2 * lmax + 4
+    x, wq = np.polynomial.legendre.leggauss(ngl)
+    w = w_theta_from_cl_curved(cl, np.arccos(x))
+    P = np.zeros((lmax + 1, ngl))
+    P[0] = 1.0
+    P[1] = x
+    for l in range(2, lmax + 1):
+        P[l] = ((2 * l - 1) * x * P[l - 1] - (l - 1) * P[l - 2]) / l
+    rec = 2.0 * np.pi * (P * wq[None, :]) @ w
+    sel = ell >= 2
+    assert np.allclose(rec[sel], cl[sel], rtol=1e-6, atol=1e-18)
+    # flat-sky limit at small theta for a high-ell spectrum
+    ells_f = np.arange(2.0, 4000.0)
+    cl_f = 1e-6 * np.exp(-(((ells_f - 1200.0) / 300.0) ** 2))
+    cl_full = np.zeros(4000)
+    cl_full[2:] = cl_f
+    th_am = np.array([3.0, 6.0, 12.0]) * ARCMIN
+    wc = w_theta_from_cl_curved(cl_full, th_am)
+    tt, wf = w_theta_from_cl(ells_f, cl_f)
+    wi = np.interp(th_am, np.asarray(tt), np.asarray(wf))
+    assert np.allclose(wc, wi, rtol=5e-3)
