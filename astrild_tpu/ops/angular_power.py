@@ -546,6 +546,48 @@ def smail_nz(z, z0: float = 0.9, alpha: float = 2.0, beta: float = 1.5):
 
 C1_RHO_CR = 0.0134  # NLA normalization C1 rho_cr (Bridle & King 2007)
 
+def _nz_quad(cosmo, z_tab, nz_tab, nz_quad: int):
+    """Normalized n(z) on a uniform quadrature grid + chi(z): the shared
+    first step of every n(z)-weighted Limber kernel."""
+    zt = jnp.asarray(z_tab, jnp.float32)
+    nt = jnp.asarray(nz_tab, jnp.float32)
+    zq = jnp.linspace(zt[0], zt[-1], nz_quad)
+    nq = jnp.interp(zq, zt, nt)
+    nq = nq / jnp.trapezoid(nq, zq)
+    return zq, nq, cosmo.comoving_distance(zq)
+
+
+def _lensing_efficiency(chi, zq, nq, chis):
+    """g(chi) = Int dz n(z) (chi_s - chi)_+/chi_s. chi_s(z=0) = 0 would
+    give 0/0 = NaN even though n(0) = 0 multiplies it away — a table
+    starting at z = 0 (the natural Smail grid) must not NaN the
+    integral, hence the clamp."""
+    safe = jnp.maximum(chis, 1e-6)
+    frac = jnp.clip(chis[None, :] - chi[:, None], 0.0, None) / safe
+    return jnp.trapezoid(nq[None, :] * frac, zq, axis=1)
+
+
+def _limber_sum(ells, cosmo, chi, z, WW, nonlinear: bool, amplitude):
+    """C_ell = Int dchi WW / chi^2 P((ell+1/2)/chi, z): the shared
+    Limber integrator of the kappa/galaxy nz kernels."""
+    from .linear_power import linear_power, nonlinear_power
+
+    if nonlinear:
+        def pk_of(kv, zv):
+            return nonlinear_power(kv[None], cosmo, z=zv,
+                                   amplitude=amplitude)[0]
+    else:
+        def pk_of(kv, zv):
+            return linear_power(kv, cosmo, z=zv, amplitude=amplitude)
+
+    def one(ell):
+        k = (ell + 0.5) / chi
+        pk = jax.vmap(pk_of)(k, z)
+        return jnp.trapezoid(WW / chi ** 2 * pk, chi)
+
+    return jax.vmap(one)(jnp.asarray(ells, jnp.float32))
+
+
 
 def cl_kappa_limber_nz(ells, cosmo: Cosmology, z_tab, nz_tab,
                        z_tab2=None, nz_tab2=None, nchi: int = 256,
@@ -573,40 +615,19 @@ def cl_kappa_limber_nz(ells, cosmo: Cosmology, z_tab, nz_tab,
     quadratic in a_ia (tested). a_ia/eta_ia may be traced (IA nuisance
     parameters in Fisher/inference).
     """
-    from .linear_power import linear_power, nonlinear_power
-
     if amplitude is None:
         amplitude = normalization(cosmo)
-
-    def efficiency(zt, nt):
-        zt = jnp.asarray(zt, jnp.float32)
-        nt = jnp.asarray(nt, jnp.float32)
-        zq = jnp.linspace(zt[0], zt[-1], nz_quad)
-        nq = jnp.interp(zq, zt, nt)
-        nq = nq / jnp.trapezoid(nq, zq)
-        chi_s = cosmo.comoving_distance(zq)
-        return zq, nq, chi_s
-
-    zq1, nq1, chis1 = efficiency(z_tab, nz_tab)
+    zq1, nq1, chis1 = _nz_quad(cosmo, z_tab, nz_tab, nz_quad)
     if z_tab2 is None:
         zq2, nq2, chis2 = zq1, nq1, chis1
     else:
-        zq2, nq2, chis2 = efficiency(z_tab2, nz_tab2)
+        zq2, nq2, chis2 = _nz_quad(cosmo, z_tab2, nz_tab2, nz_quad)
     chi_max = jnp.maximum(chis1[-1], chis2[-1])
     chi = jnp.linspace(1e-3 * chi_max, chi_max, nchi)
     z = cosmo.redshift_at_comoving_distance(chi)
-
-    def g_of(zq, nq, chis):
-        # chi_s(z=0) = 0 would give 0/0 = NaN here even though n(0) = 0
-        # multiplies it away — a table starting at z = 0 (the natural
-        # Smail grid) must not NaN the whole integral
-        safe = jnp.maximum(chis, 1e-6)
-        frac = jnp.clip(chis[None, :] - chi[:, None], 0.0, None) / safe
-        return jnp.trapezoid(nq[None, :] * frac, zq, axis=1)
-
     pref = 1.5 * cosmo.Om0 * H0_OVER_C_HMPC ** 2 * (1.0 + z) * chi
-    w1 = pref * g_of(zq1, nq1, chis1)
-    w2 = pref * g_of(zq2, nq2, chis2)
+    w1 = pref * _lensing_efficiency(chi, zq1, nq1, chis1)
+    w2 = pref * _lensing_efficiency(chi, zq2, nq2, chis2)
     # NLA kernel (zero when a_ia == 0; kept unconditional so a_ia can be
     # a traced nuisance parameter)
     a_ia = jnp.asarray(a_ia, jnp.float32)
@@ -616,21 +637,8 @@ def cl_kappa_limber_nz(ells, cosmo: Cosmology, z_tab, nz_tab,
               / cosmo.growth_factor(z) * fz * dz_dchi)
     w1 = w1 + amp_ia * jnp.interp(z, zq1, nq1, left=0.0, right=0.0)
     w2 = w2 + amp_ia * jnp.interp(z, zq2, nq2, left=0.0, right=0.0)
-    WW = w1 * w2
-    if nonlinear:
-        def pk_of(kv, zv):
-            return nonlinear_power(kv[None], cosmo, z=zv,
-                                   amplitude=amplitude)[0]
-    else:
-        def pk_of(kv, zv):
-            return linear_power(kv, cosmo, z=zv, amplitude=amplitude)
-
-    def one(ell):
-        k = (ell + 0.5) / chi
-        pk = jax.vmap(pk_of)(k, z)
-        return jnp.trapezoid(WW / chi ** 2 * pk, chi)
-
-    return jax.vmap(one)(jnp.asarray(ells, jnp.float32))
+    return _limber_sum(ells, cosmo, chi, z, w1 * w2, nonlinear,
+                       amplitude)
 
 
 def cl_galaxy_limber_nz(ells, cosmo: Cosmology, z_tab, nz_tab,
@@ -649,27 +657,18 @@ def cl_galaxy_limber_nz(ells, cosmo: Cosmology, z_tab, nz_tab,
     with W_kappa the n(z)-weighted lensing kernel of cl_kappa_limber_nz
     (kappa_nz=(z_tab, nz_tab)) or a delta source plane (z_source=zs).
     `bias` may be traced (a nuisance parameter). Fully differentiable.
+    Shares _nz_quad/_lensing_efficiency/_limber_sum with the kappa
+    kernels (single home).
 
     Returns C_ell at `ells`.
     """
-    from .linear_power import linear_power, nonlinear_power
-
     if amplitude is None:
         amplitude = normalization(cosmo)
-    zt = jnp.asarray(z_tab, jnp.float32)
-    nt = jnp.asarray(nz_tab, jnp.float32)
-    zq = jnp.linspace(zt[0], zt[-1], nz_quad)
-    nq = jnp.interp(zq, zt, nt)
-    nq = nq / jnp.trapezoid(nq, zq)
-    chi_l = cosmo.comoving_distance(zq)
+    zq, nq, chi_l = _nz_quad(cosmo, z_tab, nz_tab, nz_quad)
     chi_max = chi_l[-1]
     if kappa_nz is not None:
-        zs = jnp.asarray(kappa_nz[0], jnp.float32)
-        ns = jnp.asarray(kappa_nz[1], jnp.float32)
-        zsq = jnp.linspace(zs[0], zs[-1], nz_quad)
-        nsq = jnp.interp(zsq, zs, ns)
-        nsq = nsq / jnp.trapezoid(nsq, zsq)
-        chis_s = cosmo.comoving_distance(zsq)
+        zsq, nsq, chis_s = _nz_quad(cosmo, kappa_nz[0], kappa_nz[1],
+                                    nz_quad)
         chi_max = jnp.maximum(chi_max, chis_s[-1])
     elif z_source is not None:
         chi_s1 = cosmo.comoving_distance(z_source)
@@ -679,29 +678,15 @@ def cl_galaxy_limber_nz(ells, cosmo: Cosmology, z_tab, nz_tab,
     dz_dchi = H0_OVER_C_HMPC * cosmo.efunc(z)
     w_g = bias * jnp.interp(z, zq, nq, left=0.0, right=0.0) * dz_dchi
     if kappa_nz is not None:
-        safe = jnp.maximum(chis_s, 1e-6)
-        frac = jnp.clip(chis_s[None, :] - chi[:, None], 0.0, None) / safe
-        g = jnp.trapezoid(nsq[None, :] * frac, zsq, axis=1)
+        g = _lensing_efficiency(chi, zsq, nsq, chis_s)
         w_2 = 1.5 * cosmo.Om0 * H0_OVER_C_HMPC ** 2 * (1.0 + z) * chi * g
     elif z_source is not None:
         w_2 = (1.5 * cosmo.Om0 * H0_OVER_C_HMPC ** 2 * (1.0 + z) * chi
                * jnp.clip(chi_s1 - chi, 0.0, None) / chi_s1)
     else:
         w_2 = w_g
-    if nonlinear:
-        def pk_of(kv, zv):
-            return nonlinear_power(kv[None], cosmo, z=zv,
-                                   amplitude=amplitude)[0]
-    else:
-        def pk_of(kv, zv):
-            return linear_power(kv, cosmo, z=zv, amplitude=amplitude)
-
-    def one(ell):
-        k = (ell + 0.5) / chi
-        pk = jax.vmap(pk_of)(k, z)
-        return jnp.trapezoid(w_g * w_2 / chi ** 2 * pk, chi)
-
-    return jax.vmap(one)(jnp.asarray(ells, jnp.float32))
+    return _limber_sum(ells, cosmo, chi, z, w_g * w_2, nonlinear,
+                       amplitude)
 
 
 @partial(jax.jit, static_argnames=("nchi", "nonlinear"))

@@ -215,11 +215,29 @@ def threex2pt_log_posterior(data_vec, cov, param_names: Sequence[str],
     names = list(param_names)
     bounds = dict(prior_bounds or {})
     data_vec = jnp.asarray(data_vec, jnp.float32)
-    cov_chol = jnp.linalg.cholesky(jnp.asarray(cov, jnp.float32))
-    if data_vec.shape[0] != cov_chol.shape[0]:
+    # validate BEFORE the O(n^3) factorization, and against the MODEL
+    # length the builder determined (data/cov can be mutually
+    # consistent yet mismatch the binning this posterior will predict)
+    n_model = (np.atleast_1d(rp_wp).shape[0]
+               + np.atleast_1d(rp_ds).shape[0]
+               + 2 * np.asarray(theta_arcmin).shape[0])
+    cov = np.asarray(cov, np.float64)
+    if not (data_vec.shape[0] == cov.shape[0] == n_model):
         raise ValueError(
-            f"data vector ({data_vec.shape[0]}) and covariance "
-            f"({cov_chol.shape[0]}) sizes differ")
+            f"3x2pt sizes differ: data {data_vec.shape[0]}, covariance "
+            f"{cov.shape[0]}, model {n_model} (wp "
+            f"{np.atleast_1d(rp_wp).shape[0]} + DS "
+            f"{np.atleast_1d(rp_ds).shape[0]} + xi "
+            f"{2 * np.asarray(theta_arcmin).shape[0]})")
+    # HOST cholesky: jnp's returns silent NaNs for a rank-deficient
+    # covariance (e.g. a jackknife with fewer regions than data
+    # entries), which would surface only as accept_rate == 0
+    try:
+        cov_chol = jnp.asarray(np.linalg.cholesky(cov), jnp.float32)
+    except np.linalg.LinAlgError as e:
+        raise ValueError(
+            "3x2pt covariance is not positive definite (rank-deficient "
+            "jackknife? fewer resamples than data entries?)") from e
 
     def logp(x):
         p = {k: x[i] for i, k in enumerate(names)}

@@ -130,18 +130,15 @@ def w_theta_from_cl(ells, cl_gg, n: int = 2048, pad: float = 2.0,
 
 def w_theta_from_cl_curved(cl_gg, theta_rad):
     """Exact curved-sky w(theta) = sum_l (2l+1)/(4pi) C_gg P_l(cos
-    theta) (d^l_{00} = P_l). Host float64; cl indexed l = 0..lmax."""
+    theta) — P_l = d^l_{00} from the SAME Wigner recursion home as the
+    spin-2/spin-0 curved transforms (ops.sht_spin._wigner_d_l_rows).
+    Host float64; cl indexed l = 0..lmax."""
+    from .sht_spin import _wigner_d_l_rows
+
     cl = np.asarray(cl_gg, np.float64)
     lmax = cl.shape[0] - 1
     th = np.atleast_1d(np.asarray(theta_rad, np.float64))
-    x = np.cos(th.ravel())
-    P = np.zeros((lmax + 1, x.size))
-    P[0] = 1.0
-    if lmax >= 1:
-        P[1] = x
-    for ell in range(2, lmax + 1):
-        P[ell] = ((2 * ell - 1) * x * P[ell - 1]
-                  - (ell - 1) * P[ell - 2]) / ell
+    P = _wigner_d_l_rows(lmax, np.cos(th.ravel()), 0, 0)
     fac = (2.0 * np.arange(lmax + 1) + 1.0) / (4.0 * np.pi)
     return ((fac * cl) @ P).reshape(th.shape)
 

@@ -461,10 +461,15 @@ def _wigner_d_l_rows(lmax: int, x: np.ndarray, m1: int, m: int):
     dm1, dm2 = d0, np.zeros_like(d0)
     for l in range(l0 + 1, lmax + 1):
         den = (l - 1.0) * np.sqrt((l * l - m1 * m1) * (l * l - m * m))
-        a = (2.0 * l - 1.0) * (l * (l - 1.0) * x - m1 * m) / den
-        b = (l * np.sqrt(((l - 1.0) ** 2 - m1 * m1)
-                         * ((l - 1.0) ** 2 - m * m)) / den)
-        d = a * dm1 - b * dm2
+        if den == 0.0:
+            # only the (m1=0, m=0, l=1) step degenerates (0/0); its
+            # limit is the Legendre relation d^1_{00} = x d^0_{00}
+            d = x * dm1
+        else:
+            a = (2.0 * l - 1.0) * (l * (l - 1.0) * x - m1 * m) / den
+            b = (l * np.sqrt(((l - 1.0) ** 2 - m1 * m1)
+                             * ((l - 1.0) ** 2 - m * m)) / den)
+            d = a * dm1 - b * dm2
         out[l] = d
         dm2, dm1 = dm1, d
     return out

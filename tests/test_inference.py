@@ -88,6 +88,11 @@ def test_threex2pt_log_posterior():
     assert float(logp(jnp.asarray([0.32, 0.8, 12.5]))) < l0 - 1.0
     g = np.asarray(jax.grad(logp)(jnp.asarray([0.31, 0.81, 12.55])))
     assert np.all(np.isfinite(g))
+    # JIT the posterior: grad tracing leaves constants concrete but jit
+    # lifts them to tracers — the regression class the FFTLog host-grid
+    # fix targets is only visible under jit (hmc_sample's mode)
+    lj = float(jax.jit(logp)(x0))
+    assert abs(lj - l0) < 1e-5
     # box prior barrier dominates outside the bounds
     assert float(logp(jnp.asarray([0.05, 0.8, 12.5]))) < -1e3
     # size-mismatch guard
@@ -95,6 +100,21 @@ def test_threex2pt_log_posterior():
     with pytest.raises(ValueError, match="sizes differ"):
         threex2pt_log_posterior(data[:-1], cov, list(truth), rp, rp,
                                 128, 5.0, nz, nbins_xi=6,
+                                theta_min_arcmin=3.0,
+                                theta_max_arcmin=100.0, nell=128,
+                                nchi=32, hod_fixed=hod_fixed)
+    # mutually consistent data/cov that mismatch the MODEL binning
+    with pytest.raises(ValueError, match="sizes differ"):
+        threex2pt_log_posterior(data[:-2], cov[:-2, :-2], list(truth),
+                                rp, rp, 128, 5.0, nz, nbins_xi=6,
+                                theta_min_arcmin=3.0,
+                                theta_max_arcmin=100.0, nell=128,
+                                nchi=32, hod_fixed=hod_fixed)
+    # rank-deficient covariance raises loudly (jnp cholesky would NaN)
+    bad = np.ones_like(cov) * 1e-6
+    with pytest.raises(ValueError, match="positive definite"):
+        threex2pt_log_posterior(data, bad, list(truth), rp, rp, 128,
+                                5.0, nz, nbins_xi=6,
                                 theta_min_arcmin=3.0,
                                 theta_max_arcmin=100.0, nell=128,
                                 nchi=32, hod_fixed=hod_fixed)
