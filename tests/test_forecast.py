@@ -199,3 +199,19 @@ def test_sigma_r_second_order_differentiable():
     # and the window fix left the value itself unchanged
     s = float(jnp.exp(lnsig(0.3, float(np.log(1e14)))))
     assert 0.5 < s < 2.0
+
+
+def test_xipm_fisher_dark_energy():
+    """w0 flows through the Fisher chain (background tables -> growth
+    -> Limber -> FFTLog) like any Cosmology kwarg."""
+    from astrild_tpu.ops.forecast import xipm_survey_fisher
+
+    out = xipm_survey_fisher({"Om0": 0.3, "sigma8": 0.8, "w0": -1.0},
+                             npix=128, opening_angle_deg=5.0, nbins=8,
+                             theta_min_arcmin=3.0, z_source=1.0,
+                             nell=192, nchi=48, n_fields=40)
+    assert out["names"] == ["Om0", "sigma8", "w0"]
+    F = out["fisher"]
+    assert np.all(np.isfinite(F))
+    assert np.all(np.linalg.eigvalsh(F) > 0)
+    assert np.all(out["marginalized"] > 0)
