@@ -45,6 +45,7 @@ __all__ = [
     "xi_pm_flat_sky", "tangential_shear_stack",
     "xi_pm_catalog", "gamma_t_catalog",
     "xi_pm_gaussian_covariance", "xi_pm_sample_covariance",
+    "tomographic_xi_pm_sample_covariance",
     "cosebis_covariance",
     "linear_cosebis_filters", "cosebis_from_xipm", "cosebis_from_cl",
 ]
@@ -579,6 +580,107 @@ def xi_pm_sample_covariance(key, cl_tab_ell, cl_tab_val, npix: int,
     d = samples - mean
     cov = (d.T @ d) / (n_real - 1)
     return th, mean, cov, samples
+
+
+def tomographic_xi_pm_sample_covariance(key, ells, cls_stack, npix: int,
+                                         opening_angle_deg: float,
+                                         nbins: int, n_real: int = 200,
+                                         theta_min_arcmin=None,
+                                         theta_max_arcmin=None,
+                                         noise_std: float = 0.0):
+    """Monte-Carlo covariance of the TOMOGRAPHIC real-space shear data
+    vector: for nbin source bins, the packed vector is
+
+        [xi_+^{ij}(theta); xi_-^{ij}(theta)]  over unique pairs i <= j
+
+    measured by the map estimator on correlated Gaussian realizations.
+    Per 2D mode the bins are drawn as kappa_i = L_ij z_j with L the
+    Cholesky factor of the C^{ij}(l) stack (e.g.
+    forecast.tomographic_shear_cls), so all cross-bin and cross-pair
+    covariances — including the xi_-^{ij} x xi_+^{mn} blocks the
+    single-bin analytic form doesn't cover — are sampled exactly.
+    Optional white shape noise per shear component and bin.
+
+    Returns (theta_arcmin, pair_list, mean, cov, samples) with mean a
+    (npair * 2 * nbins_theta,) vector ordered pair-major
+    [(0,0)+, (0,0)-, (0,1)+, ...].
+    """
+    from .angular_power import kappa_to_shear_maps
+
+    cls_stack = np.asarray(cls_stack, np.float64)
+    nb = cls_stack.shape[0]
+    ells = np.asarray(ells, np.float64)
+    pairs = [(i, j) for i in range(nb) for j in range(i, nb)]
+    pixscale = opening_angle_deg * 60.0 / npix
+    tmin = (1.0 if theta_min_arcmin is None
+            else float(theta_min_arcmin) / pixscale)
+    tmax = (npix / 2.0 if theta_max_arcmin is None
+            else float(theta_max_arcmin) / pixscale)
+
+    # per-mode Cholesky of C^{ij}(|l|), host-precomputed on the grid
+    theta_box = opening_angle_deg * np.pi / 180.0
+    lf = 2.0 * np.pi / theta_box
+    f = np.fft.fftfreq(npix) * npix
+    lmag = lf * np.hypot(f[:, None], f[None, :])
+    cmat = np.empty((npix, npix, nb, nb))
+    for i in range(nb):
+        for j in range(nb):
+            cmat[..., i, j] = np.interp(lmag, ells, cls_stack[i, j])
+    cmat[lmag == 0.0] = 0.0
+    # RELATIVE jitter so cholesky exists everywhere: zero modes need an
+    # absolute floor, and perfectly-correlated bins (rank-deficient
+    # C^{ij}) need a floor scaled to the matrix norm — an absolute
+    # 1e-30 is below f64 resolution against C ~ 1e-8
+    scale = cmat.diagonal(axis1=-2, axis2=-1).max(axis=-1)
+    cmat += np.eye(nb) * (1e-10 * scale + 1e-300)[..., None, None]
+    chol = np.linalg.cholesky(cmat)  # (npix, npix, nb, nb)
+    amp = float(npix) ** 2 / theta_box  # mode normalization of
+    # cl_to_flat_map: |kappa_hat|^2 = C * npix^4 / theta^2
+    chol_j = jnp.asarray(chol * amp, jnp.float32)
+
+    def one(k):
+        km, kn = jax.random.split(k)
+        zr = jax.random.normal(km, (npix, npix, nb))
+        zi = jax.random.normal(kn, (npix, npix, nb))
+        modes = jnp.einsum("xyij,xyj->xyi", chol_j, zr) / jnp.sqrt(2.0)
+        modes_i = jnp.einsum("xyij,xyj->xyi", chol_j, zi) / jnp.sqrt(2.0)
+        fm = jax.lax.complex(modes, modes_i)
+        # hermitianize each bin's mode grid (cl_to_flat_map recipe)
+        sym = 0.5 * (fm + jnp.conj(jnp.roll(jnp.flip(fm, (0, 1)),
+                                            (1, 1), (0, 1))))
+        kap = jnp.real(jnp.fft.ifft2(sym * jnp.sqrt(2.0),
+                                     axes=(0, 1)))  # (npix, npix, nb)
+        shear = [kappa_to_shear_maps(kap[..., b]) for b in range(nb)]
+        if noise_std > 0.0:
+            kk = jax.random.split(k, 2 * nb + 2)
+            shear = [(g1 + noise_std * jax.random.normal(kk[2 * b],
+                                                         g1.shape),
+                      g2 + noise_std * jax.random.normal(kk[2 * b + 1],
+                                                         g2.shape))
+                     for b, (g1, g2) in enumerate(shear)]
+        rows = []
+        for (i, j) in pairs:
+            g1i, g2i = shear[i]
+            g1j, g2j = shear[j]
+            # cross-correlation via the polarization identity through
+            # the auto estimator (bit-identical binning)
+            _, xp_s, xm_s, _ = _xi_pm_grids(g1i + g1j, g2i + g2j,
+                                            nbins, float(tmin),
+                                            float(tmax))
+            th, xp_d, xm_d, _ = _xi_pm_grids(g1i - g1j, g2i - g2j,
+                                             nbins, float(tmin),
+                                             float(tmax))
+            rows.append(0.25 * (xp_s - xp_d))
+            rows.append(0.25 * (xm_s - xm_d))
+        return th, jnp.concatenate(rows)
+
+    keys = jax.random.split(key, n_real)
+    th, samples = jax.lax.map(one, keys)
+    th = th[0] * pixscale
+    mean = jnp.mean(samples, axis=0)
+    d = samples - mean
+    cov = (d.T @ d) / (n_real - 1)
+    return th, pairs, mean, cov, samples
 
 
 def cosebis_covariance(theta_arcmin, cov_xipm, nmax: int,

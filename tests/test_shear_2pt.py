@@ -817,3 +817,45 @@ def test_w_theta_flat_and_curved():
     tt, wf = w_theta_from_cl(ells_f, cl_f)
     wi = np.interp(th_am, np.asarray(tt), np.asarray(wf))
     assert np.allclose(wc, wi, rtol=5e-3)
+
+
+def test_tomographic_xi_pm_sample_covariance():
+    npix, oa, nbins = 64, 2.0, 5
+    ells = np.arange(2.0, 6000.0)
+    cl = 2e-8 / (1 + (ells / 1500.0) ** 2) ** 1.2
+    # nb = 1 reduces to the single-bin sampler statistics
+    th, pairs, mean_t, cov_t, _ = s2.tomographic_xi_pm_sample_covariance(
+        jax.random.PRNGKey(0), ells, cl[None, None, :], npix, oa, nbins,
+        n_real=500)
+    assert pairs == [(0, 0)]
+    _, cov_a = s2.xi_pm_gaussian_covariance(npix, oa, ells, cl, nbins)
+    ratio = np.sqrt(np.diag(np.asarray(cov_t)) / np.diag(cov_a))
+    assert np.all(np.abs(ratio - 1.0) < 0.15), ratio
+    # two INDEPENDENT equal bins: Wick pairing gives
+    # Var[xi^{01}] = (1/2) Var[xi^{00}] and disjoint pairs decorrelate
+    stack2 = np.zeros((2, 2, ells.size))
+    stack2[0, 0] = cl
+    stack2[1, 1] = cl
+    th2, pairs2, m2, c2, _ = s2.tomographic_xi_pm_sample_covariance(
+        jax.random.PRNGKey(1), ells, stack2, npix, oa, nbins, n_real=500)
+    assert pairs2 == [(0, 0), (0, 1), (1, 1)]
+    c2 = np.asarray(c2)
+    v_auto = np.diag(c2)[:nbins]              # xi+ of (0,0)
+    v_cross = np.diag(c2)[2 * nbins:3 * nbins]  # xi+ of (0,1)
+    assert np.all(np.abs(v_cross / v_auto - 0.5) < 0.15)
+    # cross-pair mean vanishes for independent bins
+    assert np.all(np.abs(np.asarray(m2)[2 * nbins:4 * nbins])
+                  < 0.1 * np.abs(np.asarray(m2)[:nbins]).max())
+    blk = c2[:nbins, 4 * nbins:5 * nbins]
+    corr = blk / np.sqrt(np.outer(v_auto,
+                                  np.diag(c2)[4 * nbins:5 * nbins]))
+    assert np.max(np.abs(corr)) < 0.2  # (0,0) x (1,1) decorrelated
+    # PERFECTLY correlated identical bins: every pair row identical
+    stack3 = np.ones((2, 2, 1)) * 0 + cl[None, None, :]
+    _, _, m3, c3, _ = s2.tomographic_xi_pm_sample_covariance(
+        jax.random.PRNGKey(2), ells, np.broadcast_to(
+            cl, (2, 2, ells.size)).copy(), npix, oa, nbins, n_real=60)
+    m3 = np.asarray(m3)
+    assert np.allclose(m3[:2 * nbins], m3[2 * nbins:4 * nbins],
+                       rtol=1e-4)
+    assert np.allclose(m3[:2 * nbins], m3[4 * nbins:], rtol=1e-4)
