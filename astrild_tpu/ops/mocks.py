@@ -15,8 +15,26 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["gaussian_field", "zeldovich_catalog",
+__all__ = ["gaussian_field", "linear_modes", "zeldovich_catalog",
            "zeldovich_catalog_with_velocities", "lognormal_map"]
+
+
+def linear_modes(key, ngrid: int, boxsize, pk_fn: Callable):
+    """Complex linear modes FFT(delta) (unnormalized fftn convention).
+
+    Single home of the GRF mode construction shared by gaussian_field,
+    zeldovich_catalog and ops.nbody's LPT initial conditions, so that
+    the same key yields the SAME realization across all of them.
+    """
+    kf = 2.0 * jnp.pi / boxsize
+    f = (jnp.fft.fftfreq(ngrid) * ngrid).astype(jnp.float32)
+    m2 = (f[:, None, None] ** 2 + f[None, :, None] ** 2
+          + f[None, None, :] ** 2)
+    p = pk_fn(jnp.maximum(jnp.sqrt(m2), 1e-6) * kf)
+    p = jnp.where(m2 == 0.0, 0.0, p)
+    amp = jnp.sqrt(p / boxsize ** 3) * float(ngrid) ** 3
+    white = jax.random.normal(key, (ngrid, ngrid, ngrid))
+    return jnp.fft.fftn(white) / float(ngrid) ** 1.5 * amp
 
 
 @partial(jax.jit, static_argnames=("ngrid", "pk_fn"))
@@ -50,11 +68,7 @@ def zeldovich_catalog(key, ngrid: int, boxsize, pk_fn: Callable):
     f = (jnp.fft.fftfreq(ngrid) * ngrid).astype(jnp.float32)
     m2 = (f[:, None, None] ** 2 + f[None, :, None] ** 2
           + f[None, None, :] ** 2)
-    p = pk_fn(jnp.maximum(jnp.sqrt(m2), 1e-6) * kf)
-    p = jnp.where(m2 == 0.0, 0.0, p)
-    amp = jnp.sqrt(p / boxsize ** 3) * float(ngrid) ** 3
-    white = jax.random.normal(key, (ngrid, ngrid, ngrid))
-    dk = jnp.fft.fftn(white) / float(ngrid) ** 1.5 * amp
+    dk = linear_modes(key, ngrid, boxsize, pk_fn)
     k2 = (m2 * kf ** 2)
     k2safe = jnp.where(k2 == 0.0, 1.0, k2)
     phi_k = jnp.where(k2 == 0.0, 0.0, -dk / k2safe)  # lap phi = delta

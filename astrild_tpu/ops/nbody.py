@@ -1,0 +1,314 @@
+"""TPU-native particle-mesh N-body: 2LPT initial conditions + KDK
+leapfrog evolution (Quinn et al. 1997 operators), all FFT/gather.
+
+Capability beyond the reference: astrild only *post-processed* external
+ECOSMOG/Gadget snapshots (/root/reference/src/astrild/particles/
+ecosmog.py); it could not forward-model. This module closes the loop —
+a linear P(k) becomes a nonlinear particle snapshot on device, feeding
+the same paint -> P(k)/lensing/void pipelines the reference ran on
+simulation output. Everything is built from the framework's existing
+primitives: `ops.paint` mass assignment, spectral Poisson solves (the
+same inverse-gradient construction as `ops.recon`), and trilinear
+periodic gathers (`ops.recon.sample_displacement`), with the time loop
+a `lax.scan` so the whole evolution is one XLA program.
+
+Conventions (t in units of 1/H0, comoving lengths in Mpc/h):
+  momentum        p = a^2 dx/dt                     [Mpc/h]
+  kick            dp = F_hat * da / (a^2 E(a)),     grad^2 phi_hat =
+                  F_hat = -grad phi_hat             (3/2) Om0 delta
+  drift           dx = p * da / (a^3 E(a))
+  peculiar vel    v [km/s] = 100 * p / a
+2LPT displacement (Bouchet et al. 1995):
+  x = q + D1 psi1 + D2 psi2,  psi1 = -grad invlap(delta),
+  psi2 = +grad invlap(S2),    D2 = -(3/7) D1^2 Om(z)^(-1/143),
+  S2 = sum_{i<j} [phi,ii phi,jj - phi,ij^2],  f2 = 2 Om(z)^(6/11).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .paint import paint
+from .power import delta_k as _delta_k
+from .recon import sample_displacement
+from .mocks import linear_modes
+
+__all__ = ["lpt_displacements", "lpt_displacements_from_modes",
+           "lpt_catalog", "pm_step_factors", "pm_evolve", "pm_catalog",
+           "velocities_kms"]
+
+
+def _freqs(ngrid: int, boxsize):
+    kf = 2.0 * jnp.pi / boxsize
+    return (jnp.fft.fftfreq(ngrid) * ngrid).astype(jnp.float32) * kf
+
+
+def _grad_invlap(field_k, ngrid: int, boxsize, sign: float):
+    """sign * grad(invlap(field)) as (3, n, n, n) real grids.
+
+    field_k: unnormalized fftn coefficients of the field. Odd (gradient)
+    transfers vanish on their Nyquist plane (same rule as ops.recon /
+    ops.mocks.zeldovich_catalog).
+    """
+    f = _freqs(ngrid, boxsize)
+    k2 = (f[:, None, None] ** 2 + f[None, :, None] ** 2
+          + f[None, None, :] ** 2)
+    k2safe = jnp.where(k2 == 0.0, 1.0, k2)
+    # invlap: lap(phi) = field  =>  phi_k = -field_k / k^2
+    phi_k = jnp.where(k2 == 0.0, 0.0, -field_k / k2safe)
+    ny = ngrid // 2
+    comps = []
+    for axis in range(3):
+        shape = [1, 1, 1]
+        shape[axis] = ngrid
+        kv = f.reshape(shape)
+        mask = jnp.ones((ngrid,)).at[ny].set(0.0).reshape(shape)
+        comps.append(jnp.real(jnp.fft.ifftn(
+            jnp.asarray(sign) * 1j * kv * mask * phi_k)))
+    return jnp.stack(comps)
+
+
+def _second_order_source(delta_k_full, ngrid: int, boxsize):
+    """2LPT source S2(x) = sum_{i<j} [phi,ii phi,jj - phi,ij^2].
+
+    delta_k_full: unnormalized fftn coefficients of the linear field.
+    Returns the real-space S2 grid. phi is the Zel'dovich potential
+    (lap phi = delta); the six second derivatives are spectral:
+    phi,ij(k) = k_i k_j delta_k / k^2.
+    """
+    f = _freqs(ngrid, boxsize)
+    kv = [f.reshape(-1, 1, 1), f.reshape(1, -1, 1), f.reshape(1, 1, -1)]
+    k2 = kv[0] ** 2 + kv[1] ** 2 + kv[2] ** 2
+    k2safe = jnp.where(k2 == 0.0, 1.0, k2)
+    t = jnp.where(k2 == 0.0, 0.0, delta_k_full / k2safe)
+
+    def d2(i, j):
+        return jnp.real(jnp.fft.ifftn(kv[i] * kv[j] * t))
+
+    dxx, dyy, dzz = d2(0, 0), d2(1, 1), d2(2, 2)
+    dxy, dxz, dyz = d2(0, 1), d2(0, 2), d2(1, 2)
+    return (dxx * dyy + dxx * dzz + dyy * dzz
+            - dxy ** 2 - dxz ** 2 - dyz ** 2)
+
+
+@partial(jax.jit, static_argnames=("ngrid",))
+def lpt_displacements_from_modes(delta_k_full, ngrid: int, boxsize):
+    """(psi1, psi2) displacement grids, each (3, n, n, n), from the
+    unnormalized fftn coefficients of the z=0 linear density field.
+
+    psi1 = -grad invlap(delta) (Zel'dovich), psi2 = +grad invlap(S2);
+    apply growth as x = q + D1 psi1 + D2 psi2 (D2 < 0).
+    """
+    psi1 = _grad_invlap(delta_k_full, ngrid, boxsize, sign=-1.0)
+    s2 = _second_order_source(delta_k_full, ngrid, boxsize)
+    psi2 = _grad_invlap(jnp.fft.fftn(s2), ngrid, boxsize, sign=+1.0)
+    return psi1, psi2
+
+
+@partial(jax.jit, static_argnames=("ngrid", "pk_fn"))
+def lpt_displacements(key, ngrid: int, boxsize, pk_fn: Callable):
+    """(psi1, psi2) for a GRF realization of pk_fn (z=0 normalization).
+
+    Same key => the same realization as mocks.zeldovich_catalog /
+    mocks.gaussian_field (shared mocks.linear_modes home).
+    """
+    dk = linear_modes(key, ngrid, boxsize, pk_fn)
+    return lpt_displacements_from_modes(dk, ngrid, boxsize)
+
+
+def _lattice_comps(ngrid: int, boxsize):
+    cell = boxsize / ngrid
+    x = (jnp.arange(ngrid, dtype=jnp.float32) + 0.5) * cell
+    gx, gy, gz = jnp.meshgrid(x, x, x, indexing="ij")
+    return gx.reshape(-1), gy.reshape(-1), gz.reshape(-1)
+
+
+def lpt_growth(cosmo, z_init: float, order: int = 2):
+    """Host scalars (D1, f1, D2, f2) at z_init (D2=f2=0 for order=1)."""
+    d1 = float(cosmo.growth_factor(z_init))
+    f1 = float(cosmo.growth_rate(z_init))
+    om_z = float(cosmo.Om(z_init))
+    if order == 1:
+        return d1, f1, 0.0, 0.0
+    d2 = -(3.0 / 7.0) * d1 ** 2 * om_z ** (-1.0 / 143.0)
+    f2 = 2.0 * om_z ** (6.0 / 11.0)
+    return d1, f1, d2, f2
+
+
+def lpt_catalog(key, ngrid: int, boxsize, pk_fn: Callable, cosmo,
+                z_init: float, order: int = 2):
+    """2LPT (or Zel'dovich, order=1) particle ICs at z_init.
+
+    Returns (comps, mom): flat per-component position buffers (x, y, z)
+    in [0, boxsize) and canonical momenta (px, py, pz) = a^2 dx/dt —
+    the pm_evolve state. Convert with velocities_kms(mom, a) when
+    peculiar velocities in km/s are needed.
+    """
+    if order not in (1, 2):
+        raise ValueError("order must be 1 (Zel'dovich) or 2 (2LPT)")
+    d1, f1, d2, f2 = lpt_growth(cosmo, z_init, order)
+    a = 1.0 / (1.0 + z_init)
+    e = float(cosmo.efunc(z_init))
+    psi1, psi2 = lpt_displacements(key, ngrid, boxsize, pk_fn)
+    qx, qy, qz = _lattice_comps(ngrid, boxsize)
+    disp = d1 * psi1 + d2 * psi2
+    # dx/dt = E (f1 D1 psi1 + f2 D2 psi2); p = a^2 dx/dt
+    dxdt = (a * a * e) * (f1 * d1 * psi1 + f2 * d2 * psi2)
+    dflat = disp.reshape(3, -1)
+    pflat = dxdt.reshape(3, -1)
+    comps = tuple(((q + dflat[i]) % boxsize).astype(jnp.float32)
+                  for i, q in enumerate((qx, qy, qz)))
+    mom = tuple(pflat[i].astype(jnp.float32) for i in range(3))
+    return comps, mom
+
+
+def velocities_kms(mom, a: float):
+    """Peculiar velocities [km/s] from canonical momenta at scale
+    factor a: v = a dx/dt * (100 km/s per Mpc/h/(1/H0)) = 100 p / a.
+
+    Matches mocks.zeldovich_catalog_with_velocities' convention (v =
+    aH f psi with H in units of 100 km/s/(Mpc/h)) and ops.tpcf's
+    redshift-space mapping s = x + v/(100 a E).
+    """
+    return tuple(100.0 * p / a for p in mom)
+
+
+def pm_step_factors(cosmo, a_init: float, a_final: float, nsteps: int,
+                    spacing: str = "loga", quad_points: int = 257):
+    """Exact KDK drift/kick integrals per step (host, float64).
+
+    Returns numpy (nsteps, 3): [kick(a0->ah), drift(a0->a1),
+    kick(ah->a1)] with kick integrand 1/(a^2 E) and drift 1/(a^3 E)
+    (Quinn et al. 1997), trapezoid-quadratured at quad_points per
+    half-interval — error O(1e-10), far below the time-discretization
+    error itself.
+    """
+    if spacing == "loga":
+        edges = np.exp(np.linspace(np.log(a_init), np.log(a_final),
+                                   nsteps + 1))
+    elif spacing == "a":
+        edges = np.linspace(a_init, a_final, nsteps + 1)
+    else:
+        raise ValueError("spacing must be 'loga' or 'a'")
+
+    def integral(lo, hi, power):
+        a = np.linspace(lo, hi, quad_points)
+        e = np.asarray(cosmo.efunc_a(a), dtype=np.float64)
+        return np.trapezoid(1.0 / (a ** power * e), a)
+
+    out = np.empty((nsteps, 3), np.float64)
+    for i in range(nsteps):
+        a0, a1 = edges[i], edges[i + 1]
+        ah = np.sqrt(a0 * a1) if spacing == "loga" else 0.5 * (a0 + a1)
+        out[i, 0] = integral(a0, ah, 2)
+        out[i, 1] = integral(a0, a1, 3)
+        out[i, 2] = integral(ah, a1, 2)
+    return out
+
+
+@partial(jax.jit, static_argnames=("ngrid", "window", "compensate"))
+def _force_grids(comps, ngrid: int, boxsize, om0, window: str,
+                 compensate: bool = True):
+    """F_hat = -grad phi_hat, lap phi_hat = 1.5 Om0 delta, as
+    (3, n, n, n) grids from the painted density (single window
+    deconvolution: corrects the paint; the readout smoothing remains,
+    -0.1% force at the fundamental of an n-grid at 1:1 mesh:particle
+    ratio).
+
+    MESH:PARTICLE RATIO MATTERS: with lattice (LPT) initial conditions
+    the particle lattice's displacement sidebands sit at mesh modes
+    64-m (force mesh at 2x the particle grid), where they alias back
+    onto the physical mode m COHERENTLY through the paint->Poisson->
+    gather chain: measured +3% force error at m=1 growing ~linearly
+    with m (and 2x worse when deconvolution re-amplifies the
+    sidebands). At 1:1 the images land at 2n +/- m where the CIC
+    window^2 is ~1e-7. Keep ngrid == particles-per-side (the
+    pm_catalog default); tests/test_nbody.py::test_force_accuracy
+    pins both regimes.
+    """
+    grid = paint(comps, ngrid, boxsize, window=window)
+    dk = _delta_k(grid, window=window if compensate else None)
+    f = _freqs(ngrid, boxsize)
+    fr = f[: ngrid // 2 + 1]
+    kv = [f.reshape(-1, 1, 1), f.reshape(1, -1, 1), fr.reshape(1, 1, -1)]
+    k2 = kv[0] ** 2 + kv[1] ** 2 + kv[2] ** 2
+    k2safe = jnp.where(k2 == 0.0, 1.0, k2)
+    phik = jnp.where(k2 == 0.0, 0.0, -1.5 * om0 * dk / k2safe)
+    ny = ngrid // 2
+    mask_full = jnp.ones((ngrid,)).at[ny].set(0.0)
+    mask_r = jnp.ones((ngrid // 2 + 1,)).at[ny].set(0.0)
+    masks = [mask_full.reshape(-1, 1, 1), mask_full.reshape(1, -1, 1),
+             mask_r.reshape(1, 1, -1)]
+    fg = [jnp.fft.irfftn(-1j * kv[a] * masks[a] * phik, (ngrid,) * 3)
+          * float(ngrid) ** 3 for a in range(3)]
+    return jnp.stack(fg)
+
+
+@partial(jax.jit, static_argnames=("ngrid", "window"))
+def _pm_scan(comps, mom, factors, ngrid: int, boxsize, om0, window: str):
+    force0 = sample_displacement(
+        _force_grids(comps, ngrid, boxsize, om0, window), boxsize, comps)
+
+    def step(carry, fac):
+        (x, y, z), (px, py, pz), frc = carry
+        k1, dr, k2 = fac[0], fac[1], fac[2]
+        px, py, pz = (px + k1 * frc[0], py + k1 * frc[1],
+                      pz + k1 * frc[2])
+        x = (x + dr * px) % boxsize
+        y = (y + dr * py) % boxsize
+        z = (z + dr * pz) % boxsize
+        frc = sample_displacement(
+            _force_grids((x, y, z), ngrid, boxsize, om0, window),
+            boxsize, (x, y, z))
+        mom_new = (px + k2 * frc[0], py + k2 * frc[1], pz + k2 * frc[2])
+        return ((x, y, z), mom_new, frc), None
+
+    (comps, mom, _), _ = jax.lax.scan(step, (comps, mom, force0),
+                                      factors)
+    return comps, mom
+
+
+def pm_evolve(comps, mom, cosmo, ngrid: int, boxsize, a_init: float,
+              a_final: float, nsteps: int, window: str = "cic",
+              spacing: str = "loga"):
+    """Evolve (comps, mom) from a_init to a_final with nsteps KDK
+    leapfrog steps on an ngrid^3 force mesh.
+
+    comps/mom: flat per-component buffers (x, y, z) / (px, py, pz) as
+    produced by lpt_catalog (the layout that avoids the (N, 3) lane-
+    padding trap at large N). One paint + 4 FFTs + 3 gathers per step,
+    the whole loop a single lax.scan; on TPU the paint auto-dispatches
+    to the sorted Pallas deposit at large N.
+    """
+    factors = jnp.asarray(pm_step_factors(cosmo, a_init, a_final,
+                                          nsteps, spacing=spacing),
+                          dtype=jnp.float32)
+    comps = tuple(jnp.asarray(c).reshape(-1) for c in comps)
+    mom = tuple(jnp.asarray(p).reshape(-1) for p in mom)
+    return _pm_scan(comps, mom, factors, ngrid, float(boxsize),
+                    float(cosmo.Om0), window)
+
+
+def pm_catalog(key, cosmo, pk_fn: Callable, ngrid_part: int, boxsize,
+               z_init: float = 9.0, z_final: float = 0.0,
+               nsteps: int = 20, ngrid_force: int | None = None,
+               order: int = 2, window: str = "cic"):
+    """Linear P(k) -> nonlinear snapshot: 2LPT ICs at z_init evolved to
+    z_final. Returns (comps, vel_kms), both flat component tuples.
+
+    ngrid_force defaults to ngrid_part (1:1 mesh:particle) — see the
+    _force_grids docstring for why a finer force mesh with lattice ICs
+    coherently BOOSTS large-scale growth instead of refining it.
+    """
+    if ngrid_force is None:
+        ngrid_force = ngrid_part
+    comps, mom = lpt_catalog(key, ngrid_part, boxsize, pk_fn, cosmo,
+                             z_init, order=order)
+    a0, a1 = 1.0 / (1.0 + z_init), 1.0 / (1.0 + z_final)
+    comps, mom = pm_evolve(comps, mom, cosmo, ngrid_force, boxsize,
+                           a0, a1, nsteps, window=window)
+    return comps, velocities_kms(mom, a1)

@@ -1,0 +1,230 @@
+"""PM N-body + 2LPT tests.
+
+Validation strategy mirrors the suite's same-realization principle:
+growth is measured as a per-mode ratio of the SAME realization (no
+sample variance), and the 2LPT second-order kernel is pinned by the
+exact F2(mu=0) = 5/7 vs F2_ZA = 1 mode-coupling ratio for a two-mode
+field in EdS — a wrong psi2 sign would read 9/7, a missing psi2 reads
+1, so the test is unambiguous.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from astrild_tpu.ops import nbody
+from astrild_tpu.ops.paint import paint
+from astrild_tpu.ops.power import delta_k
+from astrild_tpu.utils.cosmology import Cosmology
+
+
+def _pk_flat(amp):
+    def pk(k):
+        return amp * jnp.ones_like(k)
+    return pk
+
+
+def test_second_order_source_two_modes():
+    # delta = a cos(k x) + b cos(k y) => S2 = a b cos(k x) cos(k y)
+    n, box = 32, 100.0
+    a, b = 0.7, 0.4
+    kf = 2 * np.pi / box
+    cell = box / n
+    x = (np.arange(n)) * cell  # grid point coords for np field build
+    X, Y, _ = np.meshgrid(x, x, x, indexing="ij")
+    delta = a * np.cos(kf * X) + b * np.cos(kf * Y)
+    dk = jnp.fft.fftn(jnp.asarray(delta, jnp.float32))
+    s2 = nbody._second_order_source(dk, n, box)
+    expect = a * b * np.cos(kf * X) * np.cos(kf * Y)
+    assert float(jnp.max(jnp.abs(s2 - expect))) < 5e-5
+
+
+def test_psi2_divergence_is_source():
+    # div psi2 == +S2 by construction (spectral identity)
+    n, box = 16, 50.0
+    key = jax.random.PRNGKey(3)
+    dk = jnp.fft.fftn(jax.random.normal(key, (n, n, n)) * 0.1)
+    s2 = nbody._second_order_source(dk, n, box)
+    psi2 = nbody._grad_invlap(jnp.fft.fftn(s2), n, box, sign=+1.0)
+    div = jnp.zeros((n, n, n), jnp.complex64)
+    f = np.fft.fftfreq(n) * n * (2 * np.pi / box)
+    kv = [f.reshape(-1, 1, 1), f.reshape(1, -1, 1), f.reshape(1, 1, -1)]
+    for ax in range(3):
+        div = div + 1j * kv[ax] * jnp.fft.fftn(psi2[ax])
+    div = jnp.real(jnp.fft.ifftn(div))
+    # Nyquist-masked modes are dropped by the odd transfer, and the DC
+    # mode by invlap (S2 has a nonzero mean; div psi2 cannot): compare
+    # the band-limited, mean-free versions of both sides
+    s2k = jnp.fft.fftn(s2)
+    ny = n // 2
+    m = np.ones(n); m[ny] = 0.0
+    mk = (m.reshape(-1, 1, 1) * m.reshape(1, -1, 1)
+          * m.reshape(1, 1, -1))
+    mk = np.asarray(mk); mk[0, 0, 0] = 0.0
+    s2_band = jnp.real(jnp.fft.ifftn(s2k * mk))
+    # div(masked psi2) has k_i m_i terms; mask fully for the comparison
+    divk = jnp.fft.fftn(div) * mk
+    div_band = jnp.real(jnp.fft.ifftn(divk))
+    assert float(jnp.max(jnp.abs(div_band - s2_band))) < 1e-3 * float(
+        jnp.max(jnp.abs(s2_band)))
+
+
+def test_2lpt_mode_coupling_matches_f2():
+    # EdS: D2 = -3/7 D1^2 exactly. Inject two orthogonal equal-|k|
+    # modes; the painted density's coupled (1,1,0) mode obeys
+    # 2LPT / ZA = F2(mu=0) / F2_ZA(mu=0) = (5/7) / (1/2) = 10/7.
+    # (Exact ZA for two orthogonal modes is separable 1D x 1D: the
+    # coupled term is ab cos(kx)cos(ky), i.e. F2_ZA(mu=0) = 1/2.)
+    # A wrong psi2 sign would read 4/7, a missing psi2 reads 1 —
+    # unambiguous in both directions.
+    n, box = 64, 100.0
+    eps = 0.02
+    kf = 2 * np.pi / box
+    cell = box / n
+    # lattice is cell-centered: build delta at q = (i+0.5) cell
+    x = (np.arange(n) + 0.5) * cell
+    X, Y, _ = np.meshgrid(x, x, x, indexing="ij")
+
+    def displaced_density(order):
+        delta = eps * (np.cos(kf * X) + np.cos(kf * Y))
+        dkf = jnp.fft.fftn(jnp.asarray(delta, jnp.float32))
+        psi1, psi2 = nbody.lpt_displacements_from_modes(dkf, n, box)
+        d2 = -(3.0 / 7.0) if order == 2 else 0.0
+        disp = (psi1 + d2 * psi2).reshape(3, -1)
+        qx, qy, qz = nbody._lattice_comps(n, box)
+        comps = tuple(((q + disp[i]) % box)
+                      for i, q in enumerate((qx, qy, qz)))
+        grid = paint(comps, n, box, window="cic")
+        return delta_k(grid, window="cic")
+
+    dz = displaced_density(1)
+    d2l = displaced_density(2)
+    # coupled mode (1,1,0) of cos(kx)cos(ky) products
+    za = dz[1, 1, 0]
+    lpt2 = d2l[1, 1, 0]
+    # linear modes must agree (psi2 does not touch first order)
+    assert abs(complex(d2l[1, 0, 0] - dz[1, 0, 0])) < 1e-6
+    ratio = float(jnp.real(lpt2) / jnp.real(za))
+    assert abs(ratio - 10.0 / 7.0) < 0.04, ratio
+
+
+def test_force_accuracy_and_lattice_alias_regimes():
+    # single-mode spectral force vs analytic -1.5 eps/k sin(kx):
+    # 1:1 mesh:particle is sub-% at the fundamental; a 2x-finer force
+    # mesh with lattice ICs BOOSTS the force (alias feedback) — the
+    # regime _force_grids documents and pm_catalog avoids.
+    from astrild_tpu.ops.recon import sample_displacement
+    box, eps = 500.0, 1e-3
+    kf = 2 * np.pi / box
+
+    def ratio(npart, nforce, m):
+        cell = box / npart
+        q = (np.arange(npart) + 0.5) * cell
+        QX, QY, QZ = np.meshgrid(q, q, q, indexing="ij")
+        psi = -eps / (m * kf) * np.sin(m * kf * QX)
+        comps = tuple(jnp.asarray(c.ravel(), jnp.float32)
+                      for c in ((QX + psi) % box, QY, QZ))
+        grids = nbody._force_grids(comps, nforce, box, 1.0, "cic")
+        frc = np.asarray(sample_displacement(grids, box, comps))
+        th = -1.5 * eps / (m * kf) * np.sin(
+            m * kf * np.asarray(comps[0]))
+        return float((frc[0] * th).sum() / (th * th).sum())
+
+    # single deconvolution corrects the paint; the readout leaves one
+    # window factor W_cic(m, n) = sinc(m/n)^2 of expected damping
+    def w_cic(m, n):
+        return float(np.sinc(m / n) ** 2)
+
+    assert abs(ratio(32, 32, 1) - w_cic(1, 32)) < 4e-3
+    assert abs(ratio(32, 32, 2) - w_cic(2, 32)) < 8e-3
+    # the documented pathology: 2:1 force error grows with m
+    r1, r4 = ratio(32, 64, 1), ratio(32, 64, 4)
+    assert r1 > 1.02 and r4 > r1
+
+
+def test_pm_linear_growth_lcdm():
+    # Same-realization per-shell growth: P(a=1)/P(a_i) at large scales
+    # = (D(1)/D(a_i))^2. 32^3 particles, 1:1 force mesh, 12 steps.
+    cosmo = Cosmology(Om0=0.3, h=0.7)
+    npart, nforce, box = 32, 32, 500.0
+    z_i = 5.6667  # a_i = 0.15
+    a_i = 1.0 / (1.0 + z_i)
+    amp = 50.0  # (Mpc/h)^3: linear at these scales
+    key = jax.random.PRNGKey(7)
+    comps, mom = nbody.lpt_catalog(key, npart, box, _pk_flat(amp),
+                                   cosmo, z_i, order=2)
+    g0 = paint(comps, nforce, box, window="cic")
+    dk0 = delta_k(g0, window="cic")
+    out, _ = nbody.pm_evolve(comps, mom, cosmo, nforce, box, a_i, 1.0,
+                             nsteps=12)
+    g1 = paint(out, nforce, box, window="cic")
+    dk1 = delta_k(g1, window="cic")
+    # average |d|^2 ratio over the lowest nonzero modes (|m| <= 3)
+    f = np.fft.fftfreq(nforce) * nforce
+    fr = f[: nforce // 2 + 1]
+    m2 = (f[:, None, None] ** 2 + f[None, :, None] ** 2
+          + fr[None, None, :] ** 2)
+    sel = (m2 > 0) & (m2 <= 9.0)
+    p0 = np.asarray(jnp.abs(dk0) ** 2)[sel].mean()
+    p1 = np.asarray(jnp.abs(dk1) ** 2)[sel].mean()
+    d_ratio = (float(cosmo.growth_factor(0.0))
+               / float(cosmo.growth_factor(z_i)))
+    measured = np.sqrt(p1 / p0)
+    assert abs(measured / d_ratio - 1.0) < 0.05, (measured, d_ratio)
+
+
+def test_pm_momentum_conservation():
+    # spectral forces on a painted grid: net momentum kick ~ 0
+    key = jax.random.PRNGKey(11)
+    n, box = 32, 100.0
+    npar = 5000
+    pos = jax.random.uniform(key, (npar, 3)) * box
+    comps = (pos[:, 0], pos[:, 1], pos[:, 2])
+    grids = nbody._force_grids(comps, n, box, 0.3, "cic")
+    from astrild_tpu.ops.recon import sample_displacement
+    frc = sample_displacement(grids, box, comps)
+    net = jnp.abs(jnp.sum(frc, axis=1))
+    rms = jnp.sqrt(jnp.mean(frc ** 2, axis=1)) * npar
+    assert float(jnp.max(net / rms)) < 5e-3
+
+
+def test_lpt_order1_matches_zeldovich_mock():
+    # same key => identical realization as mocks.zeldovich_catalog, and
+    # velocities_kms reproduces the a_hubble*f*psi convention at z=0
+    from astrild_tpu.ops.mocks import zeldovich_catalog_with_velocities
+    n, box = 16, 200.0
+    cosmo = Cosmology(Om0=0.3, h=0.7)
+    key = jax.random.PRNGKey(5)
+    pk = _pk_flat(200.0)
+    comps, mom = nbody.lpt_catalog(key, n, box, pk, cosmo, 0.0, order=1)
+    f1 = float(cosmo.growth_rate(0.0))
+    pos_ref, vel_ref = zeldovich_catalog_with_velocities(
+        key, n, box, pk, f1)
+    pos = np.stack([np.asarray(c) for c in comps], axis=-1)
+    d = np.abs(pos - np.asarray(pos_ref))
+    d = np.minimum(d, box - d)  # periodic
+    assert d.max() < 1e-3
+    vel = np.stack([np.asarray(v) for v in
+                    nbody.velocities_kms(mom, 1.0)], axis=-1)
+    vref = np.asarray(vel_ref)
+    assert np.max(np.abs(vel - vref)) < 1e-2 * np.abs(vref).max() + 1e-3
+
+
+def test_pm_catalog_end_to_end_nonlinear():
+    # the full convenience path runs and produces a physical result:
+    # nonlinear P(k) at z=0 exceeds linear on small scales
+    cosmo = Cosmology(Om0=0.3, h=0.7)
+    key = jax.random.PRNGKey(2)
+    from astrild_tpu.ops.linear_power import linear_power, normalization
+    amp = float(normalization(cosmo))
+
+    def pk(k):
+        return linear_power(k, cosmo, 0.0, amplitude=amp)
+
+    comps, vel = nbody.pm_catalog(key, cosmo, pk, ngrid_part=16,
+                                  boxsize=100.0, z_init=9.0, nsteps=8)
+    assert comps[0].shape == (16 ** 3,)
+    assert np.all(np.isfinite(np.asarray(comps[0])))
+    assert np.all(np.isfinite(np.asarray(vel[0])))
+    g = paint(comps, 32, 100.0, window="cic")
+    assert float(jnp.std(g / jnp.mean(g))) > 0.5  # visibly nonlinear
