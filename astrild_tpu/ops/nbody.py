@@ -177,6 +177,15 @@ def velocities_kms(mom, a: float):
     return tuple(100.0 * p / a for p in mom)
 
 
+def _a_edges(a_init: float, a_final: float, nsteps: int, spacing: str):
+    if spacing == "loga":
+        return np.exp(np.linspace(np.log(a_init), np.log(a_final),
+                                  nsteps + 1))
+    if spacing == "a":
+        return np.linspace(a_init, a_final, nsteps + 1)
+    raise ValueError("spacing must be 'loga' or 'a'")
+
+
 def pm_step_factors(cosmo, a_init: float, a_final: float, nsteps: int,
                     spacing: str = "loga", quad_points: int = 257):
     """Exact KDK drift/kick integrals per step (host, float64).
@@ -187,13 +196,7 @@ def pm_step_factors(cosmo, a_init: float, a_final: float, nsteps: int,
     half-interval — error O(1e-10), far below the time-discretization
     error itself.
     """
-    if spacing == "loga":
-        edges = np.exp(np.linspace(np.log(a_init), np.log(a_final),
-                                   nsteps + 1))
-    elif spacing == "a":
-        edges = np.linspace(a_init, a_final, nsteps + 1)
-    else:
-        raise ValueError("spacing must be 'loga' or 'a'")
+    edges = _a_edges(a_init, a_final, nsteps, spacing)
 
     def integral(lo, hi, power):
         a = np.linspace(lo, hi, quad_points)
@@ -212,12 +215,21 @@ def pm_step_factors(cosmo, a_init: float, a_final: float, nsteps: int,
 
 @partial(jax.jit, static_argnames=("ngrid", "window", "compensate"))
 def _force_grids(comps, ngrid: int, boxsize, om0, window: str,
-                 compensate: bool = True):
-    """F_hat = -grad phi_hat, lap phi_hat = 1.5 Om0 delta, as
-    (3, n, n, n) grids from the painted density (single window
+                 compensate: bool = True, am2=jnp.inf):
+    """F_hat = -grad phi_hat, lap phi_hat = 1.5 Om0 (1 + mu_k) delta,
+    as (3, n, n, n) grids from the painted density (single window
     deconvolution: corrects the paint; the readout smoothing remains,
     -0.1% force at the fundamental of an n-grid at 1:1 mesh:particle
     ratio).
+
+    am2 = a^2 M^2(a) — the comoving scalaron mass^2 of linearized
+    Hu-Sawicki f(R) gravity [(h/Mpc)^2]; the fifth force enters the
+    Poisson source as mu_k = k^2 / (3 (k^2 + am2)) (the same Geff as
+    utils.cosmology.Cosmology.mu_k). am2 = inf is EXACT GR (mu_k == 0
+    identically; finite/inf = 0 in f32), so one code path serves both.
+    No chameleon screening — this is the linear-response fifth force,
+    the regime the reference's ECOSMOG P(k)-ratio pipelines probed
+    (/root/reference/src/astrild/particles/ecosmog.py).
 
     MESH:PARTICLE RATIO MATTERS: with lattice (LPT) initial conditions
     the particle lattice's displacement sidebands sit at mesh modes
@@ -237,7 +249,8 @@ def _force_grids(comps, ngrid: int, boxsize, om0, window: str,
     kv = [f.reshape(-1, 1, 1), f.reshape(1, -1, 1), fr.reshape(1, 1, -1)]
     k2 = kv[0] ** 2 + kv[1] ** 2 + kv[2] ** 2
     k2safe = jnp.where(k2 == 0.0, 1.0, k2)
-    phik = jnp.where(k2 == 0.0, 0.0, -1.5 * om0 * dk / k2safe)
+    geff = 1.0 + k2 / (3.0 * (k2 + am2))
+    phik = jnp.where(k2 == 0.0, 0.0, -1.5 * om0 * geff * dk / k2safe)
     ny = ngrid // 2
     mask_full = jnp.ones((ngrid,)).at[ny].set(0.0)
     mask_r = jnp.ones((ngrid // 2 + 1,)).at[ny].set(0.0)
@@ -249,11 +262,14 @@ def _force_grids(comps, ngrid: int, boxsize, om0, window: str,
 
 
 @partial(jax.jit, static_argnames=("ngrid", "window"))
-def _pm_scan(comps, mom, factors, ngrid: int, boxsize, om0, window: str):
+def _pm_scan(comps, mom, factors, am2_edges, ngrid: int, boxsize, om0,
+             window: str):
     force0 = sample_displacement(
-        _force_grids(comps, ngrid, boxsize, om0, window), boxsize, comps)
+        _force_grids(comps, ngrid, boxsize, om0, window,
+                     am2=am2_edges[0]), boxsize, comps)
 
-    def step(carry, fac):
+    def step(carry, xs):
+        fac, am2 = xs
         (x, y, z), (px, py, pz), frc = carry
         k1, dr, k2 = fac[0], fac[1], fac[2]
         px, py, pz = (px + k1 * frc[0], py + k1 * frc[1],
@@ -262,13 +278,14 @@ def _pm_scan(comps, mom, factors, ngrid: int, boxsize, om0, window: str):
         y = (y + dr * py) % boxsize
         z = (z + dr * pz) % boxsize
         frc = sample_displacement(
-            _force_grids((x, y, z), ngrid, boxsize, om0, window),
+            _force_grids((x, y, z), ngrid, boxsize, om0, window,
+                         am2=am2),
             boxsize, (x, y, z))
         mom_new = (px + k2 * frc[0], py + k2 * frc[1], pz + k2 * frc[2])
         return ((x, y, z), mom_new, frc), None
 
     (comps, mom, _), _ = jax.lax.scan(step, (comps, mom, force0),
-                                      factors)
+                                      (factors, am2_edges[1:]))
     return comps, mom
 
 
@@ -283,13 +300,26 @@ def pm_evolve(comps, mom, cosmo, ngrid: int, boxsize, a_init: float,
     padding trap at large N). One paint + 4 FFTs + 3 gathers per step,
     the whole loop a single lax.scan; on TPU the paint auto-dispatches
     to the sorted Pallas deposit at large N.
+
+    Gravity follows the cosmology: cosmo.fR0 != 0 turns on the
+    linearized Hu-Sawicki fifth force (per-step comoving scalaron
+    mass^2 a^2 M^2(a) precomputed on host, spectral Geff(k) in the
+    Poisson solve — see _force_grids). fR0 = 0 is exact GR.
     """
     factors = jnp.asarray(pm_step_factors(cosmo, a_init, a_final,
                                           nsteps, spacing=spacing),
                           dtype=jnp.float32)
+    edges = _a_edges(a_init, a_final, nsteps, spacing)
+    if float(getattr(cosmo, "fR0", 0.0)) != 0.0:
+        am2 = np.asarray(edges ** 2
+                         * np.asarray(cosmo.scalaron_mass2(edges),
+                                      np.float64))
+    else:
+        am2 = np.full(nsteps + 1, np.inf)
+    am2 = jnp.asarray(am2, jnp.float32)
     comps = tuple(jnp.asarray(c).reshape(-1) for c in comps)
     mom = tuple(jnp.asarray(p).reshape(-1) for p in mom)
-    return _pm_scan(comps, mom, factors, ngrid, float(boxsize),
+    return _pm_scan(comps, mom, factors, am2, ngrid, float(boxsize),
                     float(cosmo.Om0), window)
 
 

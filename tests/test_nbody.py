@@ -210,6 +210,73 @@ def test_lpt_order1_matches_zeldovich_mock():
     assert np.max(np.abs(vel - vref)) < 1e-2 * np.abs(vref).max() + 1e-3
 
 
+def test_fifth_force_single_mode_geff():
+    # force ratio f(R)/GR on the same configuration == 1 + mu_k(a, k_m)
+    # exactly (spectral identity; pins the am2 wiring and the GR
+    # am2=inf limit)
+    from astrild_tpu.ops.recon import sample_displacement
+    from astrild_tpu.utils.cosmology import Cosmology
+    n, box, eps, m = 32, 400.0, 1e-3, 2
+    kf = 2 * np.pi / box
+    cell = box / n
+    q = (np.arange(n) + 0.5) * cell
+    QX, QY, QZ = np.meshgrid(q, q, q, indexing="ij")
+    psi = -eps / (m * kf) * np.sin(m * kf * QX)
+    comps = tuple(jnp.asarray(c.ravel(), jnp.float32)
+                  for c in ((QX + psi) % box, QY, QZ))
+    cosmo = Cosmology(Om0=0.3, h=0.7, fR0=1e-5)
+    a = 0.8
+    am2 = float(a ** 2 * cosmo.scalaron_mass2(a))
+    g_gr = nbody._force_grids(comps, n, box, 0.3, "cic")
+    g_fr = nbody._force_grids(comps, n, box, 0.3, "cic", am2=am2)
+    # per-GRID-mode ratio: the paint (incl. its lattice aliases summed
+    # into mode m) is identical for both, so the ratio isolates the
+    # spectral Geff factor exactly — unlike a particle-readout
+    # projection, which remixes alias harmonics at different geff
+    fk_gr = complex(jnp.fft.fftn(g_gr[0])[m, 0, 0])
+    fk_fr = complex(jnp.fft.fftn(g_fr[0])[m, 0, 0])
+    ratio = (fk_fr / fk_gr).real
+    expect = 1.0 + float(cosmo.mu_k(a, m * kf))
+    assert abs(ratio - expect) < 2e-4, (ratio, expect)
+    # and the GR default is bit-exact GR (geff == 1 with am2 = inf)
+    assert float(jnp.max(jnp.abs(
+        g_gr - nbody._force_grids(comps, n, box, 0.3, "cic",
+                                  am2=jnp.inf)))) == 0.0
+
+
+def test_fofr_pm_growth_matches_linear_ode():
+    # Same GR 2LPT ICs evolved under GR vs linearized Hu-Sawicki f(R):
+    # the per-shell P ratio (same realization — no sample variance,
+    # and KDK stepping error cancels in the ratio) must match the
+    # scale-dependent growth ODE's enhancement
+    # fofr_pk_enhancement(k, 0) / fofr_pk_enhancement(k, z_i).
+    from astrild_tpu.utils.cosmology import Cosmology
+    gr = Cosmology(Om0=0.3, h=0.7)
+    fr = Cosmology(Om0=0.3, h=0.7, fR0=1e-4)
+    npart, box, z_i = 32, 400.0, 9.0
+    a_i = 1.0 / (1.0 + z_i)
+    key = jax.random.PRNGKey(13)
+    pk = _pk_flat(20.0)  # linear amplitudes at all resolved scales
+    comps, mom = nbody.lpt_catalog(key, npart, box, pk, gr, z_i)
+    out_gr, _ = nbody.pm_evolve(comps, mom, gr, npart, box, a_i, 1.0,
+                                nsteps=16)
+    out_fr, _ = nbody.pm_evolve(comps, mom, fr, npart, box, a_i, 1.0,
+                                nsteps=16)
+    from astrild_tpu.ops.power import auto_power
+    k, P_gr, _ = auto_power(paint(out_gr, npart, box, window="cic"),
+                            box, nbins=10)
+    _, P_fr, _ = auto_power(paint(out_fr, npart, box, window="cic"),
+                            box, nbins=10)
+    k = np.asarray(k)
+    measured = np.asarray(P_fr) / np.asarray(P_gr)
+    theory = (np.asarray(fr.fofr_pk_enhancement(k, 0.0))
+              / np.asarray(fr.fofr_pk_enhancement(k, z_i)))
+    sel = slice(1, 9)
+    assert theory[sel].max() > 1.1  # the test has teeth
+    err = np.abs(measured[sel] / theory[sel] - 1.0)
+    assert err.max() < 0.03, (measured[sel], theory[sel])
+
+
 def test_pm_catalog_end_to_end_nonlinear():
     # the full convenience path runs and produces a physical result:
     # nonlinear P(k) at z=0 exceeds linear on small scales
