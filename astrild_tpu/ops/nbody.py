@@ -36,10 +36,11 @@ from .paint import paint
 from .power import delta_k as _delta_k
 from .recon import sample_displacement
 from .mocks import linear_modes
+from .lens_planes import density_planes_from_particles
 
 __all__ = ["lpt_displacements", "lpt_displacements_from_modes",
            "lpt_catalog", "pm_step_factors", "pm_evolve", "pm_catalog",
-           "velocities_kms"]
+           "pm_lightcone_planes", "velocities_kms"]
 
 
 def _freqs(ngrid: int, boxsize):
@@ -321,6 +322,88 @@ def pm_evolve(comps, mom, cosmo, ngrid: int, boxsize, a_init: float,
     mom = tuple(jnp.asarray(p).reshape(-1) for p in mom)
     return _pm_scan(comps, mom, factors, am2, ngrid, float(boxsize),
                     float(cosmo.Om0), window)
+
+
+def pm_lightcone_planes(key, cosmo, pk_fn: Callable, ngrid_part: int,
+                        boxsize, fov, npix: int, nplanes: int,
+                        z_source: float = 1.0, z_init: float = 9.0,
+                        nsteps_init: int = 8, steps_per_plane: int = 2,
+                        ngrid_force: int | None = None, order: int = 2,
+                        window: str = "cic", los: int = 2,
+                        observer_xy=None, randomize_key=None):
+    """Full lensing forward model: linear P(k) -> evolving PM snapshot
+    -> lightcone density-contrast planes, each painted from the
+    snapshot evolved to that plane's OWN redshift.
+
+    This closes the loop the reference left to external codes: its
+    RayRamses pipelines consumed lightcone maps produced by a separate
+    simulation (/root/reference/src/astrild/rays/rayramses.py) — here a
+    linear spectrum becomes Born/multiplane-ready planes in-framework
+    (feed the result to ops.lensing.born_convergence or
+    ops.raytrace.multiplane_raytrace, or wrap with
+    SkyArray.from_density_planes).
+
+    Evolution runs far -> near (forward in time): 2LPT ICs at z_init,
+    one pre-evolution leg of nsteps_init KDK steps down to the farthest
+    plane's redshift, then steps_per_plane steps between consecutive
+    plane epochs. All legs after the first reuse one jitted scan
+    (identical shapes). The box is replicated periodically along `los`
+    by the plane painter; transverse replication for wide cones is
+    handled there too (ops.lens_planes.density_planes_from_particles).
+
+    randomize_key: optional PRNG key. A single-box lightcone repeats
+    the SAME structure every boxsize along the line of sight, so
+    transverse low-k modes of different planes add COHERENTLY in the
+    Born/ray sum — measured factor ~3.5 excess over the Limber C_ell
+    in the lowest band, reproducible across realizations. Passing a
+    key draws one random transverse observer offset per box
+    REPETITION (planes within one box depth keep their relative
+    geometry, so intra-box structure stays contiguous) — the standard
+    single-box decorrelation (e.g. Petri+16 lenstools pipelines).
+
+    Returns (delta (nplanes, npix, npix), chis (nplanes,), dchi):
+    planes ordered near -> far, chi_i = (i + 0.5) * dchi,
+    dchi = chi(z_source) / nplanes.
+    """
+    chi_s = float(cosmo.comoving_distance(z_source))
+    dchi = chi_s / nplanes
+    chis = (np.arange(nplanes) + 0.5) * dchi
+    z_planes = np.asarray(cosmo.redshift_at_comoving_distance(
+        jnp.asarray(chis, jnp.float32)), np.float64)
+    if z_init <= z_planes.max():
+        raise ValueError(
+            f"z_init={z_init} must exceed the farthest plane redshift "
+            f"{z_planes.max():.3f} (raise z_init or lower z_source)")
+    if ngrid_force is None:
+        ngrid_force = ngrid_part
+    if observer_xy is None:
+        observer_xy = (0.5 * boxsize, 0.5 * boxsize)
+    n_groups = int(chis[-1] // boxsize) + 1
+    if randomize_key is not None:
+        shifts = np.asarray(jax.random.uniform(
+            randomize_key, (n_groups, 2), minval=0.0, maxval=boxsize))
+    else:
+        shifts = np.zeros((n_groups, 2))
+    comps, mom = lpt_catalog(key, ngrid_part, boxsize, pk_fn, cosmo,
+                             z_init, order=order)
+    # far -> near: scale factors ascending
+    a_targets = 1.0 / (1.0 + z_planes[::-1])
+    a_now = 1.0 / (1.0 + z_init)
+    planes = []
+    for j, (a_t, chi_c) in enumerate(zip(a_targets, chis[::-1])):
+        nst = nsteps_init if j == 0 else steps_per_plane
+        comps, mom = pm_evolve(comps, mom, cosmo, ngrid_force, boxsize,
+                               a_now, float(a_t), nst, window=window)
+        a_now = float(a_t)
+        g = int(chi_c // boxsize)
+        oxy = ((observer_xy[0] + shifts[g, 0]) % boxsize,
+               (observer_xy[1] + shifts[g, 1]) % boxsize)
+        d, _ = density_planes_from_particles(
+            comps, boxsize, float(chi_c), dchi, 1, fov, npix, los=los,
+            observer_xy=oxy)
+        planes.append(d[0])
+    delta = jnp.stack(planes[::-1])  # reorder near -> far
+    return delta, jnp.asarray(chis, jnp.float32), dchi
 
 
 def pm_catalog(key, cosmo, pk_fn: Callable, ngrid_part: int, boxsize,

@@ -277,6 +277,69 @@ def test_fofr_pm_growth_matches_linear_ode():
     assert err.max() < 0.03, (measured[sel], theory[sel])
 
 
+def test_pm_lightcone_planes_structure():
+    from astrild_tpu.utils.cosmology import Cosmology
+    cosmo = Cosmology(Om0=0.3, h=0.7)
+    pk = _pk_flat(100.0)
+    delta, chis, dchi = nbody.pm_lightcone_planes(
+        jax.random.PRNGKey(0), cosmo, pk, 16, 200.0, 0.05, 32, 6,
+        z_source=0.4, z_init=9.0, nsteps_init=4, steps_per_plane=1)
+    assert delta.shape == (6, 32, 32)
+    assert np.all(np.isfinite(np.asarray(delta)))
+    chi_s = float(cosmo.comoving_distance(0.4))
+    assert abs(float(chis[-1]) - (5.5 / 6.0) * chi_s) < 1e-2 * chi_s
+    assert abs(dchi * 6 - chi_s) < 1e-3 * chi_s
+    # delta is a contrast: means small vs its fluctuations
+    assert abs(float(delta.mean())) < 0.5 * float(delta.std())
+    with pytest.raises(ValueError):
+        nbody.pm_lightcone_planes(
+            jax.random.PRNGKey(0), cosmo, pk, 16, 200.0, 0.05, 32, 4,
+            z_source=0.4, z_init=0.2)
+
+
+def test_pm_lightcone_born_cl_and_replica_decorrelation():
+    # Full forward model: linear P(k) -> PM lightcone -> Born kappa ->
+    # C_ell vs the halofit Limber prediction. Also pins the single-box
+    # replication artifact this pipeline must manage: WITHOUT the
+    # per-repetition observer randomization, repeated structure along
+    # the LOS adds coherently and the lowest band reads ~3.5x theory
+    # (reproducible across seeds); WITH it the band is consistent.
+    from astrild_tpu.utils.cosmology import Cosmology
+    from astrild_tpu.ops.lensing import born_convergence
+    from astrild_tpu.ops.angular_power import cl_flat_sky, cl_kappa_limber
+    from astrild_tpu.ops.linear_power import linear_power, normalization
+    cosmo = Cosmology(Om0=0.3, h=0.7)
+    amp = float(normalization(cosmo))
+
+    def pk(k):
+        return linear_power(k, cosmo, 0.0, amplitude=amp)
+
+    box, npart, npix, fov, nplanes = 250.0, 64, 96, 0.08, 12
+    chi_s = float(cosmo.comoving_distance(1.0))
+
+    def cl_ratio(randomize):
+        delta, chis, dchi = nbody.pm_lightcone_planes(
+            jax.random.PRNGKey(4), cosmo, pk, npart, box, fov, npix,
+            nplanes, z_source=1.0, z_init=9.0, nsteps_init=8,
+            steps_per_plane=2,
+            randomize_key=jax.random.PRNGKey(104) if randomize else None)
+        z_pl = np.asarray(cosmo.redshift_at_comoving_distance(chis))
+        a_pl = jnp.asarray(1.0 / (1.0 + z_pl), jnp.float32)
+        kap = born_convergence(delta, chis, jnp.full(len(chis), dchi),
+                               chi_s, 0.3, scale_factors=a_pl)
+        ell, cl = cl_flat_sky(kap, np.degrees(fov), nbins=10)
+        th = np.asarray(cl_kappa_limber(ell, cosmo, 1.0, nonlinear=True))
+        return np.asarray(cl) / th
+
+    r = cl_ratio(randomize=True)
+    # resolved band tracks halofit (PM mesh damping keeps it slightly
+    # under; cosmic variance of one 4.6-deg cone sets the width)
+    assert 0.55 < r[1:5].mean() < 1.45, r
+    assert r[0] < 2.0, r
+    r_fixed = cl_ratio(randomize=False)
+    assert r_fixed[0] > 2.0, r_fixed  # the artifact the key removes
+
+
 def test_pm_catalog_end_to_end_nonlinear():
     # the full convenience path runs and produces a physical result:
     # nonlinear P(k) at z=0 exceeds linear on small scales
