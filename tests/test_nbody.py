@@ -340,6 +340,35 @@ def test_pm_lightcone_born_cl_and_replica_decorrelation():
     assert r_fixed[0] > 2.0, r_fixed  # the artifact the key removes
 
 
+def test_distributed_pm_evolve_matches_local():
+    # sharding equivalence: the pencil-FFT force step + distributed KDK
+    # scan reproduces the single-device evolution (same KDK integrals,
+    # same spectral operators; FFT summation order differs, so exact
+    # equality is not expected — pin a tight f32 envelope)
+    from astrild_tpu.parallel import make_mesh
+    from astrild_tpu.parallel.nbody import make_distributed_pm_evolve
+    from astrild_tpu.utils.cosmology import Cosmology
+    for cosmo in (Cosmology(Om0=0.3, h=0.7),
+                  Cosmology(Om0=0.3, h=0.7, fR0=1e-5)):
+        n, box = 16, 100.0
+        a0, a1, nst = 0.25, 1.0, 6
+        key = jax.random.PRNGKey(9)
+        comps, mom = nbody.lpt_catalog(key, n, box, _pk_flat(150.0),
+                                       cosmo, 1.0 / a0 - 1.0)
+        ref_c, ref_m = nbody.pm_evolve(comps, mom, cosmo, n, box, a0,
+                                       a1, nst)
+        mesh = make_mesh(n_sim=1, n_x=2, n_y=2)
+        fn = make_distributed_pm_evolve(mesh, n, box, cosmo, nst)
+        out_c, out_m = fn(comps, mom, a0, a1)
+        for r, o in zip(ref_c, out_c):
+            d = np.abs(np.asarray(r) - np.asarray(o))
+            d = np.minimum(d, box - d)
+            assert d.max() < 5e-3, d.max()  # Mpc/h, cell = 6.25
+        for r, o in zip(ref_m, out_m):
+            scale = float(jnp.abs(r).max())
+            assert float(jnp.abs(r - o).max()) < 1e-3 * scale
+
+
 def test_pm_catalog_end_to_end_nonlinear():
     # the full convenience path runs and produces a physical result:
     # nonlinear P(k) at z=0 exceeds linear on small scales
