@@ -1,10 +1,10 @@
 from . import (angular_power, bispectrum, cmb_lensing, covariance, density_split, fftlog, filters, halo_model, halo_stats, hod, lens_planes, lensing,
-               lightcone_sphere, linear_power, map_transform, mocks, object_selection, paint,
+               lightcone_sphere, linear_power, map_transform, mocks, nbody, object_selection, paint,
                pairwise, pallas_pairwise, peaks, power, profiles, profiles3d,
-               raytrace, recon, shear_2pt, strong_lensing, sz, tpcf, troughs, velocity, voids, voids3d)
+               raytrace, recon, shear_2pt, so_halos, strong_lensing, sz, tpcf, troughs, velocity, voids, voids3d)
 
 __all__ = ["angular_power", "bispectrum", "cmb_lensing", "covariance", "density_split", "fftlog", "filters", "halo_model", "halo_stats", "hod", "lens_planes", "lensing",
-           "lightcone_sphere", "linear_power", "map_transform", "mocks", "object_selection",
+           "lightcone_sphere", "linear_power", "map_transform", "mocks", "nbody", "object_selection",
            "paint", "pairwise", "pallas_pairwise", "peaks", "power",
-           "profiles", "profiles3d", "raytrace", "recon", "shear_2pt", "strong_lensing", "sz", "tpcf", "troughs",
+           "profiles", "profiles3d", "raytrace", "recon", "shear_2pt", "so_halos", "strong_lensing", "sz", "tpcf", "troughs",
            "velocity", "voids", "voids3d"]

@@ -107,7 +107,8 @@ def sphere_overlap_fraction(c1, r1, c2, r2, boxsize):
 
 @partial(jax.jit, static_argnames=("n_radii",))
 def enclosed_density_radius(delta, boxsize, r_min, r_max,
-                            n_radii: int = 24, delta_threshold=-0.8):
+                            n_radii: int = 24, delta_threshold=-0.8,
+                            dk=None):
     """Per-cell largest radius with mean enclosed density below threshold.
 
     Scans a geometric radius ladder ascending; the crossing radius is
@@ -115,10 +116,12 @@ def enclosed_density_radius(delta, boxsize, r_min, r_max,
     and the LAST true->false crossing wins (delta_R need not be monotonic
     through substructure). Cells still below threshold at r_max saturate
     at r_max. Returns the rstar grid; rstar == 0 where even the smallest
-    sphere is above threshold.
+    sphere is above threshold. dk: optional precomputed rfftn(delta)
+    (callers that also smooth delta spectrally reuse one transform).
     """
     ngrid = delta.shape[-1]
-    dk = jnp.fft.rfftn(delta)
+    if dk is None:
+        dk = jnp.fft.rfftn(delta)
     kf = 2.0 * jnp.pi / boxsize
     kmag = _kmag_r(ngrid) * kf
     radii = jnp.exp(jnp.linspace(jnp.log(r_min), jnp.log(r_max), n_radii))
@@ -170,12 +173,13 @@ def svf_voids(delta, boxsize, delta_threshold=-0.8, overlap: float = 0.5,
     r_lo = 1.5 * cell if r_min is None else r_min
     r_hi = boxsize / 4.0 if r_max is None else r_max
 
+    dk = jnp.fft.rfftn(delta)
     rstar = enclosed_density_radius(delta, boxsize, r_lo, r_hi,
                                     n_radii=n_radii,
-                                    delta_threshold=delta_threshold)
+                                    delta_threshold=delta_threshold,
+                                    dk=dk)
 
     # smoothed field only reports the center density (Gaussian, spectral)
-    dk = jnp.fft.rfftn(delta)
     kf = 2.0 * jnp.pi / boxsize
     kmag = _kmag_r(ngrid) * kf
     sig = smooth_cells * cell
