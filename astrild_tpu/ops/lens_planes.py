@@ -115,6 +115,14 @@ def density_planes_from_particles(pos, boxsize, chi0, dchi, nplanes: int,
             "density_planes_from_particles_nrep(..., n_rep=k) with k = "
             "ceil((fov*chi_far/2 - boxsize/2)/boxsize) computed from "
             "your concrete geometry (0 when fov*chi_far <= boxsize).")
+    if dchi > boxsize:
+        raise ValueError(
+            f"dchi={dchi} exceeds boxsize={boxsize}: the periodic slab "
+            "test `(z - lo) % boxsize < dchi` is then always true, so "
+            "every particle paints ONCE per plane while the "
+            "normalization expects dchi/boxsize periodic images — "
+            "delta would be silently biased low. Use thinner planes "
+            "(nplanes >= chi_far / boxsize).")
     return _density_planes_impl(pos, boxsize, chi0, dchi, nplanes, fov,
                                 npix, los, observer_xy, n_rep)
 

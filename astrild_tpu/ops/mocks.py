@@ -15,7 +15,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["gaussian_field", "linear_modes", "zeldovich_catalog",
+__all__ = ["gaussian_field", "zeldovich_catalog",
            "zeldovich_catalog_with_velocities", "lognormal_map"]
 
 
@@ -25,6 +25,11 @@ def linear_modes(key, ngrid: int, boxsize, pk_fn: Callable):
     Single home of the GRF mode construction shared by gaussian_field,
     zeldovich_catalog and ops.nbody's LPT initial conditions, so that
     the same key yields the SAME realization across all of them.
+
+    On-device helper, deliberately NOT in __all__: the return is
+    complex64, and complex host<->device transfers are unimplemented on
+    the axon backend (CLAUDE.md) — keep it inside jitted chains; for a
+    host-inspectable field use gaussian_field (real).
     """
     kf = 2.0 * jnp.pi / boxsize
     f = (jnp.fft.fftfreq(ngrid) * ngrid).astype(jnp.float32)
@@ -42,18 +47,11 @@ def gaussian_field(key, ngrid: int, boxsize, pk_fn: Callable):
     """Real-space GRF delta(x) with isotropic target power pk_fn(k).
 
     Conventions match ops/power.py: <|FFT(delta)/N^3|^2> V = P(k).
+    Same key => the same realization as zeldovich_catalog / the LPT
+    initial conditions (shared linear_modes home).
     """
-    kf = 2.0 * jnp.pi / boxsize
-    f = (jnp.fft.fftfreq(ngrid) * ngrid).astype(jnp.float32)
-    m = jnp.sqrt(f[:, None, None] ** 2 + f[None, :, None] ** 2
-                 + f[None, None, :] ** 2)
-    p = pk_fn(jnp.maximum(m, 1e-6) * kf)
-    p = jnp.where(m == 0.0, 0.0, p)
-    amp = jnp.sqrt(p / boxsize ** 3) * float(ngrid) ** 3
-    # hermitian white modes from a real white field
-    white = jax.random.normal(key, (ngrid, ngrid, ngrid))
-    modes = jnp.fft.fftn(white) / float(ngrid) ** 1.5
-    return jnp.real(jnp.fft.ifftn(modes * amp))
+    return jnp.real(jnp.fft.ifftn(
+        linear_modes(key, ngrid, boxsize, pk_fn)))
 
 
 @partial(jax.jit, static_argnames=("ngrid", "pk_fn"))

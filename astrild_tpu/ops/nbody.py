@@ -367,6 +367,11 @@ def pm_lightcone_planes(key, cosmo, pk_fn: Callable, ngrid_part: int,
     """
     chi_s = float(cosmo.comoving_distance(z_source))
     dchi = chi_s / nplanes
+    if dchi > boxsize:
+        raise ValueError(
+            f"dchi = chi_s/nplanes = {dchi:.1f} exceeds the box "
+            f"({boxsize}); the slab paint would silently bias delta "
+            f"low. Use nplanes >= {int(np.ceil(chi_s / boxsize))}.")
     chis = (np.arange(nplanes) + 0.5) * dchi
     z_planes = np.asarray(cosmo.redshift_at_comoving_distance(
         jnp.asarray(chis, jnp.float32)), np.float64)

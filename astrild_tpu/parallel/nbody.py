@@ -108,8 +108,10 @@ def make_distributed_pm_evolve(mesh: Mesh, ngrid: int, boxsize: float,
     ops.nbody.pm_evolve (am2 = inf is bit-exact GR).
     """
     om0 = float(cosmo.Om0)
-    part_axes = tuple(a for a in ("sim", "x", "y")
-                      if a in mesh.shape and mesh.shape[a] >= 1)
+    if "x" not in mesh.shape or "y" not in mesh.shape:
+        raise ValueError("mesh must carry the pencil axes ('x', 'y'); "
+                         f"got {tuple(mesh.shape)}")
+    part_axes = tuple(a for a in ("sim", "x", "y") if a in mesh.shape)
     extra = tuple(a for a in part_axes if a not in ("x", "y"))
 
     def body(comps, mom, factors, am2_edges):

@@ -100,3 +100,16 @@ def test_flat_component_input_matches_array(rng):
          jnp.asarray(pos[:, 2])), BOX, 600.0, 200.0, 2,
         np.radians(2.0), 16)
     npt.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_dchi_thicker_than_box_raises(rng):
+    # dchi > boxsize makes the periodic slab test always-true (every
+    # particle paints once per plane) while the normalization expects
+    # dchi/boxsize images -> silently biased delta. Must refuse.
+    import pytest
+
+    pos = tuple(jnp.asarray(rng.uniform(0, BOX, 100), jnp.float32)
+                for _ in range(3))
+    with pytest.raises(ValueError, match="exceeds boxsize"):
+        LPL.density_planes_from_particles(pos, BOX, 300.0, 1.2 * BOX,
+                                          2, 0.05, 16)
