@@ -39,7 +39,8 @@ from .mocks import linear_modes
 from .lens_planes import density_planes_from_particles
 
 __all__ = ["lpt_displacements", "lpt_displacements_from_modes",
-           "lpt_catalog", "pm_step_factors", "pm_evolve", "pm_catalog",
+           "lpt_catalog", "pm_step_factors", "pm_evolve",
+           "pm_evolve_checkpointed", "pm_catalog",
            "pm_lightcone_planes", "velocities_kms"]
 
 
@@ -187,17 +188,18 @@ def _a_edges(a_init: float, a_final: float, nsteps: int, spacing: str):
     raise ValueError("spacing must be 'loga' or 'a'")
 
 
-def pm_step_factors(cosmo, a_init: float, a_final: float, nsteps: int,
-                    spacing: str = "loga", quad_points: int = 257):
-    """Exact KDK drift/kick integrals per step (host, float64).
+def _factors_from_edges(cosmo, edges, spacing: str = "loga",
+                        quad_points: int = 257):
+    """KDK integrals for an explicit scale-factor edge grid (host f64).
 
-    Returns numpy (nsteps, 3): [kick(a0->ah), drift(a0->a1),
-    kick(ah->a1)] with kick integrand 1/(a^2 E) and drift 1/(a^3 E)
-    (Quinn et al. 1997), trapezoid-quadratured at quad_points per
-    half-interval — error O(1e-10), far below the time-discretization
-    error itself.
+    Each row depends only on (edges[i], edges[i+1], spacing), so factors
+    computed for any contiguous SLICE of an edge grid are bitwise equal
+    to the corresponding rows of the full grid's factors — the property
+    pm_evolve_checkpointed relies on to make segmented evolution follow
+    the exact monolithic KDK schedule.
     """
-    edges = _a_edges(a_init, a_final, nsteps, spacing)
+    edges = np.asarray(edges, np.float64)
+    nsteps = len(edges) - 1
 
     def integral(lo, hi, power):
         a = np.linspace(lo, hi, quad_points)
@@ -212,6 +214,21 @@ def pm_step_factors(cosmo, a_init: float, a_final: float, nsteps: int,
         out[i, 1] = integral(a0, a1, 3)
         out[i, 2] = integral(ah, a1, 2)
     return out
+
+
+def pm_step_factors(cosmo, a_init: float, a_final: float, nsteps: int,
+                    spacing: str = "loga", quad_points: int = 257):
+    """Exact KDK drift/kick integrals per step (host, float64).
+
+    Returns numpy (nsteps, 3): [kick(a0->ah), drift(a0->a1),
+    kick(ah->a1)] with kick integrand 1/(a^2 E) and drift 1/(a^3 E)
+    (Quinn et al. 1997), trapezoid-quadratured at quad_points per
+    half-interval — error O(1e-10), far below the time-discretization
+    error itself.
+    """
+    return _factors_from_edges(cosmo, _a_edges(a_init, a_final, nsteps,
+                                               spacing),
+                               spacing=spacing, quad_points=quad_points)
 
 
 @partial(jax.jit, static_argnames=("ngrid", "window", "compensate"))
@@ -307,10 +324,21 @@ def pm_evolve(comps, mom, cosmo, ngrid: int, boxsize, a_init: float,
     mass^2 a^2 M^2(a) precomputed on host, spectral Geff(k) in the
     Poisson solve — see _force_grids). fR0 = 0 is exact GR.
     """
-    factors = jnp.asarray(pm_step_factors(cosmo, a_init, a_final,
-                                          nsteps, spacing=spacing),
+    comps = tuple(jnp.asarray(c).reshape(-1) for c in comps)
+    mom = tuple(jnp.asarray(p).reshape(-1) for p in mom)
+    return _evolve_on_edges(comps, mom, cosmo, ngrid, boxsize,
+                            _a_edges(a_init, a_final, nsteps, spacing),
+                            window, spacing)
+
+
+def _evolve_on_edges(comps, mom, cosmo, ngrid: int, boxsize, edges,
+                     window: str, spacing: str):
+    """pm_evolve body for an explicit edge grid (shared with the
+    checkpointed driver; comps/mom must already be flat buffers)."""
+    nsteps = len(edges) - 1
+    factors = jnp.asarray(_factors_from_edges(cosmo, edges,
+                                              spacing=spacing),
                           dtype=jnp.float32)
-    edges = _a_edges(a_init, a_final, nsteps, spacing)
     if float(getattr(cosmo, "fR0", 0.0)) != 0.0:
         am2 = np.asarray(edges ** 2
                          * np.asarray(cosmo.scalaron_mass2(edges),
@@ -318,10 +346,60 @@ def pm_evolve(comps, mom, cosmo, ngrid: int, boxsize, a_init: float,
     else:
         am2 = np.full(nsteps + 1, np.inf)
     am2 = jnp.asarray(am2, jnp.float32)
-    comps = tuple(jnp.asarray(c).reshape(-1) for c in comps)
-    mom = tuple(jnp.asarray(p).reshape(-1) for p in mom)
     return _pm_scan(comps, mom, factors, am2, ngrid, float(boxsize),
                     float(cosmo.Om0), window)
+
+
+def pm_evolve_checkpointed(comps, mom, cosmo, ngrid: int, boxsize,
+                           a_init: float, a_final: float, nsteps: int,
+                           ckpt_dir, segment_steps: int = 8,
+                           window: str = "cic", spacing: str = "loga"):
+    """Resume-safe pm_evolve: evolve in segments of segment_steps KDK
+    steps, atomically checkpointing (comps, mom) after each segment
+    (core.checkpoint.save_state — the completed-step count travels
+    inside the payload, so a crash mid-save keeps the previous complete
+    state). Rerunning with the same arguments and ckpt_dir resumes from
+    the last completed segment instead of restarting.
+
+    Segment edge grids are exact contiguous slices of the monolithic
+    _a_edges grid and _factors_from_edges is row-local, so the
+    segmented run follows the SAME KDK schedule as pm_evolve — the
+    trajectory matches to f32 roundoff (pinned by
+    tests/test_nbody.py::test_pm_evolve_checkpointed_*). Equal-length
+    segments reuse one compiled scan; only a ragged final segment
+    compiles a second program.
+
+    This is the intra-run resume the reference lacked entirely: its
+    recovery unit was a whole external simulation re-run
+    (/root/reference/src/astrild/particles/ecosmog.py drives ECOSMOG
+    from scratch; SURVEY.md §5 checkpoint/resume row).
+    """
+    from ..core.checkpoint import (checkpoint_exists, restore_state,
+                                   save_state)
+    if segment_steps < 1:
+        raise ValueError("segment_steps must be >= 1")
+    edges = _a_edges(a_init, a_final, nsteps, spacing)
+    comps = tuple(jnp.asarray(c).reshape(-1) for c in comps)
+    mom = tuple(jnp.asarray(p).reshape(-1) for p in mom)
+    done = 0
+    if checkpoint_exists(ckpt_dir):
+        (comps, mom), step = restore_state(ckpt_dir, (comps, mom),
+                                           with_step=True)
+        done = 0 if step is None else int(step)
+        if done > nsteps:
+            raise ValueError(
+                f"checkpoint at {ckpt_dir} records {done} completed "
+                f"steps but this schedule has only {nsteps} — the "
+                "checkpoint belongs to a different run; point ckpt_dir "
+                "somewhere fresh")
+    while done < nsteps:
+        k = min(segment_steps, nsteps - done)
+        comps, mom = _evolve_on_edges(comps, mom, cosmo, ngrid, boxsize,
+                                      edges[done:done + k + 1], window,
+                                      spacing)
+        done += k
+        save_state(ckpt_dir, (comps, mom), step=done)
+    return comps, mom
 
 
 def pm_lightcone_planes(key, cosmo, pk_fn: Callable, ngrid_part: int,
@@ -330,7 +408,8 @@ def pm_lightcone_planes(key, cosmo, pk_fn: Callable, ngrid_part: int,
                         nsteps_init: int = 8, steps_per_plane: int = 2,
                         ngrid_force: int | None = None, order: int = 2,
                         window: str = "cic", los: int = 2,
-                        observer_xy=None, randomize_key=None):
+                        observer_xy=None, randomize_key=None,
+                        ckpt_dir=None, ckpt_every: int = 1):
     """Full lensing forward model: linear P(k) -> evolving PM snapshot
     -> lightcone density-contrast planes, each painted from the
     snapshot evolved to that plane's OWN redshift.
@@ -360,6 +439,13 @@ def pm_lightcone_planes(key, cosmo, pk_fn: Callable, ngrid_part: int,
     REPETITION (planes within one box depth keep their relative
     geometry, so intra-box structure stays contiguous) — the standard
     single-box decorrelation (e.g. Petri+16 lenstools pipelines).
+
+    ckpt_dir: optional checkpoint directory. The per-plane loop saves
+    (comps, mom, planes-so-far) every ckpt_every completed planes
+    (atomic, step inside the payload — core.checkpoint.save_state);
+    rerunning the SAME call resumes at the first unfinished plane. The
+    plane stack lives in a preallocated (nplanes, npix, npix) buffer so
+    the restore template is shape-static.
 
     Returns (delta (nplanes, npix, npix), chis (nplanes,), dchi):
     planes ordered near -> far, chi_i = (i + 0.5) * dchi,
@@ -391,11 +477,27 @@ def pm_lightcone_planes(key, cosmo, pk_fn: Callable, ngrid_part: int,
         shifts = np.zeros((n_groups, 2))
     comps, mom = lpt_catalog(key, ngrid_part, boxsize, pk_fn, cosmo,
                              z_init, order=order)
-    # far -> near: scale factors ascending
+    # far -> near: scale factors ascending; planes_buf[j] holds plane j
+    # of that ordering (reversed to near -> far at return)
     a_targets = 1.0 / (1.0 + z_planes[::-1])
-    a_now = 1.0 / (1.0 + z_init)
-    planes = []
-    for j, (a_t, chi_c) in enumerate(zip(a_targets, chis[::-1])):
+    planes_buf = jnp.zeros((nplanes, npix, npix), jnp.float32)
+    j_start = 0
+    if ckpt_dir is not None:
+        from ..core.checkpoint import (checkpoint_exists, restore_state,
+                                       save_state)
+        if checkpoint_exists(ckpt_dir):
+            (comps, mom, planes_buf), step = restore_state(
+                ckpt_dir, (comps, mom, planes_buf), with_step=True)
+            j_start = 0 if step is None else int(step)
+            if j_start > nplanes:
+                raise ValueError(
+                    f"checkpoint at {ckpt_dir} records {j_start} planes "
+                    f"but this lightcone has {nplanes} — stale "
+                    "checkpoint; point ckpt_dir somewhere fresh")
+    a_now = (1.0 / (1.0 + z_init) if j_start == 0
+             else float(a_targets[j_start - 1]))
+    for j in range(j_start, nplanes):
+        a_t, chi_c = a_targets[j], chis[::-1][j]
         nst = nsteps_init if j == 0 else steps_per_plane
         comps, mom = pm_evolve(comps, mom, cosmo, ngrid_force, boxsize,
                                a_now, float(a_t), nst, window=window)
@@ -406,8 +508,11 @@ def pm_lightcone_planes(key, cosmo, pk_fn: Callable, ngrid_part: int,
         d, _ = density_planes_from_particles(
             comps, boxsize, float(chi_c), dchi, 1, fov, npix, los=los,
             observer_xy=oxy)
-        planes.append(d[0])
-    delta = jnp.stack(planes[::-1])  # reorder near -> far
+        planes_buf = planes_buf.at[j].set(d[0])
+        if ckpt_dir is not None and (
+                (j + 1 - j_start) % ckpt_every == 0 or j + 1 == nplanes):
+            save_state(ckpt_dir, (comps, mom, planes_buf), step=j + 1)
+    delta = planes_buf[::-1]  # reorder near -> far
     return delta, jnp.asarray(chis, jnp.float32), dchi
 
 

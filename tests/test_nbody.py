@@ -387,3 +387,90 @@ def test_pm_catalog_end_to_end_nonlinear():
     assert np.all(np.isfinite(np.asarray(vel[0])))
     g = paint(comps, 32, 100.0, window="cic")
     assert float(jnp.std(g / jnp.mean(g))) > 0.5  # visibly nonlinear
+
+
+def test_pm_evolve_checkpointed_matches_and_resumes(tmp_path, monkeypatch):
+    # Segmented evolution follows the exact monolithic KDK schedule
+    # (edge-slice factor locality), and a crash between segments resumes
+    # from the last atomic checkpoint instead of restarting.
+    from astrild_tpu.core import checkpoint as ckpt
+    cosmo = Cosmology(Om0=0.3, h=0.7)
+    n, box = 16, 100.0
+    key = jax.random.PRNGKey(11)
+    comps, mom = nbody.lpt_catalog(key, n, box, _pk_flat(40.0), cosmo,
+                                   5.0, order=2)
+    a0, a1 = 1.0 / 6.0, 1.0
+    ref_c, ref_m = nbody.pm_evolve(comps, mom, cosmo, n, box, a0, a1,
+                                   nsteps=6)
+
+    # clean segmented run == monolithic
+    d1 = tmp_path / "ck1"
+    out_c, out_m = nbody.pm_evolve_checkpointed(
+        comps, mom, cosmo, n, box, a0, a1, 6, d1, segment_steps=2)
+    for r, o in zip(ref_c, out_c):
+        d = np.abs(np.asarray(r) - np.asarray(o))
+        d = np.minimum(d, box - d)  # periodic wrap
+        assert d.max() < 1e-3, d.max()
+    for r, o in zip(ref_m, out_m):
+        scale = float(jnp.abs(r).max())
+        assert float(jnp.abs(r - o).max()) < 1e-4 * scale
+
+    # crash after the first segment's save -> rerun resumes at step 2
+    d2 = tmp_path / "ck2"
+    real_save = ckpt.save_state
+    calls = {"n": 0}
+
+    def crashy(path, state, step=None):
+        real_save(path, state, step=step)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash")
+
+    monkeypatch.setattr(ckpt, "save_state", crashy)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        nbody.pm_evolve_checkpointed(comps, mom, cosmo, n, box, a0, a1,
+                                     6, d2, segment_steps=2)
+    monkeypatch.setattr(ckpt, "save_state", real_save)
+    _, step = ckpt.restore_state(d2, (comps, mom), with_step=True)
+    assert step == 2
+    res_c, _ = nbody.pm_evolve_checkpointed(
+        comps, mom, cosmo, n, box, a0, a1, 6, d2, segment_steps=2)
+    for r, o in zip(ref_c, res_c):
+        d = np.abs(np.asarray(r) - np.asarray(o))
+        d = np.minimum(d, box - d)
+        assert d.max() < 1e-3, d.max()
+    # stale checkpoint from a different schedule is refused
+    with pytest.raises(ValueError, match="different run"):
+        nbody.pm_evolve_checkpointed(comps, mom, cosmo, n, box, a0, a1,
+                                     4, d2, segment_steps=2)
+
+
+def test_pm_lightcone_planes_checkpoint_resume(tmp_path, monkeypatch):
+    from astrild_tpu.core import checkpoint as ckpt
+    cosmo = Cosmology(Om0=0.3, h=0.7)
+    pk = _pk_flat(100.0)
+    args = (jax.random.PRNGKey(0), cosmo, pk, 16, 200.0, 0.05, 32, 6)
+    kw = dict(z_source=0.4, z_init=9.0, nsteps_init=4, steps_per_plane=1)
+    ref, chis_ref, dchi_ref = nbody.pm_lightcone_planes(*args, **kw)
+
+    d = tmp_path / "lc"
+    real_save = ckpt.save_state
+    calls = {"n": 0}
+
+    def crashy(path, state, step=None):
+        real_save(path, state, step=step)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash")
+
+    monkeypatch.setattr(ckpt, "save_state", crashy)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        nbody.pm_lightcone_planes(*args, ckpt_dir=d, **kw)
+    monkeypatch.setattr(ckpt, "save_state", real_save)
+    delta, chis, dchi = nbody.pm_lightcone_planes(*args, ckpt_dir=d, **kw)
+    assert float(jnp.abs(delta - ref).max()) < 1e-4
+    assert np.allclose(np.asarray(chis), np.asarray(chis_ref))
+    assert dchi == dchi_ref
+    # completed checkpoint short-circuits a rerun to the stored stack
+    delta2, _, _ = nbody.pm_lightcone_planes(*args, ckpt_dir=d, **kw)
+    assert float(jnp.abs(delta2 - delta).max()) == 0.0
