@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from ..utils.cosmology import Cosmology
 
-__all__ = ["eh98_transfer", "linear_power", "sigma_r", "normalization",
+__all__ = ["eh98_transfer", "eh98_transfer_nowiggle", "linear_power",
+           "linear_power_nowiggle", "sigma_r", "normalization",
            "p_dpdp", "kaiser_multipoles"]
 
 
@@ -97,6 +98,35 @@ def eh98_transfer(k_hmpc, cosmo: Cosmology):
     return fb * t_b + fc * t_c
 
 
+def eh98_transfer_nowiggle(k_hmpc, cosmo: Cosmology):
+    """EH98 zero-baryon ("no-wiggle") transfer function (EH98 sec. 4.2).
+
+    The smooth shape-matched companion of eh98_transfer: same broadband
+    (baryon suppression through the effective shape parameter
+    Gamma_eff, eq. 30-31) but no acoustic oscillations and no Silk
+    detail — the denominator of the BAO wiggle ratio O(k) used by
+    ops.bao's acoustic-scale template fits.
+    """
+    h = cosmo.h
+    k_hmpc = jnp.asarray(k_hmpc)
+    om = cosmo.Om0 * h ** 2
+    ob = cosmo.Ob0 * h ** 2
+    fb = ob / om
+    theta = cosmo.Tcmb / 2.7
+    # sound horizon, EH98 eq. 26 approximation [Mpc]
+    s = 44.5 * jnp.log(9.83 / om) / jnp.sqrt(1.0 + 10.0 * ob ** 0.75)
+    # effective shape parameter, eq. 30-31
+    a_gamma = (1.0 - 0.328 * jnp.log(431.0 * om) * fb
+               + 0.38 * jnp.log(22.3 * om) * fb ** 2)
+    ks = k_hmpc * h * s  # k [1/Mpc] * s [Mpc]
+    gamma_eff = cosmo.Om0 * h * (a_gamma + (1.0 - a_gamma)
+                                 / (1.0 + (0.43 * ks) ** 4))
+    q = k_hmpc * theta ** 2 / gamma_eff  # eq. 28
+    l0 = jnp.log(2.0 * jnp.e + 1.8 * q)
+    c0 = 14.2 + 731.0 / (1.0 + 62.5 * q)
+    return l0 / (l0 + c0 * q ** 2)
+
+
 def _unnormalized_power(k, cosmo: Cosmology):
     t = eh98_transfer(k, cosmo)
     return jnp.asarray(k) ** cosmo.ns * t ** 2
@@ -135,6 +165,22 @@ def linear_power(k_hmpc, cosmo: Cosmology, z=0.0, amplitude=None):
         amplitude = normalization(cosmo)
     d = cosmo.growth_factor(z)
     return amplitude * _unnormalized_power(k_hmpc, cosmo) * d ** 2
+
+
+def linear_power_nowiggle(k_hmpc, cosmo: Cosmology, z=0.0, amplitude=None):
+    """Smooth (no-wiggle) linear P(k, z) [(Mpc/h)^3].
+
+    Normalized with the SAME sigma8 amplitude as linear_power (computed
+    from the full wiggly spectrum), so linear_power/linear_power_nowiggle
+    is the pure acoustic oscillation pattern O(k) riding on a broadband
+    ratio ~= 1.
+    """
+    if amplitude is None:
+        amplitude = normalization(cosmo)
+    d = cosmo.growth_factor(z)
+    t = eh98_transfer_nowiggle(k_hmpc, cosmo)
+    return (amplitude * jnp.asarray(k_hmpc) ** cosmo.ns * t ** 2
+            * d ** 2)
 
 
 def kaiser_multipoles(k_hmpc, cosmo: Cosmology, z=0.0, bias: float = 1.0,
