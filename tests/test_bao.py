@@ -163,3 +163,64 @@ def test_grf_end_to_end_alpha_unity():
                              np.asarray(res2.power), COSMO,
                              sigma_nl=1e-3, kmin=0.02, kmax=0.30)
     assert abs(fit2.alpha - 1.04) < 7e-3, fit2.alpha
+
+
+def _aniso_multipoles_trapz(k, cosmo, apar, aperp, beta=0.4,
+                            spar=10.0, sperp=6.0, nmu=2001):
+    """Independent truth: AP-dilated Kaiser-damped template multipoles
+    by dense trapezoid mu integration (the module uses Gauss-Legendre
+    and table interpolation — different quadrature, different code
+    path)."""
+    mu = np.linspace(0.0, 1.0, nmu)
+    f = apar / aperp
+    fac = np.sqrt(1.0 + mu ** 2 * (1.0 / f ** 2 - 1.0))
+    kp = k[:, None] / aperp * fac[None, :]
+    mup2 = (mu ** 2 / f ** 2) / (1.0 + mu ** 2 * (1.0 / f ** 2 - 1.0))
+    o = bao.wiggle_ratio(kp.ravel(), cosmo).reshape(kp.shape)
+    pnw = np.asarray(LP.linear_power_nowiggle(
+        kp.ravel().astype(np.float64), cosmo), np.float64
+    ).reshape(kp.shape)
+    damp = np.exp(-0.5 * kp ** 2 * (mup2 * spar ** 2
+                                    + (1 - mup2) * sperp ** 2)[None, :])
+    pkmu = (1.0 + beta * mup2[None, :]) ** 2 * pnw \
+        * (1.0 + (o - 1.0) * damp)
+    p0 = np.trapezoid(pkmu, mu, axis=1)
+    leg2 = 0.5 * (3 * mu ** 2 - 1)
+    p2 = 5.0 * np.trapezoid(pkmu * leg2[None, :], mu, axis=1)
+    return np.stack([p0, p2])
+
+
+def test_aniso_noise_free_recovery():
+    k = np.linspace(0.02, 0.3, 56)
+    truth = 1.6 * _aniso_multipoles_trapz(k, COSMO, 1.05, 0.97)
+    truth[0] += 200.0 / k
+    truth[1] += -30.0
+    fit = bao.fit_bao_scale_aniso(k, truth, COSMO, beta=0.4)
+    assert abs(fit.alpha_par - 1.05) < 3e-3, fit.alpha_par
+    assert abs(fit.alpha_perp - 0.97) < 3e-3, fit.alpha_perp
+    assert abs(fit.bias2 - 1.6) < 0.05
+    # model reproduces the data it was fit to
+    kfmask = (k >= 0.02) & (k <= 0.3)
+    npt.assert_allclose(fit.model, truth[:, kfmask], rtol=2e-2)
+
+
+def test_aniso_isotropic_limit():
+    k = np.linspace(0.02, 0.3, 56)
+    truth = _aniso_multipoles_trapz(k, COSMO, 1.03, 1.03)
+    fit = bao.fit_bao_scale_aniso(k, truth, COSMO, beta=0.4)
+    assert abs(fit.alpha_par - 1.03) < 4e-3
+    assert abs(fit.alpha_perp - 1.03) < 4e-3
+
+
+def test_aniso_validation():
+    k = np.linspace(0.02, 0.3, 30)
+    p = np.ones((2, 30))
+    with pytest.raises(ValueError, match="shape"):
+        bao.fit_bao_scale_aniso(k, p[:1], COSMO)
+    with pytest.raises(ValueError, match="grid edge"):
+        truth = _aniso_multipoles_trapz(
+            np.linspace(0.02, 0.3, 56), COSMO, 1.25, 1.0, spar=4.0,
+            sperp=4.0)
+        bao.fit_bao_scale_aniso(np.linspace(0.02, 0.3, 56), truth,
+                                COSMO, beta=0.4, sigma_par=4.0,
+                                sigma_perp=4.0)
