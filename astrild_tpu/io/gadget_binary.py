@@ -16,7 +16,8 @@ from typing import Dict, Optional, Sequence, Tuple
 import numpy as np
 
 __all__ = ["gadget_header_dtype", "detect_format", "read_gadget",
-           "write_gadget", "select_box"]
+           "write_gadget", "select_box", "box_overlap",
+           "box_fully_contained", "combine_gadget", "read_gadget_multi"]
 
 
 def gadget_header_dtype():
@@ -163,3 +164,56 @@ def select_box(pos, region, boxsize: float, extra=None):
     if extra is not None:
         out += [np.asarray(e)[keep] for e in extra]
     return out if extra is not None else out[0]
+
+
+def box_overlap(box_a, box_b) -> bool:
+    """True when two (6,) [x0,x1,y0,y1,z0,z1] boxes intersect
+    (gadget.py boxOverlap)."""
+    a = np.asarray(box_a, np.float64)
+    b = np.asarray(box_b, np.float64)
+    return bool(np.all((a[::2] <= b[1::2]) & (b[::2] <= a[1::2])))
+
+
+def box_fully_contained(outer, inner) -> bool:
+    """True when `inner` lies entirely within `outer`
+    (gadget.py boxFullyContained)."""
+    o = np.asarray(outer, np.float64)
+    i = np.asarray(inner, np.float64)
+    return bool(np.all((o[::2] <= i[::2]) & (i[1::2] <= o[1::2])))
+
+
+def combine_gadget(parts: Sequence[Tuple[np.ndarray, Dict[str, np.ndarray]]]):
+    """Concatenate per-file gadget reads into one catalog
+    (gadget.py gadgetCombine).
+
+    parts: sequence of (header, blocks) as returned by read_gadget. The
+    combined header sums npart; pos/vel/ids (and mass, if every part has
+    it) are concatenated in order.
+    """
+    if not parts:
+        raise ValueError("combine_gadget needs at least one part")
+    header = np.asarray(parts[0][0]).copy()
+    header["npart"] = sum(np.asarray(h["npart"]) for h, _ in parts)
+    out: Dict[str, np.ndarray] = {}
+    for key in ("pos", "vel", "ids"):
+        out[key] = np.concatenate([b[key] for _, b in parts])
+    if all("mass" in b for _, b in parts):
+        out["mass"] = np.concatenate([b["mass"] for _, b in parts])
+    return header, out
+
+
+def read_gadget_multi(basepath: str):
+    """Read a multi-file gadget snapshot `base.0, base.1, ...`
+    (gadget.py gadgetMultipleFiles + gadgetCombine). A bare existing
+    file reads single-file."""
+    if os.path.exists(basepath):
+        return read_gadget(basepath)
+    parts = []
+    i = 0
+    while os.path.exists(f"{basepath}.{i}"):
+        parts.append(read_gadget(f"{basepath}.{i}"))
+        i += 1
+    if not parts:
+        raise FileNotFoundError(
+            f"no gadget file at {basepath} or {basepath}.0")
+    return combine_gadget(parts)

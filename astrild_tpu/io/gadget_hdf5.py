@@ -16,7 +16,8 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["GadgetSnapshot", "LENGTH_BLOCKS", "MASS_BLOCKS", "unit_factor"]
+__all__ = ["GadgetSnapshot", "LENGTH_BLOCKS", "MASS_BLOCKS", "unit_factor",
+           "list_snapshot_contents", "list_group_catalog_contents"]
 
 LENGTH_BLOCKS = {
     "GroupCM", "Coordinates", "GroupPos", "Group_R_Crit200",
@@ -204,3 +205,54 @@ class GadgetSnapshot:
             if chunks[name]:
                 self.cat[name] = np.concatenate(chunks[name], axis=0)
         return self.cat
+
+
+def _hdf5_contents(files) -> Dict[str, tuple]:
+    """{group/dataset: (total_shape, dtype)} across a striped file set,
+    concatenating the first axis over files."""
+    import h5py
+
+    out: Dict[str, tuple] = {}
+
+    def visit(name, obj):
+        if not hasattr(obj, "shape"):
+            return
+        if name in out:
+            shape, dt = out[name]
+            out[name] = ((shape[0] + obj.shape[0],) + tuple(obj.shape[1:]),
+                         dt)
+        else:
+            out[name] = (tuple(obj.shape), obj.dtype)
+
+    for fname in files:
+        with h5py.File(fname, "r") as f:
+            f.visititems(visit)
+    return out
+
+
+def list_snapshot_contents(snapnum: int, directory: str, **kw) -> Dict[str, tuple]:
+    """Inventory of a snapshot's HDF5 datasets: {path: (shape, dtype)}.
+
+    Counterpart of read_hdf5.py show_snapshot_contents — but returns the
+    inventory (aggregated over all snapshot files) instead of printing.
+    """
+    snap = GadgetSnapshot(snapnum, directory, **kw)
+    if snap.snapname is None:
+        raise FileNotFoundError(
+            f"no snapshot files at {snap._candidates}")
+    return _hdf5_contents(snap._files(snap.snapname))
+
+
+def list_group_catalog_contents(snapnum: int, directory: str,
+                                dirname: str = "groups_",
+                                filename: str = "fof_subhalo_tab_",
+                                ) -> Dict[str, tuple]:
+    """Inventory of a SubFind group catalog's datasets
+    (read_hdf5.py show_group_catalog_contents, returning not printing)."""
+    snap = GadgetSnapshot(snapnum, directory)
+    s3 = str(snapnum).zfill(3)
+    path = os.path.join(directory, f"{dirname}{s3}", f"{filename}{s3}")
+    files = snap._files(path)
+    if not files:
+        raise FileNotFoundError(f"no group catalog at {path}*")
+    return _hdf5_contents(files)

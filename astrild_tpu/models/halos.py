@@ -367,6 +367,48 @@ class Halos:
         return hod_ops.compact_catalog(cat)
 
     # --------------------------------------------------------------- queries
+    def in_mass_range(self, min_mass: float, max_mass: float,
+                      mass_key: str = "m200c") -> "Halos":
+        """Catalog restricted to min_mass <= M < max_mass
+        (tunnels/halo.py halosInMassRange)."""
+        m = np.asarray(self.data[mass_key])
+        sel = (m >= min_mass) & (m < max_mass)
+        return Halos({k: np.asarray(v)[sel] for k, v in self.data.items()},
+                     self.sim)
+
+    def select_in_box(self, region, boxsize: float,
+                      pos_keys=("x", "y", "z"),
+                      periodic: bool = True) -> "Halos":
+        """Catalog restricted to a sub-box, with periodic wrap when the
+        region extends past [0, boxsize) (tunnels/halo.py
+        selectHalosInBox). Positions in the result are expressed in the
+        region's frame (wrapped copies get shifted coordinates)."""
+        pos = {p: np.asarray(self.data[p], np.float64).copy()
+               for p in pos_keys}
+        keep = np.ones(next(iter(pos.values())).size, bool)
+        for ax, p in enumerate(pos_keys):
+            lo, hi = region[2 * ax], region[2 * ax + 1]
+            x = pos[p]
+            if periodic and (lo < 0 or hi > boxsize):
+                x = (x - lo) % boxsize + lo
+                pos[p] = x
+            keep &= (x >= lo) & (x < hi)
+        out = {}
+        for k, v in self.data.items():
+            v = np.asarray(v)
+            out[k] = (pos[k][keep] if k in pos else v[keep])
+        return Halos(out, self.sim)
+
+    def environment(self, env_grid, box, pos_keys=("x", "y", "z"),
+                    outside_value: int = -1):
+        """Cosmic-web environment tag per halo, sampled from a NEXUS-style
+        grid (tunnels/halo.py haloEnvironment; grid from io.mmf)."""
+        from ..ops.halo_stats import halo_environment
+
+        pos = tuple(np.asarray(self.data[p], np.float32) for p in pos_keys)
+        return np.asarray(halo_environment(pos, env_grid, box,
+                                           outside_value=outside_value))
+
     def nearest_neighbours(self, pos_keys=("x", "y", "z"), k: int = 2):
         """k-NN distances within the catalog (replaces sklearn BallTree,
         halo.py:560-586)."""

@@ -376,3 +376,17 @@ class PowMes:
             columnar_h5.write_table(os.path.join(dir_out, "powmes_pk.h5"),
                                     cols)
         return cols
+
+    @staticmethod
+    def align_lin_nonlin(lin, nonlin, k, band=(1e-2, 1e-1)):
+        """Additive offset aligning a nonlinear P(k) to the linear one at
+        large scales (powmes.py align_lin_nonlin): the linear spectrum's
+        first (largest-scale) value minus the nonlinear band average over
+        k in `band` [h/Mpc]. Add the returned offset to `nonlin`."""
+        lin = np.asarray(lin)
+        nonlin = np.asarray(nonlin)
+        k = np.asarray(k)
+        sel = (band[0] < k) & (k < band[1])
+        if not sel.any():
+            raise ValueError(f"no modes inside the k band {band}")
+        return lin[0] - np.mean(nonlin[sel])

@@ -12,12 +12,14 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "halo_mass_function", "binned_mean", "histogram_density",
     "concentration_mass_rockstar", "concentration_prada",
     "concentration_mass_prada", "theory_hmf", "svdw_multiplicity",
-    "theory_vsf",
+    "theory_vsf", "rho_crit_200", "virial_radius", "virial_velocity",
+    "halo_environment", "point_cloud_shape", "binned_halo_statistics",
 ]
 
 
@@ -278,3 +280,163 @@ def theory_vsf(r_void_hmpc, cosmo, z: float = 0.0, model: str = "vdn",
     # volume-conserving mapping to the expanded (void) radius: number
     # density scales by V_L/V_v = a_v^-3; dlnr_v == dlnR_L
     return dn_dlnr_lag / a_v ** 3
+
+
+# -------------------------------------------------- virial scaling relations
+# Counterparts of the halo-toolbox closed forms the reference keeps next to
+# its Cautun-format catalogs (rays/voids/tunnels/halo.py:
+# compute200RhoCritical, virialRadius, virialVelocity). Units follow the
+# catalogs: M in Msun/h, R in Mpc/h, v in km/s (all h-free combinations).
+
+def rho_crit_200(m200, r200):
+    """Mean overdensity 3M/(4 pi R^3) implied by (M200, R200).
+
+    (halo.py compute200RhoCritical.) Msun/h and Mpc/h in,
+    Msun/h (Mpc/h)^-3 out; equals 200 rho_crit for a consistent catalog.
+    """
+    m200 = jnp.asarray(m200, jnp.float32)
+    r200 = jnp.asarray(r200, jnp.float32)
+    return 3.0 / (4.0 * jnp.pi) * m200 / r200 ** 3
+
+
+def virial_radius(m200, rho_delta=None):
+    """R such that M = (4 pi/3) rho_delta R^3 (halo.py virialRadius).
+
+    rho_delta defaults to 200 rho_crit,0 (computed from this package's
+    RHO_CRIT0 rather than the reference's hardcoded P-Millennium value).
+    """
+    from ..utils.constants import RHO_CRIT0
+
+    if rho_delta is None:
+        rho_delta = 200.0 * RHO_CRIT0
+    m200 = jnp.asarray(m200, jnp.float32)
+    return (m200 / rho_delta / (4.0 * jnp.pi / 3.0)) ** (1.0 / 3.0)
+
+
+def virial_velocity(m200, r200):
+    """Circular velocity sqrt(G M / R) in km/s (halo.py virialVelocity)."""
+    from ..utils.constants import G_NEWTON
+
+    m200 = jnp.asarray(m200, jnp.float32)
+    r200 = jnp.asarray(r200, jnp.float32)
+    return jnp.sqrt(G_NEWTON * m200 / r200)
+
+
+# ------------------------------------------------------- environment tagging
+def halo_environment(pos, env_grid, box, outside_value: int = -1):
+    """Sample a cosmic-web environment grid at halo positions (NGP).
+
+    Counterpart of tunnels/halo.py haloEnvironment: each halo gets the
+    environment tag of the grid cell containing it; halos outside the
+    grid's box get ``outside_value``. Pairs with
+    io.mmf.nexus_combine_environments for NEXUS node/filament/wall/field
+    tags.
+
+    Args:
+      pos: (n, 3) positions, or a tuple of three (n,) component arrays.
+      env_grid: (nx, ny, nz) integer (or float) environment tags.
+      box: 6 floats (x0, x1, y0, y1, z0, z1) — grid bounding box.
+    Returns (n,) tags with env_grid's dtype.
+    """
+    if isinstance(pos, (tuple, list)):
+        px, py, pz = (jnp.asarray(p, jnp.float32) for p in pos)
+    else:
+        pos = jnp.asarray(pos, jnp.float32)
+        px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
+    env = jnp.asarray(env_grid)
+    box = np.asarray(box, np.float64)
+    if box.shape != (6,):
+        raise ValueError("box must be 6 values (x0,x1,y0,y1,z0,z1)")
+    lo = box[::2]
+    dx = (box[1::2] - box[::2]) / np.asarray(env.shape, np.float64)
+    ix = jnp.floor((px - lo[0]) / dx[0]).astype(jnp.int32)
+    iy = jnp.floor((py - lo[1]) / dx[1]).astype(jnp.int32)
+    iz = jnp.floor((pz - lo[2]) / dx[2]).astype(jnp.int32)
+    inside = ((ix >= 0) & (ix < env.shape[0]) & (iy >= 0)
+              & (iy < env.shape[1]) & (iz >= 0) & (iz < env.shape[2]))
+    ix = jnp.clip(ix, 0, env.shape[0] - 1)
+    iy = jnp.clip(iy, 0, env.shape[1] - 1)
+    iz = jnp.clip(iz, 0, env.shape[2] - 1)
+    tags = env[ix, iy, iz]
+    return jnp.where(inside, tags, jnp.asarray(outside_value, env.dtype))
+
+
+# ----------------------------------------------------------- halo/void shape
+def point_cloud_shape(pos, weights=None):
+    """Second-moment (inertia) shape of a point cloud.
+
+    Counterpart of tunnels/halo.py shape_pointCloud: eigendecomposition
+    of the (weighted) second-moment tensor sum(w x_i x_j)/sum(w) about
+    the origin — center the positions first for shapes about the
+    centroid. Uses the symmetric eigensolver (the reference's generic
+    np.linalg.eig on a symmetric matrix).
+
+    Args:
+      pos: (n, 3) positions, or tuple of three (n,) components.
+    Returns:
+      (axis_lengths, axis_vectors): sqrt-eigenvalues in DECREASING order
+      (a >= b >= c) and the matching unit eigenvectors as ROWS.
+      Axis ratios are b/a = lengths[1]/lengths[0] etc.
+    """
+    if isinstance(pos, (tuple, list)):
+        comps = [jnp.asarray(p, jnp.float32) for p in pos]
+    else:
+        pos = jnp.asarray(pos, jnp.float32)
+        comps = [pos[:, 0], pos[:, 1], pos[:, 2]]
+    if weights is None:
+        w = jnp.ones_like(comps[0])
+    else:
+        w = jnp.asarray(weights, jnp.float32)
+    wsum = jnp.maximum(jnp.sum(w), 1e-30)
+    inertia = jnp.stack(
+        [jnp.stack([jnp.sum(w * comps[i] * comps[j]) for j in range(3)])
+         for i in range(3)]) / wsum
+    evals, evecs = jnp.linalg.eigh(inertia)  # ascending
+    order = jnp.argsort(evals)[::-1]
+    lengths = jnp.sqrt(jnp.maximum(evals[order], 0.0))
+    return lengths, evecs[:, order].T
+
+
+# ------------------------------------------------- binned property summaries
+def binned_halo_statistics(mass, props, mass_edges, n_boot: int = 100,
+                           seed: int = 0):
+    """Per-mass-bin summary statistics of halo properties.
+
+    Counterpart of tunnels/halo.py computeStatistics: for each mass bin
+    and each property column, the median with its bootstrap error, the
+    16th/84th percentiles, and the mean with its bootstrap error.
+    Host-side (numpy) like the reference — this is a catalog summary,
+    not a device kernel.
+
+    Args:
+      mass: (n,) masses. props: (n,) or (n, p) property columns.
+      mass_edges: (nbins+1,) bin edges.
+    Returns a dict of (nbins, p) arrays: 'count', 'median',
+    'median_err', 'p16', 'p84', 'mean', 'mean_err' (count is (nbins,)).
+    """
+    mass = np.asarray(mass, np.float64)
+    props = np.asarray(props, np.float64)
+    if props.ndim == 1:
+        props = props[:, None]
+    edges = np.asarray(mass_edges, np.float64)
+    nbins, p = edges.size - 1, props.shape[1]
+    rng = np.random.default_rng(seed)
+    out = {k: np.full((nbins, p), np.nan) for k in
+           ("median", "median_err", "p16", "p84", "mean", "mean_err")}
+    out["count"] = np.zeros(nbins, np.int64)
+    for i in range(nbins):
+        sel = (mass >= edges[i]) & (mass < edges[i + 1])
+        n = int(sel.sum())
+        out["count"][i] = n
+        if n == 0:
+            continue
+        vals = props[sel]
+        out["median"][i] = np.median(vals, axis=0)
+        out["p16"][i] = np.percentile(vals, 16.0, axis=0)
+        out["p84"][i] = np.percentile(vals, 84.0, axis=0)
+        out["mean"][i] = np.mean(vals, axis=0)
+        idx = rng.integers(0, n, size=(n_boot, n))
+        boot = vals[idx]                      # (n_boot, n, p)
+        out["median_err"][i] = np.std(np.median(boot, axis=1), axis=0)
+        out["mean_err"][i] = np.std(np.mean(boot, axis=1), axis=0)
+    return out

@@ -15,7 +15,9 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["pdf_1d", "cumulative", "bootstrap_statistic", "percentiles",
-           "least_squares_fit", "pca"]
+           "least_squares_fit", "pca", "covariance_from_realizations",
+           "nonlinear_least_squares", "contour_value",
+           "direction_correlation", "point_density_2d"]
 
 
 def pdf_1d(values, nbins: int, vrange=None, density: bool = True):
@@ -101,3 +103,140 @@ def covariance_from_realizations(samples, correlation: bool = False):
         s = jnp.sqrt(jnp.diag(cov))
         cov = cov / jnp.outer(s, s)
     return cov
+
+
+def nonlinear_least_squares(fn, x, y, p0, n_steps: int = 100,
+                            rel_tol: float = 1e-8, damping: float = 1e-3):
+    """Nonlinear least squares by Levenberg-Marquardt with AD Jacobians.
+
+    Counterpart of the reference's Gauss-Newton LeastSquare_nonlinearFit
+    (tunnels/analysis.py:637-667), which required the caller to supply
+    one derivative function per parameter — here the Jacobian comes from
+    jax.jacfwd, and a Levenberg damping term keeps poor initial guesses
+    from diverging (the reference's plain normal-equation step does).
+
+    Args:
+      fn: model, fn(x, params) -> (n,) predictions (JAX-traceable).
+      p0: initial parameter guess (p,).
+    Returns (params, sum_sq_residual, converged).
+    """
+    x = jnp.asarray(x)
+    y_np = np.asarray(y, np.float64)
+    params = np.asarray(p0, np.float64).copy()
+
+    jac = jax.jit(jax.jacfwd(lambda p: fn(x, p)))
+    model = jax.jit(lambda p: fn(x, p))
+
+    def ssq(p):
+        return float(np.sum((y_np - np.asarray(model(jnp.asarray(
+            p, jnp.float32)), np.float64)) ** 2))
+
+    lam = float(damping)
+    best = ssq(params)
+    converged = False
+    for _ in range(n_steps):
+        p32 = jnp.asarray(params, jnp.float32)
+        r = y_np - np.asarray(model(p32), np.float64)
+        J = np.asarray(jac(p32), np.float64)
+        JtJ = J.T @ J
+        g = J.T @ r
+        step_ok = False
+        for _try in range(8):
+            A = JtJ + lam * np.diag(np.maximum(np.diag(JtJ), 1e-12))
+            try:
+                dp = np.linalg.solve(A, g)
+            except np.linalg.LinAlgError:
+                lam *= 10.0
+                continue
+            new = ssq(params + dp)
+            if new <= best:
+                params = params + dp
+                best = new
+                lam = max(lam * 0.3, 1e-12)
+                step_ok = True
+                break
+            lam *= 10.0
+        if not step_ok:
+            break
+        denom = np.maximum(np.abs(params), 1e-30)
+        if np.max(np.abs(dp) / denom) < rel_tol:
+            converged = True
+            break
+    return params, best, converged
+
+
+def contour_value(data, enclosed_fractions):
+    """Iso-value thresholds enclosing a given fraction of the total mass.
+
+    Counterpart of tunnels/analysis.py FindContourValue, computed
+    EXACTLY (sort + cumulative sum) instead of through the reference's
+    1000-bin histogram approximation: returns, for each fraction f, the
+    largest value t such that sum(data[data >= t]) >= f * sum(data).
+    Used to draw contours enclosing f of the probability mass of a 2D
+    density map.
+    """
+    flat = np.asarray(data, np.float64).ravel()
+    if (flat < 0).any():
+        raise ValueError("contour_value needs a non-negative density map")
+    order = np.argsort(flat)[::-1]
+    sorted_vals = flat[order]
+    cum = np.cumsum(sorted_vals)
+    total = cum[-1]
+    if total <= 0:
+        raise ValueError("contour_value: map has zero total mass")
+    fr = np.atleast_1d(np.asarray(enclosed_fractions, np.float64))
+    idx = np.searchsorted(cum / total, fr, side="left")
+    idx = np.minimum(idx, flat.size - 1)
+    return sorted_vals[idx]
+
+
+def direction_correlation(cos_theta, nbins: int = 10, n_random: int = 1000,
+                          seed: int = 0):
+    """Alignment statistic: |cos theta| histogram vs the isotropic MC.
+
+    Counterpart of tunnels/analysis.py dataCorrelation_direction +
+    randomCorrelation_direction: histogram the measured |cos| of the
+    angle between object orientations (e.g. halo shape axis vs void
+    direction) over [0, 1], and compare with the Monte-Carlo mean/std of
+    the same-size isotropic sample (|cos| uniform on [0, 1] for random
+    3D directions).
+
+    Returns (hist, random_mean, random_std), each (nbins,).
+    """
+    c = np.abs(np.asarray(cos_theta, np.float64))
+    hist, _ = np.histogram(c, bins=nbins, range=(0.0, 1.0))
+    rng = np.random.default_rng(seed)
+    rand = rng.uniform(0.0, 1.0, size=(n_random, c.size))
+    edges = np.linspace(0.0, 1.0, nbins + 1)
+    rhists = np.stack([np.histogram(row, bins=edges)[0] for row in rand])
+    return hist, rhists.mean(axis=0), rhists.std(axis=0)
+
+
+def point_density_2d(x, y, nbins=(10, 10), x_range=None, y_range=None,
+                     log_bins: bool = False):
+    """2D point density with linear or logarithmic bins.
+
+    Counterpart of tunnels/analysis.py PointDistribution (whose body was
+    scipy.weave-dead C). Returns (x_centers, y_centers, density) with
+    density = counts / (N * bin_area) so it integrates to 1.
+    """
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    if x_range is None:
+        x_range = (x.min(), x.max())
+    if y_range is None:
+        y_range = (y.min(), y.max())
+    if log_bins:
+        if min(x_range[0], y_range[0]) <= 0:
+            raise ValueError("log bins need positive ranges")
+        xe = np.logspace(np.log10(x_range[0]), np.log10(x_range[1]),
+                         nbins[0] + 1)
+        ye = np.logspace(np.log10(y_range[0]), np.log10(y_range[1]),
+                         nbins[1] + 1)
+    else:
+        xe = np.linspace(*x_range, nbins[0] + 1)
+        ye = np.linspace(*y_range, nbins[1] + 1)
+    counts, _, _ = np.histogram2d(x, y, bins=(xe, ye))
+    area = np.outer(np.diff(xe), np.diff(ye))
+    dens = counts / max(x.size, 1) / area
+    return 0.5 * (xe[1:] + xe[:-1]), 0.5 * (ye[1:] + ye[:-1]), dens

@@ -197,6 +197,25 @@ class Cosmology:
         )
         return jnp.interp(z, zt, cum) * hubble_time_gyr
 
+    def age(self, z=0.0):
+        """Cosmic time (age of the universe) at redshift z, in Gyr.
+
+        Counterpart of the reference's snapshot `cosmic_time` helper
+        (read_hdf5.py), which deferred to astropy. Computed as the
+        lookback integral over the background table plus the
+        matter-dominated closed form beyond the table's z_max = 40
+        (t = 2/(3 H sqrt(Om) (1+z)^{3/2}), sub-0.1% there for any
+        radiation-free (w0, wa) background this class supports).
+        """
+        z = jnp.asarray(z)
+        zmax = self._z_tab[-1]
+        hubble_time_gyr = 3.085677581491367e19 / (H0_HUNITS * self.h) / (
+            3.15576e16
+        )
+        t_tail = (2.0 / 3.0) / jnp.sqrt(self.Om0) * (1.0 + zmax) ** -1.5 \
+            * hubble_time_gyr
+        return self.lookback_time(zmax) - self.lookback_time(z) + t_tail
+
     # --------------------------------------------------------------- growth
     def mu(self, a):
         """MG growth-source enhancement: G_eff/G - 1 at scale factor a."""
