@@ -31,8 +31,8 @@ from typing import Callable, Optional
 import jax
 import numpy as np
 
-__all__ = ["save_state", "restore_state", "CheckpointedAccumulator",
-           "have_orbax"]
+__all__ = ["save_state", "restore_state", "bind_schedule",
+           "CheckpointedAccumulator", "have_orbax"]
 
 
 def have_orbax() -> bool:
@@ -150,6 +150,44 @@ def restore_state(path, template, with_step: bool = False):
     if with_step:
         return state, step
     return state
+
+
+def bind_schedule(path, schedule: dict) -> None:
+    """Pin a run's schedule to its checkpoint directory.
+
+    A checkpointed step count is only meaningful against the schedule
+    that produced it: resuming a state evolved to edges_A[k] on
+    edges_B[k] of a DIFFERENT schedule is a physically wrong trajectory
+    with no error. Callers describe their schedule as a JSON-able dict;
+    the first call writes it to `schedule.json`, and every later call
+    raises ValueError if the stored schedule differs. Written before the
+    first state save, so any resumable checkpoint carries its schedule.
+    Checkpoints from before this mechanism (no schedule.json but state
+    present) adopt the caller's schedule — same trust level as before.
+    """
+    p = _as_path(path)
+    sp = p / "schedule.json"
+    # normalize through a JSON round trip so float repr / tuple-vs-list
+    # differences don't cause false mismatches
+    norm = json.loads(json.dumps(schedule))
+    if sp.exists():
+        with open(sp) as fh:
+            stored = json.load(fh)
+        if stored != norm:
+            diff = {k: (stored.get(k), norm.get(k))
+                    for k in set(stored) | set(norm)
+                    if stored.get(k) != norm.get(k)}
+            raise ValueError(
+                f"checkpoint at {p} was written under a different "
+                f"schedule — resuming it on this one would follow a "
+                f"wrong trajectory. Mismatched fields "
+                f"(stored, requested): {diff}. Point ckpt_dir somewhere "
+                "fresh or rerun with the original arguments.")
+        return
+    tmp = p / "schedule.tmp.json"
+    with open(tmp, "w") as fh:
+        json.dump(norm, fh)
+    os.replace(tmp, sp)
 
 
 def checkpoint_exists(path) -> bool:

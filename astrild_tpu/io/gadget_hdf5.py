@@ -219,6 +219,9 @@ def _hdf5_contents(files) -> Dict[str, tuple]:
             return
         if name in out:
             shape, dt = out[name]
+            if len(shape) == 0 or len(obj.shape) == 0:
+                # scalar datasets don't concatenate; keep the first
+                return
             out[name] = ((shape[0] + obj.shape[0],) + tuple(obj.shape[1:]),
                          dt)
         else:

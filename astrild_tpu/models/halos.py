@@ -369,10 +369,11 @@ class Halos:
     # --------------------------------------------------------------- queries
     def in_mass_range(self, min_mass: float, max_mass: float,
                       mass_key: str = "m200c") -> "Halos":
-        """Catalog restricted to min_mass <= M < max_mass
-        (tunnels/halo.py halosInMassRange)."""
+        """Catalog restricted to min_mass <= M <= max_mass — closed
+        interval, matching tunnels/halo.py halosInMassRange (so
+        in_mass_range(m.min(), m.max()) keeps the full catalog)."""
         m = np.asarray(self.data[mass_key])
-        sel = (m >= min_mass) & (m < max_mass)
+        sel = (m >= min_mass) & (m <= max_mass)
         return Halos({k: np.asarray(v)[sel] for k, v in self.data.items()},
                      self.sim)
 

@@ -383,8 +383,7 @@ def fit_bao_scale_aniso(k_hmpc, p_ells, cosmo: Cosmology, *,
         a_par = float(apars[i] + step[0])
         a_perp = float(aperps[j] + step[1])
         cov_a = 2.0 * np.linalg.inv(hess)  # delta-chi2 = 1 ellipse
-    chi2_b, b2, bb, _ = solve(a_par, a_perp)
-    t = template_ells(a_par, a_perp)
+    chi2_b, b2, bb, t = solve(a_par, a_perp)
     model = (b2 * t + (polys @ bb if polys.shape[1] else 0.0)
              ).reshape(nell, nk)
     err_par = float(np.sqrt(cov_a[0, 0]))

@@ -350,6 +350,15 @@ def _evolve_on_edges(comps, mom, cosmo, ngrid: int, boxsize, edges,
                     float(cosmo.Om0), window)
 
 
+def _key_fingerprint(key):
+    """JSON-able identity of a PRNG key (typed keys and raw uint32)."""
+    try:
+        data = jax.random.key_data(key)
+    except Exception:
+        data = key
+    return np.asarray(data).ravel().tolist()
+
+
 def pm_evolve_checkpointed(comps, mom, cosmo, ngrid: int, boxsize,
                            a_init: float, a_final: float, nsteps: int,
                            ckpt_dir, segment_steps: int = 8,
@@ -374,13 +383,19 @@ def pm_evolve_checkpointed(comps, mom, cosmo, ngrid: int, boxsize,
     (/root/reference/src/astrild/particles/ecosmog.py drives ECOSMOG
     from scratch; SURVEY.md §5 checkpoint/resume row).
     """
-    from ..core.checkpoint import (checkpoint_exists, restore_state,
-                                   save_state)
+    from ..core.checkpoint import (bind_schedule, checkpoint_exists,
+                                   restore_state, save_state)
     if segment_steps < 1:
         raise ValueError("segment_steps must be >= 1")
     edges = _a_edges(a_init, a_final, nsteps, spacing)
     comps = tuple(jnp.asarray(c).reshape(-1) for c in comps)
     mom = tuple(jnp.asarray(p).reshape(-1) for p in mom)
+    bind_schedule(ckpt_dir, {
+        "kind": "pm_evolve", "a_init": float(a_init),
+        "a_final": float(a_final), "nsteps": int(nsteps),
+        "spacing": spacing, "ngrid": int(ngrid),
+        "boxsize": float(boxsize), "window": window,
+        "npart": int(comps[0].size)})
     done = 0
     if checkpoint_exists(ckpt_dir):
         (comps, mom), step = restore_state(ckpt_dir, (comps, mom),
@@ -475,25 +490,46 @@ def pm_lightcone_planes(key, cosmo, pk_fn: Callable, ngrid_part: int,
             randomize_key, (n_groups, 2), minval=0.0, maxval=boxsize))
     else:
         shifts = np.zeros((n_groups, 2))
-    comps, mom = lpt_catalog(key, ngrid_part, boxsize, pk_fn, cosmo,
-                             z_init, order=order)
     # far -> near: scale factors ascending; planes_buf[j] holds plane j
     # of that ordering (reversed to near -> far at return)
     a_targets = 1.0 / (1.0 + z_planes[::-1])
     planes_buf = jnp.zeros((nplanes, npix, npix), jnp.float32)
     j_start = 0
+    resume = False
     if ckpt_dir is not None:
-        from ..core.checkpoint import (checkpoint_exists, restore_state,
-                                       save_state)
-        if checkpoint_exists(ckpt_dir):
-            (comps, mom, planes_buf), step = restore_state(
-                ckpt_dir, (comps, mom, planes_buf), with_step=True)
-            j_start = 0 if step is None else int(step)
-            if j_start > nplanes:
-                raise ValueError(
-                    f"checkpoint at {ckpt_dir} records {j_start} planes "
-                    f"but this lightcone has {nplanes} — stale "
-                    "checkpoint; point ckpt_dir somewhere fresh")
+        from ..core.checkpoint import (bind_schedule, checkpoint_exists,
+                                       restore_state, save_state)
+        bind_schedule(ckpt_dir, {
+            "kind": "pm_lightcone", "key": _key_fingerprint(key),
+            "ngrid_part": int(ngrid_part), "boxsize": float(boxsize),
+            "fov": float(fov), "npix": int(npix),
+            "nplanes": int(nplanes), "z_source": float(z_source),
+            "z_init": float(z_init), "nsteps_init": int(nsteps_init),
+            "steps_per_plane": int(steps_per_plane),
+            "ngrid_force": int(ngrid_force), "order": int(order),
+            "window": window, "los": int(los),
+            "observer_xy": [float(observer_xy[0]),
+                            float(observer_xy[1])],
+            "randomize": (None if randomize_key is None
+                          else _key_fingerprint(randomize_key))})
+        resume = checkpoint_exists(ckpt_dir)
+    if resume:
+        # the checkpoint carries the full evolved state — skip the 2LPT
+        # IC generation entirely (dominant startup cost at production
+        # ngrid_part); the restore template only needs shapes/dtypes
+        npart = int(ngrid_part) ** 3
+        zc = tuple(jnp.zeros((npart,), jnp.float32) for _ in range(3))
+        (comps, mom, planes_buf), step = restore_state(
+            ckpt_dir, (zc, zc, planes_buf), with_step=True)
+        j_start = 0 if step is None else int(step)
+        if j_start > nplanes:
+            raise ValueError(
+                f"checkpoint at {ckpt_dir} records {j_start} planes "
+                f"but this lightcone has {nplanes} — stale "
+                "checkpoint; point ckpt_dir somewhere fresh")
+    else:
+        comps, mom = lpt_catalog(key, ngrid_part, boxsize, pk_fn, cosmo,
+                                 z_init, order=order)
     a_now = (1.0 / (1.0 + z_init) if j_start == 0
              else float(a_targets[j_start - 1]))
     for j in range(j_start, nplanes):

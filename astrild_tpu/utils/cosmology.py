@@ -212,9 +212,14 @@ class Cosmology:
         hubble_time_gyr = 3.085677581491367e19 / (H0_HUNITS * self.h) / (
             3.15576e16
         )
+        t_md = ((2.0 / 3.0) / jnp.sqrt(self.Om0) * hubble_time_gyr
+                * (1.0 + z) ** -1.5)
         t_tail = (2.0 / 3.0) / jnp.sqrt(self.Om0) * (1.0 + zmax) ** -1.5 \
             * hubble_time_gyr
-        return self.lookback_time(zmax) - self.lookback_time(z) + t_tail
+        t_table = self.lookback_time(zmax) - self.lookback_time(z) + t_tail
+        # beyond the table, lookback_time's interp clamps at z_max — use
+        # the matter-dominated closed form AT the queried z instead
+        return jnp.where(z > zmax, t_md, t_table)
 
     # --------------------------------------------------------------- growth
     def mu(self, a):

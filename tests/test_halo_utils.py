@@ -111,7 +111,11 @@ def test_halos_mass_range_and_box_select():
                  "z": rng.uniform(0, 100, n),
                  "m200c": 10.0 ** rng.uniform(12, 15, n)})
     sub = cat.in_mass_range(1e13, 1e14)
-    assert ((sub.data["m200c"] >= 1e13) & (sub.data["m200c"] < 1e14)).all()
+    assert ((sub.data["m200c"] >= 1e13) & (sub.data["m200c"] <= 1e14)).all()
+    # closed interval (reference halosInMassRange): the catalog's own
+    # min/max keep the full catalog, incl. the most massive halo
+    m = cat.data["m200c"]
+    assert cat.in_mass_range(m.min(), m.max()).data["m200c"].size == n
     # interior box: plain selection
     box = cat.select_in_box((10, 30, 10, 30, 10, 30), boxsize=100.0)
     assert (box.data["x"] >= 10).all() and (box.data["x"] < 30).all()
@@ -169,7 +173,9 @@ def test_hdf5_content_inventories(tmp_path):
             pt = f.create_group("PartType1")
             pt["Coordinates"] = np.zeros((50, 3))
             pt["ParticleIDs"] = np.arange(50, dtype=np.uint64)
+            pt["ScalarFlag"] = np.float64(3.0)  # 0-d dataset in both files
     inv = list_snapshot_contents(5, str(tmp_path))
+    assert inv["PartType1/ScalarFlag"][0] == ()
     assert inv["PartType1/Coordinates"][0] == (100, 3)
     assert inv["PartType1/ParticleIDs"][0] == (100,)
 
@@ -191,6 +197,14 @@ def test_cosmic_age():
     t1 = float(cosmo.age(1.0))
     assert np.isclose(t1 + float(cosmo.lookback_time(1.0)), t0, rtol=1e-4)
     assert t1 < t0
+    # beyond the background table (z_max = 40): matter-dominated closed
+    # form AT the queried z, not clamped to the table edge
+    t49 = float(cosmo.age(49.0))
+    t40 = float(cosmo.age(40.0))
+    exact49 = (2.0 / 3.0) / np.sqrt(0.3) * (1 + 49.0) ** -1.5 \
+        * 3.085677581491367e19 / (100.0 * 0.7) / 3.15576e16
+    assert np.isclose(t49, exact49, rtol=1e-6)
+    assert t49 < t40
 
 
 # --------------------------------------------------------- analysis toolbox

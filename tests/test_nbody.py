@@ -439,10 +439,18 @@ def test_pm_evolve_checkpointed_matches_and_resumes(tmp_path, monkeypatch):
         d = np.abs(np.asarray(r) - np.asarray(o))
         d = np.minimum(d, box - d)
         assert d.max() < 1e-3, d.max()
-    # stale checkpoint from a different schedule is refused
-    with pytest.raises(ValueError, match="different run"):
+    # stale checkpoint from a different schedule is refused — even when
+    # the stored step would FIT the new schedule (6-step ckpt at step 6,
+    # rerun with nsteps=8: old guard passed silently)
+    with pytest.raises(ValueError, match="different schedule"):
+        nbody.pm_evolve_checkpointed(comps, mom, cosmo, n, box, a0, a1,
+                                     8, d2, segment_steps=2)
+    with pytest.raises(ValueError, match="different schedule"):
         nbody.pm_evolve_checkpointed(comps, mom, cosmo, n, box, a0, a1,
                                      4, d2, segment_steps=2)
+    with pytest.raises(ValueError, match="different schedule"):
+        nbody.pm_evolve_checkpointed(comps, mom, cosmo, n, box, a0,
+                                     0.9, 6, d2, segment_steps=2)
 
 
 def test_pm_lightcone_planes_checkpoint_resume(tmp_path, monkeypatch):
