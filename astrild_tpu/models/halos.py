@@ -243,7 +243,11 @@ class Halos:
                         else [0])
         for snap_nr in snap_nrs:
             snapshot = self._load_snapshot(halofinder, snap_nr)
-            if snapshot is None or not len(next(iter(snapshot.values()))):
+            # emptiness from the first ARRAY column (subfind catalogs
+            # also carry scalars like n_groups/h)
+            arrs = ([v for v in snapshot.values() if np.ndim(v) >= 1]
+                    if snapshot is not None else [])
+            if not arrs or not len(arrs[0]):
                 continue
             resolution = 0
             for stat_name in order:
