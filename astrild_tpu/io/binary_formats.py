@@ -20,6 +20,7 @@ __all__ = [
     "DENSITY_FILE_TYPES", "density_header_dtype", "read_density",
     "write_density", "halo_header_dtype", "read_halo_catalog",
     "write_halo_catalog", "read_text_table", "write_text_table",
+    "write_text_table_gnuplot3d",
 ]
 
 _BUF = np.uint64
@@ -227,3 +228,21 @@ def read_text_table(path, no_comment_lines: int = 0):
 def write_text_table(path, data, header: str = ""):
     """(reference textFile.py:43-55)"""
     np.savetxt(path, np.asarray(data), header=header)
+
+
+def write_text_table_gnuplot3d(path, data, description: str = ""):
+    """3D array -> gnuplot splot blocks: one whitespace row per (i, j)
+    slice vector, rows grouped per i with a blank separator line
+    (reference textFile.py:92-123).
+    """
+    data = np.asarray(data)
+    if data.ndim != 3:
+        raise ValueError(f"need a 3D array, got {data.ndim}D")
+    with open(path, "w") as f:
+        if description:
+            f.write(description if description.endswith("\n")
+                    else description + "\n")
+        for block in data:
+            for row in block:
+                f.write("  ".join("%12.7g" % v for v in row) + "\n")
+            f.write("\n")

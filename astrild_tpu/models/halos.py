@@ -423,3 +423,33 @@ class Halos:
         tree = cKDTree(pos)
         dist, idx = tree.query(pos, k=k)
         return dist[:, 1:], idx[:, 1:]
+
+    def neighbours_within(self, target_id: int, dmax=None,
+                          extent=None, pos_keys=("theta1_deg", "theta2_deg"),
+                          radius_key: str = "r200_deg"):
+        """All catalog members within dmax of one target object
+        (halo.py:560-586 get_nearest_neighbours: BallTree query_radius
+        around the row with id == target_id; dmax defaults to the
+        target's own radius column, optionally scaled by extent).
+
+        Returns (indices, distances) sorted by distance (target first
+        at distance 0).
+        """
+        from scipy.spatial import cKDTree
+
+        ids = np.asarray(self.data["id"])
+        sel = np.nonzero(ids == target_id)[0]
+        if sel.size == 0:
+            raise KeyError(f"no catalog row with id == {target_id}")
+        pos = np.stack([np.asarray(self.data[p]) for p in pos_keys],
+                       axis=-1)
+        if dmax is None:
+            dmax = float(np.asarray(self.data[radius_key])[sel[0]])
+        if extent is not None:
+            dmax = dmax * extent
+        tree = cKDTree(pos)
+        idx = np.asarray(tree.query_ball_point(pos[sel[0]], dmax),
+                         np.int64)
+        dist = np.linalg.norm(pos[idx] - pos[sel[0]], axis=-1)
+        order = np.argsort(dist)
+        return idx[order], dist[order]

@@ -318,6 +318,12 @@ class Voids:
         keep = np.asarray(self.data[key]) == sigma
         return {k: np.asarray(v)[keep] for k, v in self.data.items()}
 
+    def filter_snapshot(self, ray_nr: int) -> Dict[str, np.ndarray]:
+        """Rows of one ray snapshot, for catalogs spanning a lightcone
+        (void.py:426-431)."""
+        keep = np.asarray(self.data["ray_nr"]) == ray_nr
+        return {k: np.asarray(v)[keep] for k, v in self.data.items()}
+
     def select_type(self, void_type: str, tracers, args: dict) -> None:
         """(void.py:469-474): 'minimal' voids = tracer-free interiors.
 

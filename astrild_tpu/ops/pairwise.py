@@ -23,12 +23,19 @@ import jax.numpy as jnp
 from ..utils.geometry import angular_coordinate_in_lc, convert_vec_sph_to_cart
 
 __all__ = ["mean_pairwise_velocity", "mean_pv_from_tv", "make_rsep",
-           "pairwise_velocity_pdf", "pairwise_ksz_momentum"]
+           "make_rsep_uneven_bins", "pairwise_velocity_pdf",
+           "pairwise_ksz_momentum"]
 
 
 def make_rsep(binnr: int, binwidth: float):
     """Histogram bin centers (reference mean_pairwise_velocity.py:176-196)."""
     return jnp.linspace(0.0, (binnr - 1) * binwidth, binnr) + binwidth / 2.0
+
+
+def make_rsep_uneven_bins(bin_edges):
+    """Centers of arbitrary bin edges (mean_pairwise_velocity.py:198-203)."""
+    bin_edges = jnp.asarray(bin_edges)
+    return 0.5 * (bin_edges[1:] + bin_edges[:-1])
 
 
 def _pad_blocks(arr, block):
@@ -141,8 +148,15 @@ def _pairwise_accumulate_tiles(pos_i, vel_i, hat_i, pos_j, vel_j, hat_j,
 
 @partial(jax.jit, static_argnames=("binnr", "block"))
 def _pairwise_accumulate(pos, vel, n_valid, binnr: int, binwidth,
-                         block: int = 512):
-    """Accumulate Yasini Eq. 6 numerator/denominator over all pairs i<j."""
+                         block: int = 512, edges=None):
+    """Accumulate Yasini Eq. 6 numerator/denominator over all pairs i<j.
+
+    edges=None bins by uniform binwidth (bin b covers [b*w, (b+1)*w));
+    with an (binnr+1,) edges array pairs bin by searchsorted into the
+    half-open intervals [edges[b], edges[b+1]) — the uneven-bin mode of
+    the reference's Cython estimator (pairwise_velocity.pyx:32-161 +
+    make_rsep_uneven_bins, mean_pairwise_velocity.py:198).
+    """
     posp, nb = _pad_blocks(pos.astype(jnp.float32), block)
     velp, _ = _pad_blocks(vel.astype(jnp.float32), block)
     npad = posp.shape[0]
@@ -172,8 +186,14 @@ def _pairwise_accumulate(pos, vel, n_valid, binnr: int, binwidth,
         den_ij = jnp.einsum("abk,abk->ab", q, q)
         mask = ((ia[:, None] < jb[None, :])
                 & (ia[:, None] < n_valid) & (jb[None, :] < n_valid))
-        binidx = jnp.clip((rnorm / binwidth).astype(jnp.int32), 0, binnr)
-        binidx = jnp.where(rnorm / binwidth < binnr, binidx, binnr)
+        if edges is None:
+            binidx = jnp.clip((rnorm / binwidth).astype(jnp.int32), 0, binnr)
+            binidx = jnp.where(rnorm / binwidth < binnr, binidx, binnr)
+        else:
+            binidx = jnp.searchsorted(edges, rnorm, side="right") - 1
+            binidx = jnp.where(
+                (rnorm >= edges[0]) & (binidx >= 0) & (binidx < binnr),
+                binidx, binnr)
         w = mask.astype(jnp.float32).reshape(-1)
         bflat = jnp.where(mask, binidx, binnr).reshape(-1)
         from .binred import masked_bin_reduce
@@ -201,14 +221,32 @@ def mean_pairwise_velocity(pos_cart, vel_cart, bins, n_valid=None,
       pos_cart: (n, 3) positions [Mpc/h] (lightcone frame, observer at 0).
       vel_cart: (n, 3) velocities [km/s] (use the transverse components for
         the Yasini estimator — see mean_pv_from_tv).
-      bins: (binnr,) distance bin edges starting at 0 with uniform width.
+      bins: (binnr,) distance bin edges starting at 0 with uniform width
+        (reference make_rsep convention), OR arbitrary ascending edges —
+        non-uniform spacing is detected and pairs are binned into the
+        half-open intervals [bins[b], bins[b+1]) (len(bins)-1 bins, the
+        Cython estimator's uneven-bin mode, pairwise_velocity.pyx:32).
       n_valid: number of valid rows (for padded catalogs).
       backend: 'auto' (Pallas kernel on TPU, XLA scan elsewhere),
         'pallas', or 'xla'. The Pallas tile kernel is ~4x faster on-chip
-        (see ops/pallas_pairwise.py).
+        (see ops/pallas_pairwise.py). Uneven edges always take the XLA
+        searchsorted path.
 
     Returns (rsep, v12): bin centers and the estimate (NaN on empty bins).
     """
+    import numpy as np
+
+    edges_np = np.asarray(bins, np.float64)
+    diffs = np.diff(edges_np)
+    if diffs.size and not np.allclose(diffs, diffs[0],
+                                      rtol=1e-5, atol=1e-8):
+        binnr = edges_np.size - 1
+        n = pos_cart.shape[0] if n_valid is None else n_valid
+        nom, den = _pairwise_accumulate(
+            pos_cart, vel_cart, n, binnr, 0.0, block=block,
+            edges=jnp.asarray(edges_np, jnp.float32))
+        v12 = jnp.where(den > 0, nom / jnp.maximum(den, 1e-30), jnp.nan)
+        return make_rsep_uneven_bins(edges_np), v12
     binnr = int(bins.shape[0])
     binwidth = float(bins[1] - bins[0])
     n = pos_cart.shape[0] if n_valid is None else n_valid

@@ -17,7 +17,66 @@ import numpy as np
 __all__ = ["pdf_1d", "cumulative", "bootstrap_statistic", "percentiles",
            "least_squares_fit", "pca", "covariance_from_realizations",
            "nonlinear_least_squares", "contour_value",
-           "direction_correlation", "point_density_2d"]
+           "direction_correlation", "point_density_2d",
+           "distribution_percentile", "general_least_squares",
+           "correlation_matrix"]
+
+
+def distribution_percentile(x, y, qs=(25.0, 75.0)):
+    """X values where the normalized cumulative sum of Y crosses each
+    percentile, linearly interpolated between samples
+    (analysis.py:366-383 DistributionPercentile).
+    """
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    cum = np.cumsum(y)
+    cum = cum / cum[-1]
+    return [float(np.interp(q / 100.0, cum, x)) for q in np.atleast_1d(qs)]
+
+
+def general_least_squares(Xs, y, weights=None):
+    """Weighted linear least squares over an arbitrary basis
+    (analysis.py:479-517 LeastSquare_general): Xs is a sequence of
+    basis columns evaluated at the data points; fits y = sum a_i Xs[i].
+
+    Returns (a, a_error, chi2_reduced, n_points) — parameter errors from
+    the normal-matrix inverse scaled by the reduced chi-square.
+    """
+    A = np.stack([np.asarray(c, np.float64).ravel() for c in Xs], axis=-1)
+    y = np.asarray(y, np.float64).ravel()
+    w = (np.ones_like(y) if weights is None
+         else np.broadcast_to(np.asarray(weights, np.float64), y.shape))
+    M = A.T @ (w[:, None] * A)
+    V = A.T @ (w * y)
+    Minv = np.linalg.inv(M)
+    a = Minv @ V
+    resid = y - A @ a
+    ndof = max(y.size - a.size, 1)
+    chi2 = float((w * resid ** 2).sum() / ndof)
+    a_err = np.sqrt(chi2 * np.diag(Minv))
+    return a, a_err, chi2, y.size
+
+
+def correlation_matrix(data, n_boot: int = 100, min_rows: int = 5,
+                       seed: int = 0):
+    """Column correlation matrix + bootstrap standard error
+    (analysis.py:385-407 CorrelationMatrix). With fewer than min_rows
+    samples the error estimate is meaningless and the correlation is
+    returned for both (the reference convention).
+    """
+    data = np.asarray(data, np.float64)
+    if data.ndim != 2:
+        raise ValueError("correlation_matrix needs a 2D (samples, "
+                         f"columns) array, got {data.ndim}D")
+    corr = np.corrcoef(data, rowvar=False)
+    if data.shape[0] < min_rows:
+        return corr, corr
+    rng = np.random.default_rng(seed)
+    reps = np.stack([
+        np.corrcoef(data[rng.integers(0, data.shape[0], data.shape[0])],
+                    rowvar=False)
+        for _ in range(n_boot)])
+    return corr, reps.std(axis=0)
 
 
 def pdf_1d(values, nbins: int, vrange=None, density: bool = True):

@@ -207,6 +207,53 @@ def test_pca_recovers_dominant_direction(rng):
                         atol=0.05)
 
 
+def test_distribution_percentile_uniform():
+    # flat distribution over [0, 10): cumsum crosses 50% at the midpoint
+    x = np.linspace(0.5, 9.5, 10)
+    y = np.ones(10)
+    q25, q50, q75 = AN.distribution_percentile(x, y, (25.0, 50.0, 75.0))
+    # exact for the interpolated staircase: 50% falls halfway between
+    # the 5th and 6th sample crossings
+    npt.assert_allclose(q50, 5.0, atol=0.5)
+    assert q25 < q50 < q75
+
+
+def test_general_least_squares_quadratic():
+    rng_l = np.random.default_rng(3)
+    x = np.linspace(-2, 2, 80)
+    y = 1.5 - 0.7 * x + 0.3 * x ** 2 + rng_l.normal(0, 0.01, x.size)
+    a, a_err, chi2, npts = AN.general_least_squares(
+        [np.ones_like(x), x, x ** 2], y)
+    npt.assert_allclose(a, [1.5, -0.7, 0.3], atol=0.02)
+    assert np.all(a_err > 0) and npts == 80
+    # weighted: zero weight on corrupted points excludes them
+    y2 = y.copy()
+    y2[:5] += 100.0
+    w = np.ones_like(x)
+    w[:5] = 0.0
+    a2, _, _, _ = AN.general_least_squares([np.ones_like(x), x, x ** 2],
+                                           y2, weights=w)
+    a_ref, _, _, _ = AN.general_least_squares(
+        [np.ones_like(x[5:]), x[5:], x[5:] ** 2], y[5:])
+    npt.assert_allclose(a2, a_ref, atol=1e-8)
+
+
+def test_correlation_matrix_bootstrap_errors(rng):
+    z = rng.normal(size=(400,))
+    data = np.stack([z + rng.normal(0, 0.1, 400),
+                     z + rng.normal(0, 0.1, 400),
+                     rng.normal(size=(400,))], axis=-1)
+    corr, err = AN.correlation_matrix(data, n_boot=50)
+    assert corr[0, 1] > 0.9 and abs(corr[0, 2]) < 0.2
+    assert np.all(np.diag(err) < 1e-12)  # diagonal is exactly 1
+    assert err[0, 2] > err[0, 1]  # noise-dominated pair less certain
+    # tiny sample: correlation returned for both (reference convention)
+    c2, e2 = AN.correlation_matrix(data[:3])
+    npt.assert_allclose(c2, e2)
+    with pytest.raises(ValueError):
+        AN.correlation_matrix(z)
+
+
 # ----------------------------------------------------------- observability
 def test_stage_timer_collects():
     col = OBS.StageTimes()

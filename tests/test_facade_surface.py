@@ -323,6 +323,24 @@ def test_halos_nearest_neighbours():
     npt.assert_array_equal(idx[:, 0], [1, 0, 0])
 
 
+def test_halos_neighbours_within():
+    # radius query around one target (halo.py:560-586 semantics): dmax
+    # defaults to the target's own radius column, scaled by extent
+    h = Halos({"id": np.array([7, 8, 9]),
+               "theta1_deg": np.array([0.0, 1.0, 5.0]),
+               "theta2_deg": np.zeros(3),
+               "r200_deg": np.array([1.5, 0.1, 0.1])})
+    idx, dist = h.neighbours_within(7)
+    npt.assert_array_equal(idx, [0, 1])       # id 9 at 5 deg excluded
+    npt.assert_allclose(dist, [0.0, 1.0])
+    idx, _ = h.neighbours_within(7, extent=4)  # 1.5 * 4 = 6 deg
+    npt.assert_array_equal(idx, [0, 1, 2])
+    idx, _ = h.neighbours_within(7, dmax=0.5)
+    npt.assert_array_equal(idx, [0])
+    with pytest.raises(KeyError):
+        h.neighbours_within(42)
+
+
 # ----------------------------------------------------------- power facades
 def test_power_from_grid_and_cross(rng):
     n, box = 32, 100.0

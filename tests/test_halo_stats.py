@@ -126,6 +126,48 @@ def test_pairwise_infall_sign():
     assert v12[i40] < -100.0  # infall: v12 ~ -200 * geometry factor
 
 
+def test_pairwise_uneven_bins_match_bruteforce():
+    """Uneven-edge mode (pairwise_velocity.pyx:32 + make_rsep_uneven_bins)
+    vs an exact O(N^2) float64 oracle with the same half-open intervals."""
+    rng = np.random.default_rng(7)
+    n = 96
+    pos = rng.uniform(400.0, 600.0, (n, 3))
+    vel = rng.normal(0.0, 200.0, (n, 3))
+    edges = np.array([5.0, 20.0, 50.0, 110.0, 200.0])
+
+    nb = edges.size - 1
+    nom = np.zeros(nb)
+    den = np.zeros(nb)
+    for i in range(n):
+        for j in range(i + 1, n):
+            rij = pos[i] - pos[j]
+            r = np.linalg.norm(rij)
+            b = np.searchsorted(edges, r, side="right") - 1
+            if r < edges[0] or b < 0 or b >= nb:
+                continue
+            rhat = rij / r
+            pi = pos[i] / np.linalg.norm(pos[i])
+            pj = pos[j] / np.linalg.norm(pos[j])
+            q = 0.5 * (2.0 * rhat - pi * np.dot(rhat, pi)
+                       - pj * np.dot(rhat, pj))
+            vij = vel[i] - vel[j]
+            nom[b] += np.dot(vij, q)
+            den[b] += np.dot(q, q)
+    want = nom / np.maximum(den, 1e-30)
+
+    rsep, v12 = PW.mean_pairwise_velocity(
+        jnp.asarray(pos, jnp.float32), jnp.asarray(vel, jnp.float32),
+        jnp.asarray(edges), block=64)
+    npt.assert_allclose(np.asarray(rsep), 0.5 * (edges[1:] + edges[:-1]))
+    npt.assert_allclose(np.asarray(v12), want, rtol=5e-3)
+
+
+def test_make_rsep_uneven_bins():
+    edges = jnp.asarray([0.0, 1.0, 4.0, 9.0])
+    npt.assert_allclose(np.asarray(PW.make_rsep_uneven_bins(edges)),
+                        [0.5, 2.5, 6.5])
+
+
 # ---------------------------------------------------------------------- tpcf
 def test_to_redshift_space():
     pos = jnp.asarray([[10.0, 10.0, 10.0]])

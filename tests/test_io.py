@@ -79,6 +79,20 @@ def test_text_table_roundtrip(tmp_path):
     npt.assert_allclose(back, data)
 
 
+def test_text_table_gnuplot3d(tmp_path):
+    data = np.arange(24.0).reshape(2, 3, 4)
+    p = str(tmp_path / "g.txt")
+    aio.write_text_table_gnuplot3d(p, data, description="# grid slices")
+    lines = open(p).read().splitlines()
+    assert lines[0] == "# grid slices"
+    # 2 blocks x (3 rows + 1 blank separator)
+    assert lines.count("") == 2
+    first_row = np.fromstring(lines[1], sep=" ")
+    npt.assert_allclose(first_row, data[0, 0])
+    with pytest.raises(ValueError):
+        aio.write_text_table_gnuplot3d(p, np.zeros((2, 2)))
+
+
 # ----------------------------------------------------------------- rockstar
 def test_rockstar_ascii(tmp_path):
     p = str(tmp_path / "halos_0.0.ascii")

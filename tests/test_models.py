@@ -381,6 +381,14 @@ def test_voids_filter_sigma_zobov_column():
     assert len(out["rad_pix"]) == 2
 
 
+def test_voids_filter_snapshot():
+    data = {"ray_nr": np.array([3, 5, 5, 7]),
+            "rad_pix": np.array([1.0, 2.0, 3.0, 4.0])}
+    v = Voids(data, finder="tunnels")
+    out = v.filter_snapshot(5)
+    npt.assert_allclose(out["rad_pix"], [2.0, 3.0])
+
+
 def test_voids_trim_edges_extend():
     npix = 100
     data = {"x_pix": np.array([50.0, 10.0]),
