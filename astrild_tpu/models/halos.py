@@ -424,6 +424,32 @@ class Halos:
         dist, idx = tree.query(pos, k=k)
         return dist[:, 1:], idx[:, 1:]
 
+    def sort_by(self, column: str, order: str = "descending",
+                relabel: bool = False):
+        """Reorder the catalog by one column's values
+        (tunnels/halo.py:532-584 sortHalos). relabel=True assigns new
+        sequential ids in the sorted order (relabelHalos). Entries whose
+        length differs from the sort column (scalars, metadata) are left
+        untouched. Returns self for chaining.
+        """
+        if order not in ("ascending", "descending"):
+            raise ValueError(f"order must be ascending/descending, "
+                             f"got {order!r}")
+        key = np.asarray(self.data[column])
+        perm = np.argsort(key, kind="stable")
+        if order == "descending":
+            perm = perm[::-1]
+        n = key.shape[0]
+        out = {}
+        for k, v in self.data.items():
+            arr = np.asarray(v)
+            out[k] = arr[perm] if arr.ndim >= 1 and arr.shape[0] == n \
+                else v
+        if relabel and "id" in out:
+            out["id"] = np.arange(n, dtype=np.asarray(out["id"]).dtype)
+        self.data = out
+        return self
+
     def neighbours_within(self, target_id: int, dmax=None,
                           extent=None, pos_keys=("theta1_deg", "theta2_deg"),
                           radius_key: str = "r200_deg"):

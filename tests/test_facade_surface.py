@@ -323,6 +323,23 @@ def test_halos_nearest_neighbours():
     npt.assert_array_equal(idx[:, 0], [1, 0, 0])
 
 
+def test_halos_sort_by():
+    h = Halos({"id": np.array([10, 11, 12]),
+               "m200c": np.array([2e13, 5e14, 1e12]),
+               "x": np.array([1.0, 2.0, 3.0]),
+               "n_files": 4})  # scalar metadata must survive untouched
+    h.sort_by("m200c")
+    npt.assert_allclose(h.data["m200c"], [5e14, 2e13, 1e12])
+    npt.assert_allclose(h.data["x"], [2.0, 1.0, 3.0])
+    npt.assert_array_equal(h.data["id"], [11, 10, 12])
+    assert h.data["n_files"] == 4
+    h.sort_by("m200c", order="ascending", relabel=True)
+    npt.assert_array_equal(h.data["id"], [0, 1, 2])
+    npt.assert_allclose(h.data["m200c"], [1e12, 2e13, 5e14])
+    with pytest.raises(ValueError):
+        h.sort_by("m200c", order="sideways")
+
+
 def test_halos_neighbours_within():
     # radius query around one target (halo.py:560-586 semantics): dmax
     # defaults to the target's own radius column, scaled by extent
