@@ -242,6 +242,26 @@ class AngularPowerSpectrum:
             jax.random.PRNGKey(rnd_seed), jnp.asarray(ells),
             jnp.asarray(cls_vals), npix, opening_angle_deg))
 
+    @staticmethod
+    def from_healpix(skyhealpix, lmax: int, of: str = "orig",
+                     niter: int = 3):
+        """(ell, Cl) of a full-sky SkyHealpix layer
+        (angular_power_spectrum.py:55-73 from_healpix → native SHT
+        anafast instead of healpy)."""
+        cl = skyhealpix.anafast(lmax, of=of, niter=niter)
+        return np.arange(cl.shape[0]), np.asarray(cl)
+
+    @staticmethod
+    def to_skyhealpix(cls_vals, nside: int, quantity: str = "kappa_2",
+                      lmax=None, rnd_seed: int = 0):
+        """Gaussian full-sky realization of a Cl table as a SkyHealpix
+        (angular_power_spectrum.py:97-118 create_healpix)."""
+        from .skyhealpix import SkyHealpix
+
+        return SkyHealpix.from_Cl_array(np.asarray(cls_vals), quantity,
+                                        nside, lmax=lmax,
+                                        rnd_seed=rnd_seed)
+
 
 class LinearPowerSpectrum:
     """Theory P(k) (EH98) + ISW source power (linear_power_spectrum.py)."""

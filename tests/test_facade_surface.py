@@ -381,6 +381,21 @@ def test_angular_power_from_skymap(rng):
     npt.assert_allclose(np.asarray(ell_a), np.asarray(ell_b))
 
 
+def test_angular_power_healpix_round_trip():
+    """to_skyhealpix (create_healpix, angular_power_spectrum.py:97) ->
+    from_healpix (:55-73): band power recovered at sample variance."""
+    nside, lmax = 16, 31
+    cl = np.zeros(lmax + 1)
+    cl[2:] = 1e-2 / np.arange(2, lmax + 1) ** 2
+    sky = AngularPowerSpectrum.to_skyhealpix(cl, nside, lmax=lmax,
+                                             rnd_seed=1)
+    ell, cl_m = AngularPowerSpectrum.from_healpix(sky, lmax, niter=2)
+    assert ell.shape == cl_m.shape == (lmax + 1,)
+    band = slice(3, 12)
+    ratio = cl_m[band].sum() / cl[band].sum()
+    assert 0.5 < ratio < 2.0
+
+
 def test_linear_power_growth_and_pdpdp():
     lps = LinearPowerSpectrum()
     D, f = lps.growth_functions(0.5)
