@@ -206,6 +206,21 @@ class GadgetSnapshot:
                 self.cat[name] = np.concatenate(chunks[name], axis=0)
         return self.cat
 
+    def fast_group_catalog(self, hdf5_names=("GroupPos", "Group_M_Crit200",
+                                             "Group_R_Crit200"),
+                           dirname: str = "groups_",
+                           filename: str = "fof_subhalo_tab_",
+                           path: str = "",
+                           partition=(1, 0)) -> Dict[str, np.ndarray]:
+        """Name-parity alias for the reference's single-pass preallocated
+        reader (read_hdf5.py:650-744). group_catalog already reads each
+        block once per file and concatenates — the separate fast path is
+        unnecessary here, so this delegates.
+        """
+        return self.group_catalog(hdf5_names=hdf5_names, dirname=dirname,
+                                  filename=filename, path=path,
+                                  partition=partition)
+
 
 def _hdf5_contents(files) -> Dict[str, tuple]:
     """{group/dataset: (total_shape, dtype)} across a striped file set,

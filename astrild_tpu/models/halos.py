@@ -436,9 +436,13 @@ class Halos:
             raise ValueError(f"order must be ascending/descending, "
                              f"got {order!r}")
         key = np.asarray(self.data[column])
-        perm = np.argsort(key, kind="stable")
         if order == "descending":
-            perm = perm[::-1]
+            # negate rather than reverse a stable ascending argsort:
+            # reversing flips the relative order of tied rows, which with
+            # relabel=True would hand tied-mass halos reversed ids
+            perm = np.argsort(-key, kind="stable")
+        else:
+            perm = np.argsort(key, kind="stable")
         n = key.shape[0]
         out = {}
         for k, v in self.data.items():

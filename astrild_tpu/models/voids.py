@@ -25,7 +25,30 @@ from ..ops import profiles as prof_ops
 from ..ops import voids as void_ops
 
 __all__ = ["TunnelsFinder", "WatershedFinder", "SphericalVoidFinder3D",
-           "WatershedFinder3D", "Voids"]
+           "WatershedFinder3D", "Voids", "load_void_config"]
+
+
+def load_void_config(name_or_path) -> dict:
+    """Load a void-profiling parameter file (the reference's
+    configs/{tunnels,svf,zobov}_isw.json contract: extend,
+    nr_profile_bins, nr_radius_bins, obj_num_in_radbin).
+
+    Accepts a path, or a shipped template name ("tunnels_isw",
+    "svf_isw", "zobov_isw" — with or without the .json suffix) resolved
+    against the packaged astrild_tpu/configs directory.
+    """
+    import json
+
+    p = Path(name_or_path)
+    if not p.exists():
+        name = p.name if p.name.endswith(".json") else p.name + ".json"
+        p = Path(__file__).resolve().parent.parent / "configs" / name
+    if not p.exists():
+        raise FileNotFoundError(
+            f"void config {name_or_path!r} not found (looked in cwd and "
+            f"{p.parent})")
+    with open(p) as fh:
+        return json.load(fh)
 
 
 class TunnelsFinder:
@@ -361,6 +384,28 @@ class Voids:
             out[float(nu)] = {"rad": 0.5 * (edges[1:] + edges[:-1]),
                               "counts": hist}
         return out
+
+    # -------------------------------------------------------------- config
+    def apply_profile_config(self, config, skymap=None) -> dict:
+        """Run the ISW profiling recipe from a parameter file.
+
+        config is a dict or a name/path accepted by load_void_config
+        (the reference's configs/{tunnels,svf,zobov}_isw.json schema):
+        nr_radius_bins/obj_num_in_radbin drive the size categorization,
+        extend/nr_profile_bins the radial profiles. Returns the profiles
+        dict (and leaves them on self for get_profile_stats).
+        """
+        if not isinstance(config, dict):
+            config = load_void_config(config)
+        nbins = int(config.get("nr_radius_bins", 0))
+        if nbins and nbins < len(np.asarray(self.data["rad_pix"])):
+            self.categorize_sizes(
+                bins=nbins, min_obj_nr=int(config.get("obj_num_in_radbin", 1)))
+        return self.get_profiles(
+            radii_max=float(config.get("extend", 3.0)),
+            nr_rad_bins=int(config.get("nr_profile_bins", 20)),
+            skymap=skymap,
+            field_conversion=config.get("field_conversion"))
 
     # -------------------------------------------------------------- profiles
     def get_profiles(self, radii_max: float, nr_rad_bins: int,

@@ -156,6 +156,12 @@ def _pairwise_accumulate(pos, vel, n_valid, binnr: int, binwidth,
     half-open intervals [edges[b], edges[b+1]) — the uneven-bin mode of
     the reference's Cython estimator (pairwise_velocity.pyx:32-161 +
     make_rsep_uneven_bins, mean_pairwise_velocity.py:198).
+
+    Deviation from the reference: the Cython loop uses strictly OPEN
+    intervals (dist_bins[b] < dist < dist_bins[b+1]), dropping pairs that
+    land exactly on an edge; this half-open convention counts them.
+    Measure-zero for float separations, but bit-parity comparisons against
+    the Cython kernel can differ on exact-edge synthetic inputs.
     """
     posp, nb = _pad_blocks(pos.astype(jnp.float32), block)
     velp, _ = _pad_blocks(vel.astype(jnp.float32), block)
@@ -238,8 +244,15 @@ def mean_pairwise_velocity(pos_cart, vel_cart, bins, n_valid=None,
 
     edges_np = np.asarray(bins, np.float64)
     diffs = np.diff(edges_np)
-    if diffs.size and not np.allclose(diffs, diffs[0],
-                                      rtol=1e-5, atol=1e-8):
+    if diffs.size and np.any(diffs <= 0):
+        raise ValueError("bins must be strictly ascending")
+    # The legacy make_rsep convention (len(bins) bins of uniform width
+    # starting at 0) only applies when the edges actually look like it:
+    # uniform spacing AND a zero first edge. Uniform edges with a nonzero
+    # start (e.g. [5, 15, 25, 35]) are arbitrary-edge input and must take
+    # the searchsorted path, not be silently reinterpreted.
+    if diffs.size and (not np.allclose(diffs, diffs[0], rtol=1e-5, atol=1e-8)
+                       or edges_np[0] != 0.0):
         binnr = edges_np.size - 1
         n = pos_cart.shape[0] if n_valid is None else n_valid
         nom, den = _pairwise_accumulate(

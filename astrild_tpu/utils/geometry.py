@@ -17,7 +17,7 @@ __all__ = [
     "cart_to_sph_jacobian", "sph_to_cart_jacobian",
     "convert_vec_sph_to_cart", "convert_vec_cart_to_sph",
     "transform_box_to_lc_cart_coords", "radial_coordinate_in_lc",
-    "angular_coordinate_in_lc",
+    "angular_coordinate_in_lc", "ra_dec_dist_coordinates",
 ]
 
 
@@ -139,3 +139,26 @@ def angular_coordinate_in_lc(pos, unit: str = "deg"):
         theta1 = theta1 * 180.0 / xp.pi
         theta2 = theta2 * 180.0 / xp.pi
     return theta1, theta2
+
+
+def ra_dec_dist_coordinates(pos, unit: str = "deg"):
+    """(ra, dec, dist) spherical coordinates of cartesian positions.
+
+    Capability twin of the reference's return_raDecDist_coordinates
+    (rays/voids/tunnels/miscellaneous.py:158-175), with its conventions:
+    dec = 90 deg - polar angle, ra = atan2 shifted into [0, 2pi) by a
+    +pi offset. unit is 'deg' or 'rad' for the returned angles.
+
+    Returns (ra, dec, dist).
+    """
+    xp = _xp(pos)
+    dist = xp.sqrt(xp.sum(pos ** 2, axis=-1))
+    costh = pos[..., 2] / dist
+    dec = xp.pi / 2.0 - xp.arccos(costh)
+    ra = xp.pi + xp.arctan2(pos[..., 1], pos[..., 0])
+    if unit == "deg":
+        ra = ra * 180.0 / xp.pi
+        dec = dec * 180.0 / xp.pi
+    elif unit not in ("rad", "radian"):
+        raise ValueError(f"unit must be 'deg' or 'rad', got {unit!r}")
+    return ra, dec, dist

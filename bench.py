@@ -115,10 +115,35 @@ def make_stages():
         rad = stage_voids(kappa)
         return pk, b, kappa, g1, g2, rad
 
+    def run_per_stage(pos):
+        """One pass with per-stage host sync; returns {stage: seconds}.
+
+        The sync barriers serialize the stages, so the sum can exceed the
+        un-synced total by a few percent — recorded separately from the
+        headline number.
+        """
+        stage_s = {}
+        t0 = time.perf_counter()
+        grid, pk = stage_matter(pos, binning)
+        _sync(pk)
+        stage_s["matter"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _sync(stage_bispectrum(grid))
+        stage_s["bispectrum"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        kappa, g1, g2 = stage_lensing(grid)
+        _sync((kappa, g1, g2))
+        stage_s["lensing"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _sync(stage_voids(kappa))
+        stage_s["voids"] = time.perf_counter() - t0
+        return stage_s
+
     # expose the exact jitted stages so warmup scripts can precompile them
     run.stages = {"matter": lambda p: stage_matter(p, binning),
                   "bispectrum": stage_bispectrum,
                   "lensing": stage_lensing, "voids": stage_voids}
+    run.per_stage = run_per_stage
     return run
 
 
@@ -142,6 +167,11 @@ def _run_suite(n_side, fallback_from=None):
         print(f"# iter {i}: {times[-1]:.2f} s", file=sys.stderr, flush=True)
     dt = min(times)
 
+    # per-stage breakdown + selected deposit path INSIDE the artifact, so
+    # a one-stage regression (e.g. a libtpu update tripping the Pallas
+    # probe gate back to scatter) is visible in BENCH_r*.json, not just in
+    # stderr comments (r3 VERDICT weak #4)
+    stage_s = run.per_stage(pos)
     pps = n_part / dt
     record = {
         "metric": "full z=0 suite (P(k)+B(k)+2048^2 kappa/gamma+voids), "
@@ -149,6 +179,9 @@ def _run_suite(n_side, fallback_from=None):
         "value": round(pps / 1e6, 3),
         "unit": "Mparticles/s/chip",
         "vs_baseline": round(pps / BASELINE_PPS_PER_CHIP, 3),
+        "suite_s": round(dt, 3),
+        "stages_s": {k: round(v, 3) for k, v in stage_s.items()},
+        "deposit": _power.last_auto_deposit,
     }
     if fallback_from:
         record["fallback_from"] = fallback_from

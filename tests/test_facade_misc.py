@@ -331,3 +331,47 @@ def test_log_compile_cache_sets_config():
         assert jax.config.jax_compilation_cache_dir == "/tmp/jax_cache_test"
     finally:
         jax.config.update("jax_compilation_cache_dir", before)
+
+
+def test_visual_maps_facade(tmp_path, rng):
+    """Maps(Simulation) facade (astrildvisual/particles/map.py:15-101):
+    walk ray-map point-set files, slab-cut, grid, save .npy."""
+    from astrild_tpu.io import columnar_h5
+    from astrild_tpu.visual import Maps
+
+    npix = 16
+    # two "Ray_maps_output" point-set files: points on an npix lattice at
+    # two z-slabs, kappa_2 = x so the gridded map is known exactly
+    for nr, zc in [(12, 0.5), (13, 0.9)]:
+        g = (np.arange(npix) + 0.5) / npix
+        xx, yy = np.meshgrid(g, g, indexing="ij")
+        columnar_h5.write_table(
+            str(tmp_path / f"Ray_maps_output{nr:05d}.h5"),
+            {"x": xx.ravel(), "y": yy.ravel(),
+             "z": np.full(npix * npix, zc),
+             "kappa_2": xx.ravel()})
+    m = Maps(boxsize=500.0, domain_level=npix, dir_sim=str(tmp_path),
+             dir_out=str(tmp_path))
+    assert list(m.file_nrs) == [12, 13]
+
+    out = m.to_array(centre=0.5, depth=0.1, quantities=["kappa_2"])
+    assert sorted(out) == [12, 13]
+    m12 = out[12]["kappa_2"]
+    assert m12.shape == (npix, npix)
+    g = (np.arange(npix) + 0.5) / npix
+    # rows = y, cols = x; kappa_2 = x varies along columns
+    npt.assert_allclose(m12[0], g, atol=1e-12)
+    # file 13's points lie outside the z-slab -> empty map filled with the
+    # slab mean of an empty selection = 0
+    npt.assert_allclose(out[13]["kappa_2"], 0.0)
+    # saved artifacts
+    import os
+    assert os.path.exists(
+        str(tmp_path / f"kappa_2_map_{m.name}_out00012.npy"))
+
+    # snap_nrs selection honored (the reference hardcoded file 12)
+    m2 = Maps(domain_level=npix, dir_sim=str(tmp_path), snap_nrs=[13])
+    assert list(m2.file_nrs) == [13]
+    import pytest
+    with pytest.raises(ValueError):
+        Maps(domain_level=npix, dir_sim=str(tmp_path), snap_nrs=[99])

@@ -340,6 +340,17 @@ def test_halos_sort_by():
         h.sort_by("m200c", order="sideways")
 
 
+def test_halos_sort_by_descending_keeps_tie_order():
+    """Descending sort uses argsort(-key, stable) so tied rows keep their
+    original relative order (r3 advisor: reversing an ascending stable
+    argsort flips ties, handing relabel ids in the opposite order)."""
+    h = Halos({"id": np.array([0, 1, 2, 3]),
+               "m200c": np.array([5.0, 7.0, 5.0, 7.0]),
+               "tag": np.array([10, 11, 12, 13])})
+    h.sort_by("m200c", order="descending")
+    npt.assert_array_equal(h.data["tag"], [11, 13, 10, 12])
+
+
 def test_halos_neighbours_within():
     # radius query around one target (halo.py:560-586 semantics): dmax
     # defaults to the target's own radius column, scaled by extent

@@ -61,3 +61,34 @@ def test_angular_coordinate():
     t1, t2 = gt.angular_coordinate_in_lc(pos, unit="rad")
     npt.assert_allclose(float(t1[0]), np.arctan(0.01), rtol=1e-6)
     npt.assert_allclose(float(t2[0]), 0.0, atol=1e-8)
+
+
+def test_ra_dec_dist_coordinates():
+    """Matches the reference's return_raDecDist_coordinates conventions
+    (tunnels/miscellaneous.py:158-175): dec = 90 - polar, ra offset +pi."""
+    pos = np.array([[0.0, 0.0, 2.0],      # north pole
+                    [1.0, 0.0, 0.0],      # +x equator
+                    [0.0, -3.0, 0.0]])    # -y equator
+    ra, dec, dist = gt.ra_dec_dist_coordinates(pos)
+    npt.assert_allclose(np.asarray(dist), [2.0, 1.0, 3.0])
+    npt.assert_allclose(np.asarray(dec), [90.0, 0.0, 0.0], atol=1e-6)
+    npt.assert_allclose(np.asarray(ra)[1:], [180.0, 90.0], atol=1e-6)
+    # oracle: the reference formula (sinTheta-normalized atan2 arguments
+    # reduce to plain atan2)
+    rng = np.random.default_rng(5)
+    p = rng.normal(size=(50, 3))
+    ra2, dec2, d2 = gt.ra_dec_dist_coordinates(p, unit="rad")
+    dis = np.sqrt((p * p).sum(axis=1))
+    theta = np.pi / 2.0 - np.arccos(p[:, 2] / dis)
+    phi = np.pi + np.arctan2(p[:, 1], p[:, 0])
+    npt.assert_allclose(np.asarray(dec2), theta, atol=1e-6)
+    npt.assert_allclose(np.asarray(ra2), phi, atol=1e-6)
+    # device arrays route through jnp
+    ra3, dec3, d3 = gt.ra_dec_dist_coordinates(jnp.asarray(p, jnp.float32),
+                                               unit="rad")
+    npt.assert_allclose(np.asarray(dec3), theta, atol=1e-4)
+    try:
+        gt.ra_dec_dist_coordinates(p, unit="furlong")
+        assert False
+    except ValueError:
+        pass

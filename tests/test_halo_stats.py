@@ -162,6 +162,41 @@ def test_pairwise_uneven_bins_match_bruteforce():
     npt.assert_allclose(np.asarray(v12), want, rtol=5e-3)
 
 
+def test_pairwise_uniform_offset_edges_take_edge_path():
+    """Uniformly spaced edges with a nonzero start (e.g. [5,15,25,35]) are
+    arbitrary-edge input: they must bin into len(edges)-1 intervals, NOT be
+    reinterpreted as the legacy width-w-from-0 convention (r3 advisor)."""
+    rng = np.random.default_rng(11)
+    n = 64
+    pos = rng.uniform(400.0, 600.0, (n, 3))
+    vel = rng.normal(0.0, 200.0, (n, 3))
+    offset_edges = np.array([5.0, 15.0, 25.0, 35.0])
+    rsep, v12 = PW.mean_pairwise_velocity(
+        jnp.asarray(pos, jnp.float32), jnp.asarray(vel, jnp.float32),
+        jnp.asarray(offset_edges), block=64)
+    assert np.asarray(v12).shape == (3,)
+    npt.assert_allclose(np.asarray(rsep), [10.0, 20.0, 30.0])
+    # and the values agree with explicitly-uneven edges covering the
+    # same intervals (forces the searchsorted path in both calls)
+    uneven = np.array([5.0, 15.0, 25.0, 35.000001])
+    _, v12b = PW.mean_pairwise_velocity(
+        jnp.asarray(pos, jnp.float32), jnp.asarray(vel, jnp.float32),
+        jnp.asarray(uneven), block=64)
+    npt.assert_allclose(np.asarray(v12), np.asarray(v12b), rtol=1e-4)
+
+
+def test_pairwise_nonascending_edges_raise():
+    pos = np.zeros((4, 3)) + np.eye(4, 3)
+    vel = np.zeros((4, 3))
+    try:
+        PW.mean_pairwise_velocity(jnp.asarray(pos, jnp.float32),
+                                  jnp.asarray(vel, jnp.float32),
+                                  jnp.asarray([0.0, 2.0, 1.0]))
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
 def test_make_rsep_uneven_bins():
     edges = jnp.asarray([0.0, 1.0, 4.0, 9.0])
     npt.assert_allclose(np.asarray(PW.make_rsep_uneven_bins(edges)),

@@ -87,7 +87,7 @@ def test_text_table_gnuplot3d(tmp_path):
     assert lines[0] == "# grid slices"
     # 2 blocks x (3 rows + 1 blank separator)
     assert lines.count("") == 2
-    first_row = np.fromstring(lines[1], sep=" ")
+    first_row = np.array(lines[1].split(), dtype=float)
     npt.assert_allclose(first_row, data[0, 0])
     with pytest.raises(ValueError):
         aio.write_text_table_gnuplot3d(p, np.zeros((2, 2)))
@@ -229,6 +229,15 @@ def test_gadget_group_catalog(synth_snapshot):
     assert cat["GroupPos"].shape == (5, 3)
     npt.assert_allclose(cat["Group_M_Crit200"], 10.0 * 1e10 / 0.7)
     npt.assert_allclose(cat["SubhaloVmax"], 300.0)  # no unit factor
+
+
+def test_gadget_fast_group_catalog_alias(synth_snapshot):
+    """Name-parity alias for the reference's single-pass reader
+    (read_hdf5.py:650) — must return the same catalog."""
+    snap = aio.GadgetSnapshot(12, synth_snapshot)
+    cat = snap.fast_group_catalog(["GroupPos", "Group_M_Crit200"])
+    assert cat["GroupPos"].shape == (5, 3)
+    npt.assert_allclose(cat["Group_M_Crit200"], 10.0 * 1e10 / 0.7)
 
 
 # --------------------------------------------------------------------- rays

@@ -283,3 +283,41 @@ def test_stacked_profile_weighting():
     cnt = jnp.array([[1.0, 0.0], [3.0, 2.0]])
     st = np.asarray(P3.stacked_profile(prof, cnt))
     np.testing.assert_allclose(st, [(1 * 1 + 3 * 3) / 4.0, 4.0])
+
+def test_void_config_templates_and_apply(rng):
+    """Shipped {tunnels,svf,zobov}_isw.json templates load by name and
+    drive the full profiling recipe (reference configs/svf_isw.json
+    contract: extend / nr_profile_bins / nr_radius_bins /
+    obj_num_in_radbin)."""
+    from astrild_tpu.models import Voids
+    from astrild_tpu.models.voids import load_void_config
+
+    for name in ("tunnels_isw", "svf_isw.json", "zobov_isw"):
+        cfg = load_void_config(name)
+        assert "extend" in cfg and "nr_profile_bins" in cfg
+
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        load_void_config("no_such_config")
+
+    n = 30
+    npix = 128
+    data = {"rad_deg": 10 ** rng.uniform(-1.5, 0.0, n),
+            "rad_pix": rng.uniform(2, 6, n),
+            "x_pix": rng.integers(20, npix - 20, n),
+            "y_pix": rng.integers(20, npix - 20, n),
+            "sigma": np.repeat([0.0, 1.0], n // 2)}
+    img = rng.normal(0.0, 1.0, (npix, npix))
+
+    v = Voids(dict(data), finder="zobov")
+    profs = v.apply_profile_config("zobov_isw", skymap=img)
+    cfg = load_void_config("zobov_isw")
+    assert profs["values"].shape[1] == cfg["nr_profile_bins"]
+    assert "size_cat" in v.data          # nr_radius_bins=5 categorized
+    assert v.field_conversion == "normalize"
+
+    # svf template: nr_radius_bins=9999 >= catalog size -> no categorization
+    v2 = Voids(dict(data), finder="svf")
+    p2 = v2.apply_profile_config("svf_isw", skymap=img)
+    assert "size_cat" not in v2.data
+    assert p2["values"].shape == (n, 20)
