@@ -464,6 +464,19 @@ class SkyArray:
         self.data["sheary"] = g2
         return g1, g2
 
+    def convert_convergence_to_shear(self, on: str = "orig",
+                                     padding_factor: int = 2):
+        """(gamma1, gamma2) straight from kappa: one padded spectral
+        spin-2 rotation (ops.lensing.kappa_to_gamma) — skips the alpha
+        intermediate the two-step chain materializes, exact where the
+        chain's finite differences are 2nd-order."""
+        oa_rad = np.deg2rad(self._opening_angle)
+        g1, g2 = lensing.kappa_to_gamma(self.data[on], oa_rad,
+                                        padding_factor=padding_factor)
+        self.data["shearx"] = g1
+        self.data["sheary"] = g2
+        return g1, g2
+
     def shear_xi_pm(self, nbins: int = 20, theta_min_arcmin=None,
                     theta_max_arcmin=None,
                     on: Tuple[str, str] = ("shearx", "sheary")):

@@ -396,7 +396,8 @@ def _flat_response_radial(L_values, cl_tt, nl_tt, lmin, lmax_filter,
 
 def qe_tt_kappa_healpix(t_map, cl_tt, nl_tt=None, lmin: int = 2,
                         lmax_filter: Optional[int] = None,
-                        lmax_out: Optional[int] = None):
+                        lmax_out: Optional[int] = None,
+                        method: str = "auto"):
     """Curved-sky TT quadratic estimator: kappa_hat alms from a lensed
     HEALPix temperature map.
 
@@ -412,6 +413,17 @@ def qe_tt_kappa_healpix(t_map, cl_tt, nl_tt=None, lmin: int = 2,
     Monte-Carlo response (the standard practice), exactly as
     tests/test_cmb_lensing.py measures it.
 
+    method selects the SHT backend: 'tables' uses the precomputed
+    Legendre/Wigner tables (ops.sht / ops.sht_spin), whose host
+    precompute is O(lmax^2 * nring) — ~3 GB of scalar+spin tables at
+    nside=512/lmax=1024, a first-call upload that dwarfs the transforms.
+    'scan' uses the table-free m-blocked on-device recursions
+    (ops.sht_large / ops.sht_spin_large, O(nring * block) memory),
+    equivalence-pinned against the table path at small nside. 'auto'
+    picks 'scan' once the combined tables would exceed ~256 MB
+    (lmax >~ 360 at production nside) — production QE runs
+    (nside >= 512) always take the scan path.
+
     Returns (k_re, k_im, n0_kappa): kappa alms [l, m] layout and the
     1D N0_kappa(L) of phi_hat/normalization used.
     """
@@ -426,17 +438,23 @@ def qe_tt_kappa_healpix(t_map, cl_tt, nl_tt=None, lmin: int = 2,
         nl_tt = np.zeros_like(cl_tt)
     Lf = int(cl_tt.size - 1) if lmax_filter is None else int(lmax_filter)
     Lo = Lf if lmax_out is None else int(lmax_out)
+    if method not in ("auto", "tables", "scan"):
+        raise ValueError(f"method must be auto/tables/scan, got {method!r}")
+    if method == "auto":
+        nring = 4 * nside - 1
+        L = max(Lf, Lo)
+        nlm = (L + 1) * (L + 2) // 2
+        # scalar + two spin-1 tables, 4 bytes each
+        use_scan = 3 * nlm * nring * 4 > (1 << 28)
+    else:
+        use_scan = method == "scan"
     niter = 0 if Lf <= 2 * nside else 3
+    if use_scan:
+        return _qe_tt_kappa_healpix_scan(t_map, cl_tt, nl_tt, lmin, Lf, Lo,
+                                         nside, niter)
     tlm_re, tlm_im = _sht.analyze(t_map, nside, Lf, niter=niter)
 
-    ell = np.arange(Lf + 1, dtype=np.float64)
-    C = np.interp(ell, np.arange(cl_tt.size), cl_tt, left=0, right=0)
-    Nn = np.interp(ell, np.arange(cl_tt.size), np.asarray(nl_tt),
-                   left=0, right=0)
-    band = (ell >= lmin) & (ell <= Lf)
-    F = np.where(band & (C + Nn > 0),
-                 1.0 / np.where(C + Nn > 0, C + Nn, 1.0), 0.0)
-    W = C * F
+    F, W = _qe_filter_weights(cl_tt, nl_tt, lmin, Lf)
     Fj = jnp.asarray(F, jnp.float32)[:, None]
     Wj = jnp.asarray(W, jnp.float32)[:, None]
     g = _ss._g_ell(Lf)[:, None]
@@ -447,7 +465,29 @@ def qe_tt_kappa_healpix(t_map, cl_tt, nl_tt=None, lmin: int = 2,
                                     z, z, nside, Lf)
     er, ei, _, _ = _ss.analyze_spin1(tbar * g_t, tbar * g_p, nside, Lo,
                                      niter=3)
-    # (div V)_lm = -g_l E_lm; flat phi_un(L) = FT[div(W0 G)](L)
+    return _qe_divergence_to_kappa(er, ei, Lo, cl_tt, nl_tt, lmin, Lf)
+
+
+def _qe_filter_weights(cl_tt, nl_tt, lmin: int, Lf: int):
+    """Inverse-variance (F) and Wiener (W = C*F) band filters."""
+    ell = np.arange(Lf + 1, dtype=np.float64)
+    C = np.interp(ell, np.arange(cl_tt.size), cl_tt, left=0, right=0)
+    Nn = np.interp(ell, np.arange(cl_tt.size), np.asarray(nl_tt),
+                   left=0, right=0)
+    band = (ell >= lmin) & (ell <= Lf)
+    F = np.where(band & (C + Nn > 0),
+                 1.0 / np.where(C + Nn > 0, C + Nn, 1.0), 0.0)
+    return F, C * F
+
+
+def _qe_divergence_to_kappa(er, ei, Lo: int, cl_tt, nl_tt, lmin: int,
+                            Lf: int):
+    """Shared QE tail: (div V) E-alms -> normalized kappa alms + N0.
+
+    (div V)_lm = -g_l E_lm; flat phi_un(L) = FT[div(W0 G)](L).
+    """
+    from . import sht_spin as _ss
+
     gout = _ss._g_ell(Lo)[:, None]
     phi_re = -gout * er
     phi_im = -gout * ei
@@ -465,3 +505,36 @@ def qe_tt_kappa_healpix(t_map, cl_tt, nl_tt=None, lmin: int = 2,
     n0_kappa = np.where(ok, 0.25 * (ells_out * (ells_out + 1.0)) ** 2
                         / np.where(ok, R, 1.0), 0.0)
     return k_re, k_im, jnp.asarray(n0_kappa, jnp.float32)
+
+
+def _qe_tt_kappa_healpix_scan(t_map, cl_tt, nl_tt, lmin: int, Lf: int,
+                              Lo: int, nside: int, niter: int):
+    """Table-free curved-sky TT QE: the qe_tt_kappa_healpix pipeline on
+    the m-blocked on-device Legendre/Wigner scans (ops.sht_large +
+    ops.sht_spin_large) — O(nring * block) memory instead of the
+    O(lmax^2 * nring) host tables, so nside=512/lmax=1024 runs without
+    a multi-GB first-call upload."""
+    from . import sht_large as _sl
+    from . import sht_spin as _ss
+    from . import sht_spin_large as _ssl
+
+    tlm_re, tlm_im = _sl.analyze_large(t_map, nside, Lf, niter=niter,
+                                       method="jacobi")
+    F, W = _qe_filter_weights(cl_tt, nl_tt, lmin, Lf)
+    Fj = jnp.asarray(F, jnp.float32)[:, None]
+    Wj = jnp.asarray(W, jnp.float32)[:, None]
+    g = _ss._g_ell(Lf)[:, None]
+
+    # share one table/geometry build between the two scalar transforms
+    stab = _sl.sht_large_tables(nside, Lf)
+    s1tab = _ssl.spin1_large_tables(nside, max(Lf, Lo))
+    tbar = _sl.synthesize_large(tlm_re * Fj, tlm_im * Fj, nside, Lf,
+                                tables=stab)
+    z = jnp.zeros_like(tlm_re)
+    g_t, g_p = _ssl.synthesize_spin1_large(
+        tlm_re * Wj * g, tlm_im * Wj * g, z, z, nside, Lf,
+        tables=(s1tab if Lf == max(Lf, Lo) else None))
+    er, ei, _, _ = _ssl.analyze_spin1_large(
+        tbar * g_t, tbar * g_p, nside, Lo, niter=3, method="jacobi",
+        tables=(s1tab if Lo == max(Lf, Lo) else None))
+    return _qe_divergence_to_kappa(er, ei, Lo, cl_tt, nl_tt, lmin, Lf)

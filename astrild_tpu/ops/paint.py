@@ -127,18 +127,20 @@ def _paint_one(pos, ngrid, boxsize, weights, window, deposit):
             # the sorted flat deposit IS the Pallas NGP path (previously
             # an explicit deposit='pallas' with window='ngp' silently
             # fell back to the scatter)
-            from .paint_pallas import DEFAULT_WINDOW, deposit_flat
+            from .paint_pallas import _auto_deposit_params, deposit_flat
             u = pos / (boxsize / ngrid)
             i = jnp.floor(u).astype(jnp.int32) % ngrid
             flat = (i[:, 0] * ngrid + i[:, 1]) * ngrid + i[:, 2]
             w = None if weights is None else weights.astype(jnp.float32)
             # pad the cell count up to a whole number of 128-multiple
-            # windows (keys < ngrid^3 never land in the pad)
+            # windows (keys < ngrid^3 never land in the pad); window and
+            # chunk size are density-adaptive (sparse input widens)
             n_cells = ngrid ** 3
-            win = min(DEFAULT_WINDOW, -(-n_cells // 128) * 128)
+            win, p1 = _auto_deposit_params(pos.shape[0], n_cells)
+            win = min(win, -(-n_cells // 128) * 128)
             n_pad = -(-n_cells // win) * win
             dep = deposit_flat(flat, w, n_pad, window=win,
-                               interpret=interp)
+                               chunk_rows=p1, interpret=interp)
             return dep[:n_cells].reshape(ngrid, ngrid, ngrid)
         from .paint_pallas import paint_windowed
         pf = jnp.concatenate([pos[:, 0], pos[:, 1], pos[:, 2]])

@@ -307,6 +307,36 @@ def _fit_seg_params(n_cells: int, window: int, n_seg: int):
     return window, n_seg
 
 
+def _auto_deposit_params(n: int, raw_cells: int, window=None,
+                         chunk_rows=None, must_divide: int | None = None):
+    """Density-adaptive (window, chunk_rows) for the sorted deposits.
+
+    The driver is rho = mean particle rows per (window[, offset]) range
+    = n * window / raw_cells / 128. When rho << chunk_rows the kernel is
+    program-overhead + chunk-spill bound (every tiny range pays a full
+    chunk DMA): widen the window until rho >= 16 rows and shrink chunks
+    to 16. Measured on the v5e (TSC 512^3 from 4.2M sparse particles):
+    (16384, 64) 2869 ms -> (65536, 16) 709 ms; NGP 4.2M -> 2^27 cells:
+    86 -> 39 ms. Dense regimes keep the defaults ((16384, 64) at
+    >= 64 rows: 16.8M -> 256^3 TSC 1238 vs 1281 ms at chunk 16), and
+    the mid regime (33.6M -> 512^3, rho = 31) takes (16384, 16):
+    3758 vs 4373 ms. Windows beyond 262144 are a measured pessimization
+    (1M window: 2970 ms on the sparse case — the one-hot H build grows
+    with rows).
+    """
+    if window is None:
+        window = DEFAULT_WINDOW
+        # stop at the first window with rho >= ~12 rows (the measured-best
+        # 4.2M/512^3 config sits at rho = 15.8 and must NOT widen past it)
+        while (window < 262144 and n * window < 12 * 128 * raw_cells
+               and (must_divide is None or must_divide % (2 * window) == 0)):
+            window *= 2
+    if chunk_rows is None:
+        rho = n * window / max(raw_cells, 1) / 128.0
+        chunk_rows = 64 if rho >= 64 else 16
+    return window, chunk_rows
+
+
 def _fit_paint_window(raw_cells: int, window: int) -> int:
     """Widen the paint window until ceil(raw_cells/window) fits the same
     2^16 scalar-prefetch/grid-program cap as _fit_seg_params.
@@ -602,14 +632,17 @@ def _paint_kernel(off_ref, ax_ref, ay_ref, az_ref, srow_ref, nch_ref,
                    static_argnames=("ngrid", "order", "window", "interpret",
                                     "chunk_rows"))
 def paint_windowed(pos_flat, weights, ngrid: int, boxsize, order: int = 3,
-                   window: int = DEFAULT_WINDOW,
+                   window: int | None = None,
                    interpret: bool | None = None,
-                   chunk_rows: int = _CHUNK_ROWS):
+                   chunk_rows: int | None = None):
     """Pallas CIC/TSC deposit: drop-in replacement for ops.paint.paint.
 
     pos_flat: (3*n,) float32 — x, y, z concatenated ((n,3) arrays pad
       their 3-wide dim 42x at large n on TPU; see CLAUDE.md).
     order: 2 (CIC, 8 offsets) or 3 (TSC, 27 offsets).
+    window/chunk_rows: None = density-adaptive (_auto_deposit_params;
+      sparse/large-grid input widens the window and shrinks chunks —
+      measured 4x on TSC 512^3 from 4.2M particles).
 
     Returns (ngrid, ngrid, ngrid) float32, bit-comparable (float-sum
     ordering aside) with paint_cic/paint_tsc.
@@ -620,6 +653,8 @@ def paint_windowed(pos_flat, weights, ngrid: int, boxsize, order: int = 3,
     import numpy as np
 
     n = pos_flat.shape[0] // 3
+    window, chunk_rows = _auto_deposit_params(n, (ngrid + 2) ** 3, window,
+                                              chunk_rows)
     # periodic wrap FIRST (paint.py promises all painters are periodic;
     # the scatter painters wrap via % ngrid) — afterwards every base cell
     # is in range and the padded-grid fold below supplies the wrap of the
@@ -838,15 +873,19 @@ def pallas_deposit_available() -> bool:
 
 
 def deposit_flat(flat_idx, weights, n_cells: int,
-                 window: int = DEFAULT_WINDOW,
+                 window: int | None = None,
                  interpret: bool | None = None,
-                 chunk_rows: int = _CHUNK_ROWS):
+                 chunk_rows: int | None = None):
     """Sort + Pallas deposit: drop-in for `zeros(n).at[flat].add(w)`.
 
     weights=None deposits counts (sorts only the keys — the common and
     fastest path; the bench's NGP deposit is unit-weight).
+    window/chunk_rows: None = density-adaptive (_auto_deposit_params).
     """
     flat_idx = flat_idx.reshape(-1).astype(jnp.int32)
+    window, chunk_rows = _auto_deposit_params(flat_idx.shape[0], n_cells,
+                                              window, chunk_rows,
+                                              must_divide=n_cells)
     # is_stable=False everywhere a deposit consumes the sort: stability
     # costs XLA an implicit index tiebreaker operand (measured on the
     # chip at 134M keys: 442 ms stable vs 237 ms unstable; weighted pair

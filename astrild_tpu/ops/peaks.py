@@ -15,7 +15,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["PeakCatalog", "local_maxima", "find_peaks", "peak_counts"]
+__all__ = ["PeakCatalog", "local_maxima", "find_peaks", "peak_counts",
+           "candidate_topk"]
 
 
 class PeakCatalog(NamedTuple):
@@ -42,6 +43,39 @@ def local_maxima(img):
     return m
 
 
+def candidate_topk(score2d, k: int):
+    """top_k over a strict-local-maximum candidate score map.
+
+    score2d holds -inf everywhere except at strict 8-neighbourhood local
+    maxima. Two such candidates can never be adjacent (each would need
+    to exceed the other), so every 2x2 block holds AT MOST ONE finite
+    entry — a 2x2 max-pool is lossless, and the top_k runs on a 4x
+    smaller array (the top_k sort is the dominant cost of peak/void
+    candidate extraction at 2048^2: measured 51 ms for
+    local_maxima+top_k on the v5e). Winner pixel positions are
+    recovered exactly by comparing the 4 source pixels per winning
+    block (the other 3 are -inf or strictly smaller).
+
+    Falls back to plain top_k for odd sizes / tiny maps.
+    Returns (vals, flat_idx) exactly like lax.top_k on score2d.ravel().
+    """
+    n = score2d.shape[-1]
+    if n % 2 or k > (n // 2) ** 2 or n < 512:
+        return jax.lax.top_k(score2d.reshape(-1), k)
+    half = n // 2
+    rowmax = jnp.max(score2d.reshape(half, 2, n), axis=1)
+    colmax = jnp.maximum(rowmax[:, 0::2], rowmax[:, 1::2])  # (half, half)
+    vals, bidx = jax.lax.top_k(colmax.reshape(-1), k)
+    bi = bidx // half
+    bj = bidx - bi * half
+    base = (2 * bi) * n + 2 * bj
+    cand = jnp.stack([base, base + 1, base + n, base + n + 1])  # (4, k)
+    cvals = score2d.reshape(-1)[cand]
+    which = jnp.argmax(cvals, axis=0)
+    idx = jnp.take_along_axis(cand, which[None, :], axis=0)[0]
+    return vals, idx
+
+
 @partial(jax.jit, static_argnames=("max_peaks", "edge_pix"))
 def find_peaks(img, threshold=-jnp.inf, max_peaks: int = 1024,
                edge_pix: int = 0, sigma: Optional[float] = None):
@@ -65,8 +99,8 @@ def find_peaks(img, threshold=-jnp.inf, max_peaks: int = 1024,
         r = jnp.arange(n)
         inside = ((r >= edge_pix) & (r < n - edge_pix))
         mask = mask & inside[:, None] & inside[None, :]
-    score = jnp.where(mask, img, -jnp.inf).reshape(-1)
-    vals, idx = jax.lax.top_k(score, max_peaks)
+    score = jnp.where(mask, img, -jnp.inf)
+    vals, idx = candidate_topk(score, max_peaks)
     pos = jnp.stack([idx // n, idx % n], axis=-1)
     count = jnp.sum(vals > -jnp.inf)
     std = jnp.std(img) if sigma is None else sigma

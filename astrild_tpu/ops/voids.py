@@ -117,12 +117,12 @@ def find_tunnels(peak_pos, peak_valid, npix: int, max_voids: int = 256,
       npix: map resolution.
       max_voids: static candidate/catalog capacity.
     """
-    from .peaks import local_maxima
+    from .peaks import candidate_topk, local_maxima
 
     dist = distance_transform(peak_pos, peak_valid, npix)
     cand_mask = local_maxima(dist) & (dist >= min_radius)
-    score = jnp.where(cand_mask, dist, -jnp.inf).reshape(-1)
-    vals, idx = jax.lax.top_k(score, max_voids)
+    score = jnp.where(cand_mask, dist, -jnp.inf)
+    vals, idx = candidate_topk(score, max_voids)
     cpos = jnp.stack([(idx // npix).astype(jnp.float32),
                       (idx % npix).astype(jnp.float32)], axis=-1)
     cvalid = vals > -jnp.inf

@@ -46,8 +46,14 @@ def _release_jax_executables():
     at a location that wandered between runs. Per-module clearing keeps
     the map count bounded; the persistent compilation cache makes the
     re-compiles cheap.
+
+    The fast lane (pytest -m "not slow", ~1/3 of the executables) sets
+    ASTRILD_FAST_LANE=1 to skip the clearing: well under the map limit,
+    and shared executables stay warm across modules.
     """
     yield
+    if os.environ.get("ASTRILD_FAST_LANE") == "1":
+        return
     import gc
     jax.clear_caches()
     gc.collect()

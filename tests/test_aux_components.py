@@ -296,6 +296,7 @@ def test_dipole_figures(tmp_path, rng):
     assert os.path.getsize(f1) > 0 and os.path.getsize(f2) > 0
 
 
+@pytest.mark.slow
 def test_publication_figures(tmp_path, rng):
     """New astrildvisual parity surface: publication style, journal figure
     sizes, velocity-quiver map panels, analytic dipole-map grid."""

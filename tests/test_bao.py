@@ -119,6 +119,7 @@ def test_argument_validation():
         bao.fit_bao_scale(k, d, COSMO, kmin=0.28, kmax=0.30)
 
 
+@pytest.mark.slow
 def test_grf_end_to_end_alpha_unity():
     """Exact-modulus GRF with the full wiggly linear P(k) -> auto_power
     -> fit: alpha = 1 to a few per mille (binning discreteness is the

@@ -239,6 +239,7 @@ def test_qe_eb_n0_zero_without_noise_and_positive_with():
     assert np.all(n0b >= 0)
 
 
+@pytest.mark.slow
 def test_qe_tt_healpix_pure_mode_response():
     """Curved-sky TT estimator: ensemble-mean reconstruction of a pure
     kappa alm lands on the input with the flat-normalization envelope
@@ -274,3 +275,34 @@ def test_qe_tt_healpix_pure_mode_response():
     acc /= 10
     ratio = acc[L0, 0] / A
     assert 0.85 < ratio < 1.4, ratio
+
+
+def test_qe_healpix_scan_matches_tables():
+    """method='scan' (table-free sht_large/sht_spin_large backends) must
+    reproduce the table path on the same map — the production nside>=512
+    route where the O(lmax^2 nring) tables (~3 GB) are unaffordable."""
+    from astrild_tpu.ops import sht
+    from astrild_tpu.utils import healpix as hpx
+
+    nside, Lf = 32, 60
+    ell = np.arange(Lf + 1, dtype=np.float64)
+    cl_tt = np.zeros(Lf + 1)
+    cl_tt[2:] = 1e-10 / (ell[2:] * (ell[2:] + 1.0))
+    import jax
+
+    cmb = np.asarray(sht.synfast(jax.random.PRNGKey(3), cl_tt, nside,
+                                 lmax=Lf)).astype(np.float32)
+    kt = cml.qe_tt_kappa_healpix(cmb, cl_tt, lmin=8, lmax_filter=Lf,
+                                 lmax_out=30, method="tables")
+    ks = cml.qe_tt_kappa_healpix(cmb, cl_tt, lmin=8, lmax_filter=Lf,
+                                 lmax_out=30, method="scan")
+    npt.assert_allclose(np.asarray(ks[2]), np.asarray(kt[2]), rtol=1e-5)
+    scale = np.abs(np.asarray(kt[0])).max()
+    npt.assert_allclose(np.asarray(ks[0]), np.asarray(kt[0]),
+                        atol=2e-3 * scale)
+    npt.assert_allclose(np.asarray(ks[1]), np.asarray(kt[1]),
+                        atol=2e-3 * scale)
+    # auto stays on tables at toy scale, and rejects junk
+    import pytest
+    with pytest.raises(ValueError):
+        cml.qe_tt_kappa_healpix(cmb, cl_tt, method="banana")

@@ -37,6 +37,7 @@ def test_quantile_labels_equal_counts_and_order():
     assert (np.bincount(lab2, minlength=4) == 25).all()
 
 
+@pytest.mark.slow
 def test_density_split_profiles_sign_ordering():
     """On a GRF, the lowest-density quantile must show a negative tracer
     profile at small r and the highest a positive one, with monotone

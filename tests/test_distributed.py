@@ -276,6 +276,7 @@ def test_distributed_sht_matches_local(mesh22, rng):
     npt.assert_allclose(np.asarray(b_im), a_im, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_distributed_sht_large_matches_local(mesh22, rng):
     """m-sharded scan-path SHT == single-device ops.sht_large, including
     the alias-fold band (lmax = 4*nside-1, where the m-block count 2
@@ -316,6 +317,7 @@ def test_distributed_sht_large_matches_local(mesh22, rng):
                                     atol=5e-7)
 
 
+@pytest.mark.slow
 def test_distributed_sht_spin2_large_matches_local(mesh22, rng):
     """m-sharded spin-2 scan path == single-device ops.sht_spin_large
     (ulp-level: the tail's complex FFT/scatter fuse differently in the
@@ -390,6 +392,7 @@ def test_distributed_tpcf_matches_local(mesh22, rng):
     npt.assert_array_equal(np.asarray(got_m), np.asarray(want_m))
 
 
+@pytest.mark.slow
 def test_distributed_lens_planes_matches_local(mesh22, rng):
     """Particle-sharded lens-plane painting == single-device builder,
     via both count paths (scatter scan and interpret-mode Pallas
@@ -471,6 +474,7 @@ def test_distributed_tpcf_halfbox_guard(mesh22):
                                    jnp.linspace(1.0, BOX, 9))
 
 
+@pytest.mark.slow
 def test_skyhealpix_anafast_mesh_dispatch(mesh22):
     """SkyHealpix.anafast(mesh=...) routes through the m-sharded scan
     path and caches the jitted factory."""
@@ -520,6 +524,7 @@ def test_distributed_sht_large_rejects_bad_method(mesh22):
         analyze(np.zeros(12 * 16 * 16, np.float32), method="jacobi3")
 
 
+@pytest.mark.slow
 def test_painter_in_shard_map_matches_local(mesh22, rng):
     """The multi-offset CIC/TSC painter composes with shard_map: each
     device paints its particle shard onto a full local grid (interpret
@@ -625,6 +630,7 @@ def test_distributed_factories_default_weights(mesh22, rng):
     assert np.all(np.isfinite(np.asarray(mres.p_ell)))
 
 
+@pytest.mark.slow
 def test_distributed_healpix_shells_matches_local(mesh22, rng):
     """Particle-sharded full-sky lightcone shells == single-device
     builder (both deposit paths), incl. the multihost valid mask."""

@@ -17,6 +17,7 @@ from astrild_tpu.parallel.lensing import make_distributed_lensing_suite
     ((4, 1, 2), 4, 8, 64),
     ((2, 2, 2), 2, 6, 96),
 ])
+@pytest.mark.slow
 def test_distributed_lensing_matches_local(rng, mesh_shape, nsim, nplane,
                                            npix):
     mesh = make_mesh(n_sim=mesh_shape[0], n_x=mesh_shape[1],

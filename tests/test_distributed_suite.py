@@ -22,6 +22,7 @@ NPLANES = 8
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_composed_suite_matches_single_device(rng):
     n_part = 1 << 17
     pos = rng.uniform(0, BOX, (n_part, 3)).astype(np.float32)

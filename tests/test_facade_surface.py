@@ -495,3 +495,21 @@ def test_dipoles_single_transverse_velocity_exact():
         dTx, dTy, alphax, alphay)
     npt.assert_allclose(float(vx), vx_true, rtol=1e-5)
     npt.assert_allclose(float(vy), vy_true, rtol=1e-5)
+
+
+def test_skyarray_convergence_to_shear_direct(rng):
+    """SkyArray.convert_convergence_to_shear == the two-step
+    deflection->shear chain in the map interior."""
+    from astrild_tpu.models import SkyArray
+
+    n = 64
+    e = (np.arange(n) + 0.5) / n - 0.5
+    kappa = np.exp(-(e[:, None] ** 2 + e[None, :] ** 2) / (2 * 0.1 ** 2))
+    sky = SkyArray.from_array(kappa.astype(np.float32), 5.0, "kappa_2")
+    g1d, g2d = sky.convert_convergence_to_shear(padding_factor=4)
+    sky.convert_convergence_to_deflection(padding_factor=4)
+    g1c, g2c = sky.convert_deflection_to_shear()
+    sl = np.s_[6:-6, 6:-6]
+    npt.assert_allclose(np.asarray(g1d)[sl], np.asarray(g1c)[sl], atol=5e-3)
+    npt.assert_allclose(np.asarray(g2d)[sl], np.asarray(g2c)[sl], atol=5e-3)
+    assert "shearx" in sky.data and "sheary" in sky.data

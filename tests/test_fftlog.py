@@ -46,6 +46,7 @@ def test_matches_brute_quadrature(ell):
     npt.assert_allclose(out[sel], ref, atol=3e-3 * scale)
 
 
+@pytest.mark.slow
 def test_linear_xi_multipoles_kaiser():
     """Kaiser xi2/xi0 consistency: both transforms from the same linear
     P(k); check the transform is linear and signs follow i^ell."""

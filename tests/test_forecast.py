@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from astrild_tpu.ops.angular_power import cl_kappa_limber
 from astrild_tpu.ops.forecast import (fisher_matrix,
@@ -10,6 +11,7 @@ from astrild_tpu.ops.forecast import (fisher_matrix,
 from astrild_tpu.utils.cosmology import Cosmology
 
 
+@pytest.mark.slow
 def test_sigma8_derivative_is_exact():
     """Linear Cl scales as sigma8^2, so dlnCl/dlnsigma8 == 2 exactly —
     pins autodiff through Cosmology construction + EH98 + Limber."""
@@ -71,6 +73,7 @@ def test_covariance_block_structure():
     np.testing.assert_allclose(c[0, 0, 0], expect, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_shear_fisher_end_to_end():
     res = shear_fisher(np.geomspace(100, 1000, 6),
                        {"Om0": 0.3089, "sigma8": 0.8159},
@@ -112,6 +115,7 @@ def test_cosmology_vmap_parameter_grid():
     assert bool(jnp.all(jnp.diff(out[:, 0]) > 0))  # more matter, more Cl
 
 
+@pytest.mark.slow
 def test_hod_wp_fisher_autodiff():
     """Exact HOD-parameter derivatives through halo model + FFTLog:
     Fisher is symmetric PSD, and dwp/dlog_m1 < 0 (raising M1 removes
@@ -140,6 +144,7 @@ def test_hod_wp_fisher_autodiff():
     assert F[names.index("log_mmin"), names.index("log_mmin")] > 0
 
 
+@pytest.mark.slow
 def test_threex2pt_fisher_joint():
     import jax
     import jax.numpy as jnp
@@ -177,6 +182,7 @@ def test_threex2pt_fisher_joint():
         threex2pt_fisher({"Om0": 0.3}, rp, rp[:2], cov_wp, cov_ds, **kw)
 
 
+@pytest.mark.slow
 def test_sigma_r_second_order_differentiable():
     """Regression: the top-hat window's f32 cancellation at small k*R
     made mixed second derivatives (theory_hmf through Fisher) NaN."""
@@ -201,6 +207,7 @@ def test_sigma_r_second_order_differentiable():
     assert 0.5 < s < 2.0
 
 
+@pytest.mark.slow
 def test_xipm_fisher_dark_energy():
     """w0 flows through the Fisher chain (background tables -> growth
     -> Limber -> FFTLog) like any Cosmology kwarg."""

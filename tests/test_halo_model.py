@@ -2,6 +2,7 @@
 Fourier transform."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import numpy.testing as npt
 
 from astrild_tpu.ops import halo_model as HM
@@ -39,6 +40,7 @@ def test_sheth_tormen_bias_monotone_and_crosses_unity():
     assert b[0] < 1.0 < b[-1]
 
 
+@pytest.mark.slow
 def test_two_halo_reduces_to_linear_at_large_scales():
     k = jnp.asarray([1e-3, 3e-3, 1e-2])
     p1, p2, pt = HM.halo_model_power(k, COSMO)
@@ -128,6 +130,7 @@ def test_hod_galaxy_bias_decreases_with_mmin():
     assert biases[0] < biases[1] < biases[2]
 
 
+@pytest.mark.slow
 def test_hod_galaxy_matter_power_and_delta_sigma():
     import jax
     from astrild_tpu.ops.halo_model import (delta_sigma_hod,

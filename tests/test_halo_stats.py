@@ -320,6 +320,7 @@ def test_svdw_multiplicity_hybrid_continuity():
     assert abs(series / small - 1.0) < 5e-3
 
 
+@pytest.mark.slow
 def test_theory_vsf_vdn_volume_relation_and_scale():
     from astrild_tpu.ops.halo_stats import theory_vsf
     from astrild_tpu.utils.cosmology import Cosmology

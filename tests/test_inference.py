@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from astrild_tpu.ops.forecast import shear_fisher, tomographic_shear_cls
 from astrild_tpu.ops.inference import hmc_sample, shear_log_posterior
@@ -35,6 +36,7 @@ def test_hmc_adapts_step_size():
     assert float(res.accept_rate) > 0.5
 
 
+@pytest.mark.slow
 def test_shear_posterior_centers_on_truth_and_matches_fisher():
     ells = jnp.asarray(np.geomspace(100, 800, 5), jnp.float32)
     truth = {"Om0": 0.3089, "sigma8": 0.8159}
@@ -59,6 +61,7 @@ def test_shear_posterior_centers_on_truth_and_matches_fisher():
     assert 0.5 < s.std() / sigma_fisher < 2.0
 
 
+@pytest.mark.slow
 def test_threex2pt_log_posterior():
     import jax
     import jax.numpy as jnp

@@ -3,6 +3,7 @@ chain to raytraced maps."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import numpy.testing as npt
 
 from astrild_tpu.ops import lens_planes as LPL
@@ -10,6 +11,7 @@ from astrild_tpu.ops import lens_planes as LPL
 BOX = 500.0
 
 
+@pytest.mark.slow
 def test_deposit_path_matches_scan(rng):
     """The (plane, row, col)-key Pallas deposit path (interpret mode on
     CPU) reproduces the per-plane scatter scan to f32 roundoff across

@@ -102,6 +102,38 @@ def test_alpha_to_gamma_shapes_and_symmetry():
     assert np.all(np.isfinite(np.asarray(g1)))
 
 
+def test_kappa_to_gamma_matches_alpha_gradient_chain():
+    """Direct spectral shear == kappa_to_alpha + alpha_to_gamma in the
+    interior (the chain's finite differences are 2nd-order; edges keep
+    the one-sided-difference discrepancy), and exact spin-2 spectral
+    identity for a single plane-wave kappa."""
+    n = 128
+    oa = 1.0
+    e = (jnp.arange(n) + 0.5) / n - 0.5
+    r2 = e[:, None] ** 2 + e[None, :] ** 2
+    kappa = jnp.exp(-r2 / (2 * 0.07 ** 2))
+    g1, g2 = L.kappa_to_gamma(kappa, oa, padding_factor=4)
+    a1, a2 = L.kappa_to_alpha(kappa, oa, padding_factor=4)
+    g1c, g2c = L.alpha_to_gamma(a1, a2, oa)
+    sl = np.s_[8:-8, 8:-8]
+    scale = float(jnp.max(jnp.abs(kappa)))
+    npt.assert_allclose(np.asarray(g1)[sl], np.asarray(g1c)[sl],
+                        atol=2e-3 * scale)
+    npt.assert_allclose(np.asarray(g2)[sl], np.asarray(g2c)[sl],
+                        atol=2e-3 * scale)
+    # plane wave: gamma/kappa = ((k1^2-k2^2) + 2 i k1 k2)/k^2 exactly.
+    # (pad=1: the wave is periodic, so no padding artifacts at all)
+    kx_i, ky_i = 3, 5
+    ph = 2.0 * jnp.pi * (kx_i * jnp.arange(n)[:, None]
+                         + ky_i * jnp.arange(n)[None, :]) / n
+    kw = jnp.cos(ph)
+    gw1, gw2 = L.kappa_to_gamma(kw, oa, padding_factor=1)
+    fac = (kx_i ** 2 - ky_i ** 2) / (kx_i ** 2 + ky_i ** 2)
+    fac2 = 2.0 * kx_i * ky_i / (kx_i ** 2 + ky_i ** 2)
+    npt.assert_allclose(np.asarray(gw1), fac * np.asarray(kw), atol=1e-4)
+    npt.assert_allclose(np.asarray(gw2), fac2 * np.asarray(kw), atol=1e-4)
+
+
 def test_add_patch_to_map_center_and_clip():
     big = jnp.zeros((10, 10))
     patch = jnp.ones((3, 3))
@@ -146,6 +178,7 @@ def test_code_to_phy_units():
     npt.assert_allclose(L.code_to_phy_units_factor("other"), 1.0)
 
 
+@pytest.mark.slow
 def test_born_kappa_matches_limber_theory():
     """4-way consistency of the lensing stack: Gaussian density slabs
     with the linear P(k, z) (cl_to_flat_map), Born-integrated to kappa

@@ -41,6 +41,7 @@ def test_shell_counts_conserve_and_uniform(rng):
                         0.5 * (edges[1:] + edges[:-1]))
 
 
+@pytest.mark.slow
 def test_shell_counts_replication_covers_sphere(rng):
     """Shells beyond the box boundary: replication fills every pixel
     (no spurious underdense ring — the lens-plane ADVICE-r2 geometry
@@ -210,6 +211,7 @@ def test_multiplane_tomography_masks_far_shells(rng):
                         np.asarray(one["kappa"]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_multiplane_jit_matches_eager(rng):
     """Fusion-duplication guard: the jitted trace must agree with the
     op-by-op (disable_jit) execution at undeflected rays sitting exactly

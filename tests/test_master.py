@@ -98,6 +98,7 @@ def test_master_unbiased_where_w2_biased(rng):
     assert err_ms.max() < 0.02, (err_ms, bias_w2)
 
 
+@pytest.mark.slow
 def test_skynamaster_facade_flat_and_full(rng):
     """Model-level parity surface for the reference's (nonfunctional)
     SkyNamaster: construction + compute_cl with/without decoupling."""
@@ -414,6 +415,7 @@ def test_fullsky_coupling_identity():
     npt.assert_allclose(M, np.eye(lmax + 1), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_fullsky_master_unbiased_belt_mask():
     from astrild_tpu.ops import sht
     from astrild_tpu.utils import healpix as hpx

@@ -118,6 +118,7 @@ def test_skymap_from_file_roundtrip(tmp_path, kappa_sky):
 
 
 # ---------------------------------------------------------- voids pipeline
+@pytest.mark.slow
 def test_tunnels_end_to_end(kappa_sky):
     finder = TunnelsFinder(kappa_sky)
     finder.find_peaks(thresholds_dsc={"on": "orig", "nbins": 100},
@@ -140,6 +141,7 @@ def test_tunnels_end_to_end(kappa_sky):
     assert np.all(ds["lowerr"] <= ds["higherr"] + 1e-12)
 
 
+@pytest.mark.slow
 def test_tangential_shear_profile_stats(kappa_sky):
     finder = TunnelsFinder(kappa_sky)
     finder.find_peaks()
@@ -158,6 +160,7 @@ def test_watershed_finder(kappa_sky):
     assert len(out["rad_pix"]) > 0
 
 
+@pytest.mark.slow
 def test_peaks_from_finder(kappa_sky):
     finder = TunnelsFinder(kappa_sky)
     finder.find_peaks()
@@ -203,6 +206,7 @@ def test_power_spectrum_3d_mesh_dispatch(rng):
         ps.power_from_points(posd, 100.0, 32, method="window", mesh=mesh)
 
 
+@pytest.mark.slow
 def test_linear_spectra_classes():
     lps = LinearPowerSpectrum()
     P = lps.P_dd(np.array([0.01, 0.1, 1.0]))
@@ -223,6 +227,7 @@ def test_bispectrum_classes(rng):
 
 
 # ----------------------------------------------------------------- dipoles
+@pytest.mark.slow
 def test_dipoles_pipeline(rng):
     n = 256
     # paint a couple of NFW dT dipoles on a map
@@ -361,6 +366,7 @@ def test_dipoles_catalog_roundtrip(tmp_path):
 
 
 # ------------------------------------------------ ADVICE r1 regression fixes
+@pytest.mark.slow
 def test_voids_select_type_minimal(kappa_sky, rng):
     finder = TunnelsFinder(kappa_sky)
     finder.find_peaks()
@@ -403,6 +409,7 @@ def test_voids_trim_edges_extend():
     assert v.data["x_pix"][0] == 50.0
 
 
+@pytest.mark.slow
 def test_filtered_peaks_per_sigma(kappa_sky):
     finder = TunnelsFinder(kappa_sky)
     finder.find_peaks()
@@ -421,6 +428,7 @@ def test_filtered_peaks_per_sigma(kappa_sky):
     assert len(sub["x_pix"]) == int((fp["sigma"] == sig[0]).sum())
 
 
+@pytest.mark.slow
 def test_dipoles_reference_mode_estimator(rng):
     """Reference-form vt estimator (crop -> aperture photometry -> 5'
     high-pass -> DGD3(R200) -> Hann -> -c SumdT/Sumalpha) on the same

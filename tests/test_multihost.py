@@ -259,6 +259,7 @@ _WORKER = textwrap.dedent("""
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_two_process_distributed_power(snapshot4, tmp_path):
     """REAL multi-controller run: 2 OS processes x 2 CPU devices, gloo
     collectives, striped reads, make_array_from_process_local_data."""

@@ -297,6 +297,7 @@ def test_pm_lightcone_planes_structure():
             z_source=0.4, z_init=0.2)
 
 
+@pytest.mark.slow
 def test_pm_lightcone_born_cl_and_replica_decorrelation():
     # Full forward model: linear P(k) -> PM lightcone -> Born kappa ->
     # C_ell vs the halofit Limber prediction. Also pins the single-box

@@ -262,6 +262,7 @@ def test_seg_param_auto_fit():
     assert _fit_paint_window(1026 ** 3, 16384) == 32768
 
 
+@pytest.mark.slow
 def test_paint_windowed_offset_split(rng, monkeypatch):
     """TSC at ngrid >= ~430 used to exceed the 131072-program Mosaic
     crash line and the SMEM budget (27 * nw scalar-prefetch pairs in one
@@ -305,6 +306,7 @@ def test_pallas_seg_deposit_probe():
             is pallas_seg_deposit_available())
 
 
+@pytest.mark.slow
 def test_pallas_paint_windowed_matches_scatter(rng):
     from astrild_tpu.ops import paint as P
     from astrild_tpu.ops.paint_pallas import paint_windowed
@@ -419,3 +421,30 @@ def test_paint_ngp_pallas_dispatch(rng):
         bw = np.asarray(P.paint(pos, ng, box, weights=w, window="ngp",
                                 deposit="pallas_interpret"))
         npt.assert_allclose(bw, aw, atol=1e-4)
+
+
+def test_auto_deposit_params_measured_regimes():
+    """Density-adaptive (window, chunk_rows) reproduces the measured-best
+    choice in every calibrated regime (r4 chip sweep, paint_pallas
+    _auto_deposit_params docstring)."""
+    from astrild_tpu.ops.paint_pallas import _auto_deposit_params
+
+    # sparse TSC 4.2M -> 512^3 padded grid: widen + small chunks
+    assert _auto_deposit_params(4_194_304, 514 ** 3) == (65536, 16)
+    # mid 33.6M -> 512^3: default window, small chunks
+    assert _auto_deposit_params(33_554_432, 514 ** 3) == (16384, 16)
+    # dense 16.8M -> 256^3: defaults untouched
+    assert _auto_deposit_params(16_777_216, 258 ** 3) == (16384, 64)
+    # bench NGP 134M -> 2^27: defaults untouched
+    assert _auto_deposit_params(512 ** 3, 2 ** 27,
+                                must_divide=2 ** 27) == (16384, 64)
+    # sparse NGP 4.2M -> 2^27 with divisibility honored
+    w, p1 = _auto_deposit_params(4_194_304, 2 ** 27, must_divide=2 ** 27)
+    assert (w, p1) == (65536, 16) and 2 ** 27 % w == 0
+    # a must_divide without power-of-two headroom blocks widening
+    w2, _ = _auto_deposit_params(4_194_304, 3 * 16384,
+                                 must_divide=3 * 16384)
+    assert w2 == 16384
+    # explicit values always win
+    assert _auto_deposit_params(1, 10 ** 9, window=8192,
+                                chunk_rows=32) == (8192, 32)

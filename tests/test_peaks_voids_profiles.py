@@ -321,3 +321,24 @@ def test_void_config_templates_and_apply(rng):
     p2 = v2.apply_profile_config("svf_isw", skymap=img)
     assert "size_cat" not in v2.data
     assert p2["values"].shape == (n, 20)
+
+def test_candidate_topk_matches_plain_topk(rng):
+    """Pooled candidate top_k == lax.top_k on a strict-local-max score
+    map (every finite entry is a strict 8-neighbourhood maximum)."""
+    import jax
+    import jax.numpy as jnp
+    from astrild_tpu.ops.peaks import candidate_topk, local_maxima
+
+    n = 512  # the smallest size the pooled path engages
+    img = rng.normal(0.0, 1.0, (n, n)).astype(np.float32)
+    mask = np.asarray(local_maxima(jnp.asarray(img)))
+    score = jnp.where(jnp.asarray(mask), jnp.asarray(img), -jnp.inf)
+    want_v, want_i = jax.lax.top_k(score.reshape(-1), 300)
+    got_v, got_i = candidate_topk(score, 300)
+    npt.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    npt.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    # odd-size fallback path
+    score_odd = score[:-1, :-1][: n - 1, : n - 1]
+    gv, gi = candidate_topk(score_odd, 50)
+    wv, wi = jax.lax.top_k(score_odd.reshape(-1), 50)
+    npt.assert_array_equal(np.asarray(gv), np.asarray(wv))

@@ -55,6 +55,7 @@ def test_multipoles_match_exact_anisotropic_input():
                             rtol=2e-3, atol=1e-2)
 
 
+@pytest.mark.slow
 def test_kaiser_theory_matches_measured_multipoles():
     cosmo = Cosmology()
     beta = float(cosmo.growth_rate(0.0))  # bias = 1

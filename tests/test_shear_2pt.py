@@ -206,6 +206,7 @@ def test_cosebis_filters_constraints_and_orthonormality():
     assert np.max(np.abs(off)) < 1e-4 * dt
 
 
+@pytest.mark.slow
 def test_cosebis_bmode_null_and_route_consistency():
     ells = np.arange(2.0, 20000.0)
     cl = _smooth_cl(ells)
@@ -481,6 +482,7 @@ def test_gamma_t_from_cl_is_j2():
     assert abs(float(gt[j]) / ex - 1.0) < 2e-3
 
 
+@pytest.mark.slow
 def test_xipm_survey_fisher():
     from astrild_tpu.ops.forecast import xipm_survey_fisher
 
@@ -568,6 +570,7 @@ def test_xi_pm_curved_roundtrip_and_flat_limit():
     assert np.allclose(gt_k, gt_c, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_skyhealpix_shear_xi_pm_facade():
     from astrild_tpu.models.skyhealpix import SkyHealpix
     from astrild_tpu.ops.shear_2pt import xi_pm_from_cl_curved
@@ -589,6 +592,7 @@ def test_skyhealpix_shear_xi_pm_facade():
     assert np.all(np.abs(xp - xp_in) < 0.5 * np.abs(xp_in) + 1e-9)
 
 
+@pytest.mark.slow
 def test_cl_kappa_limber_nz():
     from astrild_tpu.utils.cosmology import Cosmology
     from astrild_tpu.ops.angular_power import (cl_kappa_limber,
@@ -633,6 +637,7 @@ def test_cl_kappa_limber_nz():
     assert np.isfinite(float(g)) and float(g) > 0
 
 
+@pytest.mark.slow
 def test_xipm_fisher_with_nz():
     from astrild_tpu.ops.forecast import xipm_survey_fisher
     from astrild_tpu.ops.angular_power import smail_nz
@@ -668,6 +673,7 @@ def test_nla_intrinsic_alignments():
     assert np.all((c1 / c0 > 0.8) & (c1 / c0 < 0.99))
 
 
+@pytest.mark.slow
 def test_xipm_fisher_with_ia_nuisance():
     from astrild_tpu.ops.forecast import xipm_survey_fisher
     from astrild_tpu.ops.angular_power import smail_nz
@@ -689,6 +695,7 @@ def test_xipm_fisher_with_ia_nuisance():
                            opening_angle_deg=5.0, nbins=6)
 
 
+@pytest.mark.slow
 def test_review_regressions():
     """Fixes from the round-3 code review: z=0 n(z) tables, shard-size
     validation, facade interval guard."""
@@ -738,6 +745,7 @@ def test_cosebis_facade_empty_interval_guard():
         sa.cosebis(3, 0.02, 0.08)
 
 
+@pytest.mark.slow
 def test_cl_galaxy_limber_and_gamma_t_pipeline():
     from astrild_tpu.utils.cosmology import Cosmology
     from astrild_tpu.ops.angular_power import (cl_galaxy_limber_nz,
@@ -819,6 +827,7 @@ def test_w_theta_flat_and_curved():
     assert np.allclose(wc, wi, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_tomographic_xi_pm_sample_covariance():
     npix, oa, nbins = 64, 2.0, 5
     ells = np.arange(2.0, 6000.0)

@@ -164,6 +164,7 @@ def test_so_catalog_feeds_hod_pipeline():
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_pm_snapshot_hmf_matches_theory():
     # the full forward-model loop: linear P(k) -> PM snapshot ->
     # SO catalog -> n(>M) vs the Tinker08 HMF in the resolved band.

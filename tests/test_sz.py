@@ -260,6 +260,7 @@ def test_m500c_from_m200m_sane():
     np.testing.assert_allclose(m500, m_def, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_y_ell_low_ell_limit_matches_patch_integral():
     """y_{ell->0} must equal the spherical Y / d_A^2 — cross-checked
     against the independently-coded compton_y_patch LOS quadrature."""
@@ -278,6 +279,7 @@ def test_y_ell_low_ell_limit_matches_patch_integral():
     np.testing.assert_allclose(yl, y_int, rtol=0.06)
 
 
+@pytest.mark.slow
 def test_cl_yy_magnitude_and_shape():
     from astrild_tpu.ops.sz import cl_yy
     from astrild_tpu.utils.cosmology import Cosmology
