@@ -128,13 +128,29 @@ def find_tunnels(peak_pos, peak_valid, npix: int, max_voids: int = 256,
     cvalid = vals > -jnp.inf
     crad = jnp.where(cvalid, vals, 0.0)
 
-    # greedy acceptance in decreasing radius order (top_k already sorted)
-    def body(i, accepted):
-        ov = circle_overlap_fraction(cpos[i], crad[i], cpos, crad)
-        ov = ov * accepted  # only count accepted voids
-        ov = ov.at[i].set(0.0)
-        ok = (jnp.max(ov) <= overlap) & cvalid[i]
-        return accepted.at[i].set(jnp.where(ok, 1.0, 0.0))
+    # greedy acceptance in decreasing radius order (top_k already sorted).
+    # For ordinary capacities the full K x K overlap matrix is computed
+    # ONCE vectorized (all transcendentals in one batched kernel); the
+    # inherently sequential loop then only does a masked row-max per
+    # step, so its cost is the while-loop dispatch floor, not K overlap
+    # evaluations per step. Escalated capacities (find_tunnels_auto can
+    # reach 2^14, where the matrix is 1 GB) keep the O(K)-memory
+    # per-step evaluation.
+    if max_voids <= 4096:
+        ov_mat = circle_overlap_fraction(cpos[:, None, :], crad[:, None],
+                                         cpos[None, :, :], crad[None, :])
+        ov_mat = ov_mat * (1.0 - jnp.eye(max_voids, dtype=ov_mat.dtype))
+
+        def body(i, accepted):
+            ok = (jnp.max(ov_mat[i] * accepted) <= overlap) & cvalid[i]
+            return accepted.at[i].set(jnp.where(ok, 1.0, 0.0))
+    else:
+        def body(i, accepted):
+            ov = circle_overlap_fraction(cpos[i], crad[i], cpos, crad)
+            ov = ov * accepted  # only count accepted voids
+            ov = ov.at[i].set(0.0)
+            ok = (jnp.max(ov) <= overlap) & cvalid[i]
+            return accepted.at[i].set(jnp.where(ok, 1.0, 0.0))
 
     # init derives from a kernel input so its device-variance annotation
     # matches the body output under shard_map
