@@ -437,10 +437,12 @@ class Halos:
                              f"got {order!r}")
         key = np.asarray(self.data[column])
         if order == "descending":
-            # negate rather than reverse a stable ascending argsort:
-            # reversing flips the relative order of tied rows, which with
-            # relabel=True would hand tied-mass halos reversed ids
-            perm = np.argsort(-key, kind="stable")
+            # stable descending with ties in ORIGINAL catalog order.
+            # np.argsort(-key) is wrong for unsigned ints (-0 wraps to 0
+            # so zero rows sort FIRST) and raises on bools; negate the
+            # dense RANK instead — always a safe signed int
+            rank = np.unique(key, return_inverse=True)[1].astype(np.int64)
+            perm = np.argsort(-rank, kind="stable")
         else:
             perm = np.argsort(key, kind="stable")
         n = key.shape[0]

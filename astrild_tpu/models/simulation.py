@@ -62,7 +62,13 @@ class Simulation:
     def _get_all_files(self, file_dsc, directory=None) -> List[str]:
         if directory is None:
             directory = self.dirs["sim"]
-        template = f"{directory}/{file_dsc['root']}_*{file_dsc['extension']}"
+        # optional 'sep' overrides the root/number separator — the
+        # reference globs root_*ext (simulation.py:73) but its own ray
+        # writer names files root%05d.h5 with no separator
+        # (rayramses.py:157); sep='' covers that naming
+        sep = file_dsc.get("sep", "_")
+        template = f"{directory}/{file_dsc['root']}{sep}*" \
+                   f"{file_dsc['extension']}"
         return glob.glob(template)
 
     def get_file_nrs(self, file_dsc, directory=None, uniques="max",

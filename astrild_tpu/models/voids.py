@@ -41,6 +41,12 @@ def load_void_config(name_or_path) -> dict:
 
     p = Path(name_or_path)
     if not p.exists():
+        if len(p.parts) > 1:
+            # a path with directories must not silently fall back to the
+            # shipped template of the same name — a typo'd directory
+            # would load default parameters in place of the user's
+            raise FileNotFoundError(f"void config {name_or_path!r} not "
+                                    "found")
         name = p.name if p.name.endswith(".json") else p.name + ".json"
         p = Path(__file__).resolve().parent.parent / "configs" / name
     if not p.exists():
@@ -397,6 +403,9 @@ class Voids:
         """
         if not isinstance(config, dict):
             config = load_void_config(config)
+        if skymap is None:
+            raise ValueError("apply_profile_config needs skymap= (the "
+                             "field map the profiles are measured on)")
         nbins = int(config.get("nr_radius_bins", 0))
         if nbins and nbins < len(np.asarray(self.data["rad_pix"])):
             self.categorize_sizes(

@@ -151,7 +151,8 @@ def _grad_axis(a, ds, axis):
     every odd-shaped piece pays a tile relayout (measured: the 4-gradient
     chain below cost 59 ms at 2048^2). Rolls keep every op full-shape
     (~1 ms); the two edge rows are then overwritten with the one-sided
-    formula, reproducing jnp.gradient bit-for-bit.
+    formula. Values match jnp.gradient to rounding (the (0.5/ds) factor
+    associates differently — last-ulp differences, not bit-exact).
     """
     c = (jnp.roll(a, -1, axis) - jnp.roll(a, 1, axis)) * (0.5 / ds)
     a_m = jnp.moveaxis(a, axis, 0)

@@ -57,7 +57,12 @@ def candidate_topk(score2d, k: int):
     block (the other 3 are -inf or strictly smaller).
 
     Falls back to plain top_k for odd sizes / tiny maps.
-    Returns (vals, flat_idx) exactly like lax.top_k on score2d.ravel().
+    Returns (vals, flat_idx) with the same VALUES as lax.top_k on
+    score2d.ravel(); the order of EXACTLY-tied candidates follows their
+    2x2-block index rather than lax.top_k's pixel index (ties are real
+    in distance transforms — equal integer squared distances — so a tie
+    straddling the capacity boundary may keep a different member than
+    the fallback path would).
     """
     n = score2d.shape[-1]
     if n % 2 or k > (n // 2) ** 2 or n < 512:

@@ -147,7 +147,8 @@ def ra_dec_dist_coordinates(pos, unit: str = "deg"):
     Capability twin of the reference's return_raDecDist_coordinates
     (rays/voids/tunnels/miscellaneous.py:158-175), with its conventions:
     dec = 90 deg - polar angle, ra = atan2 shifted into [0, 2pi) by a
-    +pi offset. unit is 'deg' or 'rad' for the returned angles.
+    +pi offset. unit is 'deg'/'degree' or 'rad'/'radian' for the
+    returned angles (both reference spellings accepted).
 
     Returns (ra, dec, dist).
     """
@@ -156,9 +157,10 @@ def ra_dec_dist_coordinates(pos, unit: str = "deg"):
     costh = pos[..., 2] / dist
     dec = xp.pi / 2.0 - xp.arccos(costh)
     ra = xp.pi + xp.arctan2(pos[..., 1], pos[..., 0])
-    if unit == "deg":
+    if unit in ("deg", "degree"):
         ra = ra * 180.0 / xp.pi
         dec = dec * 180.0 / xp.pi
     elif unit not in ("rad", "radian"):
-        raise ValueError(f"unit must be 'deg' or 'rad', got {unit!r}")
+        raise ValueError(f"unit must be 'deg'/'degree' or 'rad'/'radian', "
+                         f"got {unit!r}")
     return ra, dec, dist

@@ -40,25 +40,16 @@ class Maps(Simulation):
         if not self.files.get(file_root):
             # the reference writes Ray_maps_output%05d.h5 (no underscore
             # before the number, rayramses.py:157) while Simulation's
-            # discovery globs root_*ext — accept both namings
-            import glob
-            import re
-
-            found = sorted(glob.glob(
-                os.path.join(self.dirs["sim"], f"{file_root}*{extension}")))
-            nrs = []
-            paths = []
-            for f in found:
-                stem = os.path.basename(f)
-                if "." in stem:  # drop ".h5" etc before number extraction
-                    stem = stem[:stem.rindex(".")]
-                m = re.findall(r"\d+", stem)
-                if m:
-                    nrs.append(int(m[-1]))
-                    paths.append(f)
-            order = np.argsort(nrs)
-            self.file_nrs = np.asarray(nrs)[order]
-            self.files[file_root] = [paths[i] for i in order]
+            # default discovery globs root_*ext — retry the base
+            # discovery with an empty separator (same number-column
+            # logic, no duplicated machinery)
+            dsc = {"root": file_root, "extension": extension, "sep": ""}
+            self.file_dsc = dsc
+            self.file_nrs = self.get_file_nrs(dsc, self.dirs["sim"],
+                                              "max", True)
+            self.files[file_root] = self.get_file_paths(dsc,
+                                                        self.dirs["sim"],
+                                                        "max")
         if snap_nrs is not None:
             snap_nrs = np.asarray(snap_nrs)
             keep = np.isin(self.file_nrs, snap_nrs)

@@ -513,3 +513,16 @@ def test_skyarray_convergence_to_shear_direct(rng):
     npt.assert_allclose(np.asarray(g1d)[sl], np.asarray(g1c)[sl], atol=5e-3)
     npt.assert_allclose(np.asarray(g2d)[sl], np.asarray(g2c)[sl], atol=5e-3)
     assert "shearx" in sky.data and "sheary" in sky.data
+
+
+def test_halos_sort_by_unsigned_and_bool_columns():
+    """Descending sort must handle unsigned ints (argsort(-key) wraps
+    -0 to 0, putting zero rows FIRST) and bools (negation raises)."""
+    h = Halos({"id": np.arange(3), "cnt": np.array([3, 0, 5], np.uint32)})
+    h.sort_by("cnt", order="descending")
+    npt.assert_array_equal(h.data["cnt"], [5, 3, 0])
+    h2 = Halos({"id": np.arange(4),
+                "flag": np.array([False, True, False, True])})
+    h2.sort_by("flag", order="descending")
+    npt.assert_array_equal(h2.data["flag"], [True, True, False, False])
+    npt.assert_array_equal(h2.data["id"], [1, 3, 0, 2])  # ties stable

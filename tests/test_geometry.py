@@ -92,3 +92,10 @@ def test_ra_dec_dist_coordinates():
         assert False
     except ValueError:
         pass
+
+
+def test_ra_dec_dist_degree_spelling():
+    pos = np.array([[1.0, 0.0, 0.0]])
+    ra1, dec1, _ = gt.ra_dec_dist_coordinates(pos, unit="degree")
+    ra2, dec2, _ = gt.ra_dec_dist_coordinates(pos, unit="deg")
+    npt.assert_allclose(np.asarray(ra1), np.asarray(ra2))

@@ -342,3 +342,19 @@ def test_candidate_topk_matches_plain_topk(rng):
     gv, gi = candidate_topk(score_odd, 50)
     wv, wi = jax.lax.top_k(score_odd.reshape(-1), 50)
     npt.assert_array_equal(np.asarray(gv), np.asarray(wv))
+
+def test_void_config_path_and_skymap_guards(tmp_path):
+    """A nonexistent path WITH directories must not silently fall back
+    to the shipped template; apply_profile_config without skymap raises
+    cleanly."""
+    from astrild_tpu.models import Voids
+    from astrild_tpu.models.voids import load_void_config
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        load_void_config(str(tmp_path / "nodir" / "svf_isw.json"))
+    v = Voids({"rad_pix": np.ones(3), "rad_deg": np.ones(3),
+               "x_pix": np.ones(3), "y_pix": np.ones(3),
+               "sigma": np.zeros(3)}, finder="svf")
+    with pytest.raises(ValueError):
+        v.apply_profile_config("svf_isw")
