@@ -154,6 +154,13 @@ def _legendre_scan(m0: int, tab: LargeSHTTables, lmax: int,
     x = tab.x[None, :]
     frac_mm, s0 = _seed_state(m0, tab)
     synth = alm_rows is not None
+    # triangular shortening: l < m0 contributes nothing to this block
+    # (every m in the block seeds at l == m >= m0), so with a STATIC m0
+    # (the single-device python-loop callers) the scan starts at m0 —
+    # summed over blocks that halves the total scan work
+    # ((lmax+1)^2 -> triangular). The distributed path passes a traced
+    # m0 (device-dependent block id) and keeps the full-length scan.
+    start = int(m0) if isinstance(m0, (int, np.integer)) else 0
 
     def step(carry, xs):
         if synth:
@@ -184,14 +191,17 @@ def _legendre_scan(m0: int, tab: LargeSHTTables, lmax: int,
     # streams) the carry zeros must match the data's vma or vma checking
     # rejects the scan jaxpr; outside shard_map this is a no-op
     zeros = _match_vma(zeros, alm_rows[0] if synth else q[0])
-    ls = jnp.arange(lmax + 1, dtype=jnp.float32)
+    ls = jnp.arange(start, lmax + 1, dtype=jnp.float32)
     ls = _match_vma(ls, zeros)
     init = (zeros, zeros, _match_vma(s0, zeros), zeros, zeros)
     if synth:
-        xs = (ls, alm_rows[0], alm_rows[1])
+        xs = (ls, alm_rows[0][start:], alm_rows[1][start:])
         (_, _, _, acc_re, acc_im), _ = jax.lax.scan(step, init, xs)
         return acc_re, acc_im
     (_, _, _, _, _), outs = jax.lax.scan(step, init, ls)
+    if start:
+        # restore the (lmax+1, B) layout: a_lm for l < m0 are zero
+        outs = tuple(jnp.pad(o, ((start, 0), (0, 0))) for o in outs)
     return outs  # ((lmax+1, B), (lmax+1, B))
 
 

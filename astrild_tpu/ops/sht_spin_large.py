@@ -205,14 +205,21 @@ def _spin_scan(m0: int, tab: Spin2LargeTables, lmax: int, m1: int,
     # carry zeros must match the data stream's vma under shard_map
     # (parallel/sht_large spin path); no-op outside shard_map
     zeros = _match_vma(zeros, alm_rows[0] if synth else q[0])
-    ls = _match_vma(jnp.arange(lmax + 1, dtype=jnp.float32), zeros)
+    # triangular shortening (same as sht_large._legendre_scan): every m
+    # in the block seeds at l0 = max(m, s) >= m0, so a STATIC m0 lets
+    # the scan start there; traced m0 (distributed path) keeps full
+    # length
+    start = int(m0) if isinstance(m0, (int, np.integer)) else 0
+    ls = _match_vma(jnp.arange(start, lmax + 1, dtype=jnp.float32), zeros)
     init = (zeros, zeros, _match_vma(s0, zeros),
             tuple(zeros for _ in range(nch)) if synth else ())
     if synth:
-        xs = (ls,) + tuple(alm_rows)
+        xs = (ls,) + tuple(r[start:] for r in alm_rows)
         (_, _, _, accs), _ = jax.lax.scan(step, init, xs)
         return accs
     (_, _, _, _), outs = jax.lax.scan(step, init, ls)
+    if start:
+        outs = tuple(jnp.pad(o, ((start, 0), (0, 0))) for o in outs)
     return outs
 
 
