@@ -140,13 +140,16 @@ def _recursion_coeffs(l, m):
 
 
 def _legendre_scan(m0: int, tab: LargeSHTTables, lmax: int,
-                   alm_rows=None, q=None):
+                   alm_rows=None, q=None, l_start=None):
     """Shared Legendre scan over l for one m-block.
 
     synthesis mode (alm_rows=(re, im), each (lmax+1, B)): returns
       c_re, c_im (B, nring) = sum_l alm[l,m] lambda_lm(theta_r).
     analysis mode (q=(q_re, q_im), each (B, nring)): returns
       a_re, a_im (lmax+1, B) = sum_r lambda_lm(theta_r) q[m,r].
+    l_start: optional STATIC lower bound on the block's m0 — used by
+      the distributed path whose m0 is traced (device-dependent) but
+      bounded below by the local block index (interleaved assignment).
     """
     B = _MBLOCK
     nring = tab.x.shape[0]
@@ -159,8 +162,12 @@ def _legendre_scan(m0: int, tab: LargeSHTTables, lmax: int,
     # (the single-device python-loop callers) the scan starts at m0 —
     # summed over blocks that halves the total scan work
     # ((lmax+1)^2 -> triangular). The distributed path passes a traced
-    # m0 (device-dependent block id) and keeps the full-length scan.
-    start = int(m0) if isinstance(m0, (int, np.integer)) else 0
+    # m0 (device-dependent block id) with an explicit static l_start
+    # lower bound instead.
+    if l_start is not None:
+        start = int(l_start)
+    else:
+        start = int(m0) if isinstance(m0, (int, np.integer)) else 0
 
     def step(carry, xs):
         if synth:

@@ -159,7 +159,7 @@ def _spin_coeffs(l, m, m1: int):
 
 
 def _spin_scan(m0: int, tab: Spin2LargeTables, lmax: int, m1: int,
-               alm_rows=None, q=None):
+               alm_rows=None, q=None, l_start=None):
     """Wigner-d scan over l for one m-block, one spin column (m1 = +-2).
 
     synthesis mode (alm_rows = 4 rows (lmax+1, B): er, ei, br, bi):
@@ -223,7 +223,8 @@ def _spin_scan(m0: int, tab: Spin2LargeTables, lmax: int, m1: int,
     return outs
 
 
-def _fold_block(m0, tab: Spin2LargeTables, lmax: int, blk_rows):
+def _fold_block(m0, tab: Spin2LargeTables, lmax: int, blk_rows,
+                l_start=None):
     """One m-block's folded ring coefficients, each (MBLOCK, nring).
 
     blk_rows: the block's 4 alm row slices (lmax+1, MBLOCK). m0 may be
@@ -231,9 +232,9 @@ def _fold_block(m0, tab: Spin2LargeTables, lmax: int, blk_rows):
     parallel/sht_large's spin synthesis body.
     """
     A_er, A_ei, A_br, A_bi = _spin_scan(m0, tab, lmax, -2,
-                                        alm_rows=blk_rows)
+                                        alm_rows=blk_rows, l_start=l_start)
     M_er, M_ei, M_br, M_bi = _spin_scan(m0, tab, lmax, 2,
-                                        alm_rows=blk_rows)
+                                        alm_rows=blk_rows, l_start=l_start)
     gp_re = -(A_er - A_bi)
     gp_im = -(A_ei + A_br)
     gm_re = -(M_er + M_bi)
@@ -387,15 +388,18 @@ def _spin_quadrature_sums(q, u, tab: Spin2LargeTables, nside: int,
     return dgp_re, dgp_im, dgm_re, dgm_im
 
 
-def _adjoint_block(m0, tab: Spin2LargeTables, lmax: int, dg_slices):
+def _adjoint_block(m0, tab: Spin2LargeTables, lmax: int, dg_slices,
+                   l_start=None):
     """One m-block of the transpose scans + fold chain rule: returns the
     UNMASKED (der, dei, dbr, dbi) column chunks, each (lmax+1, MBLOCK).
 
     dg_slices: the block's slices of (dgp_re, dgp_im, dgm_re, dgm_im).
     m0 may be traced (the distributed path). The wq/triangle/half masks
     apply AFTER column assembly (they are elementwise in (l, m))."""
-    Ar, Ai = _spin_scan(m0, tab, lmax, -2, q=(dg_slices[0], dg_slices[1]))
-    Mr, Mi = _spin_scan(m0, tab, lmax, 2, q=(dg_slices[2], dg_slices[3]))
+    Ar, Ai = _spin_scan(m0, tab, lmax, -2, q=(dg_slices[0], dg_slices[1]),
+                        l_start=l_start)
+    Mr, Mi = _spin_scan(m0, tab, lmax, 2, q=(dg_slices[2], dg_slices[3]),
+                        l_start=l_start)
     # chain rule through the fold (see ops/sht_spin derivation)
     return -(Ar + Mr), -Ai + Mi, -(Ai + Mi), Ar - Mr
 
@@ -578,7 +582,8 @@ def spin1_large_tables(nside: int, lmax: int) -> Spin1LargeTables:
     )
 
 
-def _fold_block_spin1(m0, tab: Spin1LargeTables, lmax: int, blk_rows):
+def _fold_block_spin1(m0, tab: Spin1LargeTables, lmax: int, blk_rows,
+                      l_start=None):
     """One m-block's folded spin-1 ring coefficients.
 
     Convention pinned in ops/sht_spin.spin1_tables:
@@ -590,9 +595,9 @@ def _fold_block_spin1(m0, tab: Spin1LargeTables, lmax: int, blk_rows):
     m = (m0 + jnp.arange(B, dtype=jnp.float32))[:, None]
     s_m = jnp.where(m == 0.0, -1.0, 1.0)
     A_er, A_ei, A_br, A_bi = _spin_scan(m0, tab, lmax, -1,
-                                        alm_rows=blk_rows)
+                                        alm_rows=blk_rows, l_start=l_start)
     M_er, M_ei, M_br, M_bi = _spin_scan(m0, tab, lmax, 1,
-                                        alm_rows=blk_rows)
+                                        alm_rows=blk_rows, l_start=l_start)
     gp_re = s_m * (A_er - A_bi)
     gp_im = s_m * (A_ei + A_br)
     gm_re = -(M_er + M_bi)
@@ -616,13 +621,15 @@ def _synth_spin1_large_impl(e_re, e_im, b_re, b_im,
 
 
 def _adjoint_block_spin1(m0, tab: Spin1LargeTables, lmax: int,
-                         dg_slices):
+                         dg_slices, l_start=None):
     """Transpose of _fold_block_spin1 (chain rule through the fold)."""
     B = _MBLOCK
     m = (m0 + jnp.arange(B, dtype=jnp.float32))[:, None]
     s_m = jnp.where(m == 0.0, -1.0, 1.0)[:, 0][None, :]
-    Ar, Ai = _spin_scan(m0, tab, lmax, -1, q=(dg_slices[0], dg_slices[1]))
-    Mr, Mi = _spin_scan(m0, tab, lmax, 1, q=(dg_slices[2], dg_slices[3]))
+    Ar, Ai = _spin_scan(m0, tab, lmax, -1, q=(dg_slices[0], dg_slices[1]),
+                        l_start=l_start)
+    Mr, Mi = _spin_scan(m0, tab, lmax, 1, q=(dg_slices[2], dg_slices[3]),
+                        l_start=l_start)
     der = s_m * Ar - Mr
     dei = s_m * Ai + Mi
     dbr = s_m * Ai - Mi

@@ -69,18 +69,24 @@ def make_distributed_sht_large(mesh: Mesh, nside: int, lmax: int,
     n_tab = len(tab)
 
     def synth_body(alm_re_blk, alm_im_blk, *tab_leaves):
+        # INTERLEAVED block assignment: device idx owns true blocks
+        # {i * nproc + idx}, so local block i has m0 >= i * nproc * B —
+        # a STATIC lower bound that lets each scan start there
+        # (triangular shortening; contiguous assignment would leave the
+        # bound at i * B and the work imbalanced across devices)
         t = sl.LargeSHTTables(*tab_leaves)
         idx = jax.lax.axis_index(ax)
-        cs = [sl._legendre_scan((idx * nbl + i) * B, t, lmax,
-                                alm_rows=(alm_re_blk[i], alm_im_blk[i]))
-              for i in range(nbl)]
-        c_re_loc = jnp.concatenate([c[0] for c in cs])  # (nbl*B, nring)
-        c_im_loc = jnp.concatenate([c[1] for c in cs])
-        full = jnp.zeros((nb_p * B, nring), jnp.float32)
-        c_re = jax.lax.psum(jax.lax.dynamic_update_slice(
-            full, c_re_loc, (idx * nbl * B, 0)), ax)[:Lp1]
-        c_im = jax.lax.psum(jax.lax.dynamic_update_slice(
-            full, c_im_loc, (idx * nbl * B, 0)), ax)[:Lp1]
+        full_re = jnp.zeros((nb_p * B, nring), jnp.float32)
+        full_im = jnp.zeros((nb_p * B, nring), jnp.float32)
+        for i in range(nbl):
+            m0 = (i * nproc + idx) * B
+            c = sl._legendre_scan(m0, t, lmax,
+                                  alm_rows=(alm_re_blk[i], alm_im_blk[i]),
+                                  l_start=i * nproc * B)
+            full_re = jax.lax.dynamic_update_slice(full_re, c[0], (m0, 0))
+            full_im = jax.lax.dynamic_update_slice(full_im, c[1], (m0, 0))
+        c_re = jax.lax.psum(full_re, ax)[:Lp1]
+        c_im = jax.lax.psum(full_im, ax)[:Lp1]
         return sl._synth_from_c(c_re, c_im, t, nside, lmax)
 
     synth = jax.jit(jax.shard_map(
@@ -94,20 +100,20 @@ def make_distributed_sht_large(mesh: Mesh, nside: int, lmax: int,
         d_re = jnp.pad(d_re, ((0, nb_p * B - Lp1), (0, 0)))
         d_im = jnp.pad(d_im, ((0, nb_p * B - Lp1), (0, 0)))
         idx = jax.lax.axis_index(ax)
-        outs = []
+        full_re = jnp.zeros((Lp1, nb_p * B), jnp.float32)
+        full_im = jnp.zeros((Lp1, nb_p * B), jnp.float32)
         for i in range(nbl):
-            m0 = (idx * nbl + i) * B
+            # interleaved assignment + static scan start (see synth_body)
+            m0 = (i * nproc + idx) * B
             qr = jax.lax.dynamic_slice_in_dim(d_re, m0, B, axis=0)
             qi = jax.lax.dynamic_slice_in_dim(d_im, m0, B, axis=0)
-            outs.append(sl._legendre_scan(m0, t, lmax, q=(qr, qi)))
-        a_re_loc = jnp.concatenate([o[0] for o in outs], axis=1)
-        a_im_loc = jnp.concatenate([o[1] for o in outs], axis=1)
-        full = jnp.zeros((Lp1, nb_p * B), jnp.float32)
+            o = sl._legendre_scan(m0, t, lmax, q=(qr, qi),
+                                  l_start=i * nproc * B)
+            full_re = jax.lax.dynamic_update_slice(full_re, o[0], (0, m0))
+            full_im = jax.lax.dynamic_update_slice(full_im, o[1], (0, m0))
         wq = 4.0 * jnp.pi / npix
-        a_re = jax.lax.psum(jax.lax.dynamic_update_slice(
-            full, a_re_loc, (0, idx * nbl * B)), ax)[:, :Lp1]
-        a_im = jax.lax.psum(jax.lax.dynamic_update_slice(
-            full, a_im_loc, (0, idx * nbl * B)), ax)[:, :Lp1]
+        a_re = jax.lax.psum(full_re, ax)[:, :Lp1]
+        a_im = jax.lax.psum(full_im, ax)[:, :Lp1]
         return wq * a_re, wq * a_im
 
     adjoint = jax.jit(jax.shard_map(
@@ -115,10 +121,16 @@ def make_distributed_sht_large(mesh: Mesh, nside: int, lmax: int,
         in_specs=(P(),) + (P(),) * n_tab,
         out_specs=(P(), P())))
 
+    # device-major permutation of the global block order: shard position
+    # d * nbl + i must carry TRUE block i * nproc + d (the interleaved
+    # assignment synth_body assumes)
+    blk_perm = np.concatenate(
+        [[i * nproc + d for i in range(nbl)] for d in range(nproc)])
+
     def _to_blocks(alm):
         a = jnp.pad(jnp.asarray(alm, jnp.float32),
                     ((0, 0), (0, nb_p * B - Lp1)))
-        return jnp.moveaxis(a.reshape(Lp1, nb_p, B), 1, 0)
+        return jnp.moveaxis(a.reshape(Lp1, nb_p, B), 1, 0)[blk_perm]
 
     def synthesize(alm_re, alm_im):
         return synth(_to_blocks(alm_re), _to_blocks(alm_im), *tab)
@@ -217,18 +229,20 @@ def _make_distributed_spin_large(mesh: Mesh, nside: int, lmax: int,
     n_tab = len(tab_leaves)
 
     def synth_body(er_blk, ei_blk, br_blk, bi_blk, *leaves):
+        # interleaved block assignment + static scan-start lower bound
+        # (see make_distributed_sht_large.synth_body)
         t = jax.tree.unflatten(tab_tree, leaves)
         idx = jax.lax.axis_index(ax)
-        gs = [[], [], [], []]
+        fulls = [jnp.zeros((nb_p * B, nring), jnp.float32)
+                 for _ in range(4)]
         for i in range(nbl):
-            m0 = (idx * nbl + i) * B
+            m0 = (i * nproc + idx) * B
             blk_rows = (er_blk[i], ei_blk[i], br_blk[i], bi_blk[i])
-            for acc, g in zip(gs, fold_block(m0, t, lmax, blk_rows)):
-                acc.append(g)
-        full = jnp.zeros((nb_p * B, nring), jnp.float32)
-        g4 = [jax.lax.psum(jax.lax.dynamic_update_slice(
-            full, jnp.concatenate(x), (idx * nbl * B, 0)), ax)[:Lp1]
-            for x in gs]
+            for k, g in enumerate(fold_block(m0, t, lmax, blk_rows,
+                                             l_start=i * nproc * B)):
+                fulls[k] = jax.lax.dynamic_update_slice(fulls[k], g,
+                                                        (m0, 0))
+        g4 = [jax.lax.psum(f, ax)[:Lp1] for f in fulls]
         return ssl._synth_from_g(*g4, t, nside, lmax)
 
     synth = jax.jit(jax.shard_map(
@@ -242,17 +256,17 @@ def _make_distributed_spin_large(mesh: Mesh, nside: int, lmax: int,
         dgs = tuple(jnp.pad(d, ((0, nb_p * B - Lp1), (0, 0)))
                     for d in dgs)
         idx = jax.lax.axis_index(ax)
-        outs = [[], [], [], []]
+        fulls = [jnp.zeros((Lp1, nb_p * B), jnp.float32)
+                 for _ in range(4)]
         for i in range(nbl):
-            m0 = (idx * nbl + i) * B
+            m0 = (i * nproc + idx) * B
             sls = tuple(jax.lax.dynamic_slice_in_dim(d, m0, B, axis=0)
                         for d in dgs)
-            for acc, c in zip(outs, adjoint_block(m0, t, lmax, sls)):
-                acc.append(c)
-        full = jnp.zeros((Lp1, nb_p * B), jnp.float32)
-        a4 = [jax.lax.psum(jax.lax.dynamic_update_slice(
-            full, jnp.concatenate(x, axis=1), (0, idx * nbl * B)),
-            ax)[:, :Lp1] for x in outs]
+            for k, c in enumerate(adjoint_block(m0, t, lmax, sls,
+                                                l_start=i * nproc * B)):
+                fulls[k] = jax.lax.dynamic_update_slice(fulls[k], c,
+                                                        (0, m0))
+        a4 = [jax.lax.psum(f, ax)[:, :Lp1] for f in fulls]
         vre, vim = ssl._alm_masks(lmax, npix, lmin=lmin)
         return a4[0] * vre, a4[1] * vim, a4[2] * vre, a4[3] * vim
 
@@ -261,10 +275,13 @@ def _make_distributed_spin_large(mesh: Mesh, nside: int, lmax: int,
         in_specs=(P(), P()) + (P(),) * n_tab,
         out_specs=(P(),) * 4))
 
+    blk_perm = np.concatenate(
+        [[i * nproc + d for i in range(nbl)] for d in range(nproc)])
+
     def _to_blocks(alm):
         a = jnp.pad(jnp.asarray(alm, jnp.float32),
                     ((0, 0), (0, nb_p * B - Lp1)))
-        return jnp.moveaxis(a.reshape(Lp1, nb_p, B), 1, 0)
+        return jnp.moveaxis(a.reshape(Lp1, nb_p, B), 1, 0)[blk_perm]
 
     def synthesize(e_re, e_im, b_re, b_im):
         return synth(_to_blocks(e_re), _to_blocks(e_im),
