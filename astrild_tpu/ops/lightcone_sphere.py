@@ -316,13 +316,43 @@ def _plane_fields_healpix(kap_maps, tabs, lmax: int):
     return jax.vmap(one)(kap_maps)
 
 
-@partial(jax.jit, static_argnames=("nside", "lmax"))
+def _plane_fields_healpix_scan(kap_maps, tabs, nside: int, lmax: int):
+    """Scan-path twin of _plane_fields_healpix on the table-free
+    sht_large / sht_spin_large backends: O(nring * block) memory instead
+    of O(lmax^2 * nring) tables, so the multiplane tracer runs at
+    production nside (512+) without a multi-GB table build."""
+    from . import sht_large as sl
+    from . import sht_spin_large as ssl
+    from .sht_spin import deflection_E_factor, kappa_alm_to_shear_alm
+
+    stab, s1tab, s2tab = tabs
+    inv = deflection_E_factor(lmax)
+
+    def one(kap):
+        kr, ki = sl._adjoint_large_impl(kap, stab, nside, lmax)
+        kap_bl = sl._synth_large_impl(kr, ki, stab, nside, lmax)
+        z = jnp.zeros_like(kr)
+        a_t, a_p = ssl._synth_spin1_large_impl(kr * inv, ki * inv, z, z,
+                                               s1tab, nside, lmax)
+        er, ei = kappa_alm_to_shear_alm(kr, ki)
+        g1, g2 = ssl._synth_spin2_large_impl(er, ei, z, z, s2tab, nside,
+                                             lmax)
+        return jnp.stack([a_t, a_p, kap_bl, g1, g2])
+
+    return jax.vmap(one)(kap_maps)
+
+
+@partial(jax.jit, static_argnames=("nside", "lmax", "scan_path"))
 def _multiplane_impl(delta_shells, chis, dchis, chi_s, omega_m,
-                     scale_factors, t0, p0, tabs, nside: int, lmax: int):
+                     scale_factors, t0, p0, tabs, nside: int, lmax: int,
+                     scan_path: bool = False):
     kaps = effective_plane_kappa(delta_shells, chis[:, None],
                                  dchis[:, None],
                                  scale_factors[:, None], omega_m)
-    fields = _plane_fields_healpix(kaps, tabs, lmax)
+    if scan_path:
+        fields = _plane_fields_healpix_scan(kaps, tabs, nside, lmax)
+    else:
+        fields = _plane_fields_healpix(kaps, tabs, lmax)
 
     npix_out = t0.shape[0]
     sin_t0 = jnp.maximum(jnp.sin(t0), 1e-6)
@@ -397,7 +427,8 @@ def _multiplane_impl(delta_shells, chis, dchis, chi_s, omega_m,
 def multiplane_raytrace_healpix(delta_shells, chis, dchis, chi_s,
                                 omega_m, lmax: Optional[int] = None,
                                 scale_factors=None,
-                                nside_out: Optional[int] = None):
+                                nside_out: Optional[int] = None,
+                                method: str = "auto"):
     """Full-sky post-Born ray tracing through HEALPix density shells.
 
     Args:
@@ -406,10 +437,13 @@ def multiplane_raytrace_healpix(delta_shells, chis, dchis, chi_s,
       chi_s: source distance(s) [Mpc/h]; array for tomography (leading
         nsrc axis on the outputs, shells beyond each source masked).
       lmax: band limit of the per-shell potentials (default 2*nside,
-        the unbiased-adjoint regime; table memory is O(lmax^2 nring) —
-        practical to nside ~ 256 on one chip, use the flat-sky
-        ops.raytrace for higher-resolution patches).
+        the unbiased-adjoint regime).
       nside_out: ray grid resolution (default: the shell nside).
+      method: SHT backend for the per-shell potential fields. 'tables'
+        (O(lmax^2 nring) precompute — practical to nside ~ 256),
+        'scan' (table-free sht_large backends, production nside 512+),
+        'auto' switches to 'scan' when the three table sets would
+        exceed ~256 MB.
 
     Device memory: besides the SHT tables, the trace materializes its
     interpolation stencils (a fusion-consistency requirement, see
@@ -431,12 +465,27 @@ def multiplane_raytrace_healpix(delta_shells, chis, dchis, chi_s,
     npix_out = hpx.nside2npix(nside_out or nside)
     t0, p0 = (jnp.asarray(a, jnp.float32) for a in
               hpx.pix2ang_ring(nside_out or nside, np.arange(npix_out)))
-    from .sht import sht_tables
-    from .sht_spin import spin1_tables, spin2_tables
-    tabs = (sht_tables(nside, L), spin1_tables(nside, L),
-            spin2_tables(nside, L))
+    if method not in ("auto", "tables", "scan"):
+        raise ValueError(f"method must be auto/tables/scan, got {method!r}")
+    if method == "auto":
+        nring = 4 * nside - 1
+        nlm = (L + 1) * (L + 2) // 2
+        use_scan = 4 * nlm * nring * 4 > (1 << 28)  # scalar+sp1+2*sp2
+    else:
+        use_scan = method == "scan"
+    if use_scan:
+        from .sht_large import sht_large_tables
+        from .sht_spin_large import spin1_large_tables, spin2_large_tables
+        tabs = (sht_large_tables(nside, L), spin1_large_tables(nside, L),
+                spin2_large_tables(nside, L))
+    else:
+        from .sht import sht_tables
+        from .sht_spin import spin1_tables, spin2_tables
+        tabs = (sht_tables(nside, L), spin1_tables(nside, L),
+                spin2_tables(nside, L))
     out, _ = _multiplane_impl(delta_shells, chis, dchis,
                               jnp.asarray(chi_s, jnp.float32), omega_m,
                               jnp.asarray(scale_factors, jnp.float32),
-                              t0, p0, tabs, nside, L)
+                              t0, p0, tabs, nside, L,
+                              scan_path=use_scan)
     return out

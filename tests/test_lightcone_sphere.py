@@ -280,3 +280,28 @@ def test_skyhealpix_multiplane_facade_rejects_tomography():
             shells, np.array([300.0], np.float32),
             np.array([100.0], np.float32),
             np.array([500.0, 800.0], np.float32), 0.31, lmax=16)
+
+
+@pytest.mark.slow
+def test_multiplane_scan_path_matches_tables(rng):
+    """method='scan' (table-free sht_large backends) reproduces the
+    table path — the production nside>=512 route."""
+    nside = 16
+    npix = 12 * nside * nside
+    nshell = 3
+    delta = rng.normal(0.0, 0.3, (nshell, npix)).astype(np.float32)
+    chis = np.array([300.0, 500.0, 700.0], np.float32)
+    dchis = np.full(nshell, 100.0, np.float32)
+    kw = dict(chi_s=900.0, omega_m=0.3, lmax=2 * nside)
+    out_t = lcs.multiplane_raytrace_healpix(delta, chis, dchis,
+                                            method="tables", **kw)
+    out_s = lcs.multiplane_raytrace_healpix(delta, chis, dchis,
+                                            method="scan", **kw)
+    for k in ("kappa", "gamma1", "gamma2", "omega"):
+        scale = np.abs(np.asarray(out_t[k])).max() + 1e-12
+        npt.assert_allclose(np.asarray(out_s[k]), np.asarray(out_t[k]),
+                            atol=3e-3 * scale, err_msg=k)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        lcs.multiplane_raytrace_healpix(delta, chis, dchis,
+                                        method="nope", **kw)
