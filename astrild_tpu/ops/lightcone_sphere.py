@@ -342,18 +342,14 @@ def _plane_fields_healpix_scan(kap_maps, tabs, nside: int, lmax: int):
     return jax.vmap(one)(kap_maps)
 
 
-@partial(jax.jit, static_argnames=("nside", "lmax", "scan_path"))
-def _multiplane_impl(delta_shells, chis, dchis, chi_s, omega_m,
-                     scale_factors, t0, p0, tabs, nside: int, lmax: int,
-                     scan_path: bool = False):
-    kaps = effective_plane_kappa(delta_shells, chis[:, None],
-                                 dchis[:, None],
-                                 scale_factors[:, None], omega_m)
-    if scan_path:
-        fields = _plane_fields_healpix_scan(kaps, tabs, nside, lmax)
-    else:
-        fields = _plane_fields_healpix(kaps, tabs, lmax)
+def _trace_multiplane(fields, chis, chi_s, t0, p0, nside: int):
+    """Ray-transport tail of the multiplane tracer: per-shell field maps
+    -> lensing observables at the (t0, p0) ray grid.
 
+    Shared by _multiplane_impl and the ray-sharded distributed factory
+    (parallel.lensing.make_distributed_multiplane_healpix) — rays are
+    independent given the fields, so this body runs unchanged on a ray
+    shard under shard_map."""
     npix_out = t0.shape[0]
     sin_t0 = jnp.maximum(jnp.sin(t0), 1e-6)
     # deterministic sub-pixel nudge of the sampling positions: when
@@ -365,10 +361,14 @@ def _multiplane_impl(delta_shells, chis, dchis, chi_s, omega_m,
     # stencil materialization below this keeps jit == eager.
     nudge = 0.02 * float(np.sqrt(np.pi / 3.0)) / nside  # ~0.02 pixel
 
-    x0 = jnp.zeros((2, npix_out))
-    d0 = jnp.zeros((2, npix_out))
-    eye = jnp.eye(2)[:, :, None] * jnp.ones((1, 1, npix_out))
-    a0 = jnp.zeros((2, 2, npix_out))
+    # carry init must match the ray grid's varying-mesh-axes under
+    # shard_map (the distributed ray-sharded factory) — no-op otherwise
+    from ..utils.jax_compat import match_vma as _mv
+
+    x0 = _mv(jnp.zeros((2, npix_out)), t0)
+    d0 = _mv(jnp.zeros((2, npix_out)), t0)
+    eye = _mv(jnp.eye(2)[:, :, None] * jnp.ones((1, 1, npix_out)), t0)
+    a0 = _mv(jnp.zeros((2, 2, npix_out)), t0)
     dchi_segs = jnp.diff(chis, prepend=jnp.zeros((1,), chis.dtype))
 
     def trace(chi_src):
@@ -422,6 +422,20 @@ def _multiplane_impl(delta_shells, chis, dchis, chi_s, omega_m,
     if chi_s.ndim == 0:
         return trace(chi_s)
     return jax.vmap(trace)(chi_s)
+
+
+@partial(jax.jit, static_argnames=("nside", "lmax", "scan_path"))
+def _multiplane_impl(delta_shells, chis, dchis, chi_s, omega_m,
+                     scale_factors, t0, p0, tabs, nside: int, lmax: int,
+                     scan_path: bool = False):
+    kaps = effective_plane_kappa(delta_shells, chis[:, None],
+                                 dchis[:, None],
+                                 scale_factors[:, None], omega_m)
+    if scan_path:
+        fields = _plane_fields_healpix_scan(kaps, tabs, nside, lmax)
+    else:
+        fields = _plane_fields_healpix(kaps, tabs, lmax)
+    return _trace_multiplane(fields, chis, chi_s, t0, p0, nside)
 
 
 def multiplane_raytrace_healpix(delta_shells, chis, dchis, chi_s,

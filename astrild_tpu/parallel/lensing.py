@@ -22,6 +22,7 @@ from ..ops import raytrace as ray_ops
 from ..ops import voids as void_ops
 
 __all__ = ["LensingSuiteResult", "make_distributed_lensing_suite",
+           "make_distributed_multiplane_healpix",
            "make_distributed_healpix_shells",
            "make_distributed_raytrace", "make_distributed_lens_planes"]
 
@@ -220,3 +221,87 @@ def make_distributed_healpix_shells(mesh: Mesh, chi_edges, nside: int,
                            in_specs=((P(axis),) * 3,),
                            out_specs=P(), check_vma=vma_ok)
     return jax.jit(fn)
+
+
+def make_distributed_multiplane_healpix(mesh: Mesh, nside: int,
+                                        omega_m: float,
+                                        lmax: int | None = None,
+                                        method: str = "auto",
+                                        axis: str = "x"):
+    """Ray-sharded curved-sky post-Born tracer: fn(delta_shells, chis,
+    dchis, chi_s[, scale_factors]) -> dict of (npix,) maps, replicated.
+
+    The per-shell potential fields (SHT-heavy; scale-selected table/scan
+    backend exactly as ops.lightcone_sphere.multiplane_raytrace_healpix)
+    compute replicated ONCE; the ray transport — independent per ray —
+    shards the HEALPix ray grid over `axis`. Stencil memory
+    (32 B/ray/shell, the tracer's dominant footprint) divides by the
+    axis size, which is what lets nside 1024+ traces fit.
+    """
+    import numpy as np
+
+    from ..ops import lightcone_sphere as lcs
+    from ..utils import healpix as hpx
+
+    L = 2 * nside if lmax is None else int(lmax)
+    if method not in ("auto", "tables", "scan"):
+        raise ValueError(f"method must be auto/tables/scan, got {method!r}")
+    if method == "auto":
+        nring = 4 * nside - 1
+        nlm = (L + 1) * (L + 2) // 2
+        use_scan = 4 * nlm * nring * 4 > (1 << 28)
+    else:
+        use_scan = method == "scan"
+    if use_scan:
+        from ..ops.sht_large import sht_large_tables
+        from ..ops.sht_spin_large import (spin1_large_tables,
+                                          spin2_large_tables)
+        tabs = (sht_large_tables(nside, L), spin1_large_tables(nside, L),
+                spin2_large_tables(nside, L))
+    else:
+        from ..ops.sht import sht_tables
+        from ..ops.sht_spin import spin1_tables, spin2_tables
+        tabs = (sht_tables(nside, L), spin1_tables(nside, L),
+                spin2_tables(nside, L))
+    npix = hpx.nside2npix(nside)
+    t0_np, p0_np = hpx.pix2ang_ring(nside, np.arange(npix))
+    t0 = jnp.asarray(t0_np, jnp.float32)
+    p0 = jnp.asarray(p0_np, jnp.float32)
+    tab_leaves, tab_tree = jax.tree.flatten(tabs)
+    n_tab = len(tab_leaves)
+
+    def body(t0_shard, p0_shard, delta_shells, chis, dchis, chi_s,
+             scale_factors, *leaves):
+        t = jax.tree.unflatten(tab_tree, leaves)
+        kaps = lcs.effective_plane_kappa(delta_shells, chis[:, None],
+                                         dchis[:, None],
+                                         scale_factors[:, None], omega_m)
+        if use_scan:
+            fields = lcs._plane_fields_healpix_scan(kaps, t, nside, L)
+        else:
+            fields = lcs._plane_fields_healpix(kaps, t, L)
+        # the interp stencils MUST survive to the jit output: inside-jit
+        # DCE of the scan ys re-enables the duplicated-fusion
+        # inconsistency the materialization defends against
+        # (ops/lightcone_sphere._trace_multiplane notes); they are
+        # dropped by the host wrapper AFTER the jit boundary
+        return lcs._trace_multiplane(fields, chis, chi_s, t0_shard,
+                                     p0_shard, nside)
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(axis)) + (P(),) * 5 + (P(),) * n_tab,
+        out_specs=(P(axis), P(axis))))
+
+    def run(delta_shells, chis, dchis, chi_s, scale_factors=None):
+        chis = jnp.asarray(chis, jnp.float32)
+        if scale_factors is None:
+            scale_factors = jnp.ones_like(chis)
+        out, _stencils = fn(
+            t0, p0, jnp.asarray(delta_shells, jnp.float32), chis,
+            jnp.asarray(dchis, jnp.float32),
+            jnp.asarray(chi_s, jnp.float32),
+            jnp.asarray(scale_factors, jnp.float32), *tab_leaves)
+        return out
+
+    return run

@@ -88,3 +88,29 @@ def test_distributed_raytrace_matches_local(rng, mesh_shape, nsim, npix):
         for key in ("kappa", "gamma1", "gamma2", "omega"):
             npt.assert_allclose(np.asarray(out[key][s]),
                                 np.asarray(loc[key]), rtol=2e-4, atol=5e-7)
+
+
+def test_distributed_multiplane_healpix_matches_local(rng):
+    """Ray-sharded curved-sky tracer == the local tracer (fields
+    replicated, transport sharded over the HEALPix ray grid)."""
+    import jax
+    from jax.sharding import Mesh
+    from astrild_tpu.ops import lightcone_sphere as lcs
+    from astrild_tpu.parallel.lensing import (
+        make_distributed_multiplane_healpix)
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("x",))
+    nside = 8
+    npix = 12 * nside * nside
+    nshell = 3
+    delta = rng.normal(0.0, 0.3, (nshell, npix)).astype(np.float32)
+    chis = np.array([300.0, 500.0, 700.0], np.float32)
+    dchis = np.full(nshell, 100.0, np.float32)
+    want = lcs.multiplane_raytrace_healpix(delta, chis, dchis, 900.0,
+                                           0.3, lmax=2 * nside)
+    fn = make_distributed_multiplane_healpix(mesh, nside, 0.3,
+                                             lmax=2 * nside)
+    got = fn(delta, chis, dchis, 900.0)
+    for k in ("kappa", "gamma1", "gamma2", "omega"):
+        npt.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                            atol=1e-5, err_msg=k)
