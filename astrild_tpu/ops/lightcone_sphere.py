@@ -438,6 +438,36 @@ def _multiplane_impl(delta_shells, chis, dchis, chi_s, omega_m,
     return _trace_multiplane(fields, chis, chi_s, t0, p0, nside)
 
 
+def _multiplane_tabs(nside: int, lmax: int, method: str):
+    """ONE home of the tracer's SHT-backend selection: (tabs, use_scan).
+
+    'auto' switches to the table-free scan backends when the
+    scalar + spin-1 + spin-2 table sets would exceed ~256 MB. Shared by
+    the local tracer and parallel.lensing's ray-sharded factory so the
+    two can never select different backends for the same shapes.
+    """
+    if method not in ("auto", "tables", "scan"):
+        raise ValueError(f"method must be auto/tables/scan, got {method!r}")
+    if method == "auto":
+        nring = 4 * nside - 1
+        nlm = (lmax + 1) * (lmax + 2) // 2
+        use_scan = 4 * nlm * nring * 4 > (1 << 28)  # scalar+sp1+2*sp2
+    else:
+        use_scan = method == "scan"
+    if use_scan:
+        from .sht_large import sht_large_tables
+        from .sht_spin_large import spin1_large_tables, spin2_large_tables
+        tabs = (sht_large_tables(nside, lmax),
+                spin1_large_tables(nside, lmax),
+                spin2_large_tables(nside, lmax))
+    else:
+        from .sht import sht_tables
+        from .sht_spin import spin1_tables, spin2_tables
+        tabs = (sht_tables(nside, lmax), spin1_tables(nside, lmax),
+                spin2_tables(nside, lmax))
+    return tabs, use_scan
+
+
 def multiplane_raytrace_healpix(delta_shells, chis, dchis, chi_s,
                                 omega_m, lmax: Optional[int] = None,
                                 scale_factors=None,
@@ -479,24 +509,7 @@ def multiplane_raytrace_healpix(delta_shells, chis, dchis, chi_s,
     npix_out = hpx.nside2npix(nside_out or nside)
     t0, p0 = (jnp.asarray(a, jnp.float32) for a in
               hpx.pix2ang_ring(nside_out or nside, np.arange(npix_out)))
-    if method not in ("auto", "tables", "scan"):
-        raise ValueError(f"method must be auto/tables/scan, got {method!r}")
-    if method == "auto":
-        nring = 4 * nside - 1
-        nlm = (L + 1) * (L + 2) // 2
-        use_scan = 4 * nlm * nring * 4 > (1 << 28)  # scalar+sp1+2*sp2
-    else:
-        use_scan = method == "scan"
-    if use_scan:
-        from .sht_large import sht_large_tables
-        from .sht_spin_large import spin1_large_tables, spin2_large_tables
-        tabs = (sht_large_tables(nside, L), spin1_large_tables(nside, L),
-                spin2_large_tables(nside, L))
-    else:
-        from .sht import sht_tables
-        from .sht_spin import spin1_tables, spin2_tables
-        tabs = (sht_tables(nside, L), spin1_tables(nside, L),
-                spin2_tables(nside, L))
+    tabs, use_scan = _multiplane_tabs(nside, L, method)
     out, _ = _multiplane_impl(delta_shells, chis, dchis,
                               jnp.asarray(chi_s, jnp.float32), omega_m,
                               jnp.asarray(scale_factors, jnp.float32),

@@ -207,9 +207,12 @@ def _spin_scan(m0: int, tab: Spin2LargeTables, lmax: int, m1: int,
     zeros = _match_vma(zeros, alm_rows[0] if synth else q[0])
     # triangular shortening (same as sht_large._legendre_scan): every m
     # in the block seeds at l0 = max(m, s) >= m0, so a STATIC m0 lets
-    # the scan start there; traced m0 (distributed path) keeps full
-    # length
-    start = int(m0) if isinstance(m0, (int, np.integer)) else 0
+    # the scan start there; traced m0 (distributed path) passes an
+    # explicit static l_start lower bound instead
+    if l_start is not None:
+        start = int(l_start)
+    else:
+        start = int(m0) if isinstance(m0, (int, np.integer)) else 0
     ls = _match_vma(jnp.arange(start, lmax + 1, dtype=jnp.float32), zeros)
     init = (zeros, zeros, _match_vma(s0, zeros),
             tuple(zeros for _ in range(nch)) if synth else ())

@@ -244,25 +244,7 @@ def make_distributed_multiplane_healpix(mesh: Mesh, nside: int,
     from ..utils import healpix as hpx
 
     L = 2 * nside if lmax is None else int(lmax)
-    if method not in ("auto", "tables", "scan"):
-        raise ValueError(f"method must be auto/tables/scan, got {method!r}")
-    if method == "auto":
-        nring = 4 * nside - 1
-        nlm = (L + 1) * (L + 2) // 2
-        use_scan = 4 * nlm * nring * 4 > (1 << 28)
-    else:
-        use_scan = method == "scan"
-    if use_scan:
-        from ..ops.sht_large import sht_large_tables
-        from ..ops.sht_spin_large import (spin1_large_tables,
-                                          spin2_large_tables)
-        tabs = (sht_large_tables(nside, L), spin1_large_tables(nside, L),
-                spin2_large_tables(nside, L))
-    else:
-        from ..ops.sht import sht_tables
-        from ..ops.sht_spin import spin1_tables, spin2_tables
-        tabs = (sht_tables(nside, L), spin1_tables(nside, L),
-                spin2_tables(nside, L))
+    tabs, use_scan = lcs._multiplane_tabs(nside, L, method)
     npix = hpx.nside2npix(nside)
     t0_np, p0_np = hpx.pix2ang_ring(nside, np.arange(npix))
     t0 = jnp.asarray(t0_np, jnp.float32)
@@ -294,6 +276,15 @@ def make_distributed_multiplane_healpix(mesh: Mesh, nside: int,
         out_specs=(P(axis), P(axis))))
 
     def run(delta_shells, chis, dchis, chi_s, scale_factors=None):
+        chi_s_arr = jnp.asarray(chi_s, jnp.float32)
+        if chi_s_arr.ndim > 0:
+            # the vmapped nsrc axis would land on dim 0 of every output
+            # leaf and the ray-axis out_specs would concatenate IT across
+            # devices — scrambled output, not tomography. Loop sources
+            # at the caller instead.
+            raise ValueError(
+                "make_distributed_multiplane_healpix supports a scalar "
+                "chi_s only; call once per source plane for tomography")
         chis = jnp.asarray(chis, jnp.float32)
         if scale_factors is None:
             scale_factors = jnp.ones_like(chis)

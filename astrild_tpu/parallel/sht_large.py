@@ -37,6 +37,23 @@ __all__ = ["make_distributed_sht_large",
            "make_distributed_sht_spin1_large"]
 
 
+def _interleave_helpers(nproc: int, nbl: int, B: int, Lp1: int,
+                        nb_p: int):
+    """Device-major block permutation + alm->block packer for the
+    interleaved m-block assignment (ONE home: the permutation is the
+    load-bearing contract between _to_blocks and the factories'
+    m0 = (i * nproc + idx) * B arithmetic)."""
+    blk_perm = np.concatenate(
+        [[i * nproc + d for i in range(nbl)] for d in range(nproc)])
+
+    def to_blocks(alm):
+        a = jnp.pad(jnp.asarray(alm, jnp.float32),
+                    ((0, 0), (0, nb_p * B - Lp1)))
+        return jnp.moveaxis(a.reshape(Lp1, nb_p, B), 1, 0)[blk_perm]
+
+    return to_blocks
+
+
 def make_distributed_sht_large(mesh: Mesh, nside: int, lmax: int,
                                ax: str = "x"):
     """Build jitted m-sharded (synthesize, analyze) over mesh axis `ax`.
@@ -121,16 +138,7 @@ def make_distributed_sht_large(mesh: Mesh, nside: int, lmax: int,
         in_specs=(P(),) + (P(),) * n_tab,
         out_specs=(P(), P())))
 
-    # device-major permutation of the global block order: shard position
-    # d * nbl + i must carry TRUE block i * nproc + d (the interleaved
-    # assignment synth_body assumes)
-    blk_perm = np.concatenate(
-        [[i * nproc + d for i in range(nbl)] for d in range(nproc)])
-
-    def _to_blocks(alm):
-        a = jnp.pad(jnp.asarray(alm, jnp.float32),
-                    ((0, 0), (0, nb_p * B - Lp1)))
-        return jnp.moveaxis(a.reshape(Lp1, nb_p, B), 1, 0)[blk_perm]
+    _to_blocks = _interleave_helpers(nproc, nbl, B, Lp1, nb_p)
 
     def synthesize(alm_re, alm_im):
         return synth(_to_blocks(alm_re), _to_blocks(alm_im), *tab)
@@ -275,13 +283,7 @@ def _make_distributed_spin_large(mesh: Mesh, nside: int, lmax: int,
         in_specs=(P(), P()) + (P(),) * n_tab,
         out_specs=(P(),) * 4))
 
-    blk_perm = np.concatenate(
-        [[i * nproc + d for i in range(nbl)] for d in range(nproc)])
-
-    def _to_blocks(alm):
-        a = jnp.pad(jnp.asarray(alm, jnp.float32),
-                    ((0, 0), (0, nb_p * B - Lp1)))
-        return jnp.moveaxis(a.reshape(Lp1, nb_p, B), 1, 0)[blk_perm]
+    _to_blocks = _interleave_helpers(nproc, nbl, B, Lp1, nb_p)
 
     def synthesize(e_re, e_im, b_re, b_im):
         return synth(_to_blocks(e_re), _to_blocks(e_im),

@@ -114,3 +114,17 @@ def test_distributed_multiplane_healpix_matches_local(rng):
     for k in ("kappa", "gamma1", "gamma2", "omega"):
         npt.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
                             atol=1e-5, err_msg=k)
+
+
+def test_distributed_multiplane_rejects_array_chi_s(rng):
+    import jax
+    from jax.sharding import Mesh
+    from astrild_tpu.parallel.lensing import (
+        make_distributed_multiplane_healpix)
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("x",))
+    fn = make_distributed_multiplane_healpix(mesh, 4, 0.3, lmax=8)
+    delta = rng.normal(0.0, 0.1, (2, 192)).astype(np.float32)
+    with pytest.raises(ValueError):
+        fn(delta, np.array([300.0, 500.0], np.float32),
+           np.full(2, 100.0, np.float32), np.array([700.0, 900.0]))
