@@ -407,11 +407,20 @@ class SkyHealpix:
 
         lmax defaults to 2*nside (the unbiased-adjoint analysis regime);
         the spin-1 synthesis auto-selects the table path below lmax 512
-        and the scan (libsharp-style) path above."""
+        and the scan (libsharp-style) path above.
+
+        Device-resident end to end: kappa and CMB are uploaded once,
+        analyze -> deflection synthesis -> bilinear remap chain on jax
+        arrays, one download of the lensed map (the old host round trip
+        between stages cost ~12 s of the 16 s warm call at nside=1024 —
+        measured stage split in docs/PERFORMANCE.md)."""
+        import jax.numpy as jnp
+
         from ..ops import sht, sht_large, sht_spin, sht_spin_large
+        from ..utils import healpix_jax as hpj
 
         L = 2 * self.nside if lmax is None else lmax
-        kappa_map = np.asarray(kappa_map, np.float32)
+        kappa_map = jnp.asarray(np.asarray(kappa_map, np.float32))
         # the plain adjoint (niter=0) is unbiased only at L <= 2*nside;
         # the super-Nyquist band needs the CG normal-equations solve
         # (table-path Jacobi overshoots there) or the deflection comes
@@ -431,34 +440,32 @@ class SkyHealpix:
         else:
             a_t, a_p = sht_spin_large.deflection_from_kappa_alm_large(
                 kr, ki, self.nside, L)
-        return self.lens_cmb_by_deflection(cmb_map, np.asarray(a_t),
-                                           np.asarray(a_p))
+        return self.lens_cmb_by_deflection(cmb_map, a_t, a_p)
 
     def lens_cmb_by_deflection(self, cmb_map, alpha_theta, alpha_phi
                                ) -> np.ndarray:
         """Lens a CMB map by remapping with a deflection field: sample the
         unlensed map at the source-plane positions (healpytools.py:52-59).
 
-        The bilinear sampling runs on-device (utils/healpix_jax); with a
-        lightcone in hand the deflection field itself can come from
-        ops.sht_spin.deflection_from_kappa_alm of a Born/multiplane kappa.
+        The whole remap (pixel centers, source angles, bilinear stencil,
+        gather) is one jitted device chain (healpix_jax.
+        remap_by_deflection); deflection inputs may be jax arrays (e.g.
+        straight from lens_cmb_from_kappa — no transfer) or host arrays
+        (uploaded once). With a lightcone in hand the deflection field
+        itself can come from ops.sht_spin.deflection_from_kappa_alm of a
+        Born/multiplane kappa.
         """
         import jax.numpy as jnp
 
         from ..utils import healpix_jax as hpj
 
-        ipix = np.arange(hp.nside2npix(self.nside))
-        theta, phi = hp.pix2ang_ring(self.nside, ipix)
-        ts = theta + np.asarray(alpha_theta)
-        ps = phi + np.asarray(alpha_phi) / np.maximum(np.sin(theta), 1e-6)
-        ts = np.clip(ts, 0.0, np.pi)
         # the device path is float32: split off the monopole in float64
         # so absolute-units maps (T ~ 2.7 K + uK fluctuations) keep
         # their fluctuation precision through the cast
         cmb_map = np.asarray(cmb_map, np.float64)
         mono = cmb_map.mean()
-        lensed = mono + np.asarray(hpj.get_interp_val(
-            jnp.asarray(cmb_map - mono, jnp.float32),
-            jnp.asarray(ts, jnp.float32), jnp.asarray(ps, jnp.float32)))
+        lensed = mono + np.asarray(hpj.remap_by_deflection(
+            jnp.asarray((cmb_map - mono).astype(np.float32)),
+            alpha_theta, alpha_phi, self.nside))
         self.data["cmb_lensed"] = lensed
         return lensed

@@ -437,31 +437,22 @@ def auto_power_fast(pos, ngrid: int, boxsize: float, nbins: int = 0,
                                  deposit=deposit)
 
 
-@partial(jax.jit, static_argnames=("ngrid", "nbins", "fine_factor",
-                                   "return_coarse_grid", "deposit"))
-def _auto_power_fast_impl(pos, boxsize, weights, binning, *, ngrid: int,
-                          nbins: int, fine_factor: int,
-                          return_coarse_grid: bool,
-                          deposit: str = "scatter"):
-    import itertools
+def _fast_keys(pos, boxsize, *, ngrid: int, fine_factor: int):
+    """Flat NGP cell keys on the fine grid, subgrid-major (fold) layout.
 
+    Single home shared by `_auto_power_fast_impl` and the bench's
+    sub-stage timings (`bench.py` matter_detail), so the timed
+    decomposition cannot drift from the production path. All
+    per-particle arithmetic stays on flat (N,) components: a resident
+    (N, 3) array pads its 3-wide dim to 128 lanes (42x memory) at
+    large N.
+    """
     nf = ngrid * fine_factor
     ff = fine_factor
-
-    # POWMES-style folding: FFT_fine(m) for |m| below the coarse Nyquist
-    # equals the phase-weighted sum of the FFTs of the fine_factor^3
-    # interleaved coarse subgrids (decimation in time). This avoids the
-    # single big FFT whose TPU-internal [n,n,n/4,4] reshape pads 32x.
-    # The deposit goes straight into subgrid-major layout — strided
-    # slicing a 512^3 array afterwards was the dominant cost — and all
-    # per-particle arithmetic stays on flat (N,) components: a resident
-    # (N, 3) array pads its 3-wide dim to 128 lanes (42x memory) at
-    # large N.
     if isinstance(pos, (tuple, list)):
         x, y, z = pos
     else:
         x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
-    n_part = x.shape[0]
     inv_cell = float(nf) / boxsize if isinstance(boxsize, float) else \
         nf / boxsize
 
@@ -470,8 +461,32 @@ def _auto_power_fast_impl(pos, boxsize, weights, binning, *, ngrid: int,
 
     ux, uy, uz = cell(x), cell(y), cell(z)
     s_id = ((ux % ff) * ff + (uy % ff)) * ff + (uz % ff)
-    flat = ((s_id * ngrid + ux // ff) * ngrid + uy // ff) * ngrid \
+    return ((s_id * ngrid + ux // ff) * ngrid + uy // ff) * ngrid \
         + uz // ff
+
+
+@partial(jax.jit, static_argnames=("ngrid", "nbins", "fine_factor",
+                                   "return_coarse_grid", "deposit"))
+def _auto_power_fast_impl(pos, boxsize, weights, binning, *, ngrid: int,
+                          nbins: int, fine_factor: int,
+                          return_coarse_grid: bool,
+                          deposit: str = "scatter"):
+    nf = ngrid * fine_factor
+    ff = fine_factor
+
+    # POWMES-style folding: FFT_fine(m) for |m| below the coarse Nyquist
+    # equals the phase-weighted sum of the FFTs of the fine_factor^3
+    # interleaved coarse subgrids (decimation in time). This avoids the
+    # single big FFT whose TPU-internal [n,n,n/4,4] reshape pads 32x.
+    # The deposit goes straight into subgrid-major layout — strided
+    # slicing a 512^3 array afterwards was the dominant cost.
+    if isinstance(pos, (tuple, list)):
+        x, y, z = pos
+    else:
+        x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
+    n_part = x.shape[0]
+    flat = _fast_keys((x, y, z), boxsize, ngrid=ngrid,
+                      fine_factor=fine_factor)
     w32 = None if weights is None else weights.astype(jnp.float32)
     if deposit == "pallas" or deposit == "pallas_interpret":
         from .paint_pallas import deposit_flat
@@ -495,7 +510,32 @@ def _auto_power_fast_impl(pos, boxsize, weights, binning, *, ngrid: int,
         dep = jnp.zeros((ff ** 3 * ngrid ** 3,), jnp.float32)
         dep = dep.at[flat].add(1.0 if w32 is None else w32)
     total = float(n_part) if weights is None else jnp.sum(w32)
-    dep = dep.reshape(ff ** 3, ngrid, ngrid, ngrid)
+    # discrete-tracer shot noise: V * sum(w^2) / (sum w)^2, which reduces
+    # to V/N for unit weights. (Subtracting V/N for weighted tracers
+    # leaves a (N*sum(w^2)/(sum w)^2 - 1) * V/N residual — measured 14%
+    # of the shot level for w ~ U(0.5, 2) Poisson particles.)
+    if weights is None:
+        shot = boxsize ** 3 / n_part
+    else:
+        shot = boxsize ** 3 * jnp.sum(w32 * w32) \
+            / jnp.where(total == 0, 1.0, total) ** 2
+    return _fold_fft_bin(dep, total, shot, binning, boxsize, ngrid=ngrid,
+                         fine_factor=fine_factor,
+                         return_coarse_grid=return_coarse_grid)
+
+
+def _fold_fft_bin(dep_flat, total, shot, binning, boxsize, *, ngrid: int,
+                  fine_factor: int, return_coarse_grid: bool):
+    """Fold-FFT + NGP deconvolution + shell binning of a fine deposit.
+
+    Single home shared by `_auto_power_fast_impl` and the bench's
+    sub-stage timings. dep_flat: (ff^3 * ngrid^3,) subgrid-major counts.
+    """
+    import itertools
+
+    ff = fine_factor
+    nf = ngrid * ff
+    dep = dep_flat.reshape(ff ** 3, ngrid, ngrid, ngrid)
 
     mode = (jnp.fft.fftfreq(ngrid) * ngrid).astype(jnp.float32)
     mz = (jnp.fft.rfftfreq(ngrid) * ngrid).astype(jnp.float32)
@@ -526,15 +566,6 @@ def _auto_power_fast_impl(pos, boxsize, weights, binning, *, ngrid: int,
     binidx, wf, nm, kmean = binning
     kf = 2.0 * jnp.pi / boxsize
     p = _shell_reduce(pk3d.reshape(-1), binidx, wf, nm)
-    # discrete-tracer shot noise: V * sum(w^2) / (sum w)^2, which reduces
-    # to V/N for unit weights. (Subtracting V/N for weighted tracers
-    # leaves a (N*sum(w^2)/(sum w)^2 - 1) * V/N residual — measured 14%
-    # of the shot level for w ~ U(0.5, 2) Poisson particles.)
-    if weights is None:
-        shot = boxsize ** 3 / n_part
-    else:
-        shot = boxsize ** 3 * jnp.sum(w32 * w32) \
-            / jnp.where(total == 0, 1.0, total) ** 2
     res = PowerResult(kmean * kf, p - shot, nm)
     if return_coarse_grid:
         return res, coarse

@@ -160,4 +160,9 @@ def make_distributed_pm_evolve(mesh: Mesh, ngrid: int, boxsize: float,
         return fn(tuple(comps), tuple(mom),
                   factors, jnp.asarray(am2, jnp.float32))
 
+    # the inner jitted program, for AOT inspection (collective-inventory
+    # pinning) — `evolve` itself does host-side KDK-table precompute per
+    # call and so cannot be traced by an outer jit
+    evolve.sharded_fn = fn
+    evolve.nsteps = nsteps
     return evolve

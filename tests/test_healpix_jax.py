@@ -93,3 +93,37 @@ def test_interp_poles(rng):
     dev = np.asarray(hpj.get_interp_val(fmap, theta.astype(np.float32),
                                         phi.astype(np.float32)))
     npt.assert_allclose(dev, host, atol=1e-4)
+
+
+@pytest.mark.parametrize("nside", [4, 16, 64])
+def test_pix2ang_parity(nside):
+    """Device pix2ang_ring == host util at every pixel (f32 tolerance)."""
+    ipix = np.arange(hpx.nside2npix(nside))
+    th_h, ph_h = hpx.pix2ang_ring(nside, ipix)
+    th_d, ph_d = hpj.pix2ang_ring(nside, ipix)
+    npt.assert_allclose(np.asarray(th_d), th_h, atol=3e-6)
+    npt.assert_allclose(np.asarray(ph_d), ph_h, atol=2e-5)
+
+
+def test_remap_by_deflection_matches_host_chain(rng):
+    """The fused device remap == the old host path (pix2ang on host +
+    get_interp_val), which test_healpix pins against healpy semantics."""
+    import jax.numpy as jnp
+
+    nside = 16
+    npix = hpx.nside2npix(nside)
+    hpmap = rng.normal(size=npix).astype(np.float32)
+    a_t = (rng.normal(size=npix) * 0.01).astype(np.float32)
+    a_p = (rng.normal(size=npix) * 0.01).astype(np.float32)
+
+    theta, phi = hpx.pix2ang_ring(nside, np.arange(npix))
+    ts = np.clip(theta + a_t, 0.0, np.pi)
+    ps = phi + a_p / np.maximum(np.sin(theta), 1e-6)
+    want = np.asarray(hpj.get_interp_val(jnp.asarray(hpmap),
+                                         jnp.asarray(ts, jnp.float32),
+                                         jnp.asarray(ps, jnp.float32)))
+    got = np.asarray(hpj.remap_by_deflection(hpmap, a_t, a_p, nside))
+    # identical stencils away from f32 pixel-boundary ties; the boundary
+    # pixels (host f64 vs device f32 center rounding) get full-weight
+    # neighbor swaps, so compare quantiles not max
+    assert np.quantile(np.abs(got - want), 0.999) < 1e-4
