@@ -308,7 +308,8 @@ def _fit_seg_params(n_cells: int, window: int, n_seg: int):
 
 
 def _auto_deposit_params(n: int, raw_cells: int, window=None,
-                         chunk_rows=None, must_divide: int | None = None):
+                         chunk_rows=None, must_divide: int | None = None,
+                         kind: str = "flat"):
     """Density-adaptive (window, chunk_rows) for the sorted deposits.
 
     The driver is rho = mean particle rows per (window[, offset]) range
@@ -317,20 +318,36 @@ def _auto_deposit_params(n: int, raw_cells: int, window=None,
     chunk DMA): widen the window until rho >= 16 rows and shrink chunks
     to 16. Measured on the v5e (TSC 512^3 from 4.2M sparse particles):
     (16384, 64) 2869 ms -> (65536, 16) 709 ms; NGP 4.2M -> 2^27 cells:
-    86 -> 39 ms. Dense regimes keep the defaults ((16384, 64) at
-    >= 64 rows: 16.8M -> 256^3 TSC 1238 vs 1281 ms at chunk 16), and
-    the mid regime (33.6M -> 512^3, rho = 31) takes (16384, 16):
-    3758 vs 4373 ms. Windows beyond 262144 are a measured pessimization
-    (1M window: 2970 ms on the sparse case — the one-hot H build grows
-    with rows).
+    86 -> 39 ms. The mid regime (33.6M -> 512^3, rho = 31) takes
+    (16384, 16): 3758 vs 4373 ms. Windows beyond 262144 are a measured
+    pessimization (1M window: 2970 ms on the sparse case — the one-hot
+    H build grows with rows).
+
+    kind splits the DENSE regime (r5 re-sweep on the post-2026-08
+    libtpu): the single-range flat deposit (kind="flat":
+    deposit_flat/deposit_sorted) is fastest at (8192, 24) — NGP counts
+    at bench scale 182 -> 155 ms, weighted pairs 290 -> 252 ms — while
+    the multi-offset painter (kind="paint": paint_windowed, whose
+    per-(window, offset) ranges are 8/27x shorter) keeps (16384, 64):
+    TSC 16.8M -> 256^3 measured 1235 / 1289 / 1335 ms at chunks
+    64/32/24.
     """
     if window is None:
-        window = DEFAULT_WINDOW
-        # stop at the first window with rho >= ~12 rows (the measured-best
-        # 4.2M/512^3 config sits at rho = 15.8 and must NOT widen past it)
-        while (window < 262144 and n * window < 12 * 128 * raw_cells
-               and (must_divide is None or must_divide % (2 * window) == 0)):
-            window *= 2
+        dense = n * DEFAULT_WINDOW >= 64 * 128 * raw_cells
+        if (kind == "flat" and dense
+                and (must_divide is None or must_divide % 8192 == 0)):
+            window = 8192
+            if chunk_rows is None:
+                chunk_rows = 24
+        else:
+            window = DEFAULT_WINDOW
+            # stop at the first window with rho >= ~12 rows (the
+            # measured-best 4.2M/512^3 config sits at rho = 15.8 and
+            # must NOT widen past it)
+            while (window < 262144 and n * window < 12 * 128 * raw_cells
+                   and (must_divide is None
+                        or must_divide % (2 * window) == 0)):
+                window *= 2
     if chunk_rows is None:
         rho = n * window / max(raw_cells, 1) / 128.0
         chunk_rows = 64 if rho >= 64 else 16
@@ -654,7 +671,7 @@ def paint_windowed(pos_flat, weights, ngrid: int, boxsize, order: int = 3,
 
     n = pos_flat.shape[0] // 3
     window, chunk_rows = _auto_deposit_params(n, (ngrid + 2) ** 3, window,
-                                              chunk_rows)
+                                              chunk_rows, kind="paint")
     # periodic wrap FIRST (paint.py promises all painters are periodic;
     # the scatter painters wrap via % ngrid) — afterwards every base cell
     # is in range and the padded-grid fold below supplies the wrap of the

@@ -157,6 +157,27 @@ def _surface_builders(mesh):
                                        axis="sim", block=128)
         return fn, (ppos, pvel)
 
+    def sht_large_synth():
+        # m-sharded scan-path SHT: ONE psum (the m-block embed-at-offset
+        # reduction) is the whole communication structure
+        from astrild_tpu.parallel.sht_large import (
+            make_distributed_sht_large)
+        lmax = 15
+        synth_l, _ = make_distributed_sht_large(mesh, 8, lmax)
+        alm = jnp.zeros((lmax + 1, lmax + 1), jnp.float32).at[2, 1].set(0.7)
+        return synth_l, (alm, jnp.zeros_like(alm))
+
+    def raytrace():
+        # realization-parallel (dp over 'sim') — collective-free by
+        # design; the empty inventory is the assertion
+        from astrild_tpu.parallel.lensing import make_distributed_raytrace
+        planes = jax.device_put(
+            jax.random.normal(jax.random.PRNGKey(3), (2, 4, 32, 32)) * 0.3,
+            NamedSharding(mesh, P("sim")))
+        rt = make_distributed_raytrace(mesh, 3000.0, 0.3, 0.1)
+        return rt, (planes, jnp.linspace(300.0, 2500.0, 4),
+                    jnp.full((4,), 50.0))
+
     return {
         "auto_power": auto_power,
         "auto_power_fast": auto_power_fast,
@@ -166,6 +187,8 @@ def _surface_builders(mesh):
         "pm_evolve": pm_evolve,
         "sht_synth": sht_synth,
         "sht_analyze": sht_analyze,
+        "sht_large_synth": sht_large_synth,
+        "raytrace": raytrace,
         "gaussian_filter": gaussian_filter,
         "pairwise": pairwise,
     }
@@ -173,7 +196,7 @@ def _surface_builders(mesh):
 
 CORE = ("auto_power_fast", "multipoles", "bispectrum", "gaussian_filter")
 EXTENDED = ("auto_power", "z0_suite", "pm_evolve", "sht_synth",
-            "sht_analyze", "pairwise")
+            "sht_analyze", "sht_large_synth", "raytrace", "pairwise")
 
 
 def _manifest():

@@ -430,19 +430,27 @@ def test_auto_deposit_params_measured_regimes():
     from astrild_tpu.ops.paint_pallas import _auto_deposit_params
 
     # sparse TSC 4.2M -> 512^3 padded grid: widen + small chunks
-    assert _auto_deposit_params(4_194_304, 514 ** 3) == (65536, 16)
+    assert _auto_deposit_params(4_194_304, 514 ** 3,
+                                kind="paint") == (65536, 16)
     # mid 33.6M -> 512^3: default window, small chunks
-    assert _auto_deposit_params(33_554_432, 514 ** 3) == (16384, 16)
-    # dense 16.8M -> 256^3: defaults untouched
-    assert _auto_deposit_params(16_777_216, 258 ** 3) == (16384, 64)
-    # bench NGP 134M -> 2^27: defaults untouched
+    assert _auto_deposit_params(33_554_432, 514 ** 3,
+                                kind="paint") == (16384, 16)
+    # dense TSC 16.8M -> 256^3 paint: defaults untouched (r5 re-sweep:
+    # 1235/1289/1335 ms at chunks 64/32/24 — the multi-offset ranges
+    # are 27x shorter than the flat deposit's)
+    assert _auto_deposit_params(16_777_216, 258 ** 3,
+                                kind="paint") == (16384, 64)
+    # bench NGP 134M -> 2^27 flat deposit: r5 dense-flat optimum
+    # (155 vs 182 ms counts, 252 vs 290 ms weighted)
     assert _auto_deposit_params(512 ** 3, 2 ** 27,
-                                must_divide=2 ** 27) == (16384, 64)
+                                must_divide=2 ** 27) == (8192, 24)
     # sparse NGP 4.2M -> 2^27 with divisibility honored
     w, p1 = _auto_deposit_params(4_194_304, 2 ** 27, must_divide=2 ** 27)
     assert (w, p1) == (65536, 16) and 2 ** 27 % w == 0
     # a must_divide without power-of-two headroom blocks widening
-    w2, _ = _auto_deposit_params(4_194_304, 3 * 16384,
+    # (n small enough that the widening loop WANTS to widen, and the
+    # flat-dense 8192 branch does not trigger)
+    w2, _ = _auto_deposit_params(1000, 3 * 16384,
                                  must_divide=3 * 16384)
     assert w2 == 16384
     # explicit values always win
