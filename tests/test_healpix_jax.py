@@ -127,3 +127,25 @@ def test_remap_by_deflection_matches_host_chain(rng):
     # pixels (host f64 vs device f32 center rounding) get full-weight
     # neighbor swaps, so compare quantiles not max
     assert np.quantile(np.abs(got - want), 0.999) < 1e-4
+
+
+def test_pix2ang_closed_form_boundaries_large_nside():
+    """nside=2048 (pixel index far beyond f32's 2^24): every cap/belt
+    boundary pixel plus strided samples must land on the host-f64 angle
+    to well under a pixel. phi is the sharp check — a ring off-by-one
+    shifts phi by O(2pi/nr) ~ 7.7e-4, while f32 phi precision is ~1e-6;
+    theta carries the f32 arccos-near-pole precision (~5e-5, inherent
+    to the device path) so it gets the looser pixel-relative bound."""
+    nside = 2048
+    npix = hpx.nside2npix(nside)
+    ncap = 2 * nside * (nside - 1)
+    idx = np.concatenate([
+        np.arange(0, ncap, 997), np.arange(ncap, npix - ncap, 99733),
+        np.arange(npix - ncap, npix, 997),
+        np.array([0, ncap - 1, ncap, npix - ncap - 1, npix - ncap,
+                  npix - 1])])
+    th_h, ph_h = hpx.pix2ang_ring(nside, idx)
+    th_d, ph_d = hpj.pix2ang_ring(nside, idx.astype(np.int32))
+    pix_size = np.pi / (4 * nside)
+    assert np.abs(np.asarray(th_d) - th_h).max() < 0.3 * pix_size
+    assert np.abs(np.asarray(ph_d) - ph_h).max() < 1e-5
