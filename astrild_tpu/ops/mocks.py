@@ -31,6 +31,16 @@ def linear_modes(key, ngrid: int, boxsize, pk_fn: Callable):
     the axon backend (CLAUDE.md) — keep it inside jitted chains; for a
     host-inspectable field use gaussian_field (real).
     """
+    white = jax.random.normal(key, (ngrid, ngrid, ngrid))
+    return modes_from_white(white, ngrid, boxsize, pk_fn)
+
+
+def modes_from_white(white, ngrid: int, boxsize, pk_fn: Callable):
+    """linear_modes with the N(0,1) white-noise field as an explicit,
+    DIFFERENTIABLE argument — the parameterization field-level
+    inference optimizes over (ops.field_infer). linear_modes(key, ...)
+    == modes_from_white(normal(key), ...), so inferred fields live in
+    the same convention as every mock/IC in the package."""
     kf = 2.0 * jnp.pi / boxsize
     f = (jnp.fft.fftfreq(ngrid) * ngrid).astype(jnp.float32)
     m2 = (f[:, None, None] ** 2 + f[None, :, None] ** 2
@@ -38,7 +48,6 @@ def linear_modes(key, ngrid: int, boxsize, pk_fn: Callable):
     p = pk_fn(jnp.maximum(jnp.sqrt(m2), 1e-6) * kf)
     p = jnp.where(m2 == 0.0, 0.0, p)
     amp = jnp.sqrt(p / boxsize ** 3) * float(ngrid) ** 3
-    white = jax.random.normal(key, (ngrid, ngrid, ngrid))
     return jnp.fft.fftn(white) / float(ngrid) ** 1.5 * amp
 
 

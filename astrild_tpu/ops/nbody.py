@@ -39,6 +39,7 @@ from .mocks import linear_modes
 from .lens_planes import density_planes_from_particles
 
 __all__ = ["lpt_displacements", "lpt_displacements_from_modes",
+           "lpt_catalog_from_modes",
            "lpt_catalog", "pm_step_factors", "pm_evolve",
            "pm_evolve_checkpointed", "pm_catalog",
            "pm_lightcone_planes", "velocities_kms"]
@@ -152,10 +153,34 @@ def lpt_catalog(key, ngrid: int, boxsize, pk_fn: Callable, cosmo,
     """
     if order not in (1, 2):
         raise ValueError("order must be 1 (Zel'dovich) or 2 (2LPT)")
-    d1, f1, d2, f2 = lpt_growth(cosmo, z_init, order)
+    dk = linear_modes(key, ngrid, boxsize, pk_fn)
+    return lpt_catalog_from_modes(dk, ngrid, boxsize, cosmo, z_init,
+                                  order=order)
+
+
+def lpt_catalog_from_modes(delta_k_full, ngrid: int, boxsize, cosmo,
+                           z_init: float, order: int = 2,
+                           growth=None):
+    """lpt_catalog from explicit linear modes (unnormalized fftn
+    coefficients of the z=0 field) instead of a PRNG key — the
+    differentiable entry point field-level inference chains through
+    (ops.field_infer); lpt_catalog delegates here so both share one IC
+    assembly.
+
+    growth: optional precomputed (d1, f1, d2, f2, e_init) host scalars
+    so jit-traced callers avoid evaluating the cosmology at trace time
+    (jnp constants inside a trace become tracers and float() raises —
+    CLAUDE.md tracer-cache trap)."""
+    if order not in (1, 2):
+        raise ValueError("order must be 1 (Zel'dovich) or 2 (2LPT)")
+    if growth is None:
+        d1, f1, d2, f2 = lpt_growth(cosmo, z_init, order)
+        e = float(cosmo.efunc(z_init))
+    else:
+        d1, f1, d2, f2, e = growth
     a = 1.0 / (1.0 + z_init)
-    e = float(cosmo.efunc(z_init))
-    psi1, psi2 = lpt_displacements(key, ngrid, boxsize, pk_fn)
+    psi1, psi2 = lpt_displacements_from_modes(delta_k_full, ngrid,
+                                              boxsize)
     qx, qy, qz = _lattice_comps(ngrid, boxsize)
     disp = d1 * psi1 + d2 * psi2
     # dx/dt = E (f1 D1 psi1 + f2 D2 psi2); p = a^2 dx/dt
