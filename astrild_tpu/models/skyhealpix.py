@@ -417,7 +417,6 @@ class SkyHealpix:
         import jax.numpy as jnp
 
         from ..ops import sht, sht_large, sht_spin, sht_spin_large
-        from ..utils import healpix_jax as hpj
 
         L = 2 * self.nside if lmax is None else lmax
         kappa_map = jnp.asarray(np.asarray(kappa_map, np.float32))

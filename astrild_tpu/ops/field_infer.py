@@ -19,12 +19,12 @@ Conventions:
   * the posterior is the standard field-level Gaussian form
     0.5*|delta_sim(w) - data|^2/sigma^2 + 0.5*|w|^2.
 
-Differentiability constraints (documented, enforced by construction):
-CIC/TSC painting is piecewise-smooth in positions and uses the XLA
-scatter (which has a transpose rule); the Pallas deposit has no AD rule,
-so forward models keep particle counts below the auto-dispatch
-threshold or pass deposit='scatter'. NGP is NOT differentiable in
-positions (zero gradient a.e.) and is rejected.
+Differentiability constraints (enforced by construction): every paint
+in the chain — the per-step force paints inside the KDK scan AND the
+final density paint — runs with deposit="scatter" (the XLA scatter has
+a transpose rule; the auto-dispatched Pallas painter does not and would
+break jax.grad at n >= 2^21 on TPU, exactly production scale). NGP is
+NOT differentiable in positions (zero gradient a.e.) and is rejected.
 """
 from __future__ import annotations
 
@@ -76,7 +76,8 @@ def _simulate_core(white, consts, pk_fn: Callable, ngrid: int, boxsize,
                                         z_init, order=order,
                                         growth=growth)
     comps, _ = _pm_scan(comps, mom, jnp.asarray(factors),
-                        jnp.asarray(am2), ngrid, boxsize, om0, window)
+                        jnp.asarray(am2), ngrid, boxsize, om0, window,
+                        deposit="scatter")
     grid = paint(comps, ngrid, boxsize, window=window,
                  deposit="scatter")
     return grid / jnp.mean(grid) - 1.0
@@ -102,15 +103,25 @@ def simulate_density(white, pk_fn: Callable, cosmo, *, ngrid: int,
                           window, order)
 
 
-def field_nll(white, data_delta, noise_var, pk_fn: Callable, cosmo,
-              *, boxsize, **sim_kwargs):
-    """Negative log-posterior: 0.5|delta(w)-d|^2/sigma^2 + 0.5|w|^2."""
-    ngrid = data_delta.shape[-1]
-    delta = simulate_density(white, pk_fn, cosmo, ngrid=ngrid,
-                             boxsize=boxsize, **sim_kwargs)
+def _gauss_posterior(delta, data_delta, noise_var, white):
+    """0.5|delta - d|^2/sigma^2 + 0.5|w|^2 — the ONE home of the
+    Gaussian field posterior (field_nll and the MAP loop share it)."""
     resid = delta - data_delta
     return (0.5 * jnp.sum(resid * resid) / noise_var
             + 0.5 * jnp.sum(white * white))
+
+
+def field_nll(white, data_delta, noise_var, pk_fn: Callable, cosmo,
+              *, boxsize, **sim_kwargs):
+    """Negative log-posterior: 0.5|delta(w)-d|^2/sigma^2 + 0.5|w|^2.
+
+    Convenience form that re-evaluates the cosmology on host per call;
+    gradient loops should use infer_initial_field (host consts hoisted
+    once) or build their own loss on `_simulate_core`."""
+    ngrid = data_delta.shape[-1]
+    delta = simulate_density(white, pk_fn, cosmo, ngrid=ngrid,
+                             boxsize=boxsize, **sim_kwargs)
+    return _gauss_posterior(delta, data_delta, noise_var, white)
 
 
 def infer_initial_field(data_delta, noise_var, pk_fn: Callable, cosmo,
@@ -120,11 +131,12 @@ def infer_initial_field(data_delta, noise_var, pk_fn: Callable, cosmo,
                         window: str = "cic", order: int = 2):
     """Adam MAP reconstruction of the whitened initial field.
 
-    Returns {"white": best w, "loss": (n_iter,) history}. Pass white0
-    to warm-start (e.g. from a coarser reconstruction); otherwise
-    starts from zeros (the prior mean) or, given `key`, from a prior
-    draw. The whole optimization is ONE jitted lax.scan (cosmology
-    host-precomputed once).
+    Returns {"white": the iterate with the LOWEST measured loss (not
+    necessarily the final one — high-lr runs oscillate), "loss":
+    (n_iter,) history}. Pass white0 to warm-start (e.g. from a coarser
+    reconstruction); otherwise starts from zeros (the prior mean) or,
+    given `key`, from a prior draw. The whole optimization is ONE
+    jitted lax.scan (cosmology host-precomputed once).
     """
     import optax
 
@@ -141,21 +153,25 @@ def infer_initial_field(data_delta, noise_var, pk_fn: Callable, cosmo,
     def loss_fn(w):
         delta = _simulate_core(w, consts, pk_fn, ngrid, boxsize,
                                z_init, window, order)
-        resid = delta - data_delta
-        return (0.5 * jnp.sum(resid * resid) / noise_var
-                + 0.5 * jnp.sum(w * w))
+        return _gauss_posterior(delta, data_delta, noise_var, w)
 
     opt = optax.adam(lr)
 
     @jax.jit
     def run(w0, state0):
         def step(carry, _):
-            w, state = carry
+            w, state, best_w, best_loss = carry
             loss, g = jax.value_and_grad(loss_fn)(w)
+            better = loss < best_loss
+            best_w = jnp.where(better, w, best_w)
+            best_loss = jnp.where(better, loss, best_loss)
             updates, state = opt.update(g, state)
-            return (optax.apply_updates(w, updates), state), loss
+            return (optax.apply_updates(w, updates), state, best_w,
+                    best_loss), loss
 
-        return jax.lax.scan(step, (w0, state0), None, length=n_iter)
+        return jax.lax.scan(
+            step, (w0, state0, w0, jnp.asarray(jnp.inf)), None,
+            length=n_iter)
 
-    (w, _), losses = run(white0, opt.init(white0))
-    return {"white": w, "loss": losses}
+    (_, _, w_best, _), losses = run(white0, opt.init(white0))
+    return {"white": w_best, "loss": losses}

@@ -256,9 +256,11 @@ def pm_step_factors(cosmo, a_init: float, a_final: float, nsteps: int,
                                spacing=spacing, quad_points=quad_points)
 
 
-@partial(jax.jit, static_argnames=("ngrid", "window", "compensate"))
+@partial(jax.jit, static_argnames=("ngrid", "window", "compensate",
+                                   "deposit"))
 def _force_grids(comps, ngrid: int, boxsize, om0, window: str,
-                 compensate: bool = True, am2=jnp.inf):
+                 compensate: bool = True, am2=jnp.inf,
+                 deposit=None):
     """F_hat = -grad phi_hat, lap phi_hat = 1.5 Om0 (1 + mu_k) delta,
     as (3, n, n, n) grids from the painted density (single window
     deconvolution: corrects the paint; the readout smoothing remains,
@@ -285,7 +287,7 @@ def _force_grids(comps, ngrid: int, boxsize, om0, window: str,
     pm_catalog default); tests/test_nbody.py::test_force_accuracy
     pins both regimes.
     """
-    grid = paint(comps, ngrid, boxsize, window=window)
+    grid = paint(comps, ngrid, boxsize, window=window, deposit=deposit)
     dk = _delta_k(grid, window=window if compensate else None)
     f = _freqs(ngrid, boxsize)
     fr = f[: ngrid // 2 + 1]
@@ -304,12 +306,17 @@ def _force_grids(comps, ngrid: int, boxsize, om0, window: str,
     return jnp.stack(fg)
 
 
-@partial(jax.jit, static_argnames=("ngrid", "window"))
+@partial(jax.jit, static_argnames=("ngrid", "window", "deposit"))
 def _pm_scan(comps, mom, factors, am2_edges, ngrid: int, boxsize, om0,
-             window: str):
+             window: str, deposit=None):
+    # deposit="scatter" keeps every per-step force paint on the XLA
+    # scatter (which has a transpose rule) — required when the scan is
+    # DIFFERENTIATED (ops.field_infer): the auto-dispatched Pallas
+    # painter has no AD rule and would break jax.grad at n >= 2^21 on
+    # TPU, exactly production scale
     force0 = sample_displacement(
         _force_grids(comps, ngrid, boxsize, om0, window,
-                     am2=am2_edges[0]), boxsize, comps)
+                     am2=am2_edges[0], deposit=deposit), boxsize, comps)
 
     def step(carry, xs):
         fac, am2 = xs
@@ -322,6 +329,7 @@ def _pm_scan(comps, mom, factors, am2_edges, ngrid: int, boxsize, om0,
         z = (z + dr * pz) % boxsize
         frc = sample_displacement(
             _force_grids((x, y, z), ngrid, boxsize, om0, window,
+                         deposit=deposit,
                          am2=am2),
             boxsize, (x, y, z))
         mom_new = (px + k2 * frc[0], py + k2 * frc[1], pz + k2 * frc[2])

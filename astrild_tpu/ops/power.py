@@ -471,7 +471,6 @@ def _auto_power_fast_impl(pos, boxsize, weights, binning, *, ngrid: int,
                           nbins: int, fine_factor: int,
                           return_coarse_grid: bool,
                           deposit: str = "scatter"):
-    nf = ngrid * fine_factor
     ff = fine_factor
 
     # POWMES-style folding: FFT_fine(m) for |m| below the coarse Nyquist

@@ -69,7 +69,23 @@ def hlo_collectives(hlo_text: str) -> dict:
         op = m.group("op")
         rec = out.setdefault(op, {"count": 0, "bytes": 0})
         rec["count"] += 1
-        rec["bytes"] += _shape_bytes(m.group("out"))
+        type_text = m.group("out")
+        if m.group("phase") == "-start":
+            # async start ops return an (operand-alias, result, ...)
+            # tuple; counting the whole tuple would double bytes the
+            # moment XLA switches a collective from sync to async with
+            # no structural change. The RESULT is the last real shape.
+            shapes = _SHAPE_RE.findall(type_text)
+            shapes = [s for s in shapes if s[0] in _DTYPE_BYTES]
+            if shapes:
+                dtype, dims = shapes[-1]
+                n = 1
+                for d in dims.split(","):
+                    if d:
+                        n *= int(d)
+                rec["bytes"] += n * _DTYPE_BYTES[dtype]
+            continue
+        rec["bytes"] += _shape_bytes(type_text)
     return out
 
 

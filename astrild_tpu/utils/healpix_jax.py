@@ -242,9 +242,19 @@ def remap_by_deflection(hpmap, alpha_theta, alpha_phi, nside: int):
     """
     npix = hpx.nside2npix(nside)
     theta, phi = pix2ang_ring(nside, jnp.arange(npix, dtype=jnp.int32))
-    ts = jnp.clip(theta + jnp.asarray(alpha_theta, jnp.float32),
-                  0.0, jnp.pi)
+    # deterministic 1e-3-pixel nudge: zero/underflowing deflection puts
+    # sample points EXACTLY on pixel centers, half of which sit on
+    # phi-stencil boundaries, where XLA fusion duplicates the floor
+    # chain into the gather and weight islands with different FMA
+    # contraction and the (pix, wgt) pair goes inconsistent (CLAUDE.md
+    # round-3 lightcone notes — optimization_barrier does NOT help).
+    # 1e-3 pixel is ~2000 ulp of phi (far beyond any island FMA
+    # discrepancy) yet shifts the sampled value by only 1e-3 of the
+    # local pixel-to-pixel difference.
+    nudge = 1.0e-3 * (_TWO_PI / (4.0 * nside))
+    ts = jnp.clip(theta + jnp.asarray(alpha_theta, jnp.float32)
+                  + 0.5 * nudge, 0.0, jnp.pi)
     ps = phi + (jnp.asarray(alpha_phi, jnp.float32)
-                / jnp.maximum(jnp.sin(theta), 1e-6))
+                / jnp.maximum(jnp.sin(theta), 1e-6)) + nudge
     pix, wgt = get_interp_weights(nside, ts, ps)
     return _interp_apply(jnp.asarray(hpmap, jnp.float32), pix, wgt, nside)

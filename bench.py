@@ -376,14 +376,18 @@ def main():
         # can't masquerade as a smoke-scale success
         record = _run_suite(256, fallback_from=f"{N_SIDE}^3: "
                             f"{type(e).__name__}")
-    # file-driven lane (r4 VERDICT #6): non-fatal, printed BEFORE the
-    # headline so the driver's last-JSON-line parse stays the suite
+    # the measured suite headline goes out IMMEDIATELY (a tunnel hang in
+    # the optional file lane must not forfeit it from the artifact) ...
+    print(json.dumps(record), flush=True)
+    # ... then the file-driven lane (r4 VERDICT #6), non-fatal ...
     try:
         file_n = int(os.environ.get("BENCH_FILE_NSIDE", "256"))
-        print(json.dumps(_file_driven_lane(file_n)))
+        print(json.dumps(_file_driven_lane(file_n)), flush=True)
     except Exception as e:
         print(f"# file-driven lane failed: {type(e).__name__}: {e}",
               file=sys.stderr, flush=True)
+    # ... and the headline AGAIN as the last line, so a driver that
+    # parses either the first or the last JSON line gets the suite
     print(json.dumps(record))
 
 

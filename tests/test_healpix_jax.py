@@ -117,8 +117,11 @@ def test_remap_by_deflection_matches_host_chain(rng):
     a_p = (rng.normal(size=npix) * 0.01).astype(np.float32)
 
     theta, phi = hpx.pix2ang_ring(nside, np.arange(npix))
-    ts = np.clip(theta + a_t, 0.0, np.pi)
-    ps = phi + a_p / np.maximum(np.sin(theta), 1e-6)
+    # remap_by_deflection applies a deterministic 1e-3-pixel tie-breaking
+    # nudge (fusion-duplication defense); mirror it in the reference
+    nudge = 1.0e-3 * (2.0 * np.pi / (4.0 * nside))
+    ts = np.clip(theta + a_t + 0.5 * nudge, 0.0, np.pi)
+    ps = phi + a_p / np.maximum(np.sin(theta), 1e-6) + nudge
     want = np.asarray(hpj.get_interp_val(jnp.asarray(hpmap),
                                          jnp.asarray(ts, jnp.float32),
                                          jnp.asarray(ps, jnp.float32)))
