@@ -1,7 +1,8 @@
-from . import (bispectrum, lensing, maps, mesh, multihost, nbody, pairwise,
-               pfft, power, sht)
+from . import (bispectrum, field_infer, lensing, maps, mesh, multihost,
+               nbody, pairwise, pfft, power, sht)
 from .mesh import auto_mesh, make_mesh, sim_axis_mesh
 
-__all__ = ["bispectrum", "lensing", "maps", "mesh", "multihost", "nbody",
+__all__ = ["bispectrum", "field_infer", "lensing", "maps", "mesh",
+           "multihost", "nbody",
            "pairwise", "pfft", "power", "sht", "auto_mesh", "make_mesh",
            "sim_axis_mesh"]

@@ -31,12 +31,12 @@ from ..ops.recon import sample_displacement
 from .pfft import local_kvecs, pfft3d_local, pifft3d_local
 from .power import _local_compensation, local_mode_numbers
 
-__all__ = ["make_distributed_pm_evolve"]
+__all__ = ["make_distributed_pm_evolve", "pm_scan_body"]
 
 
 def _local_force_grids(comps, ngrid: int, boxsize, om0, window: str,
                        am2, ax: str = "x", ay: str = "y",
-                       extra_axes=()):
+                       extra_axes=(), deposit=None):
     """Force grids (3, n, n, n), full on every device; shard_map body.
 
     Mirrors ops.nbody._force_grids (same single-deconvolution painted
@@ -47,7 +47,10 @@ def _local_force_grids(comps, ngrid: int, boxsize, om0, window: str,
     """
     px = jax.lax.axis_size(ax)
     py = jax.lax.axis_size(ay)
-    grid = paint_single(comps, ngrid, boxsize, window=window)
+    # deposit="scatter" keeps the paint differentiable (no Pallas AD
+    # rule) — the distributed field-level inference path sets it
+    grid = paint_single(comps, ngrid, boxsize, window=window,
+                        deposit=deposit)
     if extra_axes:
         grid = jax.lax.psum(grid, extra_axes)
     if px > 1:
@@ -90,6 +93,40 @@ def _local_force_grids(comps, ngrid: int, boxsize, om0, window: str,
     return f
 
 
+def pm_scan_body(comps, mom, factors, am2_edges, *, ngrid: int,
+                 boxsize, om0, window: str, ax: str = "x",
+                 ay: str = "y", extra_axes=(), deposit=None):
+    """KDK leapfrog scan as a shard_map BODY (module-level so both the
+    distributed PM evolver and the distributed field-level inference
+    chain reuse the exact same operator). deposit="scatter" keeps the
+    per-step force paints differentiable (Pallas has no AD rule)."""
+    def force(c, am2):
+        grids = _local_force_grids(c, ngrid, boxsize, om0, window, am2,
+                                   ax=ax, ay=ay, extra_axes=extra_axes,
+                                   deposit=deposit)
+        return sample_displacement(grids, boxsize, c)
+
+    force0 = force(comps, am2_edges[0])
+
+    def step(carry, xs):
+        fac, am2 = xs
+        (x, y, z), (px_, py_, pz_), frc = carry
+        k1, dr, k2 = fac[0], fac[1], fac[2]
+        px_, py_, pz_ = (px_ + k1 * frc[0], py_ + k1 * frc[1],
+                         pz_ + k1 * frc[2])
+        x = (x + dr * px_) % boxsize
+        y = (y + dr * py_) % boxsize
+        z = (z + dr * pz_) % boxsize
+        frc = force((x, y, z), am2)
+        mom_new = (px_ + k2 * frc[0], py_ + k2 * frc[1],
+                   pz_ + k2 * frc[2])
+        return ((x, y, z), mom_new, frc), None
+
+    (comps, mom, _), _ = jax.lax.scan(
+        step, (comps, mom, force0), (factors, am2_edges[1:]))
+    return comps, mom
+
+
 def make_distributed_pm_evolve(mesh: Mesh, ngrid: int, boxsize: float,
                                cosmo, nsteps: int, window: str = "cic",
                                spacing: str = "loga"):
@@ -115,30 +152,9 @@ def make_distributed_pm_evolve(mesh: Mesh, ngrid: int, boxsize: float,
     extra = tuple(a for a in part_axes if a not in ("x", "y"))
 
     def body(comps, mom, factors, am2_edges):
-        def force(c, am2):
-            grids = _local_force_grids(c, ngrid, boxsize, om0, window,
-                                       am2, extra_axes=extra)
-            return sample_displacement(grids, boxsize, c)
-
-        force0 = force(comps, am2_edges[0])
-
-        def step(carry, xs):
-            fac, am2 = xs
-            (x, y, z), (px_, py_, pz_), frc = carry
-            k1, dr, k2 = fac[0], fac[1], fac[2]
-            px_, py_, pz_ = (px_ + k1 * frc[0], py_ + k1 * frc[1],
-                             pz_ + k1 * frc[2])
-            x = (x + dr * px_) % boxsize
-            y = (y + dr * py_) % boxsize
-            z = (z + dr * pz_) % boxsize
-            frc = force((x, y, z), am2)
-            mom_new = (px_ + k2 * frc[0], py_ + k2 * frc[1],
-                       pz_ + k2 * frc[2])
-            return ((x, y, z), mom_new, frc), None
-
-        (comps, mom, _), _ = jax.lax.scan(
-            step, (comps, mom, force0), (factors, am2_edges[1:]))
-        return comps, mom
+        return pm_scan_body(comps, mom, factors, am2_edges,
+                            ngrid=ngrid, boxsize=boxsize, om0=om0,
+                            window=window, extra_axes=extra)
 
     row = P(part_axes)
     fn = jax.jit(jax.shard_map(

@@ -178,7 +178,26 @@ def _surface_builders(mesh):
         return rt, (planes, jnp.linspace(300.0, 2500.0, 4),
                     jnp.full((4,), 50.0))
 
+    def field_infer_grad():
+        # the DIFFERENTIATED sharded forward model: pins the transposed
+        # collective structure too (all_to_all transposes, all_gather
+        # <-> psum_scatter/reduce-scatter pairs from the AD transpose)
+        from astrild_tpu.parallel.field_infer import (
+            make_distributed_field_infer)
+        from astrild_tpu.utils.cosmology import Cosmology
+
+        def pk(k):
+            return 2.0e3 * (k / 0.1) ** -1.5
+
+        fac = make_distributed_field_infer(
+            mesh, NGRID, BOX, pk, Cosmology(Om0=0.3, h=0.7),
+            z_init=9.0, nsteps=2, window="cic")
+        w = jax.random.normal(jax.random.PRNGKey(8), (NGRID,) * 3)
+        data = jnp.zeros((NGRID,) * 3, jnp.float32)
+        return fac.value_and_grad, (w, data, jnp.asarray(0.05))
+
     return {
+        "field_infer_grad": field_infer_grad,
         "auto_power": auto_power,
         "auto_power_fast": auto_power_fast,
         "multipoles": multipoles,
@@ -196,7 +215,8 @@ def _surface_builders(mesh):
 
 CORE = ("auto_power_fast", "multipoles", "bispectrum", "gaussian_filter")
 EXTENDED = ("auto_power", "z0_suite", "pm_evolve", "sht_synth",
-            "sht_analyze", "sht_large_synth", "raytrace", "pairwise")
+            "sht_analyze", "sht_large_synth", "raytrace", "pairwise",
+            "field_infer_grad")
 
 
 def _manifest():
