@@ -73,6 +73,32 @@ def lin_field(w):
 r = np.corrcoef(lin_field(out["white"]), lin_field(truth))[0, 1]
 print(f"linear-field cross-correlation (recovered vs truth): {r:.3f}")
 
+# --- posterior sampling: HMC through the simulator ------------------
+# warm-started at the MAP; the whitened parameterization doubles as the
+# identity-mass preconditioner
+t0 = time.perf_counter()
+samples, acc = field_infer.sample_initial_field(
+    jax.random.PRNGKey(20), data, noise_var, pk, cosmo, boxsize=BOX,
+    n_samples=24, n_warmup=24, n_leapfrog=6, white0=out["white"], **KW)
+print(f"HMC 48x6 leapfrog steps through the simulator: "
+      f"{time.perf_counter() - t0:.1f} s (accept {acc:.2f})")
+# per-mode chain std relative to the unit prior. A 24-sample demo chain
+# in a 32768-dim space is far from mixed, so the absolute widths are
+# LOWER bounds on the posterior width — the physics here is the
+# ORDERING: weakly-constrained high-k modes move more than the
+# data-pinned low-k modes from the very first samples
+dks = np.fft.fftn(np.asarray(samples), axes=(1, 2, 3))
+prior_sd = np.sqrt(NGRID ** 3 / 2.0)  # Re-part std of fftn(N(0,1))
+sd_rel = dks.real.std(axis=0) / prior_sd
+f = np.fft.fftfreq(NGRID) * NGRID
+m = np.sqrt(f[:, None, None] ** 2 + f[None, :, None] ** 2
+            + f[None, None, :] ** 2)
+lowk = sd_rel[(m > 0) & (m < 4)].mean()
+highk = sd_rel[m > 12].mean()
+print(f"chain mode-amplitude std / prior (short-chain lower bound): "
+      f"low-k {lowk:.3f} vs high-k {highk:.3f} "
+      f"(high-k/low-k = {highk / lowk:.1f}x)")
+
 # per-k-band mode correlation: low-k modes are recovered ~exactly, the
 # falloff toward the grid Nyquist is the expected MAP prior shrinkage of
 # weakly-constrained modes (not an optimizer failure)
